@@ -1,0 +1,134 @@
+"""Blocking predicate library.
+
+Pure functions that turn one field column into (row_index, block_key) pairs —
+the role of dedupe's predicate set invoked via ``deduper.fingerprinter(...)``
+(mysql_example/mysql_example.py:217-224).  Predicate kinds mirror the public
+dedupe predicate families: whole-field, token, first-token, prefix/suffix
+char-grams, char-ngrams, numeric rounding, set-element, plus the index-backed
+rare-token (TF-IDF-canopy-style) predicate handled in ``fingerprint.py``.
+
+Emitters are vectorized over Arrow where the kernel exists; each returns
+``(indices: np.int64 ndarray, keys: pa.StringArray)`` with nulls already
+dropped.  Keys are raw (un-prefixed); the fingerprinter prepends the
+predicate index so keyspaces never collide across predicates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _as_string(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    return arr
+
+
+def _valid(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    mask = pc.and_(arr.is_valid(), pc.not_equal(pc.fill_null(arr, ""), ""))
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    return idx, arr.take(pa.array(idx, pa.int64()))
+
+
+def emit_whole_field(arr) -> tuple[np.ndarray, pa.Array]:
+    arr = _as_string(arr)
+    return _valid(arr)
+
+
+def emit_first_token(arr) -> tuple[np.ndarray, pa.Array]:
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    first = pc.list_element(pc.split_pattern_regex(vals, _TOKEN_SPLIT, max_splits=1), 0)
+    return idx, first
+
+
+def emit_token(arr) -> tuple[np.ndarray, pa.Array]:
+    """Every whitespace token becomes a key (explodes rows)."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    lists = pc.split_pattern_regex(vals, _TOKEN_SPLIT)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return idx[parents[keep]], flat.filter(pa.array(keep))
+
+
+def emit_prefix(arr, n: int = 4) -> tuple[np.ndarray, pa.Array]:
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    return idx, pc.utf8_slice_codeunits(vals, 0, n)
+
+
+def emit_suffix(arr, n: int = 4) -> tuple[np.ndarray, pa.Array]:
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    # slice kernels take scalar offsets only -> suffix = reverse∘prefix∘reverse
+    rev = pc.utf8_reverse(vals)
+    return idx, pc.utf8_reverse(pc.utf8_slice_codeunits(rev, 0, n))
+
+
+def emit_ngrams(arr, n: int = 3) -> tuple[np.ndarray, pa.Array]:
+    """Character n-grams (Python loop — use on short normalized fields only)."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    out_idx: list[int] = []
+    out_keys: list[str] = []
+    for i, v in zip(idx, vals.to_pylist()):
+        v = v.replace(" ", "")
+        if len(v) < n:
+            out_idx.append(int(i))
+            out_keys.append(v)
+            continue
+        for j in range(len(v) - n + 1):
+            out_idx.append(int(i))
+            out_keys.append(v[j : j + n])
+    return np.array(out_idx, dtype=np.int64), pa.array(out_keys, pa.string())
+
+
+def emit_numeric_round(arr, digits: int = 0) -> tuple[np.ndarray, pa.Array]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        ok = pc.match_substring_regex(pc.fill_null(arr, ""), r"^-?\d+(\.\d+)?$")
+        arr = pc.if_else(ok, arr, pa.nulls(len(arr), pa.string()))
+    num = pc.cast(arr, pa.float64(), safe=False)
+    mask = num.is_valid()
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    vals = num.take(pa.array(idx, pa.int64()))
+    rounded = pc.round(vals, ndigits=digits)
+    return idx, pc.cast(rounded, pa.string())
+
+
+def emit_set_element(arr) -> tuple[np.ndarray, pa.Array]:
+    """Each element of a list<string> column becomes a key."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    mask = pc.and_(arr.is_valid(), pc.greater(pc.list_value_length(arr), 0))
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    vals = arr.take(pa.array(idx, pa.int64()))
+    parents = pc.list_parent_indices(vals).to_numpy(zero_copy_only=False)
+    flat = _as_string(pc.list_flatten(vals))
+    return idx[parents], flat
+
+
+PREDICATE_KINDS = {
+    "whole_field": emit_whole_field,
+    "first_token": emit_first_token,
+    "token": emit_token,
+    "prefix": emit_prefix,
+    "suffix": emit_suffix,
+    "ngram": emit_ngrams,
+    "numeric_round": emit_numeric_round,
+    "set_element": emit_set_element,
+    # "rare_token" is index-backed; see fingerprint.Fingerprinter
+}
+
+
+def emit_keys(kind: str, arr, **params) -> tuple[np.ndarray, pa.Array]:
+    return PREDICATE_KINDS[kind](arr, **params)

@@ -1,0 +1,184 @@
+"""Field model + settings artifact.
+
+Plays the role of the reference's field-variable list and settings file:
+
+- fields list -> ``Dedupe(fields)`` (csv_example.py:102-110,
+  record_linkage_example.py:109-116, patent_example.py:113-124)
+- settings artifact -> ``write_settings`` / ``StaticDedupe(f)`` round-trip
+  (csv_example.py:94-97,143-144): a JSON blob holding the compared fields,
+  the blocking predicates, the trained logistic weights and the threshold,
+  loaded once per scoring actor instead of retraining.
+- interactions -> ``Interaction("a", "b")`` (patent_example.py:120-123):
+  product feature of two other variables' similarities.
+- ``fit_logistic`` replaces the interactive ``console_label``+``train`` loop
+  (csv_example.py:130-134) with deterministic full-batch logistic regression
+  over programmatically labeled pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+COMPARATORS = (
+    "string",       # batched normalized Levenshtein similarity
+    "jaro_winkler",
+    "affine_gap",
+    "text",         # TF-IDF token cosine (needs corpus IDF stats)
+    "exact",
+    "categorical",
+    "price",
+    "set",          # Jaccard over list<string>
+    "latlong",      # haversine -> similarity
+)
+
+
+@dataclass(frozen=True)
+class Field:
+    column: str
+    comparator: str = "string"
+    has_missing: bool = False
+    name: str | None = None  # feature name; defaults to column (patent_example.py:114-119 names)
+
+    @property
+    def feature(self) -> str:
+        return self.name or self.column
+
+    def to_dict(self) -> dict:
+        return {
+            "column": self.column,
+            "comparator": self.comparator,
+            "has_missing": self.has_missing,
+            "name": self.name,
+        }
+
+
+@dataclass
+class Settings:
+    fields: list[Field]
+    predicates: list[dict] = field(default_factory=list)  # [{"kind","column",**params}]
+    interactions: list[tuple[str, str]] = field(default_factory=list)
+    weights: dict[str, float] = field(default_factory=dict)
+    bias: float = 0.0
+    threshold: float = 0.5
+    max_block_size: int = 200           # salting cap for hot blocking keys (SURVEY.md §4)
+    oversize_policy: str = "salt"       # "salt" | "drop" | "keep"
+
+    def feature_names(self) -> list[str]:
+        names = [f.feature for f in self.fields]
+        for f in self.fields:
+            if f.has_missing:
+                names.append(f.feature + "__missing")
+        for a, b in self.interactions:
+            names.append(f"{a}*{b}")
+        return names
+
+    def weight_vector(self) -> np.ndarray:
+        return np.array([self.weights.get(n, 0.0) for n in self.feature_names()], dtype=np.float64)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "fields": [f.to_dict() for f in self.fields],
+                "predicates": self.predicates,
+                "interactions": [list(t) for t in self.interactions],
+                "weights": self.weights,
+                "bias": self.bias,
+                "threshold": self.threshold,
+                "max_block_size": self.max_block_size,
+                "oversize_policy": self.oversize_policy,
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Settings":
+        d = json.loads(s)
+        return cls(
+            fields=[Field(**f) for f in d["fields"]],
+            predicates=d.get("predicates", []),
+            interactions=[tuple(t) for t in d.get("interactions", [])],
+            weights=d.get("weights", {}),
+            bias=d.get("bias", 0.0),
+            threshold=d.get("threshold", 0.5),
+            max_block_size=d.get("max_block_size", 200),
+            oversize_policy=d.get("oversize_policy", "salt"),
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "Settings":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def fingerprint(self) -> str:
+        """Stable hash for checkpoint-manifest invalidation."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+
+def fit_logistic(
+    X: np.ndarray, y: np.ndarray, l2: float = 1e-3, iters: int = 300, lr: float = 1.0
+) -> tuple[np.ndarray, float]:
+    """Deterministic full-batch logistic regression (gradient descent).
+
+    Replaces the reference's active-learning ``train()`` (mysql_example.py:174)
+    when labeled pairs are available programmatically; no randomness.
+    """
+    n, d = X.shape
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = p - y
+        gw = X.T @ g / n + l2 * w
+        gb = float(g.mean())
+        w -= lr * gw
+        b -= lr * gb
+    return w, b
+
+
+def sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
+
+
+def default_page_settings() -> Settings:
+    """Settings artifact for the flagship web-pages dedupe pipeline.
+
+    Fields derive from ``normalize.derive_page_fields``; weights are a fixed
+    artifact (the ``StaticDedupe`` path, csv_example.py:94-97) chosen so that
+    near-duplicate perturbations (title/body edits) score >> threshold and
+    unrelated pages score << threshold; validated by the gold-F1 e2e test.
+    """
+    return Settings(
+        fields=[
+            Field("title", "string"),
+            Field("body", "text", has_missing=True),
+            Field("host", "exact"),
+            Field("path", "string", has_missing=True),
+        ],
+        predicates=[
+            {"kind": "first_token", "column": "title"},
+            {"kind": "prefix", "column": "title", "n": 8},
+            {"kind": "whole_field", "column": "host"},
+        ],
+        interactions=[],
+        weights={
+            "title": 6.0,
+            "body": 5.0,
+            "host": 1.0,
+            "path": 1.0,
+            "body__missing": -0.5,
+            "path__missing": -0.5,
+        },
+        bias=-7.0,
+        threshold=0.5,
+        max_block_size=200,
+        oversize_policy="salt",
+    )

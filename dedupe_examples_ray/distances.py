@@ -1,0 +1,216 @@
+"""Distance / similarity kernels for pairwise scoring.
+
+Implements, from published definitions, the comparator family the reference's
+field variables invoke through the dedupe API (SURVEY.md §2.3 T3): edit
+distance (String/ShortString), Jaro-Winkler, affine-gap alignment, TF-IDF
+cosine (Text with corpus), set cosine/Jaccard (Set), haversine (LatLong),
+relative price difference (Price), equality (Exact/Categorical).
+
+All similarities are in [0, 1]; 1 = identical. Missing values are handled by
+the scorer (missing-indicator features), not here.
+
+The hot-path kernel is ``batch_levenshtein_sim``: a fully vectorized
+Wagner-Fischer over the *pair axis* — one numpy op per DP row, with the
+insertion dependency resolved as a running-min prefix scan
+(cur[j] = min_{k<=j}(cand[k] - k) + j), so cost is O(maxlen) numpy calls per
+batch instead of a Python loop per pair.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _encode_padded(strings: list, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate to ``cap`` codepoints -> (N, cap) uint32 matrix + lengths."""
+    n = len(strings)
+    mat = np.zeros((n, cap), dtype=np.uint32)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(strings):
+        if not s:
+            continue
+        s = s[:cap]
+        lens[i] = len(s)
+        mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return mat, lens
+
+
+def batch_levenshtein_sim(a: list, b: list, cap: int = 64) -> np.ndarray:
+    """Normalized Levenshtein similarity 1 - dist/max(len) for N pairs at once.
+
+    ``None``/empty on either side yields 0.0 (the scorer masks those rows via
+    missing indicators before they matter).
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    A, la = _encode_padded(a, cap)
+    B, lb = _encode_padded(b, cap)
+    max_la = int(la.max()) if n else 0
+    lbmax = int(lb.max()) if n else 0
+
+    dist = np.where(la == 0, lb, 0).astype(np.float64)  # la==0 rows resolved now
+    if max_la > 0:
+        jr = np.arange(lbmax + 1, dtype=np.int64)
+        prev = np.broadcast_to(jr, (n, lbmax + 1)).astype(np.int64).copy()
+        Bv = B[:, :lbmax]
+        for i in range(1, max_la + 1):
+            cost = (A[:, i - 1 : i] != Bv).astype(np.int64)  # (n, lbmax)
+            cand = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+            t = np.concatenate([np.full((n, 1), i, dtype=np.int64), cand], axis=1)
+            cur = np.minimum.accumulate(t - jr, axis=1) + jr
+            done = la == i
+            if done.any():
+                dist[done] = cur[done, lb[done]]
+            prev = cur
+    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float64)
+    sim = 1.0 - dist / denom
+    sim[(la == 0) | (lb == 0)] = 0.0
+    return sim
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity (public definition)."""
+    if not a or not b:
+        return 0.0
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    sa = [c for c, m in zip(a, match_a) if m]
+    sb = [c for c, m in zip(b, match_b) if m]
+    transpositions = sum(x != y for x, y in zip(sa, sb)) // 2
+    return (matches / la + matches / lb + (matches - transpositions) / matches) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler: Jaro boosted by common-prefix length (public definition)."""
+    j = jaro(a, b)
+    if j == 0.0:
+        return 0.0
+    prefix = 0
+    for ca, cb in zip(a[:max_prefix], b[:max_prefix]):
+        if ca != cb:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+def batch_jaro_winkler(a: list, b: list) -> np.ndarray:
+    return np.array([jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype=np.float64)
+
+
+def affine_gap_sim(a: str, b: str, mismatch: float = 1.0, gap_open: float = 1.0, gap_extend: float = 0.25) -> float:
+    """Affine-gap alignment similarity (Gotoh algorithm, public definition).
+
+    The reference's String variable uses an affine-gap string distance
+    (SURVEY.md §2.3 T3, public dedupe semantics).  Normalized to [0,1]:
+    1 - cost / worst_case where worst_case = opening one gap spanning the
+    longer string plus mismatching the shorter.
+    """
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    INF = float("inf")
+    M = [0.0] + [INF] * lb
+    X = [INF] * (lb + 1)  # gap in a (consuming b)
+    Y = [INF] * (lb + 1)  # gap in b (consuming a)
+    for j in range(1, lb + 1):
+        X[j] = gap_open + (j - 1) * gap_extend
+        M[j] = INF
+    prevM, prevX, prevY = M[:], X[:], Y[:]
+    for i in range(1, la + 1):
+        M = [INF] * (lb + 1)
+        X = [INF] * (lb + 1)
+        Y = [INF] * (lb + 1)
+        Y[0] = gap_open + (i - 1) * gap_extend
+        for j in range(1, lb + 1):
+            cost = 0.0 if a[i - 1] == b[j - 1] else mismatch
+            M[j] = cost + min(prevM[j - 1], prevX[j - 1], prevY[j - 1])
+            X[j] = min(M[j - 1] + gap_open, X[j - 1] + gap_extend)
+            Y[j] = min(prevM[j] + gap_open, prevY[j] + gap_extend)
+        prevM, prevX, prevY = M, X, Y
+    best = min(prevM[lb], prevX[lb], prevY[lb])
+    worst = gap_open + (max(la, lb) - 1) * gap_extend + min(la, lb) * mismatch
+    return max(0.0, 1.0 - best / worst) if worst > 0 else 1.0
+
+
+_TOKEN_NONE = frozenset()
+
+
+def tokens(s: str | None) -> frozenset:
+    if not s:
+        return _TOKEN_NONE
+    return frozenset(s.split())
+
+
+def cosine_tokens(ta, tb, idf: dict | None = None) -> float:
+    """TF-IDF-weighted token-set cosine (Text-with-corpus comparator).
+
+    With no idf map this degrades to plain set cosine (all weights 1).
+    """
+    if not ta or not tb:
+        return 0.0
+    if idf is None:
+        inter = len(ta & tb)
+        return inter / math.sqrt(len(ta) * len(tb)) if inter else 0.0
+    num = sum(idf.get(t, 1.0) ** 2 for t in ta & tb)
+    if num == 0.0:
+        return 0.0
+    na = math.sqrt(sum(idf.get(t, 1.0) ** 2 for t in ta))
+    nb = math.sqrt(sum(idf.get(t, 1.0) ** 2 for t in tb))
+    return num / (na * nb)
+
+
+def jaccard(ta, tb) -> float:
+    if not ta or not tb:
+        return 0.0
+    inter = len(ta & tb)
+    return inter / (len(ta) + len(tb) - inter) if inter else 0.0
+
+
+def haversine_km(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
+    """Great-circle distance in km (public formula; LatLong comparator)."""
+    r = 6371.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lng2 - lng1)
+    x = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(x))
+
+
+def haversine_sim(lat1, lng1, lat2, lng2, scale_km: float = 10.0) -> float:
+    """Distance mapped to (0,1]: 1/(1 + d/scale)."""
+    return 1.0 / (1.0 + haversine_km(lat1, lng1, lat2, lng2) / scale_km)
+
+
+def price_sim(pa_: float, pb: float) -> float:
+    """1 - relative difference (Price comparator)."""
+    if pa_ is None or pb is None:
+        return 0.0
+    m = max(abs(pa_), abs(pb))
+    if m == 0:
+        return 1.0
+    return max(0.0, 1.0 - abs(pa_ - pb) / m)
+
+
+def exact_sim(a, b) -> float:
+    return 1.0 if a is not None and a == b else 0.0

@@ -1,0 +1,118 @@
+"""Vectorized preProcess normalizers (reference csv_example.py:26-38 & variants).
+
+The reference normalizes every value at read time: unidecode -> collapse
+whitespace -> strip quotes/punctuation -> lower -> empty->None
+(csv_example/csv_example.py:26-38; punctuation-stripping variant
+record_linkage_example/record_linkage_example.py:20-37; SQL CASE WHEN '' THEN
+NULL sweep mysql_example/mysql_init_db.py:219-235).
+
+Here normalization is a config-driven, Arrow-vectorized ``map_batches`` stage:
+``pyarrow.compute`` kernels do the hot work (lower, regex replace, trim); the
+transliteration fallback only runs on rows containing non-ASCII (rare after
+extraction, which already transliterates).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .extract import transliterate
+
+# Punctuation handling of the M2 variant (record_linkage_example.py:20-37):
+# some characters are deleted, some become spaces.
+_DELETE_RE = r"['\"`,\.\!\?\(\)\[\]\{\};]"
+_TO_SPACE_RE = r"[-/:_\|]"
+
+
+def normalize_string_array(arr: pa.Array | pa.ChunkedArray, strip_punct: bool = True) -> pa.Array:
+    """unidecode -> (punct) -> lower -> collapse ws -> trim -> ''->null.
+
+    Mirrors reference M1/M2 semantics; RE2 regex (pyarrow) keeps parity with a
+    DuckDB ``regexp_replace`` oracle.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string())
+    # transliteration fallback only where needed
+    if len(arr):
+        ascii_mask = pc.match_substring_regex(arr, r"^[\x00-\x7F]*$")
+        if pc.min(ascii_mask).as_py() is False:
+            vals = arr.to_pylist()
+            vals = [None if v is None else (v if v.isascii() else transliterate(v)) for v in vals]
+            arr = pa.array(vals, pa.string())
+    if strip_punct:
+        arr = pc.replace_substring_regex(arr, _DELETE_RE, "")
+        arr = pc.replace_substring_regex(arr, _TO_SPACE_RE, " ")
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, r"\s+", " ")
+    arr = pc.utf8_trim_whitespace(arr)
+    return pc.if_else(pc.equal(arr, ""), pa.nulls(len(arr), pa.string()), arr)
+
+
+def empty_to_null(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """SQL ``CASE WHEN col = '' THEN NULL`` sweep (mysql_init_db.py:219-235)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.if_else(pc.equal(arr, ""), pa.nulls(len(arr), pa.string()), arr)
+
+
+def concat_ws(sep: str, *arrays) -> pa.Array:
+    """``CONCAT_WS`` (mysql_init_db.py:241-253): null-skipping join."""
+    arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays]
+    filled = [pc.fill_null(a, "") for a in arrays]
+    out = pc.binary_join_element_wise(*filled, sep)
+    out = pc.replace_substring_regex(out, f"({sep})+", sep)
+    out = pc.replace_substring_regex(out, f"^{sep}|{sep}$", "")
+    return pc.if_else(pc.equal(out, ""), pa.nulls(len(out), pa.string()), out)
+
+
+def parse_price(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Strip leading ``$``, cast float, ''->null (record_linkage_example.py:52-53)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string())
+    arr = pc.replace_substring_regex(arr, r"^\$", "")
+    arr = pc.utf8_trim_whitespace(arr)
+    arr = pc.if_else(pc.equal(arr, ""), pa.nulls(len(arr), pa.string()), arr)
+    return pc.cast(arr, pa.float64())
+
+
+def derive_page_fields(batch: pa.Table, text_col: str = "text", url_col: str = "url") -> pa.Table:
+    """Derive the compared entity-resolution fields from a pages batch.
+
+    The reference compares declared columns (csv_example.py:102-107); for web
+    pages we derive them: ``title`` = first line of extracted text, ``body`` =
+    remainder (capped), ``host``/``path`` from the url.  All normalized.
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.cast(text, pa.string())
+    split = pc.split_pattern(text, "\n", max_splits=1)
+    title = pc.list_element(split, 0)
+    rest = pc.list_slice(split, 1, 2, return_fixed_size_list=True)
+    body = pc.list_element(rest, 0)
+    body = pc.utf8_slice_codeunits(pc.replace_substring(body, "\n", " "), 0, 400)
+
+    url = batch[url_col]
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    url = pc.cast(url, pa.string())
+    nohost = pc.replace_substring_regex(url, r"^[a-z]+://", "")
+    host = pc.replace_substring_regex(nohost, r"/.*$", "")
+    # strip mirror prefixes like m3. so host blocks across mirrors; keep apex
+    apex = pc.replace_substring_regex(host, r"^m\d+\.", "")
+    path = pc.replace_substring_regex(nohost, r"^[^/]*", "")
+
+    out = batch
+    for name, col in [
+        ("title", normalize_string_array(title)),
+        ("body", normalize_string_array(body)),
+        ("host", normalize_string_array(apex, strip_punct=False)),
+        ("path", normalize_string_array(path)),
+    ]:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, col)
+    return out

@@ -1,0 +1,139 @@
+"""Flagship composed pipeline: block -> pair -> score -> cluster -> entity map.
+
+Ray-Data-native equivalent of ``Dedupe.partition(data, threshold)``
+(csv_example/csv_example.py:152) in its out-of-core form
+(mysql_example/mysql_example.py:190-292 — the B1-B4/P1-P2/W phases):
+
+    records ──map_batches──▶ derived fields (normalize.derive_page_fields)
+            ──map_batches──▶ blocking map            [B3, fingerprint.py]
+            ──groupby(block_key).map_groups──▶ pairs [P1, pairs.py — THE shuffle]
+            ──groupby(id_a,id_b).first──▶ deduped pairs [A4]
+            ──map_batches(actor pool)──▶ scores      [P2, scoring.py]
+            ──filter ≥ threshold──▶ edges
+            ──union-find / star rounds──▶ labels     [C3, cluster.py]
+            ──join + COALESCE──▶ entity_map          [W/J6]
+
+Every stage optionally checkpoints to ``workdir`` with lineage manifests
+(checkpoint.py) keyed on the settings fingerprint, so a rerun resumes after
+the last completed stage.
+"""
+
+from __future__ import annotations
+
+from ..blocking import compute_token_df, fingerprint_dataset, idf_from_df
+from ..checkpoint import run_stage
+from ..cluster import build_entity_map, connected_components, member_confidence
+from ..config import Settings, default_page_settings
+from ..normalize import derive_page_fields
+from ..pairs import candidate_pairs
+from ..scoring import score_pairs, threshold_edges
+
+
+def dedupe_dataset(
+    records_ds,
+    settings: Settings,
+    id_col: str,
+    workdir: str | None = None,
+    idf: dict | None = None,
+    scorer_concurrency=4,
+    driver_cc_limit: int = 2_000_000,
+    ids_ds=None,
+    scorer_blocks: int | None = 32,
+):
+    """Generic single-table dedupe over an already-normalized Dataset.
+
+    ``settings.fields`` name columns of ``records_ds``; ``id_col`` is the
+    stable record identity (SURVEY.md §1.1).  Returns the entity-map Dataset
+    (record_id, canon_id, cluster_score).
+
+    ``ids_ds``: cheap source of record ids for the entity-map join-back — pass
+    the *raw* input when ``records_ds`` is itself a derived pipeline, so the
+    derivation isn't recomputed just to enumerate ids.
+    ``scorer_blocks``: pairs are split into this many blocks (metadata-only
+    repartition, no shuffle) so the scorer actor pool parallelizes even when
+    the pair groupby emitted few blocks.
+    """
+    fp = settings.fingerprint()
+    carry = sorted({f.column for f in settings.fields})
+
+    blocks = run_stage(
+        "blocks",
+        lambda: fingerprint_dataset(records_ds, settings, id_col, carry),
+        workdir,
+        fp,
+    )
+    pairs = run_stage(
+        "pairs",
+        lambda: candidate_pairs(
+            blocks,
+            id_col,
+            carry,
+            max_block_size=settings.max_block_size,
+            policy=settings.oversize_policy,
+        ),
+        workdir,
+        fp,
+    )
+    if scorer_blocks:
+        pairs = pairs.repartition(scorer_blocks)
+
+    def scored_edges():
+        scores = score_pairs(pairs, settings, idf=idf, concurrency=scorer_concurrency)
+        return threshold_edges(scores, settings.threshold)
+
+    # The thresholded edge set fans out three ways (count for the CC path
+    # choice, the CC itself, member confidence) — pin it once instead of
+    # re-executing the block->pair->score chain per consumer.  It is the
+    # *small* output of blocking+scoring, bounded by the block-size cap.
+    edges = run_stage("edges", scored_edges, workdir, fp)
+    if workdir is None:
+        edges = edges.materialize()
+    labels = run_stage(
+        "clusters",
+        lambda: connected_components(edges, driver_limit=driver_cc_limit),
+        workdir,
+        fp,
+    )
+    confidence = member_confidence(edges)
+    entity = run_stage(
+        "entity_map",
+        lambda: build_entity_map(ids_ds if ids_ds is not None else records_ds, id_col, labels, confidence),
+        workdir,
+        fp,
+    )
+    return entity
+
+
+def dedupe_pages(
+    pages_ds,
+    settings: Settings | None = None,
+    workdir: str | None = None,
+    use_idf: bool = False,
+    scorer_concurrency=4,
+):
+    """Web-pages flagship: derive fields from (url, text), then dedupe.
+
+    Input columns needed: url, text (prune others at the read — the html
+    payload must not travel through the shuffle).
+    """
+    settings = settings or default_page_settings()
+    slim = pages_ds.select_columns(
+        [c for c in ("url", "text") if c in pages_ds.schema().names] or ["url", "text"]
+    )
+    derived = slim.map_batches(derive_page_fields, batch_format="pyarrow")
+    idf = None
+    if use_idf:
+        n_docs = derived.count()
+        df_tbl = compute_token_df(derived, "body").to_pandas()
+        import pyarrow as pa
+
+        idf = idf_from_df(pa.Table.from_pandas(df_tbl), n_docs)
+    return dedupe_dataset(
+        derived,
+        settings,
+        id_col="url",
+        workdir=workdir,
+        idf=idf,
+        scorer_concurrency=scorer_concurrency,
+        ids_ds=slim.select_columns(["url"]),
+    )

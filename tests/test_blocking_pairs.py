@@ -1,0 +1,143 @@
+"""Unit tests: predicates, fingerprinter, pair generation, salting, metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dedupe_examples_ray.blocking.corpus import (
+    common_tokens_from_df,
+    compute_token_df,
+    idf_from_df,
+)
+from dedupe_examples_ray.blocking.fingerprint import Fingerprinter
+from dedupe_examples_ray.blocking.predicates import emit_keys
+from dedupe_examples_ray.config import Field, Settings
+from dedupe_examples_ray.pairs import _emit_pairs_table
+
+
+def _keys(kind, values, **kw):
+    idx, keys = emit_keys(kind, pa.array(values), **kw)
+    return list(zip(idx.tolist(), keys.to_pylist()))
+
+
+def test_predicate_emitters():
+    assert _keys("whole_field", ["ab", None, ""]) == [(0, "ab")]
+    assert _keys("first_token", ["red fox", "solo"]) == [(0, "red"), (1, "solo")]
+    assert set(_keys("token", ["a b a", None])) == {(0, "a"), (0, "b")}
+    assert _keys("prefix", ["abcdef"], n=3) == [(0, "abc")]
+    assert _keys("suffix", ["abcdef", "ab"], n=3) == [(0, "def"), (1, "ab")]
+    assert set(_keys("ngram", ["abcd"], n=3)) == {(0, "abc"), (0, "bcd")}
+    assert _keys("ngram", ["ab"], n=3) == [(0, "ab")]
+    assert _keys("numeric_round", ["12.4", "x", None]) == [(0, "12")]
+    idx, keys = emit_keys("set_element", pa.array([["x", "y"], None, []], pa.list_(pa.string())))
+    assert list(zip(idx.tolist(), keys.to_pylist())) == [(0, "x"), (0, "y")]
+
+
+def test_fingerprinter_prefixes_and_carries():
+    s = Settings(
+        fields=[Field("name")],
+        predicates=[
+            {"kind": "first_token", "column": "name"},
+            {"kind": "whole_field", "column": "city"},
+        ],
+    )
+    batch = pa.table(
+        {"rid": [1, 2], "name": ["ann arbor", "ann paul"], "city": ["nyc", None]}
+    )
+    fp = Fingerprinter(s.to_json(), "rid", ["name"])
+    out = fp(batch)
+    rows = sorted(zip(out["block_key"].to_pylist(), out["rid"].to_pylist()))
+    assert rows == [("0:ann", 1), ("0:ann", 2), ("1:nyc", 1)]
+    assert out.column_names == ["block_key", "rid", "name"]
+
+
+def test_fingerprinter_rare_token_uses_common_set():
+    s = Settings(fields=[Field("name")], predicates=[{"kind": "rare_token", "column": "name"}])
+    fp = Fingerprinter(s.to_json(), "rid", [], common_ref=frozenset({"the"}))
+    out = fp(pa.table({"rid": [1], "name": ["the zanzibar"]}))
+    assert out["block_key"].to_pylist() == ["0:zanzibar"]
+
+
+def _pairs(tbl, **kw):
+    defaults = dict(id_col="rid", carry_cols=["name"], max_block_size=200, policy="salt", source_col=None)
+    defaults.update(kw)
+    out = _emit_pairs_table(tbl, **defaults)
+    return out
+
+
+def test_pair_emission_ordered_and_deduped_within_block():
+    tbl = pa.table(
+        {"block_key": ["k"] * 4, "rid": [3, 1, 2, 1], "name": ["c", "a", "b", "a"]}
+    )
+    out = _pairs(tbl)
+    got = sorted(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # carry columns travel on both sides
+    row = {c: out[c].to_pylist() for c in out.column_names}
+    i = got.index((1, 3))
+    assert row["name_a"][out["id_a"].to_pylist().index(1)] == "a"
+    assert set(out.column_names) == {"id_a", "id_b", "name_a", "name_b"}
+
+
+def test_pair_salting_caps_block():
+    n = 30
+    tbl = pa.table({"block_key": ["k"] * n, "rid": list(range(n)), "name": ["x"] * n})
+    full = _pairs(tbl, max_block_size=200)
+    assert full.num_rows == n * (n - 1) // 2
+    salted = _pairs(tbl, max_block_size=10)
+    assert 0 < salted.num_rows < full.num_rows
+    # within sub-blocks ordering still holds
+    assert all(a < b for a, b in zip(salted["id_a"].to_pylist(), salted["id_b"].to_pylist()))
+    dropped = _pairs(tbl, max_block_size=10, policy="drop")
+    assert dropped.num_rows == 0
+    kept = _pairs(tbl, max_block_size=10, policy="keep")
+    assert kept.num_rows == full.num_rows
+
+
+def test_pair_cross_source_mode():
+    tbl = pa.table(
+        {
+            "block_key": ["k"] * 4,
+            "rid": ["a0", "a1", "b0", "b1"],
+            "name": ["x"] * 4,
+            "src": [0, 0, 1, 1],
+        }
+    )
+    out = _pairs(tbl, source_col="src")
+    got = sorted(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == [("a0", "b0"), ("a0", "b1"), ("a1", "b0"), ("a1", "b1")]
+
+
+def test_candidate_pairs_dedup_across_blocks(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.pairs import candidate_pairs, pair_metrics
+
+    blocks = pa.table(
+        {
+            "block_key": ["x", "x", "y", "y"],
+            "rid": [1, 2, 1, 2],
+            "name": ["a", "b", "a", "b"],
+        }
+    )
+    ds = rd.from_arrow(blocks)
+    out = candidate_pairs(ds, "rid", ["name"]).to_pandas()
+    assert len(out) == 1  # pair (1,2) co-blocked twice, deduped (A4)
+    m = pair_metrics(ds, "rid", max_block_size=200)
+    assert m["pairs_full"] == 2 and m["blocks"] == 2 and m["pairs_dropped_est"] == 0
+
+
+def test_corpus_df_idf_common(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_items(
+        [{"text": "the cat sat"}, {"text": "the dog sat sat"}, {"text": "the bird"}]
+    )
+    df = compute_token_df(docs, "text").to_pandas().set_index("token")["df"]
+    assert df["the"] == 3 and df["sat"] == 2 and df["cat"] == 1  # per-doc distinct
+    tbl = pa.table({"token": df.index.to_list(), "df": df.to_list()})
+    common = common_tokens_from_df(tbl, max_df=2)
+    assert common == frozenset({"the"})
+    idf = idf_from_df(tbl, n_docs=3)
+    assert idf["cat"] > idf["the"]

@@ -1,0 +1,90 @@
+"""Tests: union-find, distributed connected components, confidence, entity map."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dedupe_examples_ray.cluster import (
+    build_entity_map,
+    connected_components,
+    connected_components_distributed,
+    member_confidence,
+    union_find,
+)
+
+
+def test_union_find_basic():
+    labels = union_find([1, 2, 5], [2, 3, 6])
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[5] == labels[6] == 5
+
+
+def _random_graph(n_nodes, n_edges, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    return a[keep], b[keep]
+
+
+def _components_reference(a, b):
+    labels = union_find(a.tolist(), b.tolist())
+    groups = {}
+    for node, lab in labels.items():
+        groups.setdefault(lab, set()).add(node)
+    return {frozenset(g) for g in groups.values()}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_distributed_cc_matches_union_find(ray_session, seed):
+    import ray.data as rd
+
+    a, b = _random_graph(120, 150, seed)
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array(a, pa.int64()), "v": pa.array(b, pa.int64())})
+    )
+    got = connected_components_distributed(edges, max_rounds=15).to_pandas()
+    groups = {}
+    for node, lab in zip(got["node"], got["label"]):
+        groups.setdefault(lab, set()).add(node)
+        groups[lab].add(lab)
+    got_comps = {frozenset(g) for g in groups.values()}
+    assert got_comps == _components_reference(a, b)
+    # labels are component minima
+    for lab, g in groups.items():
+        assert lab == min(g)
+
+
+def test_connected_components_driver_path(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_items(
+        [{"id_a": "u1", "id_b": "u2", "score": 0.9}, {"id_a": "u4", "id_b": "u3", "score": 0.8}]
+    )
+    out = connected_components(edges).to_pandas().set_index("node")["label"].to_dict()
+    assert out == {"u1": "u1", "u2": "u1", "u3": "u3", "u4": "u3"}
+
+
+def test_member_confidence_and_entity_map(ray_session):
+    import ray.data as rd
+
+    edges = rd.from_items(
+        [
+            {"id_a": "a", "id_b": "b", "score": 1.0},
+            {"id_a": "b", "id_b": "c", "score": 0.6},
+        ]
+    )
+    conf = member_confidence(edges).to_pandas().set_index("node")["cluster_score"].to_dict()
+    assert conf["a"] == 1.0 and conf["c"] == 0.6 and conf["b"] == pytest.approx(0.8)
+
+    records = rd.from_items([{"rid": x} for x in ["a", "b", "c", "lonely"]])
+    labels = connected_components(edges)
+    em = build_entity_map(records, "rid", labels, member_confidence(edges)).to_pandas()
+    em = em.set_index("record_id")
+    assert em.loc["a", "canon_id"] == "a"
+    assert em.loc["c", "canon_id"] == "a"
+    # singleton completion: unclustered record becomes its own cluster (J6)
+    assert em.loc["lonely", "canon_id"] == "lonely"
+    assert np.isnan(em.loc["lonely", "cluster_score"])

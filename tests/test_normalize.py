@@ -1,0 +1,82 @@
+"""Tests for vectorized preProcess normalizers (reference M1-M12 semantics)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from dedupe_examples_ray.config import Field, Settings, default_page_settings, fit_logistic
+from dedupe_examples_ray.normalize import (
+    concat_ws,
+    derive_page_fields,
+    empty_to_null,
+    normalize_string_array,
+    parse_price,
+)
+
+
+def test_normalize_string_array():
+    arr = pa.array(["  Foo   BAR  ", "O'Neil-Smith", "", None, "Café!"])
+    out = normalize_string_array(arr)
+    assert out.to_pylist() == ["foo bar", "oneil smith", None, None, "cafe"]
+
+
+def test_normalize_keep_punct():
+    out = normalize_string_array(pa.array(["A-B's"]), strip_punct=False)
+    assert out.to_pylist() == ["a-b's"]
+
+
+def test_empty_to_null_and_concat_ws():
+    assert empty_to_null(pa.array(["a", "", None])).to_pylist() == ["a", None, None]
+    out = concat_ws(" ", pa.array(["John", None, ""]), pa.array(["Doe", "Solo", None]))
+    assert out.to_pylist() == ["John Doe", "Solo", None]
+
+
+def test_parse_price():
+    out = parse_price(pa.array(["$12.50", "7", "", None]))
+    assert out.to_pylist() == [12.5, 7.0, None, None]
+
+
+def test_derive_page_fields():
+    t = pa.table(
+        {
+            "url": ["https://m3.foo12.example/a/b", "https://bar.example/x"],
+            "text": ["My Great Title\nbody words here\nmore", "OnlyTitle"],
+        }
+    )
+    out = derive_page_fields(t)
+    assert out["title"].to_pylist() == ["my great title", "onlytitle"]
+    assert out["body"].to_pylist() == ["body words here more", None]
+    assert out["host"].to_pylist() == ["foo12.example", "bar.example"]
+    assert out["path"].to_pylist() == ["a b", "x"]
+
+
+def test_settings_roundtrip_and_fingerprint():
+    s = default_page_settings()
+    s2 = Settings.from_json(s.to_json())
+    assert s2.to_json() == s.to_json()
+    assert s2.fingerprint() == s.fingerprint()
+    s2.threshold = 0.7
+    assert s2.fingerprint() != s.fingerprint()
+    names = s.feature_names()
+    assert "title" in names and "body__missing" in names
+    assert len(s.weight_vector()) == len(names)
+
+
+def test_settings_interaction_feature_names():
+    s = Settings(fields=[Field("a"), Field("b")], interactions=[("a", "b")])
+    assert s.feature_names() == ["a", "b", "a*b"]
+
+
+def test_fit_logistic_separable():
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(400, 2))
+    y = (X[:, 0] + 2 * X[:, 1] > 0).astype(float)
+    w, b = fit_logistic(X, y, iters=500)
+    p = 1 / (1 + np.exp(-(X @ w + b)))
+    acc = ((p > 0.5) == (y > 0.5)).mean()
+    assert acc > 0.95
+    # deterministic
+    w2, b2 = fit_logistic(X, y, iters=500)
+    assert np.allclose(w, w2) and b == b2
