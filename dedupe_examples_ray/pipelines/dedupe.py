@@ -35,7 +35,7 @@ def dedupe_dataset(
     id_col: str,
     workdir: str | None = None,
     idf: dict | None = None,
-    scorer_concurrency=4,
+    scorer_concurrency=(1, 4),
     driver_cc_limit: int = 2_000_000,
     ids_ds=None,
     scorer_blocks: int | None = 32,
@@ -109,7 +109,7 @@ def dedupe_pages(
     settings: Settings | None = None,
     workdir: str | None = None,
     use_idf: bool = False,
-    scorer_concurrency=4,
+    scorer_concurrency=(1, 4),
 ):
     """Web-pages flagship: derive fields from (url, text), then dedupe.
 

@@ -55,7 +55,7 @@ class GazetteerIndex:
             "gaz_index", build, workdir, settings.fingerprint() + ":gaz"
         ).materialize()
 
-    def search(self, messy_ds, n_matches: int = 2, threshold: float | None = None, scorer_concurrency=4, idf: dict | None = None):
+    def search(self, messy_ds, n_matches: int = 2, threshold: float | None = None, scorer_concurrency=(1, 4), idf: dict | None = None):
         """Top-k canonical matches per messy record -> (id_a, id_b, score)."""
         import pyarrow.compute as pc
 

@@ -74,7 +74,7 @@ def record_link(
     workdir: str | None = None,
     idf: dict | None = None,
     one_to_one: bool = True,
-    scorer_concurrency=4,
+    scorer_concurrency=(1, 4),
 ):
     """Two Datasets -> links Dataset/DataFrame (id_a, id_b, score).
 

@@ -125,7 +125,7 @@ def score_pairs(
     pairs_ds,
     settings: Settings,
     idf: dict | None = None,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple = (1, 4),
     batch_size: int = 4096,
     keep_features: bool = False,
 ):

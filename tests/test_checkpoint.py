@@ -1,0 +1,70 @@
+"""Checkpoint / resume tests (north_rule: per-partition lineage + metrics,
+resume mid-run -> identical output)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from dedupe_examples_ray.checkpoint import read_manifest, run_stage, stage_complete
+from dedupe_examples_ray.pipelines import dedupe_pages
+from dedupe_examples_ray.synth import synth_pages_dataset
+
+
+def test_run_stage_commits_and_replays(ray_session, tmp_path):
+    import ray.data as rd
+
+    wd = str(tmp_path)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return rd.range(10)
+
+    ds1 = run_stage("s1", make, wd, "fp1")
+    assert ds1.count() == 10 and calls["n"] == 1
+    ds2 = run_stage("s1", make, wd, "fp1")
+    assert ds2.count() == 10 and calls["n"] == 1  # replayed, not recomputed
+    m = read_manifest(wd, "s1")
+    assert m["completed"] and m["rows"] == 10 and m["fingerprint"] == "fp1"
+    assert m["partitions"] and all("rows" in p and "bytes" in p for p in m["partitions"])
+    # config change invalidates
+    run_stage("s1", make, wd, "fp2")
+    assert calls["n"] == 2
+    assert not stage_complete(wd, "s1", "fp1")
+
+
+def test_pipeline_resume_identical(ray_session, tmp_path):
+    wd = str(tmp_path / "run")
+    os.makedirs(wd, exist_ok=True)
+    full = synth_pages_dataset(60, seed=42)
+    pages = full.drop_columns(["true_id"]).materialize()
+
+    first = dedupe_pages(pages, workdir=wd).to_pandas().sort_values("record_id").reset_index(drop=True)
+    stages = set(os.listdir(wd))
+    assert {"blocks", "pairs", "edges", "clusters", "entity_map"} <= stages
+
+    # simulate a crash after the pairs stage: later stages lost
+    for s in ("edges", "clusters", "entity_map"):
+        shutil.rmtree(os.path.join(wd, s))
+    blocks_mtime = os.path.getmtime(os.path.join(wd, "blocks", "manifest.json"))
+
+    second = dedupe_pages(pages, workdir=wd).to_pandas().sort_values("record_id").reset_index(drop=True)
+    # earlier stages were NOT recomputed (manifests untouched)
+    assert os.path.getmtime(os.path.join(wd, "blocks", "manifest.json")) == blocks_mtime
+    assert first.equals(second)
+
+
+def test_no_partial_data_on_failure(ray_session, tmp_path):
+    wd = str(tmp_path)
+
+    def boom():
+        raise RuntimeError("mid-stage failure")
+
+    with pytest.raises(RuntimeError):
+        run_stage("bad", boom, wd, "fp")
+    assert not stage_complete(wd, "bad", "fp")
+    assert not os.path.exists(os.path.join(wd, "bad", "data"))
