@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship ER pipeline on sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline from SURVEY.md §2 plus the
+training-data ops; ``oracle_sql()`` gives the DuckDB-checkable subset
+(identical column names/types; floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,473 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
+_TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------- entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: ER dedupe over the documents table at sf0.001."""
+    from dedupe_examples_ray.pipelines import dedupe_documents
+
+    docs = _read("/root/testdata/sf0.001", "documents", columns=["doc_id", "text"])
+    return dedupe_documents(docs)
+
+
+# ------------------------------------------------------------------- queries
+def _q_er_dedupe_documents(sf_dir):
+    from dedupe_examples_ray.pipelines import dedupe_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedupe_documents(docs).to_pandas()
+    return out.sort_values("record_id").reset_index(drop=True)
+
+
+def _q_er_dedupe_pages(sf_dir):
+    """Flagship web-pages ER on the deterministic synthetic corpus (the
+    input_hint table shape; sf_dir only scales the corpus)."""
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    full = synth_pages_dataset(n, seed=42)
+    pages = full.drop_columns(["true_id"])
+    return dedupe_pages(pages).to_pandas().sort_values("record_id").reset_index(drop=True)
+
+
+def _q_pages_extract_invariant(sf_dir):
+    """Byte-identical extraction check as a pipeline: count of mismatches."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.extract import extract_batch
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    pages = synth_pages_dataset(200, seed=42)
+
+    def check(t: pa.Table) -> pa.Table:
+        out = extract_batch(t.select(["url", "html"]), "html", "text2")
+        ok = pc.equal(out["text2"], t["text"])
+        return pa.table({"n_rows": pa.array([t.num_rows], pa.int64()),
+                         "n_ok": pa.array([pc.sum(pc.cast(ok, pa.int64())).as_py() or 0], pa.int64())})
+
+    parts = pages.map_batches(check, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    return pd.DataFrame({"n_rows": [int(parts["n_rows"].sum())], "n_ok": [int(parts["n_ok"].sum())]})
+
+
+def _q_exact_dedup_documents(sf_dir):
+    from dedupe_examples_ray.ops import exact_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_minhash_dedup_documents(sf_dir):
+    from dedupe_examples_ray.ops import minhash_lsh_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_simhash_dedup_documents(sf_dir):
+    from dedupe_examples_ray.ops import simhash_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ngram_dedup_documents(sf_dir):
+    from dedupe_examples_ray.ops import ngram_jaccard_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_embedding_dedup(sf_dir):
+    from dedupe_examples_ray.ops import embedding_cosine_dedup
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_cosine_dedup(vecs).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_ann_top10_vec0(sf_dir):
+    from dedupe_examples_ray.ops import ann_brute_force
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = vecs.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    rest = vecs.filter(lambda r: r["vec_id"] != 0)
+    out = ann_brute_force(rest, [(0, np.asarray(q, dtype=np.float64))], k=10)
+    out = out.reset_index(drop=True)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"match_id": out["match_id"].astype(np.int64), "rank": np.arange(1, len(out) + 1, dtype=np.int64)}
+    )
+
+
+def _q_norm_text80(sf_dir):
+    from dedupe_examples_ray.normalize import normalize_string_array
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_string_array(pc.utf8_slice_codeunits(t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"], 0, 80))
+        return pa.table({"doc_id": t["doc_id"], "norm": norm})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_concat_ws_customer(sf_dir):
+    from dedupe_examples_ray.normalize import concat_ws
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        merged = concat_ws(" ", t["c_name"], t["c_mktsegment"])
+        return pa.table({"c_custkey": t["c_custkey"], "merged": merged})
+
+    return cust.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_empty_to_null_lang(sf_dir):
+    from dedupe_examples_ray.normalize import empty_to_null
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang_n": empty_to_null(t["lang"])})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_agg_top10_customers(sf_dir):
+    from dedupe_examples_ray.relational import grouped_sum, top_k
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    g = grouped_sum(orders, ["o_custkey"], {"o_totalprice": "total"}, count_col="n_orders",
+                    round_digits=4)
+    return top_k(g, "total", 10, tie_cols=["o_custkey"])
+
+
+def _q_agg_sum_by_nation(sf_dir):
+    from dedupe_examples_ray.relational import grouped_sum
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    return grouped_sum(cust, ["c_nationkey"], {"c_acctbal": "total_bal"}, count_col="n_cust",
+                       round_digits=4)
+
+
+def _q_lineitem_pricing_summary(sf_dir):
+    """TPC-H Q1-shaped pre-aggregated groupby (the combiner pattern)."""
+    from dedupe_examples_ray.relational import grouped_sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    return grouped_sum(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        count_col="n",
+        round_digits=4,
+    )
+
+
+def _q_distinct_part_attrs(sf_dir):
+    from dedupe_examples_ray.relational import distinct
+
+    part = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+    return distinct(part, ["p_brand", "p_type", "p_size"])
+
+
+def _q_left_join_coalesce(sf_dir):
+    from dedupe_examples_ray.relational import broadcast_left_join, grouped_sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    counts = (
+        grouped_sum(
+            orders.map_batches(
+                lambda t: pa.table({"o_custkey": t["o_custkey"], "one": pa.array([1] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            ["o_custkey"],
+            {"one": "n_orders"},
+        )
+        .to_pandas()
+        .rename(columns={"o_custkey": "c_custkey"})
+    )
+    return broadcast_left_join(cust, counts, on="c_custkey", fill={"n_orders": 0})
+
+
+def _q_dim_join_supplier(sf_dir):
+    from dedupe_examples_ray.relational import broadcast_left_join
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]
+    ].rename(columns={"n_nationkey": "s_nationkey"})
+    out = broadcast_left_join(sup, dim, on="s_nationkey")
+    return out.select_columns(["s_suppkey", "n_name", "r_name"])
+
+
+def _q_filter_valid_events(sf_dir):
+    from dedupe_examples_ray.relational import filter_batches
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def pred(t: pa.Table):
+        return pc.and_(
+            pc.and_(t["value"].is_valid(), pc.greater_equal(t["value"], 0.0)),
+            pc.greater(pc.utf8_length(pc.fill_null(t["event_type"], "")), 0),
+        )
+
+    return filter_batches(ev, pred)
+
+
+def _q_events_daily(sf_dir):
+    from dedupe_examples_ray.relational import grouped_sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day, "value": t["value"]})
+
+    daily = ev.map_batches(derive, batch_format="pyarrow")
+    out = grouped_sum(daily, ["event_type", "day"], {"value": "sum_value"}, count_col="n",
+                      round_digits=4)
+    # Ray's sort-based aggregate can downcast timestamp keys; restore us unit
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("day"), "day", pc.cast(t["day"], pa.timestamp("us"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_text_token_counts(sf_dir):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t["text"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.fill_null(pc.cast(s, pa.string()), "")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(pc.count_substring_regex(s, _TOKEN_RE), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(s, r"[^\w\s]"), pa.int64()),
+                "n_words": pc.cast(pc.count_substring_regex(s, r"[A-Za-z0-9]+"), pa.int64()),
+                "n_chars_text": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_lang_id_documents(sf_dir):
+    from dedupe_examples_ray.ops import language_id
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = language_id(docs).to_pandas()[["doc_id", "lang_pred", "lang_conf"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality_documents(sf_dir):
+    from dedupe_examples_ray.ops import quality_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_score(docs).to_pandas()
+    return out[["doc_id", "n_chars_text", "punct_ratio", "stopword_ratio", "quality"]]
+
+
+def _q_fingerprint_documents(sf_dir):
+    from dedupe_examples_ray.ops import doc_fingerprint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_fingerprint(docs).to_pandas()[["doc_id", "fingerprint", "content_hash"]]
+
+
+def _q_token_df_documents(sf_dir):
+    """Corpus document-frequency aggregate (combiner pattern, T2 analog)."""
+    from dedupe_examples_ray.blocking import compute_token_df
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return compute_token_df(docs, "text")
+
+
+def _q_record_link_pages(sf_dir):
+    """RecordLink demo on a deterministic two-source split (rows-only)."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.pipelines import record_link
+    from dedupe_examples_ray.synth import synth_pages_table
+
+    pages, gold = synth_pages_table(150, seed=42)
+    tbl = derive_page_fields(pages)
+    tid = gold["true_id"].to_pylist()
+    seen: dict = {}
+    side = []
+    for t in tid:
+        k = seen.setdefault(t, 0)
+        side.append(k)
+        seen[t] = k + 1
+    tbl = tbl.append_column("side", pa.array(side, pa.int8()))
+    a = rd.from_arrow(tbl.filter(pc.equal(tbl["side"], 0)))
+    b = rd.from_arrow(tbl.filter(pc.equal(tbl["side"], 1)))
+    links = record_link(a, b, default_page_settings(), id_col="url")
+    return links.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_gazetteer_pages(sf_dir):
+    """Gazetteer demo: index source-0 pages, probe source-1 (rows-only)."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.pipelines import GazetteerIndex
+    from dedupe_examples_ray.synth import synth_pages_table
+
+    pages, gold = synth_pages_table(100, seed=42)
+    tbl = derive_page_fields(pages)
+    tid = gold["true_id"].to_pylist()
+    seen: dict = {}
+    side = []
+    for t in tid:
+        k = seen.setdefault(t, 0)
+        side.append(k)
+        seen[t] = k + 1
+    tbl = tbl.append_column("side", pa.array(side, pa.int8()))
+    canon = rd.from_arrow(tbl.filter(pc.equal(tbl["side"], 0)))
+    messy = rd.from_arrow(tbl.filter(pc.equal(tbl["side"], 1)))
+    idx = GazetteerIndex(canon, default_page_settings(), id_col="url")
+    out = idx.search(messy, n_matches=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_media_decode(sf_dir):
+    """Multimodal plumbing demo on the deterministic fake media table."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.multimodal import decode_media, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(100))
+    out = decode_media(ds).to_pandas()
+    return out[["media_id", "kind", "decoded_ok", "n_bytes"]].sort_values("media_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "er_dedupe_documents": _q_er_dedupe_documents,
+        "er_dedupe_pages": _q_er_dedupe_pages,
+        "pages_extract_invariant": _q_pages_extract_invariant,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "minhash_dedup_documents": _q_minhash_dedup_documents,
+        "simhash_dedup_documents": _q_simhash_dedup_documents,
+        "ngram_dedup_documents": _q_ngram_dedup_documents,
+        "embedding_dedup": _q_embedding_dedup,
+        "ann_top10_vec0": _q_ann_top10_vec0,
+        "norm_text80": _q_norm_text80,
+        "concat_ws_customer": _q_concat_ws_customer,
+        "empty_to_null_lang": _q_empty_to_null_lang,
+        "agg_top10_customers": _q_agg_top10_customers,
+        "agg_sum_by_nation": _q_agg_sum_by_nation,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "distinct_part_attrs": _q_distinct_part_attrs,
+        "left_join_coalesce": _q_left_join_coalesce,
+        "dim_join_supplier": _q_dim_join_supplier,
+        "filter_valid_events": _q_filter_valid_events,
+        "events_daily": _q_events_daily,
+        "text_token_counts": _q_text_token_counts,
+        "lang_id_documents": _q_lang_id_documents,
+        "quality_documents": _q_quality_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "token_df_documents": _q_token_df_documents,
+        "record_link_pages": _q_record_link_pages,
+        "gazetteer_pages": _q_gazetteer_pages,
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ann_top10_vec0": (
+            "SELECT match_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, match_id) AS BIGINT) AS rank FROM ("
+            "  SELECT e.vec_id AS match_id, "
+            "         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score "
+            "  FROM embeddings e WHERE e.vec_id <> 0) "
+            "ORDER BY rank LIMIT 10"
+        ),
+        "norm_text80": (
+            "SELECT doc_id, CASE WHEN t = '' THEN NULL ELSE t END AS norm FROM ("
+            "  SELECT doc_id, trim(regexp_replace(lower(regexp_replace(regexp_replace("
+            "    substr(text, 1, 80), '[''\"`,\\.\\!\\?\\(\\)\\[\\]\\{\\};]', '', 'g'), "
+            "    '[-/:_\\|]', ' ', 'g')), '\\s+', ' ', 'g')) AS t FROM documents)"
+        ),
+        "concat_ws_customer": (
+            "SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS merged FROM customer"
+        ),
+        "empty_to_null_lang": (
+            "SELECT doc_id, NULLIF(lang, '') AS lang_n FROM documents"
+        ),
+        "agg_top10_customers": (
+            "SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total, COUNT(*) AS n_orders "
+            "FROM orders GROUP BY o_custkey ORDER BY total DESC, o_custkey LIMIT 10"
+        ),
+        "agg_sum_by_nation": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, ROUND(SUM(c_acctbal), 4) AS total_bal, "
+            "COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 4) AS sum_price, COUNT(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "distinct_part_attrs": (
+            "SELECT DISTINCT p_brand, p_type, p_size FROM part"
+        ),
+        "left_join_coalesce": (
+            "SELECT c_custkey, COALESCE(o.n_orders, 0) AS n_orders FROM customer "
+            "LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o "
+            "ON c_custkey = o.o_custkey"
+        ),
+        "dim_join_supplier": (
+            "SELECT s_suppkey, n_name, r_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "filter_valid_events": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE value IS NOT NULL AND value >= 0 AND length(event_type) > 0"
+        ),
+        "events_daily": (
+            "SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 4) AS sum_value, "
+            "COUNT(*) AS n FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "text_token_counts": (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words, "
+            "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents"
+        ),
+    }

@@ -1,0 +1,14 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+    ngram_jaccard_dedup,
+    embedding_cosine_dedup,
+)
+from .ann import ann_brute_force, ann_lsh  # noqa: F401
+from .textstats import (  # noqa: F401
+    language_id,
+    quality_score,
+    token_count,
+    doc_fingerprint,
+)

@@ -1,0 +1,127 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``ann_brute_force``: exact cosine top-k — per-batch numpy matmul against a
+  *broadcast* query matrix (``ray.put`` once, read in every task), local
+  top-k per batch, tiny global merge on the driver.  The baseline and oracle.
+- ``ann_lsh``: scale path — random-hyperplane bucket signatures on both
+  corpus and queries; only matching (or nearby) buckets are scanned.
+  Documented tradeoff: recall depends on n_planes/probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(rows, dtype=np.float64) -> np.ndarray:
+    return np.asarray([np.asarray(r, dtype=dtype) for r in rows], dtype=dtype)
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Per-batch exact cosine top-k against the broadcast query matrix."""
+
+    def __init__(self, query_ref, id_col, vec_col, k):
+        import ray
+
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qids, Q = q
+        self.Q = _normalize(Q)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[self.id_col].to_pylist())
+        V = _normalize(_as_matrix(t[self.vec_col].to_pylist()))
+        S = V @ self.Q.T  # (batch, n_queries)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(S.shape[1]):
+            col = S[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_id.extend(ids[top].tolist())
+            out_s.extend(col[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "match_id": pa.array(out_id),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def ann_brute_force(ds, queries: list[tuple], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact cosine top-k for each (query_id, vector) in ``queries``.
+
+    Returns a pandas DataFrame (query_id, match_id, score), k rows per query,
+    sorted by (query_id, -score, match_id).  The merge is over per-batch
+    candidates (num_batches x k rows) — tiny.
+    """
+    import ray
+
+    qids = [q[0] for q in queries]
+    Q = _as_matrix([q[1] for q in queries])
+    ref = ray.put((qids, Q))
+    cands = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs=dict(query_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    cands = cands.sort_values(
+        ["query_id", "score", "match_id"], ascending=[True, False, True], kind="stable"
+    )
+    return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def ann_lsh(
+    ds,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 5,
+):
+    """Bucketed ANN: scan only corpus rows whose hyperplane signature matches
+    a query signature (multi-probe: exact bucket + all 1-bit flips).
+
+    Approximate by construction — recall < 1 when true neighbors land in
+    distant buckets; raise n_planes for precision, probes for recall.
+    """
+    import ray
+
+    qids = [q[0] for q in queries]
+    Q = _as_matrix([q[1] for q in queries])
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def sig(M: np.ndarray) -> np.ndarray:
+        s = (M @ planes) > 0
+        return (s.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+
+    qsig = sig(Q)
+    probe: set[int] = set()
+    for s in qsig:
+        probe.add(int(s))
+        for b in range(n_planes):
+            probe.add(int(s) ^ (1 << b))
+    probe_ref = ray.put(probe)
+
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        P = ray.get(probe_ref)
+        V = _as_matrix(t[vec_col].to_pylist())
+        keys = sig(V)
+        keep = np.array([int(x) in P for x in keys])
+        return t.filter(pa.array(keep))
+
+    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
+    return ann_brute_force(filtered, queries, k=k, id_col=id_col, vec_col=vec_col)

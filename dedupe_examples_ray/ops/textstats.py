@@ -1,0 +1,185 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All are single-pass ``map_batches`` stages: language-ID (stopword n-gram
+heuristic), quality scoring (length / punctuation / stopword / uppercase
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (rolling polynomial hash).  Stateful tables (stopword sets,
+compiled regexes) load once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols
+TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+
+_STOPWORDS = {
+    "en": frozenset(
+        "the of and to in a is that it was for on are with as be at by this have from or one had not but what all were when we there can an your which their".split()
+    ),
+    "de": frozenset(
+        "der die das und ist in den von zu mit sich des auf für nicht ein eine als auch es an werden aus er hat dass sie nach bei um am sind noch wie".split()
+    ),
+    "fr": frozenset(
+        "le la les de des et un une du en est que qui dans pour sur avec au il elle ne pas se ce plus par mais ou si leur je vous nous".split()
+    ),
+    "es": frozenset(
+        "el la los las de del y un una en es que se no por con para su al lo como mas pero sus le ya o este si porque esta entre cuando".split()
+    ),
+}
+
+
+def token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
+    """Append a token count (TOKEN_RE matches) — fully vectorized."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = pc.count_substring_regex(pc.fill_null(pc.cast(arr, pa.string()), ""), TOKEN_RE)
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds, text_col: str = "text"):
+    """Append length/punctuation/stopword/upper ratios and a composite score.
+
+    The heuristics quality filters use on web corpora (public C4/Gopher-style
+    rules): documents that are too short, too punctuation-heavy, or nearly
+    stopword-free are low quality.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        s = pc.fill_null(pc.cast(arr, pa.string()), "")
+        n_chars = pc.utf8_length(s)
+        n_chars_f = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+        n_punct = pc.count_substring_regex(s, r"[^\w\s]")
+        n_upper = pc.count_substring_regex(s, r"[A-Z]")
+        n_words = pc.count_substring_regex(s, r"[A-Za-z0-9]+")
+        n_stop = pc.count_substring_regex(
+            pc.utf8_lower(s), r"\b(" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+        )
+        punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), n_chars_f)
+        upper_ratio = pc.divide(pc.cast(n_upper, pa.float64()), n_chars_f)
+        stop_ratio = pc.divide(
+            pc.cast(n_stop, pa.float64()),
+            pc.cast(pc.max_element_wise(n_words, 1), pa.float64()),
+        )
+        # composite in [0,1]: long enough, some stopwords, not punctuation soup
+        len_term = pc.min_element_wise(
+            pc.divide(pc.cast(n_chars, pa.float64()), 200.0), 1.0
+        )
+        stop_term = pc.min_element_wise(pc.multiply(stop_ratio, 4.0), 1.0)
+        punct_term = pc.max_element_wise(
+            pc.subtract(1.0, pc.multiply(punct_ratio, 4.0)), 0.0
+        )
+        score = pc.multiply(pc.multiply(len_term, punct_term), pc.add(pc.multiply(stop_term, 0.5), 0.5))
+        out = t
+        for name, col in [
+            ("n_chars_text", pc.cast(n_chars, pa.int64())),
+            ("punct_ratio", punct_ratio),
+            ("upper_ratio", upper_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("quality", score),
+        ]:
+            out = out.append_column(name, col)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class _LangId:
+    """Stopword-hit language classifier; tables built once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.token = re.compile(r"[a-zà-ÿäöüßéèêëàâîïôûçñ]+")
+        self.tables = {k: v for k, v in _STOPWORDS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist() if "text" in t.column_names else []
+        langs = []
+        confs = []
+        for s in texts:
+            toks = self.token.findall((s or "").lower())[:200]
+            if not toks:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            scores = {
+                lang: sum(tok in table for tok in toks) / len(toks)
+                for lang, table in self.tables.items()
+            }
+            best = max(scores, key=lambda k: (scores[k], k))
+            langs.append(best if scores[best] > 0.03 else "und")
+            confs.append(float(scores[best]))
+        return t.append_column("lang_pred", pa.array(langs, pa.string())).append_column(
+            "lang_conf", pa.array(confs, pa.float64())
+        )
+
+
+def language_id(ds, concurrency=(1, 4)):
+    """Heuristic language-ID over ``text`` -> lang_pred, lang_conf."""
+    return ds.map_batches(_LangId, batch_format="pyarrow", concurrency=concurrency)
+
+
+import hashlib
+import zlib
+
+
+def _content_hash(data: bytes) -> int:
+    """Deterministic 64-bit content hash (first 8 bytes of blake2b, C speed)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def rolling_hashes(tokens: list[str], window: int = 4, base: int = 1_000_003) -> list[int]:
+    """Rabin-Karp rolling hash over token hash stream (public definition)."""
+    if not tokens:
+        return []
+    th = [zlib.crc32(t.encode()) for t in tokens]
+    if len(th) < window:
+        acc = 0
+        for x in th:
+            acc = (acc * base + x) & 0xFFFFFFFFFFFFFFFF
+        return [acc]
+    out = []
+    power = pow(base, window - 1, 1 << 64)
+    acc = 0
+    for i, x in enumerate(th):
+        if i >= window:
+            acc = (acc - th[i - window] * power) & 0xFFFFFFFFFFFFFFFF
+        acc = (acc * base + x) & 0xFFFFFFFFFFFFFFFF
+        if i >= window - 1:
+            out.append(acc)
+    return out
+
+
+def doc_fingerprint(ds, text_col: str = "text", window: int = 4):
+    """Append ``fingerprint`` (min rolling hash — robust to local edits) and
+    ``content_hash`` (exact FNV-1a of the text)."""
+    import re
+
+    tok_re = re.compile(r"\w+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        fps = []
+        chs = []
+        for s in texts:
+            s = s or ""
+            chs.append(_content_hash(s.encode()))
+            rh = rolling_hashes(tok_re.findall(s.lower()), window)
+            fps.append(min(rh) if rh else 0)
+        return t.append_column("fingerprint", pa.array(fps, pa.uint64())).append_column(
+            "content_hash", pa.array(chs, pa.uint64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

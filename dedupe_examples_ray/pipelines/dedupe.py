@@ -23,7 +23,7 @@ from __future__ import annotations
 from ..blocking import compute_token_df, fingerprint_dataset, idf_from_df
 from ..checkpoint import run_stage
 from ..cluster import build_entity_map, connected_components, member_confidence
-from ..config import Settings, default_page_settings
+from ..config import Field as Field_, Settings, default_page_settings
 from ..normalize import derive_page_fields
 from ..pairs import candidate_pairs
 from ..scoring import score_pairs, threshold_edges
@@ -102,6 +102,68 @@ def dedupe_dataset(
         fp,
     )
     return entity
+
+
+def document_settings() -> Settings:
+    """Settings for generic text-document dedupe (documents table shape)."""
+    return Settings(
+        fields=[
+            Field_("title", "string"),
+            Field_("body", "text", has_missing=True),
+        ],
+        predicates=[
+            {"kind": "first_token", "column": "title"},
+            {"kind": "prefix", "column": "title", "n": 12},
+        ],
+        weights={"title": 6.0, "body": 6.0, "body__missing": -0.5},
+        bias=-7.5,
+        threshold=0.5,
+        max_block_size=200,
+        oversize_policy="salt",
+    )
+
+
+def derive_document_fields(batch, text_col: str = "text", title_tokens: int = 8):
+    """Derive title (first N tokens) / body (rest) from a flat text column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..normalize import normalize_string_array
+
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(pc.cast(arr, pa.string()), "")
+    toks = pc.split_pattern_regex(arr, r"\s+")
+    title = pc.binary_join(pc.list_slice(toks, 0, title_tokens), " ")
+    body = pc.binary_join(pc.list_slice(toks, title_tokens, 10_000), " ")
+    out = batch
+    for name, col in [("title", normalize_string_array(title)), ("body", normalize_string_array(body))]:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, col)
+    return out
+
+
+def dedupe_documents(
+    docs_ds,
+    settings: Settings | None = None,
+    id_col: str = "doc_id",
+    workdir: str | None = None,
+    scorer_concurrency=(1, 4),
+):
+    """ER flagship over a flat text table (doc_id, text, ...)."""
+    settings = settings or document_settings()
+    slim = docs_ds.select_columns([id_col, "text"])
+    derived = slim.map_batches(derive_document_fields, batch_format="pyarrow")
+    return dedupe_dataset(
+        derived,
+        settings,
+        id_col=id_col,
+        workdir=workdir,
+        scorer_concurrency=scorer_concurrency,
+        ids_ds=slim.select_columns([id_col]),
+    )
 
 
 def dedupe_pages(

@@ -1,0 +1,181 @@
+"""Tests for the training-data ops: dedup family, ANN, text stats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dedupe_examples_ray.ops.ann import ann_brute_force, ann_lsh
+from dedupe_examples_ray.ops.dedup import (
+    char_ngrams,
+    embedding_cosine_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_dedup,
+    simhash64,
+    simhash_dedup,
+    word_shingles,
+    _hash_tokens,
+    _perm_params,
+)
+from dedupe_examples_ray.ops.multimodal import (
+    MediaDecoder,
+    decode_media,
+    sample_frames,
+    synth_media_table,
+)
+from dedupe_examples_ray.ops.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    rolling_hashes,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("lazy", "sleepy")  # one-token edit -> high jaccard
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact dup of 1
+        {"doc_id": 3, "text": near},                      # near dup of 1
+        {"doc_id": 4, "text": "completely different words about cooking pasta tonight with garlic sauce"},
+        {"doc_id": 5, "text": "Der schnelle braune Fuchs springt über den faulen Hund und die Katze ist auch da"},
+        {"doc_id": 6, "text": ""},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows)).materialize()
+
+
+def test_exact_dedup(doc_ds):
+    out = exact_dedup(doc_ds).to_pandas().set_index("doc_id")["keep_id"]
+    assert out[1] == 1 and out[2] == 1  # exact dups share the min id
+    assert out[3] == 3 and out[4] == 4  # near dup is NOT an exact dup
+
+
+def test_minhash_signature_properties():
+    a, b = _perm_params(64)
+    s1 = minhash_signature(_hash_tokens(word_shingles("a b c d e f g", 3)), a, b)
+    s2 = minhash_signature(_hash_tokens(word_shingles("a b c d e f g", 3)), a, b)
+    assert np.array_equal(s1, s2)  # deterministic
+    s3 = minhash_signature(_hash_tokens(word_shingles("a b c d e f h", 3)), a, b)
+    agree = (s1 == s3).mean()
+    assert 0.2 < agree < 1.0  # similar docs agree on many minhashes
+    s4 = minhash_signature(_hash_tokens(word_shingles("x y z w q r t", 3)), a, b)
+    assert (s1 == s4).mean() < 0.2
+
+
+def test_minhash_lsh_dedup(doc_ds):
+    out = minhash_lsh_dedup(doc_ds, threshold=0.4).to_pandas().set_index("doc_id")["keep_id"]
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1  # near-dup folded in
+    assert out[4] == 4 and out[5] == 5 and out[6] == 6
+
+
+def test_ngram_jaccard_dedup(doc_ds):
+    out = ngram_jaccard_dedup(doc_ds, threshold=0.4).to_pandas().set_index("doc_id")["keep_id"]
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[4] == 4
+
+
+def test_simhash_properties_and_dedup(doc_ds):
+    h1 = simhash64(_hash_tokens(np.array("a b c d e f".split(), dtype=object)))
+    h2 = simhash64(_hash_tokens(np.array("a b c d e g".split(), dtype=object)))
+    h3 = simhash64(_hash_tokens(np.array("x y z w v u".split(), dtype=object)))
+    near = bin(h1 ^ h2).count("1")
+    far = bin(h1 ^ h3).count("1")
+    assert near < far
+    out = simhash_dedup(doc_ds, max_hamming=3).to_pandas().set_index("doc_id")["keep_id"]
+    assert out[1] == 1 and out[2] == 1
+    assert out[4] == 4
+
+
+def test_shingles():
+    assert list(word_shingles("a b c d", 3)) == ["a b c", "b c d"]
+    assert list(word_shingles("a", 3)) == ["a"]
+    assert list(word_shingles("", 3)) == []
+    assert list(char_ngrams("abcd", 3)) == ["abc", "bcd"]
+
+
+def test_embedding_cosine_dedup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": (base * 2.0).tolist()},          # same direction
+        {"vec_id": 3, "embedding": (base + rng.standard_normal(16) * 0.01).tolist()},
+        {"vec_id": 4, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows)).materialize()
+    out = embedding_cosine_dedup(ds, tau=0.98).to_pandas().set_index("vec_id")["keep_id"]
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[4] == 4
+
+
+def test_ann_brute_force_and_lsh(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((200, 16))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in V]})
+    ).materialize()
+    q = V[17] + rng.standard_normal(16) * 0.01
+    exact = ann_brute_force(ds, [("q0", q)], k=5)
+    assert list(exact["query_id"].unique()) == ["q0"]
+    assert len(exact) == 5
+    assert exact.iloc[0]["match_id"] == 17  # nearest is the planted vector
+    # exact results ordered by score desc
+    assert (np.diff(exact["score"].to_numpy()) <= 1e-12).all()
+    approx = ann_lsh(ds, [("q0", q)], k=5, n_planes=6)
+    assert approx.iloc[0]["match_id"] == 17  # multi-probe finds the planted nn
+    assert len(approx) <= 5
+
+
+def test_token_count_quality_langid_fingerprint(doc_ds):
+    tc = token_count(doc_ds).to_pandas().set_index("doc_id")["n_tokens"]
+    assert tc[1] == 15 and tc[6] == 0
+    q = quality_score(doc_ds).to_pandas().set_index("doc_id")
+    assert q.loc[1, "quality"] > q.loc[6, "quality"]
+    assert 0.0 <= q["quality"].max() <= 1.0
+    lang = language_id(doc_ds).to_pandas().set_index("doc_id")["lang_pred"]
+    assert lang[1] == "en" and lang[5] == "de" and lang[6] == "und"
+    fp = doc_fingerprint(doc_ds).to_pandas().set_index("doc_id")
+    assert fp.loc[1, "content_hash"] == fp.loc[2, "content_hash"]
+    assert fp.loc[1, "content_hash"] != fp.loc[3, "content_hash"]
+    # min rolling hash is robust to a single late-token edit
+    assert fp.loc[1, "fingerprint"] == fp.loc[2, "fingerprint"]
+
+
+def test_rolling_hashes():
+    h1 = rolling_hashes(["a", "b", "c", "d", "e"], window=3)
+    h2 = rolling_hashes(["a", "b", "c", "d", "e"], window=3)
+    assert h1 == h2 and len(h1) == 3
+    assert rolling_hashes([], 3) == []
+    assert len(rolling_hashes(["a"], 3)) == 1
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data as rd
+
+    tbl = synth_media_table(30)
+    ds = rd.from_arrow(tbl)
+    out = decode_media(ds).to_pandas()
+    assert len(out) == 30
+    assert "payload" not in out.columns  # payload dropped after decode
+    assert out["decoded_ok"].all()
+    assert all(len(f) == 16 for f in out["features"])
+    # deterministic features
+    out2 = decode_media(rd.from_arrow(tbl)).to_pandas()
+    assert np.allclose(np.stack(out["features"].map(np.asarray)), np.stack(out2["features"].map(np.asarray)))
+    frames = sample_frames(ds.filter(lambda r: r["kind"] == "video")).to_pandas()
+    assert (frames.groupby("media_id").size() >= 1).all()
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(decoder="real")
