@@ -1,0 +1,212 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline: the flagship web-pages ER pipeline (synthesize once into a /tmp
+parquet cache, untimed; then time read -> block -> pair -> score -> cluster ->
+entity map) at a corpus size scaled to the sf dir.  Plus per-query timings for
+the other headline pipelines over $GRAFT_SF_DIR tables.
+
+    python bench.py                     # one timed run (RAY_GRAFT_CPUS or 32)
+    python bench.py --scaling           # fresh processes at 8 and 32 CPUs ->
+                                        # throughputs + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+GRAFT_BENCH_CLUSTERS (override pages-corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+def _n_clusters(sf_dir: str) -> int:
+    if (n := os.environ.get("GRAFT_BENCH_CLUSTERS")) is not None:
+        return int(n)
+    tag = _sf_tag(sf_dir)
+    return {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 20_000}.get(tag, 20_000)
+
+
+def _pages_cache(n_clusters: int) -> str:
+    """Synthesize the pages corpus once (untimed) into a /tmp parquet cache."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    path = f"/tmp/graft_bench_pages_c{n_clusters}_s{SEED}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        synth_pages_dataset(n_clusters, seed=SEED, parallelism=max(NUM_CPUS * 2, 8)).write_parquet(path)
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from dedupe_examples_ray.ops import ann_brute_force, exact_dedup, minhash_lsh_dedup
+    from dedupe_examples_ray.pipelines import dedupe_documents, dedupe_pages
+    from dedupe_examples_ray.relational import grouped_sum, top_k
+
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    queries: dict[str, float] = {}
+    n_clusters = _n_clusters(SF_DIR)
+    cache = _pages_cache(n_clusters)
+
+    # warm page cache (untimed read) so we measure compute+shuffle, not cold disk
+    pages_warm = rd.read_parquet(cache, columns=["url", "text"])
+    n_pages = pages_warm.count()
+
+    t0 = time.monotonic()
+    pages = rd.read_parquet(cache, columns=["url", "text"])
+    entity = dedupe_pages(pages, scorer_concurrency=max(int(NUM_CPUS * 0.6), 2))
+    n_entities = entity.count()
+    headline = time.monotonic() - t0
+    queries["er_pages"] = round(headline, 3)
+    assert n_entities == n_pages, (n_entities, n_pages)
+
+    def timed(name, fn):
+        if headline_only:
+            return
+        t = time.monotonic()
+        fn()
+        queries[name] = round(time.monotonic() - t, 3)
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    if headline_only:
+        result = {
+            "metric": "er_pages_pipeline_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_tag(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "n_pages": n_pages,
+            "pages_per_sec": round(n_pages / headline, 1),
+        }
+        ray.shutdown()
+        return result
+    timed("er_documents", lambda: dedupe_documents(docs).count())
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())
+
+    vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = vecs.take(1)[0]["embedding"]
+    timed("ann_top10", lambda: ann_brute_force(vecs, [(0, first)], k=10))
+
+    li = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    timed(
+        "lineitem_groupby",
+        lambda: grouped_sum(
+            li,
+            ["l_returnflag", "l_linestatus"],
+            {"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+            count_col="n",
+        ).count(),
+    )
+
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    timed(
+        "orders_top10",
+        lambda: top_k(
+            grouped_sum(orders, ["o_custkey"], {"o_totalprice": "total"}, count_col="n"),
+            "total",
+            10,
+            tie_cols=["o_custkey"],
+        ).to_pandas(),
+    )
+
+    result = {
+        "metric": "er_pages_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job in fresh processes at two parallelism levels (sandbox
+    stand-in for the N vs 4N node criterion, BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpu, hi_cpu = 8, 32
+    # build the corpus cache once (untimed) + warm the OS page cache
+    subprocess.run(
+        [sys.executable, "-c",
+         "import bench; bench._pages_cache(bench._n_clusters(bench.SF_DIR))"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=dict(os.environ, RAY_GRAFT_CPUS=str(hi_cpu)),
+        capture_output=True,
+        check=True,
+    )
+    os.environ["GRAFT_HEADLINE_ONLY"] = "1"
+    lo = run(lo_cpu)
+    hi = run(hi_cpu)
+    del os.environ["GRAFT_HEADLINE_ONLY"]
+    tput_lo = lo["n_pages"] / lo["value"]
+    tput_hi = hi["n_pages"] / hi["value"]
+    eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo_cpu, hi_cpu],
+        "sec": {str(lo_cpu): lo["value"], str(hi_cpu): hi["value"]},
+        "pages_per_sec": {str(lo_cpu): round(tput_lo, 1), str(hi_cpu): round(tput_hi, 1)},
+        "queries": {str(lo_cpu): lo["queries"], str(hi_cpu): hi["queries"]},
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -117,7 +117,18 @@ def emit_set_element(arr) -> tuple[np.ndarray, pa.Array]:
     return idx[parents], flat
 
 
+def emit_sorted_tokens(arr, n: int = 4) -> tuple[np.ndarray, pa.Array]:
+    """Key = first n whitespace tokens, sorted and joined — robust to the
+    adjacent-token swaps the corpus noise model produces (a swap inside the
+    window leaves the sorted set unchanged)."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    keys = [" ".join(sorted(v.split()[:n])) for v in vals.to_pylist()]
+    return idx, pa.array(keys, pa.string())
+
+
 PREDICATE_KINDS = {
+    "sorted_tokens": emit_sorted_tokens,
     "whole_field": emit_whole_field,
     "first_token": emit_first_token,
     "token": emit_token,

@@ -52,28 +52,40 @@ def union_find(edges_a: list, edges_b: list) -> dict:
 
 
 # ----------------------------------------------------------- distributed path
-def _large_star(tbl: pa.Table) -> pa.Table:
-    """One large-star groupby round: for each node, link larger neighbors to
-    the min of (node ∪ neighborhood)."""
-    df = tbl.to_pandas()
-    u = df["u"].iloc[0]
-    nbrs = df["v"].unique()
-    m = min(u, nbrs.min())
-    bigger = nbrs[nbrs > u]
-    out = pd.DataFrame({"u": bigger, "v": np.full(len(bigger), m, dtype=object)})
-    return pa.Table.from_pandas(out.astype({"u": df["u"].dtype, "v": df["v"].dtype}), preserve_index=False)
+# All rounds are bucketed: groupby(stable_hash(u) % B) gives B groups, and the
+# per-node star logic runs as vectorized pandas transforms inside each bucket
+# (per-node map_groups would pay one Python dispatch per graph node).
+_CC_BUCKETS = 64
 
 
-def _small_star(tbl: pa.Table) -> pa.Table:
-    """One small-star round: link all smaller-or-equal neighbors to the min."""
-    df = tbl.to_pandas()
-    u = df["u"].iloc[0]
-    nbrs = df["v"].unique()
-    m = min(u, nbrs.min())
-    targets = np.append(nbrs[nbrs != m], u)
-    out = pd.DataFrame({"u": np.unique(targets), "v": m})
-    out = out[out["u"] != out["v"]]
-    return pa.Table.from_pandas(out.astype({"u": df["u"].dtype, "v": df["v"].dtype}), preserve_index=False)
+def _with_bucket(ds, col: str):
+    from .pairs import stable_hash
+
+    def add(t: pa.Table) -> pa.Table:
+        b = stable_hash(t[col].to_numpy(zero_copy_only=False)) % _CC_BUCKETS
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _large_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Large-star (Kiveris et al.): per node u, m = min(N(u) ∪ {u}); emit
+    (v, m) for neighbors v > u.  Vectorized via grouped transform."""
+    vmin = df.groupby("u", sort=False)["v"].transform("min")
+    m = np.minimum(vmin, df["u"])
+    sel = df["v"] > df["u"]
+    out = pd.DataFrame({"u": df["v"][sel], "v": m[sel]})
+    return out[out["u"] != out["v"]]
+
+
+def _small_star_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Small-star: input directed (u=max, v=min); per u, m = min neighbor;
+    emit (v, m) for v != m plus (u, m)."""
+    vmin = df.groupby("u", sort=False)["v"].transform("min")
+    a = pd.DataFrame({"u": df["v"][df["v"] != vmin], "v": vmin[df["v"] != vmin]})
+    b = pd.DataFrame({"u": df["u"], "v": vmin}).drop_duplicates()
+    out = pd.concat([a, b], ignore_index=True)
+    return out[out["u"] != out["v"]].drop_duplicates()
 
 
 def _both_directions(edges_ds):
@@ -89,7 +101,11 @@ def _both_directions(edges_ds):
 
 
 def _directed_large(edges_ds):
-    return _both_directions(edges_ds).groupby("u").map_groups(_large_star, batch_format="pyarrow")
+    return (
+        _with_bucket(_both_directions(edges_ds), "u")
+        .groupby("bucket")
+        .map_groups(lambda df: _large_star_bucket(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
 
 
 def _directed_small(edges_ds):
@@ -99,11 +115,22 @@ def _directed_small(edges_ds):
         return pa.table({"u": u, "v": v})
 
     directed = edges_ds.map_batches(to_small, batch_format="pyarrow")
-    return directed.groupby("u").map_groups(_small_star, batch_format="pyarrow")
+    return (
+        _with_bucket(directed, "u")
+        .groupby("bucket")
+        .map_groups(lambda df: _small_star_bucket(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
 
 
 def _dedup_edges(ds):
-    return ds.groupby(["u", "v"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    return (
+        _with_bucket(ds, "u")
+        .groupby("bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["u", "v"]).drop(columns=["bucket"]),
+            batch_format="pandas",
+        )
+    )
 
 
 def connected_components_distributed(edges_ds, max_rounds: int = 20):
@@ -155,9 +182,13 @@ def connected_components_distributed(edges_ds, max_rounds: int = 20):
 
 def _dedup_labels(ds):
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("label", kind="stable").head(1)
+        return (
+            df.sort_values("label", kind="stable")
+            .drop_duplicates(subset=["node"])
+            .drop(columns=["bucket"])
+        )
 
-    return ds.groupby("node").map_groups(min_label, batch_format="pandas")
+    return _with_bucket(ds, "node").groupby("bucket").map_groups(min_label, batch_format="pandas")
 
 
 def connected_components(edges_ds, driver_limit: int = 2_000_000, max_rounds: int = 20):
@@ -210,28 +241,176 @@ def member_confidence(scored_edges_ds):
 
 
 # ----------------------------------------------------------------- entity map
-class _LabelAnnotator:
-    """Broadcast-join stage: canon/conf lookup dicts shipped once per actor
-    via ``ray.put`` (the small-side broadcast pattern, SURVEY.md §4)."""
+# Per-worker cache for broadcast lookup maps (task functions resolve a
+# ray.put ref once per worker process — no actor-pool startup cost).
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, labels_ref, conf_ref):
+
+def _get_broadcast(ref):
+    try:
         import ray
 
-        self.labels = ray.get(labels_ref) if isinstance(labels_ref, ray.ObjectRef) else labels_ref
-        self.conf = ray.get(conf_ref) if isinstance(conf_ref, ray.ObjectRef) else conf_ref
+        if isinstance(ref, ray.ObjectRef):
+            key = ref.hex()
+            if key not in _BCAST_CACHE:
+                _BCAST_CACHE[key] = ray.get(ref)
+            return _BCAST_CACHE[key]
+    except ImportError:
+        pass
+    return ref
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        rids = t["record_id"].to_pylist()
-        canon = [self.labels.get(r, r) for r in rids]
-        cols = {
-            "record_id": t["record_id"],
-            "canon_id": pa.array(canon, pa.string()),
+
+def _annotate_labels(t: pa.Table, labels_ref, conf_ref) -> pa.Table:
+    """Broadcast-join stage: canon/conf lookup dicts shipped once via
+    ``ray.put`` (the small-side broadcast pattern, SURVEY.md §4)."""
+    labels = _get_broadcast(labels_ref)
+    conf = _get_broadcast(conf_ref)
+    rids = t["record_id"].to_pylist()
+    canon = [labels.get(r, r) for r in rids]
+    cols = {
+        "record_id": t["record_id"],
+        "canon_id": pa.array(canon, pa.string()),
+    }
+    if conf is not None:
+        cols["cluster_score"] = pa.array([conf.get(r) for r in rids], pa.float64())
+    return pa.table(cols)
+
+
+def numpy_connected_components(a: np.ndarray, b: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Vectorized hooking + pointer-jumping CC over integer node codes.
+
+    O(E) numpy work per round, O(log n) rounds (Shiloach-Vishkin shape) —
+    replaces the per-edge Python union-find loop on the driver fast path.
+    Returns the root code per node (root = smallest code in the component
+    under min-hooking, but label canonicalization happens by id string in
+    ``driver_cluster_table``).
+    """
+    parent = np.arange(n_nodes, dtype=np.int64)
+    for _ in range(64):
+        pa_ = parent[a]
+        pb = parent[b]
+        if not (pa_ != pb).any():
+            break
+        lo = np.minimum(pa_, pb)
+        hi = np.maximum(pa_, pb)
+        np.minimum.at(parent, hi, lo)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    return parent
+
+
+def driver_cluster_table(edges_df: pd.DataFrame) -> pa.Table:
+    """Driver fast path: one pulled edge frame -> (node, label, score) table.
+
+    Mirrors the reference's in-driver posture (mysql_example.py:269-271) for
+    edge sets under the driver limit; fully vectorized (factorize -> numpy CC
+    -> rank-based min-id labels -> bincount confidences), Arrow out so the
+    broadcast annotation never materializes Python dicts.
+    """
+    a = edges_df["id_a"].to_numpy()
+    b = edges_df["id_b"].to_numpy()
+    s = edges_df["score"].to_numpy(dtype=np.float64)
+    codes, uniq = pd.factorize(np.concatenate([a, b]))
+    n = len(uniq)
+    if n == 0:
+        return pa.table(
+            {"node": pa.array([], pa.string()), "label": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+    m = len(a)
+    root = numpy_connected_components(codes[:m], codes[m:], n)
+    # canonical label = lexicographically smallest member id, via ranks
+    # (ids canonicalized to strings — the entity map's record_id domain)
+    uniq = np.asarray(uniq, dtype=object)
+    if len(uniq) and not isinstance(uniq[0], str):
+        uniq = np.array([str(x) for x in uniq], dtype=object)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    minrank = np.full(n, n, dtype=np.int64)
+    np.minimum.at(minrank, root, rank)
+    label = uniq[order[minrank[root]]]
+    # per-member confidence = mean score over incident within-cluster edges
+    cnt = np.bincount(codes, minlength=n)
+    ssum = np.bincount(codes, weights=np.concatenate([s, s]), minlength=n)
+    conf = ssum / np.maximum(cnt, 1)
+    return pa.table(
+        {
+            "node": pa.array(uniq, pa.string()),
+            "label": pa.array(label, pa.string()),
+            "score": pa.array(conf, pa.float64()),
         }
-        if self.conf is not None:
-            cols["cluster_score"] = pa.array(
-                [self.conf.get(r) for r in rids], pa.float64()
-            )
-        return pa.table(cols)
+    )
+
+
+def driver_cluster_confidence(edges_df: pd.DataFrame) -> tuple[dict, dict]:
+    """Dict-map variant of ``driver_cluster_table`` (compat API)."""
+    tbl = driver_cluster_table(edges_df)
+    nodes = tbl["node"].to_pylist()
+    label_map = dict(zip(nodes, tbl["label"].to_pylist()))
+    conf_map = dict(zip(nodes, tbl["score"].to_pylist()))
+    return label_map, conf_map
+
+
+def entity_map_from_table(records_ds, id_col: str, label_tbl: pa.Table):
+    """ids + broadcast (node,label,score) Arrow table -> entity map."""
+    import ray
+
+    ids = records_ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"record_id": pc.cast(t[id_col], pa.string())}),
+        batch_format="pyarrow",
+    )
+    ref = ray.put(label_tbl.combine_chunks())
+    return ids.map_batches(
+        _annotate_from_table, fn_kwargs=dict(tbl_ref=ref), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def _annotate_from_table(t: pa.Table, tbl_ref) -> pa.Table:
+    """Zero-copy broadcast annotation: (node, label, score) Arrow table in the
+    object store; ``pc.index_in`` lookup per whole-block call (the stage runs
+    with batch_size=None so the value-set hash is built once per block, and
+    no per-worker Python copy of the table is ever made)."""
+    import ray
+
+    lbl = ray.get(tbl_ref) if isinstance(tbl_ref, ray.ObjectRef) else tbl_ref
+    idx = pc.index_in(t["record_id"], value_set=lbl["node"].combine_chunks())
+    canon = pc.coalesce(
+        pc.take(lbl["label"].combine_chunks(), idx), pc.cast(t["record_id"], pa.string())
+    )
+    cols = {"record_id": t["record_id"], "canon_id": canon}
+    if "score" in lbl.column_names:
+        cols["cluster_score"] = pc.take(lbl["score"].combine_chunks(), idx)
+    return pa.table(cols)
+
+
+def entity_map_from_maps(records_ds, id_col: str, label_map: dict, conf_map: dict | None):
+    """ids + broadcast label table -> entity map (no label-dataset round
+    trips; Arrow broadcast so per-worker cost doesn't scale with map size)."""
+    import ray
+
+    ids = records_ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"record_id": pc.cast(t[id_col], pa.string())}),
+        batch_format="pyarrow",
+    )
+    nodes = [str(k) for k in label_map]
+    tbl = {
+        "node": pa.array(nodes, pa.string()),
+        "label": pa.array([str(label_map[k]) for k in label_map], pa.string()),
+    }
+    if conf_map is not None:
+        tbl["score"] = pa.array(
+            [float(conf_map.get(k, np.nan)) for k in label_map], pa.float64()
+        )
+    ref = ray.put(pa.table(tbl))
+    return ids.map_batches(
+        _annotate_from_table, fn_kwargs=dict(tbl_ref=ref), batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 def build_entity_map(
@@ -269,12 +448,9 @@ def build_entity_map(
                 {} if cf.empty else dict(zip(cf["node"].astype(str), cf["cluster_score"]))
             )
         return ids.map_batches(
-            _LabelAnnotator,
-            fn_constructor_kwargs=dict(
-                labels_ref=ray.put(label_map), conf_ref=ray.put(conf_map)
-            ),
+            _annotate_labels,
+            fn_kwargs=dict(labels_ref=ray.put(label_map), conf_ref=ray.put(conf_map)),
             batch_format="pyarrow",
-            concurrency=(1, 4),
         )
 
     labels = labels_ds.map_batches(

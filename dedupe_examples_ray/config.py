@@ -163,10 +163,15 @@ def default_page_settings() -> Settings:
             Field("host", "exact"),
             Field("path", "string", has_missing=True),
         ],
+        # Selective predicate set: apex host co-blocks mirror copies (the
+        # strong key for web dedupe); sorted-token window and char prefix add
+        # cross-host coverage without first-token mega-blocks.  Hot keys
+        # (generic title words) salt at max_block_size, bounding junk pairs
+        # per record regardless of corpus size.
         predicates=[
-            {"kind": "first_token", "column": "title"},
-            {"kind": "prefix", "column": "title", "n": 8},
             {"kind": "whole_field", "column": "host"},
+            {"kind": "sorted_tokens", "column": "title", "n": 4},
+            {"kind": "prefix", "column": "title", "n": 12},
         ],
         interactions=[],
         weights={
@@ -179,6 +184,6 @@ def default_page_settings() -> Settings:
         },
         bias=-7.0,
         threshold=0.5,
-        max_block_size=200,
+        max_block_size=64,
         oversize_policy="salt",
     )

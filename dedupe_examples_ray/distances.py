@@ -37,15 +37,30 @@ def _encode_padded(strings: list, cap: int) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def batch_levenshtein_sim(a: list, b: list, cap: int = 64) -> np.ndarray:
+def batch_levenshtein_sim(a: list, b: list, cap: int = 48) -> np.ndarray:
     """Normalized Levenshtein similarity 1 - dist/max(len) for N pairs at once.
 
     ``None``/empty on either side yields 0.0 (the scorer masks those rows via
-    missing indicators before they matter).
+    missing indicators before they matter).  Exactly-equal pairs short-circuit
+    to 1.0 before the DP — in duplicate-heavy blocks most compared values
+    normalize to identical strings, so this skips the bulk of the work.
     """
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
+    eq = np.fromiter(
+        (x is not None and x != "" and x == y for x, y in zip(a, b)), dtype=bool, count=n
+    )
+    if eq.all():
+        return np.ones(n, dtype=np.float64)
+    if eq.any():
+        out = np.empty(n, dtype=np.float64)
+        out[eq] = 1.0
+        sub_idx = np.flatnonzero(~eq)
+        out[sub_idx] = batch_levenshtein_sim(
+            [a[i] for i in sub_idx], [b[i] for i in sub_idx], cap
+        )
+        return out
     A, la = _encode_padded(a, cap)
     B, lb = _encode_padded(b, cap)
     max_la = int(la.max()) if n else 0

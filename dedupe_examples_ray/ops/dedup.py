@@ -33,6 +33,25 @@ import pyarrow.compute as pc
 
 from ..cluster import connected_components
 
+# Per-worker cache for broadcast objects: task functions resolve a ray.put
+# ref once per worker process instead of paying actor-pool startup (the
+# stateful-stage pattern without the actors; worker processes persist).
+_BCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    try:
+        import ray
+
+        if isinstance(ref, ray.ObjectRef):
+            key = ref.hex()
+            if key not in _BCAST_CACHE:
+                _BCAST_CACHE[key] = ray.get(ref)
+            return _BCAST_CACHE[key]
+    except ImportError:
+        pass
+    return ref
+
 
 # --------------------------------------------------------------- exact dedup
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -48,11 +67,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[id_col].min()
-        return pd.DataFrame({id_col: df[id_col], "keep_id": keep})
+    # bucketed: group by h%B (B groups), per-hash min via vectorized transform
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
 
-    return hashed.groupby("h").map_groups(assign, batch_format="pandas")
+        b = t["h"].to_numpy(zero_copy_only=False) % 64
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col], "keep_id": df.groupby("h", sort=False)[id_col].transform("min")}
+        )
+
+    return hashed.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        assign, batch_format="pandas"
+    )
 
 
 # ------------------------------------------------------------------- minhash
@@ -93,91 +122,102 @@ def char_ngrams(text: str, n: int = 5) -> np.ndarray:
     return np.array([s[i : i + n] for i in range(len(s) - n + 1)], dtype=object)
 
 
-class _MinhashBands:
-    """Actor-pool stage: doc -> (band, key, doc_id) LSH bucket rows.
+_PERM_CACHE: dict = {}
 
-    Permutation parameters are built once per actor (deterministic seed).
+
+def _minhash_bands_batch(t: pa.Table, id_col, text_col, shingle, k, num_perm, bands) -> pa.Table:
+    """Task stage: doc -> (band, key, doc_id) LSH bucket rows.
+
+    Deterministic permutation params cached per worker process.
     """
-
-    def __init__(self, id_col, text_col, shingle: str, k: int, num_perm: int, bands: int):
-        self.id_col = id_col
-        self.text_col = text_col
-        self.k = k
-        self.bands = bands
-        self.rows = num_perm // bands
-        self.a, self.b = _perm_params(num_perm)
-        self.shingle_fn = word_shingles if shingle == "word" else char_ngrams
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
-        texts = t[self.text_col].to_pylist()
-        out_id: list = []
-        out_band: list[int] = []
-        out_key: list[int] = []
-        for did, text in zip(ids, texts):
-            sh = self.shingle_fn(text, self.k)
-            sig = minhash_signature(_hash_tokens(sh), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                key = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1
-                out_id.append(did)
-                out_band.append(bi)
-                out_key.append(key)
-        return pa.table(
-            {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-            }
-        )
-
-
-def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200):
-    """LSH buckets -> unique candidate (id_a, id_b) pairs."""
-
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df[id_col].unique())
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(df[id_col].dtype)
-        if n > max_bucket:  # hot bucket guard (boilerplate-heavy corpora)
-            ids = ids[:max_bucket]
-            n = max_bucket
-        ia, ib = np.triu_indices(n, k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    pairs = bucket_ds.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = _PERM_CACHE[num_perm]
+    rows = num_perm // bands
+    shingle_fn = word_shingles if shingle == "word" else char_ngrams
+    ids = t[id_col].to_pylist()
+    texts = t[text_col].to_pylist()
+    out_id: list = []
+    out_band: list[int] = []
+    out_key: list[int] = []
+    for did, text in zip(ids, texts):
+        sh = shingle_fn(text, k)
+        sig = minhash_signature(_hash_tokens(sh), a, b)
+        for bi in range(bands):
+            chunk = sig[bi * rows : (bi + 1) * rows]
+            key = int.from_bytes(
+                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+            ) >> 1
+            out_id.append(did)
+            out_band.append(bi)
+            out_key.append(key)
+    return pa.table(
+        {
+            id_col: pa.array(out_id),
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key, pa.int64()),
+        }
     )
 
 
-class _JaccardVerifier:
-    """Verify candidate pairs with exact shingle Jaccard (broadcast text map)."""
+def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: int = 64):
+    """LSH buckets -> unique candidate (id_a, id_b) pairs.
 
-    def __init__(self, text_ref, shingle: str, k: int, threshold: float):
-        import ray
+    Bucketed shuffle (hash(band,key) % B -> B groups) with a vectorized
+    pandas loop over the LSH buckets inside each group — never one Python
+    dispatch per LSH bucket.
+    """
 
-        self.texts = ray.get(text_ref) if isinstance(text_ref, ray.ObjectRef) else text_ref
-        self.k = k
-        self.threshold = threshold
-        self.shingle_fn = word_shingles if shingle == "word" else char_ngrams
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = (
+            t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % num_buckets
+        return t.append_column("bucket", pa.array(h.astype(np.int64), pa.int64()))
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        out = []
-        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-            sa = set(self.shingle_fn(self.texts.get(a, ""), self.k))
-            sb = set(self.shingle_fn(self.texts.get(b, ""), self.k))
-            inter = len(sa & sb)
-            j = inter / (len(sa) + len(sb) - inter) if inter else 0.0
-            out.append(j)
-        score = pa.array(out, pa.float64())
-        keep = pc.greater_equal(score, self.threshold)
-        return pa.table(
-            {"id_a": t["id_a"], "id_b": t["id_b"], "score": score}
-        ).filter(keep)
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in df.groupby(["band", "key"], sort=False):
+            ids = np.sort(sub[id_col].unique())
+            n = len(ids)
+            if n < 2:
+                continue
+            if n > max_bucket:  # hot bucket guard (boilerplate-heavy corpora)
+                ids = ids[:max_bucket]
+                n = max_bucket
+            ia, ib = np.triu_indices(n, k=1)
+            frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=df[id_col].dtype), "id_b": pd.Series([], dtype=df[id_col].dtype)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from ..pairs import dedup_pairs
+
+    pairs = (
+        bucket_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pandas")
+    )
+    return dedup_pairs(pairs)
+
+
+def _jaccard_verify_batch(t: pa.Table, text_ref, shingle, k, threshold) -> pa.Table:
+    """Verify candidate pairs with exact shingle Jaccard (broadcast text map,
+    resolved once per worker via the broadcast cache)."""
+    texts = _get_broadcast(text_ref)
+    shingle_fn = word_shingles if shingle == "word" else char_ngrams
+    out = []
+    for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+        sa = set(shingle_fn(texts.get(a, ""), k))
+        sb = set(shingle_fn(texts.get(b, ""), k))
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+        out.append(j)
+    score = pa.array(out, pa.float64())
+    keep = pc.greater_equal(score, threshold)
+    return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "score": score}).filter(keep)
 
 
 def _assignment(ds, id_col: str, edges_ds):
@@ -189,17 +229,14 @@ def _assignment(ds, id_col: str, edges_ds):
 
     ref = ray.put(label_map)
 
-    class Annot:
-        def __init__(self, ref=ref):
-            self.m = ray.get(ref)
+    def annot(t: pa.Table) -> pa.Table:
+        m = _get_broadcast(ref)
+        ids = t[id_col].to_pylist()
+        return pa.table(
+            {id_col: t[id_col], "keep_id": pa.array([m.get(i, i) for i in ids])}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_pylist()
-            return pa.table(
-                {id_col: t[id_col], "keep_id": pa.array([self.m.get(i, i) for i in ids])}
-            )
-
-    return ds.select_columns([id_col]).map_batches(Annot, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns([id_col]).map_batches(annot, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -224,30 +261,22 @@ def minhash_lsh_dedup(
     sketches through the pair rows instead.
     """
     buckets = ds.map_batches(
-        _MinhashBands,
-        fn_constructor_kwargs=dict(
+        _minhash_bands_batch,
+        fn_kwargs=dict(
             id_col=id_col, text_col=text_col, shingle=shingle, k=k, num_perm=num_perm, bands=bands
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     pairs = _bucket_pairs(buckets, id_col)
     if verify:
         import ray
 
-        texts = dict(
-            zip(
-                ds.select_columns([id_col]).to_pandas()[id_col],
-                ds.select_columns([text_col]).to_pandas()[text_col],
-            )
-        )
+        id_text = ds.select_columns([id_col, text_col]).to_pandas()
+        texts = dict(zip(id_text[id_col], id_text[text_col]))
         pairs = pairs.map_batches(
-            _JaccardVerifier,
-            fn_constructor_kwargs=dict(
-                text_ref=ray.put(texts), shingle=shingle, k=k, threshold=threshold
-            ),
+            _jaccard_verify_batch,
+            fn_kwargs=dict(text_ref=ray.put(texts), shingle=shingle, k=k, threshold=threshold),
             batch_format="pyarrow",
-            concurrency=(1, 4),
         )
     return _assignment(ds, id_col, pairs)
 
@@ -274,34 +303,28 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
-class _SimhashBands:
-    def __init__(self, id_col, text_col, bands: int = 4):
-        self.id_col = id_col
-        self.text_col = text_col
-        self.bands = bands
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
-        texts = t[self.text_col].to_pylist()
-        rows_id, rows_band, rows_key, rows_sim = [], [], [], []
-        width = 64 // self.bands
-        mask = (1 << width) - 1
-        for did, text in zip(ids, texts):
-            toks = (text or "").lower().split()
-            sh = simhash64(_hash_tokens(np.array(toks, dtype=object)))
-            for bi in range(self.bands):
-                rows_id.append(did)
-                rows_band.append(bi)
-                rows_key.append((sh >> (bi * width)) & mask)
-                rows_sim.append(sh)
-        return pa.table(
-            {
-                self.id_col: pa.array(rows_id),
-                "band": pa.array(rows_band, pa.int32()),
-                "key": pa.array(rows_key, pa.int64()),
-                "simhash": pa.array(rows_sim, pa.uint64()),
-            }
-        )
+def _simhash_bands_batch(t: pa.Table, id_col, text_col, bands) -> pa.Table:
+    ids = t[id_col].to_pylist()
+    texts = t[text_col].to_pylist()
+    rows_id, rows_band, rows_key, rows_sim = [], [], [], []
+    width = 64 // bands
+    mask = (1 << width) - 1
+    for did, text in zip(ids, texts):
+        toks = (text or "").lower().split()
+        sh = simhash64(_hash_tokens(np.array(toks, dtype=object)))
+        for bi in range(bands):
+            rows_id.append(did)
+            rows_band.append(bi)
+            rows_key.append((sh >> (bi * width)) & mask)
+            rows_sim.append(sh)
+    return pa.table(
+        {
+            id_col: pa.array(rows_id),
+            "band": pa.array(rows_band, pa.int32()),
+            "key": pa.array(rows_key, pa.int64()),
+            "simhash": pa.array(rows_sim, pa.uint64()),
+        }
+    )
 
 
 def simhash_dedup(
@@ -314,53 +337,71 @@ def simhash_dedup(
     (Manku et al., WWW 2007).
     """
     buckets = ds.map_batches(
-        _SimhashBands,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, bands=bands),
+        _simhash_bands_batch,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, bands=bands),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = u[id_col].to_numpy()
-        sims = u["simhash"].to_numpy(dtype=np.uint64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(n, k=1)
-        ham = np.array(
-            [bin(int(sims[x]) ^ int(sims[y])).count("1") for x, y in zip(ia, ib)]
-        )
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = (
+            t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % 64
+        return t.append_column("bucket", pa.array(h.astype(np.int64), pa.int64()))
 
-    pairs = buckets.groupby(["band", "key"]).map_groups(emit, batch_format="pandas")
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-    return _assignment(ds, id_col, pairs)
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, sub in df.groupby(["band", "key"], sort=False):
+            u = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = u[id_col].to_numpy()
+            sims = u["simhash"].to_numpy(dtype=np.uint64)
+            n = len(ids)
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            x = sims[ia] ^ sims[ib]
+            # vectorized popcount via bit-twiddling on uint64
+            ham = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            while v.any():
+                ham += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+            keep = ham <= max_hamming
+            frames.append(
+                pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=df[id_col].dtype),
+                    "id_b": pd.Series([], dtype=df[id_col].dtype),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from ..pairs import dedup_pairs
+
+    pairs = (
+        buckets.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pandas")
+    )
+    return _assignment(ds, id_col, dedup_pairs(pairs))
 
 
 # ------------------------------------------------------- embedding near-dup
-class _HyperplaneBuckets:
-    """Random-hyperplane LSH for unit vectors (cosine LSH)."""
-
-    def __init__(self, id_col, vec_col, dim: int, n_planes: int = 12, seed: int = 5):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = np.asarray(t[self.vec_col].to_pylist(), dtype=np.float64)
-        if vecs.ndim == 1:
-            vecs = vecs.reshape(0, self.planes.shape[0])
-        signs = (vecs @ self.planes) > 0
-        keys = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
-        return pa.table(
-            {
-                self.id_col: t[self.id_col],
-                "key": pa.array(keys.astype(np.int64), pa.int64()),
-            }
-        )
+def _hyperplane_buckets_batch(t: pa.Table, id_col, vec_col, dim, n_planes=12, seed=5) -> pa.Table:
+    """Random-hyperplane LSH for unit vectors (cosine LSH); deterministic
+    planes rebuilt per worker (cheap: dim x n_planes floats)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+    if vecs.ndim == 1:
+        vecs = vecs.reshape(0, dim)
+    signs = (vecs @ planes) > 0
+    keys = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
+    return pa.table({id_col: t[id_col], "key": pa.array(keys.astype(np.int64), pa.int64())})
 
 
 def embedding_cosine_dedup(
@@ -381,31 +422,52 @@ def embedding_cosine_dedup(
         first = ds.take(1)[0][vec_col]
         dim = len(first)
     buckets = ds.map_batches(
-        _HyperplaneBuckets,
-        fn_constructor_kwargs=dict(id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes),
+        _hyperplane_buckets_batch,
+        fn_kwargs=dict(id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     import ray
 
     vec_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    vec_map = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for _, r in vec_df.iterrows()}
+    vec_map = {
+        i: np.asarray(v, dtype=np.float64) for i, v in zip(vec_df[id_col], vec_df[vec_col])
+    }
     vec_ref = ray.put(vec_map)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["key"].to_numpy(zero_copy_only=False) % 64
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         vecs = ray.get(vec_ref)
-        ids = np.sort(df[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
-        V = np.stack([vecs[i] for i in ids])
-        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        S = V @ V.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = S[ia, ib] >= tau
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": S[ia, ib][keep]}
-        )
+        frames = []
+        for _, sub in df.groupby("key", sort=False):
+            ids = np.sort(sub[id_col].unique())
+            if len(ids) < 2:
+                continue
+            V = np.stack([vecs[i] for i in ids])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            S = V @ V.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = S[ia, ib] >= tau
+            frames.append(
+                pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": S[ia, ib][keep]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=df[id_col].dtype),
+                    "id_b": pd.Series([], dtype=df[id_col].dtype),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = buckets.groupby("key").map_groups(verify, batch_format="pandas")
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-    return _assignment(ds, id_col, pairs)
+    from ..pairs import dedup_pairs
+
+    pairs = (
+        buckets.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+    return _assignment(ds, id_col, dedup_pairs(pairs))

@@ -5,95 +5,128 @@ Ray-Data expression of the reference's SQL blocking self-join:
 followed by ``DISTINCT`` pair dedup (mysql_example/mysql_example.py:240-264,
 unique index mysql_example.py:234).
 
-- ``groupby(block_key).map_groups`` emits within-block pairs with the
-  ``id_a < id_b`` ordered-pair constraint (sorted unique ids + triu indices).
-- **Skew**: a hot block key makes O(n²) pairs in one group.  Groups larger
-  than ``max_block_size`` are *salted*: members are deterministically split
-  (stable crc32 of id) into ceil(n/cap) sub-blocks and pairs are emitted only
-  within sub-blocks — bounded recall loss, never silent: ``pair_metrics``
-  reports emitted/capped/dropped counts per run (north_rule: no silent caps).
-- Record fields are already denormalized into blocking rows (fingerprint.py),
-  so pair rows carry both sides' values and no hydration join (J2) is needed.
-- Cross-block duplicate pairs are removed by a second shuffle keyed on the
-  canonical (id_a, id_b) — reference A4 ``DISTINCT``.
+Physical plan (bucketed to amortize per-group overhead — a groupby with one
+Python call per *block* or per *pair* is quadratically dominated by task
+dispatch, measured 3x the whole pipeline):
+
+1. bucket = stable_hash(block_key) % B  -> ``groupby(bucket)`` = B groups;
+   inside each group a pandas loop over its blocks emits pairs vectorized
+   (sorted unique ids + triu indices).  Same shuffle volume as grouping by
+   block_key directly — the bucket is a function of the key, so every block
+   is complete within one group.
+2. ``id_a < id_b`` ordered-pair constraint via sorted ids.
+3. **Skew**: blocks larger than ``max_block_size`` are *salted* — members
+   split deterministically (stable hash of id) into ceil(n/cap) sub-blocks,
+   pairs emitted within sub-blocks only; bounded recall loss, never silent
+   (``pair_metrics`` reports emitted/capped/dropped counts — north_rule).
+4. Cross-block duplicate pairs are removed by a second bucketed shuffle on
+   stable_hash(id_a, id_b) % B with a vectorized ``drop_duplicates`` per
+   bucket (reference A4 DISTINCT).
+
+Record fields are denormalized into blocking rows (fingerprint.py), so pair
+rows carry both sides' values and no hydration join (J2) is needed.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _stable_hash(ids: np.ndarray) -> np.ndarray:
-    return np.array([zlib.crc32(str(x).encode()) for x in ids], dtype=np.uint64)
+_HASH_KEY = "dedupe_examples_ray" [:16].ljust(16, "0")
 
 
-def _emit_pairs_table(
-    tbl: pa.Table,
+def stable_hash(values) -> np.ndarray:
+    """Deterministic uint64 hash of an array of strings/objects (stable
+    across processes — unlike Python's seeded ``hash``)."""
+    return pd.util.hash_array(np.asarray(values, dtype=object), hash_key=_HASH_KEY)
+
+
+_PAIR_IDX_CACHE: dict = {}
+
+
+def _pair_idx(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached triu indices (k <= salting cap, so the cache stays tiny)."""
+    got = _PAIR_IDX_CACHE.get(k)
+    if got is None:
+        got = np.triu_indices(k, k=1)
+        _PAIR_IDX_CACHE[k] = got
+    return got
+
+
+def _emit_bucket(
+    df: pd.DataFrame,
     id_col: str,
     carry_cols: list[str],
     max_block_size: int,
     policy: str,
     source_col: str | None,
-) -> pa.Table:
-    """Pairs for ONE block group (already grouped by block_key)."""
-    df = tbl.select([id_col] + carry_cols + ([source_col] if source_col else [])).to_pandas()
-    df = df.drop_duplicates(subset=[id_col]).reset_index(drop=True)
-    n = len(df)
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
+) -> pd.DataFrame:
+    """All pairs for one hash bucket of blocks.
 
-    def within(indices: np.ndarray):
-        if source_col is None:
-            k = len(indices)
-            if k < 2:
-                return
-            ia, ib = np.triu_indices(k, k=1)
-            out_a.append(indices[ia])
-            out_b.append(indices[ib])
-        else:
-            src = df[source_col].to_numpy()[indices]
-            left = indices[src == 0]
-            right = indices[src != 0]
-            if len(left) == 0 or len(right) == 0:
-                return
-            ia, ib = np.meshgrid(left, right, indexing="ij")
-            out_a.append(ia.ravel())
-            out_b.append(ib.ravel())
+    Vectorized across the bucket's blocks: one global (block_key, id) dedup +
+    sort, then group offsets via factorize/bincount; the per-group work is two
+    array appends against cached triu indices (no per-block pandas objects).
+    Oversized groups take the salting path individually (rare by design).
+    """
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=df[id_col].dtype),
+            "id_b": pd.Series([], dtype=df[id_col].dtype),
+            **{f"{c}_a": pd.Series([], dtype=df[c].dtype) for c in carry_cols},
+            **{f"{c}_b": pd.Series([], dtype=df[c].dtype) for c in carry_cols},
+        }
+    )
+    if df.empty:
+        return empty
+    df = df.drop_duplicates(subset=["block_key", id_col])
+    df = df.sort_values(["block_key", id_col], kind="stable").reset_index(drop=True)
+    codes, _ = pd.factorize(df["block_key"], sort=False)
+    sizes = np.bincount(codes)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    ids = df[id_col].to_numpy()
+    src = df[source_col].to_numpy() if source_col is not None else None
 
-    order = np.argsort(df[id_col].to_numpy(), kind="stable")
-    if n <= max_block_size or policy == "keep":
-        within(order)
-    elif policy == "drop":
-        pass
-    else:  # salt
-        k = -(-n // max_block_size)  # ceil
-        salt = _stable_hash(df[id_col].to_numpy()[order]) % k
-        for s in range(k):
-            within(order[salt == s])
-
+    out_a: list = []
+    out_b: list = []
+    for g in np.flatnonzero(sizes >= 2):
+        s = int(sizes[g])
+        o = int(starts[g])
+        members = np.arange(o, o + s)
+        if source_col is not None:
+            left = members[src[o : o + s] == 0]
+            right = members[src[o : o + s] != 0]
+            if len(left) and len(right):
+                ia, ib = np.meshgrid(left, right, indexing="ij")
+                out_a.append(ia.ravel())
+                out_b.append(ib.ravel())
+            continue
+        if s <= max_block_size or policy == "keep":
+            ia, ib = _pair_idx(s)
+            out_a.append(o + ia)
+            out_b.append(o + ib)
+        elif policy == "drop":
+            continue
+        else:  # salt oversized group into deterministic sub-blocks
+            k = -(-s // max_block_size)
+            salt = stable_hash(ids[o : o + s]) % k
+            for sv in range(k):
+                chunk = members[salt == sv]  # ascending -> id_a < id_b holds
+                if len(chunk) < 2:
+                    continue
+                ia, ib = _pair_idx(len(chunk))
+                out_a.append(chunk[ia])
+                out_b.append(chunk[ib])
     if not out_a:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype=df[id_col].dtype),
-                "id_b": pd.Series([], dtype=df[id_col].dtype),
-                **{f"{c}_a": pd.Series([], dtype=df[c].dtype) for c in carry_cols},
-                **{f"{c}_b": pd.Series([], dtype=df[c].dtype) for c in carry_cols},
-            }
-        )
-        return pa.Table.from_pandas(empty, preserve_index=False)
-
+        return empty
     ia = np.concatenate(out_a)
     ib = np.concatenate(out_b)
-    data = {"id_a": df[id_col].to_numpy()[ia], "id_b": df[id_col].to_numpy()[ib]}
+    data = {"id_a": ids[ia], "id_b": ids[ib]}
     for c in carry_cols:
         vals = df[c].to_numpy()
         data[f"{c}_a"] = vals[ia]
         data[f"{c}_b"] = vals[ib]
-    return pa.Table.from_pandas(pd.DataFrame(data), preserve_index=False)
+    return pd.DataFrame(data)
 
 
 def candidate_pairs(
@@ -104,39 +137,74 @@ def candidate_pairs(
     policy: str = "salt",
     source_col: str | None = None,
     dedup: bool = True,
+    num_buckets: int = 64,
 ):
     """blocking-map Dataset -> deduped candidate-pair Dataset.
 
     ``source_col``: when set (RecordLink mode, J3), pairs are emitted only
     across source 0 × source 1 inside each block.
+    ``num_buckets``: shuffle partition count for both the pair-gen and the
+    pair-dedup exchanges; size to O(pair_bytes / target block size) at scale.
     """
 
-    def emit(tbl: pa.Table) -> pa.Table:
-        return _emit_pairs_table(tbl, id_col, carry_cols, max_block_size, policy, source_col)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = stable_hash(t["block_key"].to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
-    pairs = blocks_ds.groupby("block_key").map_groups(emit, batch_format="pyarrow")
+    bucketed = blocks_ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        return _emit_bucket(df, id_col, carry_cols, max_block_size, policy, source_col)
+
+    pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pandas")
     if dedup:
-        pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-            lambda t: t.slice(0, 1), batch_format="pyarrow"
-        )
+        pairs = dedup_pairs(pairs, num_buckets=num_buckets)
     return pairs
 
 
-def pair_metrics(blocks_ds, id_col: str, max_block_size: int = 200, policy: str = "salt") -> dict:
+def dedup_pairs(pairs_ds, num_buckets: int = 64):
+    """Global DISTINCT on (id_a, id_b): bucketed shuffle + vectorized
+    drop_duplicates per bucket (A4)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        h = (stable_hash(a) * np.uint64(1000003) + stable_hash(b)) % num_buckets
+        return t.append_column("pbucket", pa.array(h.astype(np.int64), pa.int64()))
+
+    bucketed = pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def drop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pbucket"])
+
+    return bucketed.groupby("pbucket").map_groups(drop, batch_format="pandas")
+
+
+def pair_metrics(blocks_ds, id_col: str, max_block_size: int = 200, policy: str = "salt",
+                 num_buckets: int = 64) -> dict:
     """Emitted / capped / dropped pair counts (no silent caps — SURVEY.md §4).
 
-    Cheap second pass over the (block_key, id) projection only.
+    Cheap bucketed pass over the (block_key, id) projection only.
     """
-    from ray.data.aggregate import Count
 
-    sizes = (
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = stable_hash(t["block_key"].to_numpy(zero_copy_only=False)) % num_buckets
+        return pa.table(
+            {"block_key": t["block_key"], id_col: t[id_col],
+             "bucket": pa.array(b.astype(np.int64), pa.int64())}
+        )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(subset=["block_key", id_col])
+        return u.groupby("block_key", sort=False).size().rename("n").reset_index()[["n"]]
+
+    tbl = (
         blocks_ds.select_columns(["block_key", id_col])
-        .groupby(["block_key", id_col])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .groupby("block_key")
-        .aggregate(Count(alias_name="n"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sizes, batch_format="pandas")
+        .to_pandas()
     )
-    tbl = sizes.to_pandas()
     n = tbl["n"].to_numpy(dtype=np.int64)
     full = n * (n - 1) // 2
     emitted = np.where(n <= max_block_size, full, 0)

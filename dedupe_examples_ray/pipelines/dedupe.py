@@ -22,11 +22,17 @@ from __future__ import annotations
 
 from ..blocking import compute_token_df, fingerprint_dataset, idf_from_df
 from ..checkpoint import run_stage
-from ..cluster import build_entity_map, connected_components, member_confidence
+from ..cluster import (
+    build_entity_map,
+    connected_components,
+    driver_cluster_table,
+    entity_map_from_table,
+    member_confidence,
+)
 from ..config import Field as Field_, Settings, default_page_settings
 from ..normalize import derive_page_fields
 from ..pairs import candidate_pairs
-from ..scoring import score_pairs, threshold_edges
+from ..scoring import build_record_map, hydrate_pairs, score_pairs, threshold_edges
 
 
 def dedupe_dataset(
@@ -39,6 +45,8 @@ def dedupe_dataset(
     driver_cc_limit: int = 2_000_000,
     ids_ds=None,
     scorer_blocks: int | None = 32,
+    broadcast_records_limit: int = 2_000_000,
+    n_records: int | None = None,
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -56,9 +64,19 @@ def dedupe_dataset(
     fp = settings.fingerprint()
     carry = sorted({f.column for f in settings.fields})
 
+    # Pairs travel SLIM (ids only): blocking rows and both pair shuffles never
+    # move record payloads.  Field values re-attach at scoring time — via a
+    # broadcast record map when it fits the budget (ray.put once, read per
+    # actor), else via partitioned hash-join hydration (J2).
+    if n_records is None:
+        n_records = (ids_ds if ids_ds is not None else records_ds).count()
+    use_broadcast = n_records <= broadcast_records_limit
+    if use_broadcast and workdir is None:
+        records_ds = records_ds.materialize()  # reused for blocks + record map
+
     blocks = run_stage(
         "blocks",
-        lambda: fingerprint_dataset(records_ds, settings, id_col, carry),
+        lambda: fingerprint_dataset(records_ds, settings, id_col, []),
         workdir,
         fp,
     )
@@ -67,7 +85,7 @@ def dedupe_dataset(
         lambda: candidate_pairs(
             blocks,
             id_col,
-            carry,
+            [],
             max_block_size=settings.max_block_size,
             policy=settings.oversize_policy,
         ),
@@ -78,7 +96,14 @@ def dedupe_dataset(
         pairs = pairs.repartition(scorer_blocks)
 
     def scored_edges():
-        scores = score_pairs(pairs, settings, idf=idf, concurrency=scorer_concurrency)
+        if use_broadcast:
+            records = build_record_map(records_ds, id_col, carry)
+            scores = score_pairs(
+                pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records
+            )
+        else:
+            hydrated = hydrate_pairs(pairs, records_ds, id_col, carry)
+            scores = score_pairs(hydrated, settings, idf=idf, concurrency=scorer_concurrency)
         return threshold_edges(scores, settings.threshold)
 
     # The thresholded edge set fans out three ways (count for the CC path
@@ -88,6 +113,29 @@ def dedupe_dataset(
     edges = run_stage("edges", scored_edges, workdir, fp)
     if workdir is None:
         edges = edges.materialize()
+    id_source = ids_ds if ids_ds is not None else records_ds
+    n_edges = edges.count()
+    if n_edges <= driver_cc_limit:
+        # driver fast path: ONE edge pull feeds vectorized CC + confidence +
+        # the broadcast entity-map annotation (reference's in-driver posture)
+        edges_df = edges.select_columns(["id_a", "id_b", "score"]).to_pandas()
+        label_tbl = driver_cluster_table(edges_df)
+        if workdir is not None:
+            import ray.data as rd
+
+            run_stage(
+                "clusters",
+                lambda: rd.from_arrow(label_tbl.select(["node", "label"])),
+                workdir,
+                fp,
+            )
+        entity = run_stage(
+            "entity_map",
+            lambda: entity_map_from_table(id_source, id_col, label_tbl),
+            workdir,
+            fp,
+        )
+        return entity
     labels = run_stage(
         "clusters",
         lambda: connected_components(edges, driver_limit=driver_cc_limit),
@@ -97,7 +145,7 @@ def dedupe_dataset(
     confidence = member_confidence(edges)
     entity = run_stage(
         "entity_map",
-        lambda: build_entity_map(ids_ds if ids_ds is not None else records_ds, id_col, labels, confidence),
+        lambda: build_entity_map(id_source, id_col, labels, confidence),
         workdir,
         fp,
     )
@@ -172,6 +220,7 @@ def dedupe_pages(
     workdir: str | None = None,
     use_idf: bool = False,
     scorer_concurrency=(1, 4),
+    n_records: int | None = None,
 ):
     """Web-pages flagship: derive fields from (url, text), then dedupe.
 
@@ -190,6 +239,8 @@ def dedupe_pages(
         import pyarrow as pa
 
         idf = idf_from_df(pa.Table.from_pandas(df_tbl), n_docs)
+    if n_records is None:
+        n_records = pages_ds.count()  # metadata fast path on raw parquet reads
     return dedupe_dataset(
         derived,
         settings,
@@ -198,4 +249,5 @@ def dedupe_pages(
         idf=idf,
         scorer_concurrency=scorer_concurrency,
         ids_ds=slim.select_columns(["url"]),
+        n_records=n_records,
     )

@@ -24,7 +24,7 @@ from ..blocking import fingerprint_dataset
 from ..checkpoint import run_stage
 from ..config import Settings
 from ..pairs import candidate_pairs
-from ..scoring import score_pairs, threshold_edges
+from ..scoring import build_record_map, score_pairs, threshold_edges
 from .record_link import tag_sources
 
 
@@ -49,11 +49,26 @@ class GazetteerIndex:
                 return t.append_column("__source", pa.array([1] * t.num_rows, pa.int8()))
 
             tagged = canonical_ds.map_batches(tag, batch_format="pyarrow")
-            return fingerprint_dataset(tagged, settings, id_col, self.carry + ["__source"])
+            return fingerprint_dataset(tagged, settings, id_col, ["__source"])
 
         self.blocks = run_stage(
             "gaz_index", build, workdir, settings.fingerprint() + ":gaz"
         ).materialize()
+        # canonical record map: the reusable probe-time state (field values
+        # never travel through blocking/pair shuffles)
+
+        def tag_canon(t):
+            import pyarrow as pa_
+            import pyarrow.compute as pc_
+
+            ids = pc_.binary_join_element_wise(
+                pa_.array(["1"] * t.num_rows, pa_.string()), pc_.cast(t[id_col], pa_.string()), ":"
+            )
+            return t.drop_columns([id_col]).append_column(id_col, ids)
+
+        self._canon_map = build_record_map(
+            canonical_ds.map_batches(tag_canon, batch_format="pyarrow"), id_col, self.carry
+        )
 
     def search(self, messy_ds, n_matches: int = 2, threshold: float | None = None, scorer_concurrency=(1, 4), idf: dict | None = None):
         """Top-k canonical matches per messy record -> (id_a, id_b, score)."""
@@ -66,21 +81,24 @@ class GazetteerIndex:
             t = t.drop_columns([self.id_col]).append_column(self.id_col, ids)
             return t.append_column("__source", pa.array([0] * t.num_rows, pa.int8()))
 
+        tagged_messy = messy_ds.map_batches(tag, batch_format="pyarrow").materialize()
         messy_blocks = fingerprint_dataset(
-            messy_ds.map_batches(tag, batch_format="pyarrow"),
-            self.settings,
-            self.id_col,
-            self.carry + ["__source"],
+            tagged_messy, self.settings, self.id_col, ["__source"]
         )
         pairs = candidate_pairs(
             messy_blocks.union(self.blocks),
             self.id_col,
-            self.carry,
+            [],
             max_block_size=self.settings.max_block_size,
             policy=self.settings.oversize_policy,
             source_col="__source",
         )
-        scored = score_pairs(pairs, self.settings, idf=idf, concurrency=scorer_concurrency)
+        import pyarrow as pa_c
+
+        records = pa_c.concat_tables(
+            [self._canon_map, build_record_map(tagged_messy, self.id_col, self.carry)]
+        ).combine_chunks()
+        scored = score_pairs(pairs, self.settings, idf=idf, concurrency=scorer_concurrency, records=records)
         thr = self.settings.threshold if threshold is None else threshold
         scored = threshold_edges(scored, thr)
 

@@ -23,7 +23,7 @@ from ..blocking import fingerprint_dataset
 from ..checkpoint import run_stage
 from ..config import Settings
 from ..pairs import candidate_pairs
-from ..scoring import score_pairs, threshold_edges
+from ..scoring import build_record_map, score_pairs, threshold_edges
 
 
 def tag_sources(ds_a, ds_b, id_col: str):
@@ -82,10 +82,10 @@ def record_link(
     """
     fp = settings.fingerprint() + ":rl"
     carry = sorted({f.column for f in settings.fields})
-    tagged = tag_sources(ds_a, ds_b, id_col)
+    tagged = tag_sources(ds_a, ds_b, id_col).materialize()
     blocks = run_stage(
         "rl_blocks",
-        lambda: fingerprint_dataset(tagged, settings, id_col, carry + ["__source"]),
+        lambda: fingerprint_dataset(tagged, settings, id_col, ["__source"]),
         workdir,
         fp,
     )
@@ -94,7 +94,7 @@ def record_link(
         lambda: candidate_pairs(
             blocks,
             id_col,
-            carry,
+            [],
             max_block_size=settings.max_block_size,
             policy=settings.oversize_policy,
             source_col="__source",
@@ -102,9 +102,10 @@ def record_link(
         workdir,
         fp,
     )
+    records = build_record_map(tagged, id_col, carry)
     scored = run_stage(
         "rl_scores",
-        lambda: score_pairs(pairs, settings, idf=idf, concurrency=scorer_concurrency),
+        lambda: score_pairs(pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records),
         workdir,
         fp,
     )

@@ -58,11 +58,24 @@ def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | 
     return out
 
 
-def distinct(ds, cols: list[str]):
-    """``SELECT DISTINCT cols`` (reference A1, mysql_init_db.py:134-143)."""
-    proj = ds.select_columns(cols)
-    return proj.groupby(cols if len(cols) > 1 else cols[0]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+def distinct(ds, cols: list[str], num_buckets: int = 64):
+    """``SELECT DISTINCT cols`` (reference A1, mysql_init_db.py:134-143).
+
+    Per-batch drop_duplicates (combiner) -> bucketed shuffle on a row hash ->
+    vectorized drop_duplicates per bucket; no per-row groups.
+    """
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[cols].drop_duplicates()
+        u["bucket"] = (
+            pd.util.hash_pandas_object(u, index=False).to_numpy() % num_buckets
+        ).astype(np.int64)
+        return u
+
+    proj = ds.select_columns(cols).map_batches(local, batch_format="pandas")
+    return proj.groupby("bucket").map_groups(
+        lambda df: df.drop_duplicates(subset=cols).drop(columns=["bucket"]),
+        batch_format="pandas",
     )
 
 

@@ -36,7 +36,7 @@ class PairScorer:
     by pair generation).  Output: ``id_a, id_b, score``.
     """
 
-    def __init__(self, settings_json: str, idf_ref=None, keep_features: bool = False):
+    def __init__(self, settings_json: str, idf_ref=None, keep_features: bool = False, records_ref=None):
         self.settings = Settings.from_json(settings_json)
         self.keep_features = keep_features
         self.idf: dict | None = None
@@ -49,6 +49,34 @@ class PairScorer:
             except ImportError:
                 pass
             self.idf = dict(idf_ref)
+        # Broadcast hydration: pairs arrive slim (ids only) and field values
+        # are looked up here, so the pair shuffles never move record payloads.
+        # The broadcast is an Arrow TABLE (ray.put once): ray.get is
+        # zero-copy from the object store, so memory/deserialize cost does
+        # NOT grow with the actor count (a Python-dict broadcast would).
+        # Legacy (col_index, {id: tuple}) dict maps are still accepted.
+        self.records: dict | None = None
+        self._col_index: dict | None = None
+        self.rec_tbl = None
+        self._rec_ids = None
+        if records_ref is not None:
+            try:
+                import ray
+
+                if isinstance(records_ref, ray.ObjectRef):
+                    records_ref = ray.get(records_ref)
+            except ImportError:
+                pass
+            if isinstance(records_ref, pa.Table):
+                self.rec_tbl = records_ref.combine_chunks()
+                self._rec_id_col = self.rec_tbl.column_names[0]
+                # hash index built ONCE per actor (pc.index_in would rebuild
+                # its value-set hash table on every batch)
+                import pandas as pd
+
+                self._rec_index = pd.Index(self.rec_tbl[self._rec_id_col].to_pandas())
+            else:
+                self._col_index, self.records = records_ref
         self._w = self.settings.weight_vector()
         self._names = self.settings.feature_names()
 
@@ -62,9 +90,24 @@ class PairScorer:
                 [affine_gap_sim(a or "", b or "") if a and b else 0.0 for a, b in zip(a_list, b_list)]
             )
         if comparator == "text":
-            return np.array(
-                [cosine_tokens(tokens(a), tokens(b), self.idf) for a, b in zip(a_list, b_list)]
-            )
+            # memoize tokenization per distinct string — a cluster of k
+            # records contributes O(k^2) pairs but only k distinct values
+            cache: dict = {}
+
+            def tok(s):
+                v = cache.get(s)
+                if v is None:
+                    v = tokens(s)
+                    cache[s] = v
+                return v
+
+            out = np.empty(len(a_list), dtype=np.float64)
+            for i, (x, y) in enumerate(zip(a_list, b_list)):
+                if x and x == y:
+                    out[i] = 1.0
+                else:
+                    out[i] = cosine_tokens(tok(x), tok(y), self.idf)
+            return out
         if comparator in ("exact", "categorical"):
             return np.array([exact_sim(a, b) for a, b in zip(a_list, b_list)])
         if comparator == "price":
@@ -86,12 +129,47 @@ class PairScorer:
             return out
         raise ValueError(f"unknown comparator {comparator!r}")
 
+    def _gather(self, batch: pa.Table) -> dict:
+        """Per-field (a_list, b_list) — from denormalized columns or from the
+        broadcast record table/map when pairs are slim."""
+        import pyarrow.compute as pc
+
+        out: dict = {}
+        if self.rec_tbl is not None:
+            ia = self._rec_index.get_indexer(batch["id_a"].to_pandas())
+            ib = self._rec_index.get_indexer(batch["id_b"].to_pandas())
+            idx_a = pa.array([None if i < 0 else i for i in ia] if (ia < 0).any() else ia)
+            idx_b = pa.array([None if i < 0 else i for i in ib] if (ib < 0).any() else ib)
+            rows_a = self.rec_tbl.take(idx_a)
+            rows_b = self.rec_tbl.take(idx_b)
+            for col in self.rec_tbl.column_names[1:]:
+                out[col] = (rows_a[col].to_pylist(), rows_b[col].to_pylist())
+            return out
+        if self.records is None:
+            for f in self.settings.fields:
+                if f.column in out:
+                    continue
+                out[f.column] = (
+                    batch[f"{f.column}_a"].to_pylist(),
+                    batch[f"{f.column}_b"].to_pylist(),
+                )
+            return out
+        rec = self.records
+        ta = [rec.get(i) for i in batch["id_a"].to_pylist()]
+        tb = [rec.get(i) for i in batch["id_b"].to_pylist()]
+        for col, j in self._col_index.items():
+            out[col] = (
+                [None if t is None else t[j] for t in ta],
+                [None if t is None else t[j] for t in tb],
+            )
+        return out
+
     def features(self, batch: pa.Table) -> np.ndarray:
         n = batch.num_rows
         feats: dict[str, np.ndarray] = {}
+        gathered = self._gather(batch)
         for f in self.settings.fields:
-            a_list = batch[f"{f.column}_a"].to_pylist()
-            b_list = batch[f"{f.column}_b"].to_pylist()
+            a_list, b_list = gathered[f.column]
             sim = self._field_sim(f.comparator, a_list, b_list)
             missing = np.array(
                 [a is None or b is None or a == "" or b == "" for a, b in zip(a_list, b_list)]
@@ -126,24 +204,74 @@ def score_pairs(
     settings: Settings,
     idf: dict | None = None,
     concurrency: int | tuple = (1, 4),
-    batch_size: int = 4096,
+    batch_size: int = 8192,
     keep_features: bool = False,
+    records=None,
 ):
-    """Score a candidate-pair Dataset -> (id_a, id_b, score) Dataset."""
+    """Score a candidate-pair Dataset -> (id_a, id_b, score) Dataset.
+
+    ``records``: optional ``(col_index, {id: tuple})`` map (or a ray ref to
+    one) enabling slim-pair scoring — see PairScorer.
+    """
+    import ray
+
     idf_ref = None
     if idf is not None:
-        import ray
-
         idf_ref = idf if isinstance(idf, ray.ObjectRef) else ray.put(idf)
+    records_ref = None
+    if records is not None:
+        records_ref = records if isinstance(records, ray.ObjectRef) else ray.put(records)
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs=dict(
-            settings_json=settings.to_json(), idf_ref=idf_ref, keep_features=keep_features
+            settings_json=settings.to_json(),
+            idf_ref=idf_ref,
+            keep_features=keep_features,
+            records_ref=records_ref,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def build_record_map(records_ds, id_col: str, cols: list[str]) -> pa.Table:
+    """Arrow record table (id first) for zero-copy broadcast hydration.
+
+    Collected once on the driver, ``ray.put`` once; actors map it back
+    zero-copy and look ids up with ``pc.index_in`` — per-actor memory does
+    not scale with the record count the way a Python dict would.
+    """
+    import pyarrow as _pa
+
+    tbls = []
+    for b in records_ds.select_columns([id_col] + cols).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        tbls.append(b)
+    if not tbls:
+        return _pa.table({c: _pa.array([], _pa.string()) for c in [id_col] + cols})
+    return _pa.concat_tables(tbls).combine_chunks()
+
+
+def hydrate_pairs(pairs_ds, records_ds, id_col: str, cols: list[str], num_partitions: int = 32):
+    """Scale path: attach both sides' fields via two partitioned hash joins
+    (reference J2 hydration, mysql_example.py:261-262) — used when the record
+    map exceeds the broadcast budget."""
+    import pyarrow as pa
+
+    def rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            mapping = {id_col: f"id_{side}", **{c: f"{c}_{side}" for c in cols}}
+            return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+        return fn
+
+    base = records_ds.select_columns([id_col] + cols)
+    ra = base.map_batches(rename("a"), batch_format="pyarrow")
+    rb = base.map_batches(rename("b"), batch_format="pyarrow")
+    out = pairs_ds.join(ra, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    return out.join(rb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
 
 
 def threshold_edges(scored_ds, threshold: float):

@@ -42,8 +42,26 @@ _SYLLABLES = [
     "to", "gra", "pel", "zan", "qui", "fos", "nel", "dar", "wic", "hum",
     "jor", "yen", "sol", "bri", "cam", "dru", "eva", "fin", "gul", "hart",
 ]
-VOCAB = [a + b for a in _SYLLABLES for b in _SYLLABLES]  # 900 words
+# 900 two-syllable + 5400 three-syllable words (deterministic, no RNG).
+# A larger vocabulary keeps first-token blocking realistically selective —
+# with a tiny vocab every block saturates the salting cap and pair counts
+# stop reflecting real web-title diversity.
+VOCAB = [a + b for a in _SYLLABLES for b in _SYLLABLES] + [
+    a + b + c
+    for i, a in enumerate(_SYLLABLES)
+    for b in _SYLLABLES
+    for c in (_SYLLABLES[i % len(_SYLLABLES)], _SYLLABLES[(i * 7 + 3) % len(_SYLLABLES)], _SYLLABLES[(i * 11 + 5) % len(_SYLLABLES)])
+    if True
+][: 900 * 6]
 _ACCENT_WORDS = ["café", "naïve", "jalapeño", "zürich", "reñé", "søren"]
+
+# Web-like first-title-token mix: a quarter of clusters start with a generic
+# word (Zipf head -> hot blocking keys the salting cap must absorb), the rest
+# with a brand-like pseudo-unique token (the selective tail).
+_GENERIC_FIRST = [
+    "the", "best", "home", "news", "top", "guide", "how", "new", "free", "online",
+    "official", "welcome", "my", "your", "daily", "world", "local", "first", "real", "all",
+]
 
 # cluster-size distribution ≈ reference gold (SURVEY.md FIXTURES.md F1)
 _SIZE_BUCKETS = [(1, 1), (2, 2), (3, 5), (6, 10), (11, 18)]
@@ -119,6 +137,11 @@ def make_cluster(cluster_id: int, seed: int = 42) -> list[dict]:
     size = int(rng.integers(lo, hi + 1))
 
     title_tokens = _words(rng, int(rng.integers(4, 9)))
+    if rng.random() < 0.25:
+        title_tokens[0] = str(_GENERIC_FIRST[int(rng.integers(0, len(_GENERIC_FIRST)))])
+    else:
+        syls = rng.integers(0, len(_SYLLABLES), size=3)
+        title_tokens[0] = "".join(_SYLLABLES[i] for i in syls) + str(int(rng.integers(0, 10)))
     if rng.random() < 0.1:
         title_tokens.append(str(rng.choice(_ACCENT_WORDS)))
     body_tokens = _words(rng, int(rng.integers(25, 61)))

@@ -13,7 +13,7 @@ from dedupe_examples_ray.blocking.corpus import (
 from dedupe_examples_ray.blocking.fingerprint import Fingerprinter
 from dedupe_examples_ray.blocking.predicates import emit_keys
 from dedupe_examples_ray.config import Field, Settings
-from dedupe_examples_ray.pairs import _emit_pairs_table
+from dedupe_examples_ray.pairs import _emit_bucket
 
 
 def _keys(kind, values, **kw):
@@ -60,10 +60,12 @@ def test_fingerprinter_rare_token_uses_common_set():
 
 
 def _pairs(tbl, **kw):
+    import pyarrow as _pa
+
     defaults = dict(id_col="rid", carry_cols=["name"], max_block_size=200, policy="salt", source_col=None)
     defaults.update(kw)
-    out = _emit_pairs_table(tbl, **defaults)
-    return out
+    out = _emit_bucket(tbl.to_pandas(), **defaults)
+    return _pa.Table.from_pandas(out, preserve_index=False)
 
 
 def test_pair_emission_ordered_and_deduped_within_block():
