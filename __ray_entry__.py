@@ -373,6 +373,45 @@ def _q_gazetteer_pages(sf_dir):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_null_flag_lang(sf_dir):
+    from dedupe_examples_ray.normalize import empty_to_null, null_flag
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang_missing": null_flag(empty_to_null(t["lang"]))})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_er_dedupe_inventors(sf_dir):
+    """Typed-fields ER (Set/LatLong/Interaction comparators) on the synthetic
+    inventors corpus (patent_example parity; rows-only)."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.normalize import latlong_struct, normalize_string_array
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.synth import synth_inventors_table
+    from dedupe_examples_ray.config import inventor_settings
+
+    tbl = synth_inventors_table(200, 42)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "person_id": t["person_id"],
+                "name": normalize_string_array(t["name"]),
+                "latlong": latlong_struct(t["lat"], t["lng"]),
+                "class": t["class"],
+                "coauthor": t["coauthor"],
+            }
+        )
+
+    ds = rd.from_arrow(tbl.drop_columns(["true_id"])).map_batches(prep, batch_format="pyarrow")
+    out = dedupe_dataset(ds.materialize(), inventor_settings(), id_col="person_id")
+    return out.to_pandas().sort_values("record_id").reset_index(drop=True)
+
+
 def _q_media_decode(sf_dir):
     """Multimodal plumbing demo on the deterministic fake media table."""
     import ray.data as rd
@@ -414,6 +453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_link_pages": _q_record_link_pages,
         "gazetteer_pages": _q_gazetteer_pages,
         "media_decode": _q_media_decode,
+        "null_flag_lang": _q_null_flag_lang,
+        "er_dedupe_inventors": _q_er_dedupe_inventors,
     }
 
 
@@ -476,6 +517,10 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": (
             "SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 4) AS sum_value, "
             "COUNT(*) AS n FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "null_flag_lang": (
+            "SELECT doc_id, CASE WHEN NULLIF(lang, '') IS NULL THEN 'true' ELSE 'false' END "
+            "AS lang_missing FROM documents"
         ),
         "text_token_counts": (
             f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens, "

@@ -187,3 +187,33 @@ def default_page_settings() -> Settings:
         max_block_size=64,
         oversize_policy="salt",
     )
+
+
+def inventor_settings() -> Settings:
+    """Patent-example-style typed-field settings (Set/LatLong/Interaction,
+    patent_example.py:113-124): two variables on the same name column plus
+    their interaction, haversine latlong, Jaccard sets."""
+    return Settings(
+        fields=[
+            Field("name", "string", name="name_string"),
+            Field("name", "text", name="name_text"),
+            Field("latlong", "latlong", has_missing=True),
+            Field("class", "set", has_missing=True),
+            Field("coauthor", "set", has_missing=True),
+        ],
+        interactions=[("name_string", "name_text")],
+        predicates=[{"kind": "first_token", "column": "name"}],
+        weights={
+            "name_string": 6.0,
+            "name_text": 2.0,
+            "latlong": 3.0,
+            "class": 2.0,
+            "coauthor": 2.0,
+            "latlong__missing": -0.5,
+            "class__missing": -0.5,
+            "coauthor__missing": -0.5,
+            "name_string*name_text": 1.0,
+        },
+        bias=-9.0,
+        threshold=0.5,
+    )

@@ -78,6 +78,54 @@ def parse_price(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.cast(arr, pa.float64())
 
 
+def latlong_struct(lat_arr, lng_arr) -> pa.Array:
+    """(lat, lng) struct column; (0,0) -> null sentinel (patent_example.py:29-32, M4)."""
+    if isinstance(lat_arr, pa.ChunkedArray):
+        lat_arr = lat_arr.combine_chunks()
+    if isinstance(lng_arr, pa.ChunkedArray):
+        lng_arr = lng_arr.combine_chunks()
+    lat = pc.cast(lat_arr, pa.float64(), safe=False)
+    lng = pc.cast(lng_arr, pa.float64(), safe=False)
+    zero = pc.and_(pc.equal(pc.fill_null(lat, 1.0), 0.0), pc.equal(pc.fill_null(lng, 1.0), 0.0))
+    struct = pc.make_struct(lat, lng, field_names=["lat", "lng"])
+    return pc.if_else(zero, pa.nulls(len(struct), struct.type), struct)
+
+
+def split_set_field(arr, delim: str = "**", drop: tuple = ("none", "")) -> pa.Array:
+    """Delimited string -> sorted list<string>, dropping sentinel tokens;
+    empty -> null (patent_example.py:33-44, M5)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    vals = pc.cast(arr, pa.string()).to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        items = sorted({p.strip().lower() for p in v.split(delim)} - set(drop))
+        out.append(items if items else None)
+    return pa.array(out, pa.list_(pa.string()))
+
+
+def null_flag(arr, name_true: str = "true", name_false: str = "false") -> pa.Array:
+    """Categorical missing-ness flag (``person = ISNULL(first_name)``,
+    mysql_init_db.py:253, M12)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.if_else(arr.is_valid(), pa.scalar(name_false), pa.scalar(name_true))
+
+
+def parse_date(arr, fmt: str = "%m/%d/%Y") -> pa.Array:
+    """``STR_TO_DATE`` (mysql_init_db.py:190, M10): unparseable -> null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string())
+    import pandas as pd
+
+    parsed = pd.to_datetime(pd.Series(arr.to_pylist()), format=fmt, errors="coerce")
+    return pa.Array.from_pandas(parsed, type=pa.timestamp("us"))
+
+
 def derive_page_fields(batch: pa.Table, text_col: str = "text", url_col: str = "url") -> pa.Table:
     """Derive the compared entity-resolution fields from a pages batch.
 

@@ -29,6 +29,17 @@ from .distances import (
 )
 
 
+# Plugin comparators (reference 2.10 extension surface: third-party field
+# variables like WesternName/USAddress, officers.py:12-15,108-118).
+# register_comparator("my_name", fn) where fn(a_list, b_list) -> np.ndarray
+# of similarities in [0,1]; then Field(column, comparator="my_name").
+COMPARATOR_REGISTRY: dict = {}
+
+
+def register_comparator(name: str, fn) -> None:
+    COMPARATOR_REGISTRY[name] = fn
+
+
 class PairScorer:
     """Callable class for ``map_batches(PairScorer, concurrency=N)``.
 
@@ -127,6 +138,8 @@ class PairScorer:
                 if a is not None and b is not None:
                     out[i] = haversine_sim(a["lat"], a["lng"], b["lat"], b["lng"])
             return out
+        if comparator in COMPARATOR_REGISTRY:
+            return COMPARATOR_REGISTRY[comparator](a_list, b_list)
         raise ValueError(f"unknown comparator {comparator!r}")
 
     def _gather(self, batch: pa.Table) -> dict:

@@ -1,0 +1,7 @@
+from .io import (  # noqa: F401
+    read_table,
+    read_tagged_sources,
+    repair_ragged_lines,
+    write_annotated_output,
+    write_entity_map,
+)

@@ -1,0 +1,102 @@
+"""Sources / sinks (SURVEY.md §2.1).
+
+Ray-Data-native equivalents of the reference's readers and writers:
+
+- S1  header-driven CSV/Parquet reader -> ``read_table``
+- S3  multi-file concat reader with a source tag
+  (record_linkage_example.py:187-211) -> ``read_tagged_sources``
+- S7  ragged-line repair reader (pgsql_big_dedupe_example_init_db.py:51-65)
+  -> ``repair_ragged_lines``
+- S10 annotated output writer — original columns + Cluster ID + confidence
+  (csv_example.py:161-180) -> ``write_annotated_output``
+- S11 entity-map table writer (mysql_example.py:273-292) -> ``write_entity_map``
+
+All writes are partitioned Parquet directories (resumable output layout).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def read_table(path: str, columns: list[str] | None = None, fmt: str | None = None):
+    """Read parquet/csv/json by extension (prune columns at the read)."""
+    import ray.data as rd
+
+    fmt = fmt or ("csv" if path.endswith(".csv") else "json" if path.endswith(".json") else "parquet")
+    if fmt == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    ds = rd.read_csv(path) if fmt == "csv" else rd.read_json(path)
+    return ds.select_columns(columns) if columns else ds
+
+
+def read_tagged_sources(paths: list[str], source_col: str = "source_file", columns=None):
+    """Concat several inputs with a 0-based source tag column (reference S3:
+    left/right files read sequentially with ``source file`` = 0/1)."""
+    out = None
+    for i, p in enumerate(paths):
+        ds = read_table(p, columns=columns)
+        tagged = ds.map_batches(
+            lambda t, _i=i: t.append_column(source_col, pa.array([_i] * t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        )
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def repair_ragged_lines(lines_ds, n_fields: int, sep: str = "\t", column_names: list[str] | None = None):
+    """Tab-split text lines, DROP rows with the wrong field count, emit a
+    clean table (reference S7 validator: ragged rows discarded, not patched).
+
+    Input: a Dataset of text rows (``ray.data.read_text`` -> column 'text').
+    """
+
+    def fix(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(pc.cast(t["text"], pa.string()), sep)
+        ok = pc.equal(pc.list_value_length(split), n_fields)
+        good = split.filter(ok) if isinstance(split, pa.ChunkedArray) else split.filter(ok)
+        cols = {}
+        names = column_names or [f"f{i}" for i in range(n_fields)]
+        for i, name in enumerate(names):
+            cols[name] = pc.list_element(good, i) if len(good) else pa.array([], pa.string())
+        return pa.table(cols)
+
+    return lines_ds.map_batches(fix, batch_format="pyarrow")
+
+
+def write_entity_map(entity_ds, path: str):
+    """(record_id, canon_id, cluster_score) -> partitioned Parquet (S11)."""
+    entity_ds.write_parquet(path)
+    return path
+
+
+def write_annotated_output(records_ds, entity_ds, id_col: str, path: str | None = None,
+                           cluster_col: str = "cluster_id", score_col: str = "confidence_score"):
+    """Original columns + Cluster ID + confidence (reference S10/J7).
+
+    The entity map (small relative to records) is broadcast and joined per
+    batch — no re-read of the raw input, no shuffle of the record table.
+    """
+    import ray
+
+    em = entity_ds.to_pandas()
+    tbl = pa.table(
+        {
+            "record_id": pa.array(em["record_id"].astype(str), pa.string()),
+            cluster_col: pa.array(em["canon_id"].astype(str), pa.string()),
+            score_col: pa.array(em["cluster_score"], pa.float64(), from_pandas=True),
+        }
+    )
+    ref = ray.put(tbl)
+
+    def annotate(t: pa.Table) -> pa.Table:
+        lbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        idx = pc.index_in(pc.cast(t[id_col], pa.string()), value_set=lbl["record_id"].combine_chunks())
+        out = t.append_column(cluster_col, pc.take(lbl[cluster_col].combine_chunks(), idx))
+        return out.append_column(score_col, pc.take(lbl[score_col].combine_chunks(), idx))
+
+    out = records_ds.map_batches(annotate, batch_format="pyarrow", batch_size=None)
+    if path:
+        out.write_parquet(path)
+    return out

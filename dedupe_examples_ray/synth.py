@@ -204,6 +204,60 @@ def synth_batch(batch, seed: int = 42) -> pa.Table:
     return _rows_to_table(rows)
 
 
+def make_inventor_cluster(cluster_id: int, seed: int = 42) -> list[dict]:
+    """Patent-style typed-fields corpus (FIXTURES.md F4): name + latlong +
+    set fields, gold = cluster id (mirrors patent_example.py:16-50)."""
+    rng = np.random.default_rng([seed + 7, cluster_id])
+    size = int(rng.integers(1, 5))
+    first, last = _words(rng, 2)
+    lat = float(rng.uniform(-60, 70))
+    lng = float(rng.uniform(-170, 170))
+    classes = sorted(set(_words(rng, int(rng.integers(2, 5)))))
+    coauthors = sorted(set(_words(rng, int(rng.integers(1, 4)))))
+    rows = []
+    for m in range(size):
+        name = f"{first} {last}"
+        if m > 0:
+            if rng.random() < 0.4:
+                name = name.title()
+            if rng.random() < 0.3:
+                name = f"{first} {last[: max(3, len(last) - 1)]}"
+        jla = lat + float(rng.normal(0, 0.01)) if m else lat
+        jln = lng + float(rng.normal(0, 0.01)) if m else lng
+        cls = list(classes)
+        if m > 0 and len(cls) > 2 and rng.random() < 0.3:
+            cls = cls[:-1]
+        rows.append(
+            {
+                "person_id": cluster_id * 100 + m,
+                "name": name,
+                "lat": jla,
+                "lng": jln,
+                "class": cls,
+                "coauthor": list(coauthors),
+                "true_id": cluster_id,
+            }
+        )
+    return rows
+
+
+def synth_inventors_table(n_clusters: int, seed: int = 42) -> pa.Table:
+    rows: list[dict] = []
+    for cid in range(n_clusters):
+        rows.extend(make_inventor_cluster(cid, seed))
+    return pa.table(
+        {
+            "person_id": pa.array([r["person_id"] for r in rows], pa.int64()),
+            "name": pa.array([r["name"] for r in rows], pa.string()),
+            "lat": pa.array([r["lat"] for r in rows], pa.float64()),
+            "lng": pa.array([r["lng"] for r in rows], pa.float64()),
+            "class": pa.array([r["class"] for r in rows], pa.list_(pa.string())),
+            "coauthor": pa.array([r["coauthor"] for r in rows], pa.list_(pa.string())),
+            "true_id": pa.array([r["true_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def synth_pages_dataset(n_clusters: int, seed: int = 42, parallelism: int = -1):
     """Distributed synthesis: Dataset with pages columns + ``true_id``.
 

@@ -1,0 +1,132 @@
+"""Training from labeled pairs + threshold tuning (T5/C6/C7/O4/O5).
+
+The reference trains interactively: ``prepare_training`` samples candidate
+pairs, ``console_label`` collects y/n judgments, ``train`` fits weights and
+selects predicates, ``write_settings``/``write_training`` persist the result
+(csv_example.py:115-144).  Interactivity is out of scope (SURVEY.md §2.3 T5);
+this module keeps everything else:
+
+- training file IO — the reference's labeled-pairs JSON shape
+  {"match": [[rec_a, rec_b], ...], "distinct": [...]}
+- ``train_settings`` — deterministic logistic fit over the labeled pairs'
+  feature vectors (the non-interactive ``train()``)
+- ``sample_training_pairs`` — candidate-pair sampling for labeling
+  (``prepare_training`` sample_size semantics, record_linkage_example.py:127-131)
+- ``tune_threshold`` — score-histogram sweep maximizing recall-weighted F
+  (``Gazetteer.threshold(recall_weight=...)``, gazetteer_postgres_example.py:303)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .config import Settings, fit_logistic, sigmoid
+from .scoring import PairScorer
+
+
+def write_training(path: str, matches: list[tuple[dict, dict]], distincts: list[tuple[dict, dict]]):
+    """Labeled-pairs JSON in the reference's training-file shape."""
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "match": [[a, b] for a, b in matches],
+                "distinct": [[a, b] for a, b in distincts],
+            },
+            f,
+        )
+
+
+def read_training(path: str) -> tuple[list, list]:
+    with open(path) as f:
+        d = json.load(f)
+    return (
+        [tuple(p) for p in d.get("match", [])],
+        [tuple(p) for p in d.get("distinct", [])],
+    )
+
+
+def _pairs_to_batch(pairs: list[tuple[dict, dict]], columns: list[str]) -> pa.Table:
+    cols: dict = {"id_a": pa.array([f"a{i}" for i in range(len(pairs))]),
+                  "id_b": pa.array([f"b{i}" for i in range(len(pairs))])}
+    for c in columns:
+        cols[f"{c}_a"] = pa.array([a.get(c) for a, _ in pairs])
+        cols[f"{c}_b"] = pa.array([b.get(c) for _, b in pairs])
+    return pa.table(cols)
+
+
+def train_settings(
+    base: Settings,
+    matches: list[tuple[dict, dict]],
+    distincts: list[tuple[dict, dict]],
+    idf: dict | None = None,
+    l2: float = 1e-3,
+    iters: int = 500,
+) -> Settings:
+    """Fit logistic weights on labeled record pairs -> new Settings artifact.
+
+    Deterministic replacement for ``console_label`` + ``train()``; the result
+    round-trips through ``Settings.save``/``load`` like the reference's
+    settings file (C7).
+    """
+    cols = sorted({f.column for f in base.fields})
+    scorer = PairScorer(base.to_json(), idf_ref=idf)
+    X_parts = []
+    y_parts = []
+    for pairs, label in ((matches, 1.0), (distincts, 0.0)):
+        if not pairs:
+            continue
+        X_parts.append(scorer.features(_pairs_to_batch(pairs, cols)))
+        y_parts.append(np.full(len(pairs), label))
+    if not X_parts:
+        raise ValueError("no labeled pairs")
+    X = np.vstack(X_parts)
+    y = np.concatenate(y_parts)
+    w, b = fit_logistic(X, y, l2=l2, iters=iters)
+    out = Settings.from_json(base.to_json())
+    out.weights = {name: float(w[j]) for j, name in enumerate(base.feature_names())}
+    out.bias = float(b)
+    return out
+
+
+def sample_training_pairs(pairs_ds, sample_size: int = 1500, seed: int = 42):
+    """Deterministic candidate-pair sample for labeling (O4 semantics)."""
+    n = pairs_ds.count()
+    frac = min(1.0, sample_size / max(n, 1))
+    return pairs_ds.random_sample(frac, seed=seed)
+
+
+def tune_threshold(scored_df, true_pairs: set, recall_weight: float = 1.0) -> float:
+    """Pick the score cutoff maximizing the recall-weighted F-score
+    (reference O5: ``threshold(messy, recall_weight=1.0)``).
+
+    ``scored_df``: pandas with id_a, id_b, score.  ``true_pairs``: set of
+    frozenset id pairs.  Sweeps the observed score quantiles driver-side.
+    """
+    import pandas as pd  # noqa: F401
+
+    scores = scored_df["score"].to_numpy()
+    is_true = np.fromiter(
+        (frozenset((a, b)) in true_pairs for a, b in zip(scored_df["id_a"], scored_df["id_b"])),
+        dtype=bool,
+        count=len(scored_df),
+    )
+    n_true = max(len(true_pairs), 1)
+    best_t, best_f = 0.5, -1.0
+    for t in np.unique(np.round(scores, 3)):
+        sel = scores >= t
+        found = int(sel.sum())
+        tp = int((sel & is_true).sum())
+        if found == 0:
+            continue
+        precision = tp / found
+        recall = tp / n_true
+        if precision + recall == 0:
+            continue
+        b2 = recall_weight**2
+        f = (1 + b2) * precision * recall / (b2 * precision + recall)
+        if f > best_f:
+            best_f, best_t = f, float(t)
+    return best_t
