@@ -302,45 +302,49 @@ def numpy_connected_components(a: np.ndarray, b: np.ndarray, n_nodes: int) -> np
     return parent
 
 
-def driver_cluster_table(edges_df: pd.DataFrame) -> pa.Table:
-    """Driver fast path: one pulled edge frame -> (node, label, score) table.
+def driver_cluster_table(edges) -> pa.Table:
+    """Driver fast path: one pulled edge table -> (node, label, score) table.
 
     Mirrors the reference's in-driver posture (mysql_example.py:269-271) for
-    edge sets under the driver limit; fully vectorized (factorize -> numpy CC
-    -> rank-based min-id labels -> bincount confidences), Arrow out so the
-    broadcast annotation never materializes Python dicts.
+    edge sets under the driver limit; all heavy steps stay out of Python —
+    Arrow ``dictionary_encode`` for node codes (C++, vs a pandas factorize
+    that walks 2E Python objects), numpy hooking/pointer-jumping CC,
+    Arrow sort for rank-based min-id labels, bincount confidences.
+    Accepts a pyarrow Table or a pandas DataFrame (id_a, id_b, score).
     """
-    a = edges_df["id_a"].to_numpy()
-    b = edges_df["id_b"].to_numpy()
-    s = edges_df["score"].to_numpy(dtype=np.float64)
-    codes, uniq = pd.factorize(np.concatenate([a, b]))
-    n = len(uniq)
-    if n == 0:
-        return pa.table(
-            {"node": pa.array([], pa.string()), "label": pa.array([], pa.string()),
-             "score": pa.array([], pa.float64())}
-        )
-    m = len(a)
+    if isinstance(edges, pd.DataFrame):
+        edges = pa.Table.from_pandas(edges, preserve_index=False)
+    m = edges.num_rows
+    empty = pa.table(
+        {"node": pa.array([], pa.string()), "label": pa.array([], pa.string()),
+         "score": pa.array([], pa.float64())}
+    )
+    if m == 0:
+        return empty
+    ida = pc.cast(edges["id_a"].combine_chunks() if isinstance(edges["id_a"], pa.ChunkedArray) else edges["id_a"], pa.string())
+    idb = pc.cast(edges["id_b"].combine_chunks() if isinstance(edges["id_b"], pa.ChunkedArray) else edges["id_b"], pa.string())
+    both = pa.concat_arrays([ida, idb])
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_arr = enc.dictionary
+    n = len(uniq_arr)
     root = numpy_connected_components(codes[:m], codes[m:], n)
     # canonical label = lexicographically smallest member id, via ranks
-    # (ids canonicalized to strings — the entity map's record_id domain)
-    uniq = np.asarray(uniq, dtype=object)
-    if len(uniq) and not isinstance(uniq[0], str):
-        uniq = np.array([str(x) for x in uniq], dtype=object)
-    order = np.argsort(uniq, kind="stable")
+    order = pc.array_sort_indices(uniq_arr).to_numpy(zero_copy_only=False).astype(np.int64)
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n)
     minrank = np.full(n, n, dtype=np.int64)
     np.minimum.at(minrank, root, rank)
-    label = uniq[order[minrank[root]]]
+    label = uniq_arr.take(pa.array(order[minrank[root]], pa.int64()))
     # per-member confidence = mean score over incident within-cluster edges
+    s = edges["score"].to_numpy(zero_copy_only=False).astype(np.float64)
     cnt = np.bincount(codes, minlength=n)
     ssum = np.bincount(codes, weights=np.concatenate([s, s]), minlength=n)
     conf = ssum / np.maximum(cnt, 1)
     return pa.table(
         {
-            "node": pa.array(uniq, pa.string()),
-            "label": pa.array(label, pa.string()),
+            "node": uniq_arr,
+            "label": label,
             "score": pa.array(conf, pa.float64()),
         }
     )

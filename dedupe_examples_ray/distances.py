@@ -48,6 +48,13 @@ def batch_levenshtein_sim(a: list, b: list, cap: int = 48) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
+    if n > 8192:
+        # keep the DP working set cache-sized regardless of caller batch size
+        # (the row-vector DP over a 100k-pair batch is DRAM-bandwidth-bound)
+        out = np.empty(n, dtype=np.float64)
+        for o in range(0, n, 8192):
+            out[o : o + 8192] = batch_levenshtein_sim(a[o : o + 8192], b[o : o + 8192], cap)
+        return out
     eq = np.fromiter(
         (x is not None and x != "" and x == y for x, y in zip(a, b)), dtype=bool, count=n
     )

@@ -42,7 +42,7 @@ def dedupe_dataset(
     workdir: str | None = None,
     idf: dict | None = None,
     scorer_concurrency=(1, 4),
-    driver_cc_limit: int = 2_000_000,
+    driver_cc_limit: int = 30_000_000,
     ids_ds=None,
     scorer_blocks: int | None = 32,
     broadcast_records_limit: int = 2_000_000,
@@ -118,8 +118,19 @@ def dedupe_dataset(
     if n_edges <= driver_cc_limit:
         # driver fast path: ONE edge pull feeds vectorized CC + confidence +
         # the broadcast entity-map annotation (reference's in-driver posture)
-        edges_df = edges.select_columns(["id_a", "id_b", "score"]).to_pandas()
-        label_tbl = driver_cluster_table(edges_df)
+        import pyarrow as pa_
+
+        batches = list(
+            edges.select_columns(["id_a", "id_b", "score"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        edges_tbl = (
+            pa_.concat_tables(batches)
+            if batches
+            else pa_.table({"id_a": [], "id_b": [], "score": []})
+        )
+        label_tbl = driver_cluster_table(edges_tbl)
         if workdir is not None:
             import ray.data as rd
 

@@ -8,7 +8,8 @@ stages with explicit scale posture:
   ``map_batches`` (one row per key per batch), then the small shuffle
   aggregates partials.  The all-to-all moves per-batch-distinct keys, not raw
   rows.
-- ``distinct``: multi-column groupby + per-group first (A1).
+- ``distinct``: per-batch combiner + bucketed hash shuffle + vectorized
+  drop_duplicates (A1).
 - ``top_k``: grouped-sum -> sort -> limit (O1, mysql_example.py:324-336).
 - ``broadcast_left_join``: the small side (an aggregate / dimension table)
   ships once via ``ray.put``; lookup happens per batch — no shuffle of the

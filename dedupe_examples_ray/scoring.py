@@ -81,11 +81,15 @@ class PairScorer:
             if isinstance(records_ref, pa.Table):
                 self.rec_tbl = records_ref.combine_chunks()
                 self._rec_id_col = self.rec_tbl.column_names[0]
-                # hash index built ONCE per actor (pc.index_in would rebuild
-                # its value-set hash table on every batch)
-                import pandas as pd
+                self._rec_ids = self.rec_tbl[self._rec_id_col].combine_chunks()
+                # small table: hash index built ONCE per actor (cheap heap
+                # copy).  big table: per-actor heap must not scale with the
+                # record count -> per-batch pc.index_in on larger batches.
+                self._rec_index = None
+                if self.rec_tbl.num_rows <= 300_000:
+                    import pandas as pd
 
-                self._rec_index = pd.Index(self.rec_tbl[self._rec_id_col].to_pandas())
+                    self._rec_index = pd.Index(self._rec_ids.to_pandas())
             else:
                 self._col_index, self.records = records_ref
         self._w = self.settings.weight_vector()
@@ -149,10 +153,14 @@ class PairScorer:
 
         out: dict = {}
         if self.rec_tbl is not None:
-            ia = self._rec_index.get_indexer(batch["id_a"].to_pandas())
-            ib = self._rec_index.get_indexer(batch["id_b"].to_pandas())
-            idx_a = pa.array([None if i < 0 else i for i in ia] if (ia < 0).any() else ia)
-            idx_b = pa.array([None if i < 0 else i for i in ib] if (ib < 0).any() else ib)
+            if self._rec_index is not None:
+                ia = self._rec_index.get_indexer(batch["id_a"].to_pandas())
+                ib = self._rec_index.get_indexer(batch["id_b"].to_pandas())
+                idx_a = pa.array([None if i < 0 else i for i in ia] if (ia < 0).any() else ia)
+                idx_b = pa.array([None if i < 0 else i for i in ib] if (ib < 0).any() else ib)
+            else:
+                idx_a = pc.index_in(batch["id_a"], value_set=self._rec_ids)
+                idx_b = pc.index_in(batch["id_b"], value_set=self._rec_ids)
             rows_a = self.rec_tbl.take(idx_a)
             rows_b = self.rec_tbl.take(idx_b)
             for col in self.rec_tbl.column_names[1:]:
@@ -217,7 +225,7 @@ def score_pairs(
     settings: Settings,
     idf: dict | None = None,
     concurrency: int | tuple = (1, 4),
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     keep_features: bool = False,
     records=None,
 ):
@@ -232,8 +240,15 @@ def score_pairs(
     if idf is not None:
         idf_ref = idf if isinstance(idf, ray.ObjectRef) else ray.put(idf)
     records_ref = None
+    n_rec = 0
     if records is not None:
+        if isinstance(records, pa.Table):
+            n_rec = records.num_rows
         records_ref = records if isinstance(records, ray.ObjectRef) else ray.put(records)
+    if batch_size is None:
+        # big record tables amortize the per-batch index_in hash build with
+        # larger batches; small tables keep cache-friendly batches
+        batch_size = 65536 if n_rec > 300_000 else 8192
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs=dict(
