@@ -204,8 +204,15 @@ def connected_components(edges_ds, driver_limit: int = 2_000_000, max_rounds: in
 
         return rd.from_arrow(pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
     if n_edges <= driver_limit:
-        df = edges_ds.select_columns(["id_a", "id_b"]).to_pandas()
-        labels = union_find(df["id_a"].tolist(), df["id_b"].tolist())
+        # edge pull (bounded by driver_limit), NOT a corpus collect — via
+        # iter_batches so nothing in a dedup path calls Dataset.to_pandas
+        tbls = list(
+            edges_ds.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_size=None, batch_format="pyarrow"
+            )
+        )
+        tbl = pa.concat_tables(tbls)
+        labels = union_find(tbl["id_a"].to_pylist(), tbl["id_b"].to_pylist())
         import ray.data as rd
 
         out = pd.DataFrame({"node": list(labels.keys()), "label": list(labels.values())})

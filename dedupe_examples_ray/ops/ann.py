@@ -38,20 +38,21 @@ class _BatchTopK:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = np.asarray(t[self.id_col].to_pylist())
-        V = _normalize(_as_matrix(t[self.vec_col].to_pylist()))
-        S = V @ self.Q.T  # (batch, n_queries)
         k = min(self.k, len(ids))
         out_q, out_id, out_s = [], [], []
-        for qi in range(S.shape[1]):
-            col = S[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
-            out_q.extend([self.qids[qi]] * k)
-            out_id.extend(ids[top].tolist())
-            out_s.extend(col[top].tolist())
+        if k > 0:  # empty blocks short-circuit to a typed empty result
+            V = _normalize(_as_matrix(t[self.vec_col].to_pylist()))
+            S = V @ self.Q.T  # (batch, n_queries)
+            for qi in range(S.shape[1]):
+                col = S[:, qi]
+                top = np.argpartition(-col, k - 1)[:k]
+                out_q.extend([self.qids[qi]] * k)
+                out_id.extend(ids[top].tolist())
+                out_s.extend(col[top].tolist())
         return pa.table(
             {
-                "query_id": pa.array(out_q),
-                "match_id": pa.array(out_id),
+                "query_id": pa.array(out_q, pa.array(self.qids).type),
+                "match_id": pa.array(out_id, t[self.id_col].type),
                 "score": pa.array(out_s, pa.float64()),
             }
         )
@@ -75,6 +76,8 @@ def ann_brute_force(ds, queries: list[tuple], k: int = 10, id_col: str = "vec_id
         batch_format="pyarrow",
         concurrency=(1, 8),
     ).to_pandas()
+    if cands.empty:  # no-neighbors case (e.g. ann_lsh with no bucket hits)
+        return pd.DataFrame({"query_id": [], "match_id": [], "score": []})
     cands = cands.sort_values(
         ["query_id", "score", "match_id"], ascending=[True, False, True], kind="stable"
     )
@@ -114,13 +117,14 @@ def ann_lsh(
         probe.add(int(s))
         for b in range(n_planes):
             probe.add(int(s) ^ (1 << b))
-    probe_ref = ray.put(probe)
+    probe_ref = ray.put(np.fromiter(probe, dtype=np.uint64))
 
     def bucket_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
         P = ray.get(probe_ref)
         V = _as_matrix(t[vec_col].to_pylist())
-        keys = sig(V)
-        keep = np.array([int(x) in P for x in keys])
+        keep = np.isin(sig(V), P)
         return t.filter(pa.array(keep))
 
     filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")

@@ -125,37 +125,74 @@ def char_ngrams(text: str, n: int = 5) -> np.ndarray:
 _PERM_CACHE: dict = {}
 
 
-def _minhash_bands_batch(t: pa.Table, id_col, text_col, shingle, k, num_perm, bands) -> pa.Table:
-    """Task stage: doc -> (band, key, doc_id) LSH bucket rows.
+def batch_minhash_signatures(texts: list, shingle: str, k: int, num_perm: int) -> np.ndarray:
+    """(n_docs, num_perm) minhash signature matrix, computed batched.
 
-    Deterministic permutation params cached per worker process.
+    Shingling stays per-doc Python (string work), but token hashing and the
+    universal-hash min-reduction run over the whole batch's concatenated
+    token-hash array — one vectorized pass, internally chunked so the
+    (num_perm x tokens) temp stays cache/heap-bounded.  Empty docs get the
+    max-sentinel signature (same as ``minhash_signature`` on empty input).
     """
     if num_perm not in _PERM_CACHE:
         _PERM_CACHE[num_perm] = _perm_params(num_perm)
     a, b = _PERM_CACHE[num_perm]
-    rows = num_perm // bands
     shingle_fn = word_shingles if shingle == "word" else char_ngrams
-    ids = t[id_col].to_pylist()
+    n = len(texts)
+    M = np.uint64((1 << 61) - 1)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return sigs
+    toks = [shingle_fn(tx, k) for tx in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return sigs
+    all_hashes = _hash_tokens(np.concatenate([x for x in toks if len(x)]))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    CHUNK = 1 << 16  # tokens per vectorized slab (num_perm x CHUNK temp)
+    doc = 0
+    while doc < n:
+        end = doc
+        tok_count = 0
+        while end < n and (tok_count == 0 or tok_count + counts[end] <= CHUNK):
+            tok_count += int(counts[end])
+            end += 1
+        if tok_count > 0:
+            x = all_hashes[offsets[doc] : offsets[end]]
+            hv = (a[:, None] * x[None, :] + b[:, None]) % M  # (P, toks) — wraps mod 2^64 first, same as minhash_signature
+            nonempty = np.flatnonzero(counts[doc:end]) + doc
+            starts = (offsets[nonempty] - offsets[doc]).astype(np.int64)
+            mins = np.minimum.reduceat(hv, starts, axis=1)  # (P, n_nonempty)
+            sigs[nonempty, :] = mins.T
+        doc = end
+    return sigs
+
+
+def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 bucket keys — vectorized FNV-1a mix over each
+    band's signature slots (replaces per-(doc, band) hashlib digests)."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    chunks = sigs[:, : bands * r].reshape(n, bands, r)
+    key = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(r):
+        key = (key ^ chunks[:, :, j]) * np.uint64(0x100000001B3)
+    return (key >> np.uint64(1)).astype(np.int64)
+
+
+def _minhash_bands_batch(t: pa.Table, id_col, text_col, shingle, k, num_perm, bands) -> pa.Table:
+    """Task stage: doc -> (band, key, doc_id) LSH bucket rows (batched)."""
+    ids = np.asarray(t[id_col].to_pylist(), dtype=object)
     texts = t[text_col].to_pylist()
-    out_id: list = []
-    out_band: list[int] = []
-    out_key: list[int] = []
-    for did, text in zip(ids, texts):
-        sh = shingle_fn(text, k)
-        sig = minhash_signature(_hash_tokens(sh), a, b)
-        for bi in range(bands):
-            chunk = sig[bi * rows : (bi + 1) * rows]
-            key = int.from_bytes(
-                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-            ) >> 1
-            out_id.append(did)
-            out_band.append(bi)
-            out_key.append(key)
+    n = len(ids)
+    sigs = batch_minhash_signatures(texts, shingle, k, num_perm)
+    keys = band_keys(sigs, bands)
     return pa.table(
         {
-            id_col: pa.array(out_id),
-            "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.int64()),
+            id_col: pa.array(np.repeat(ids, bands), t[id_col].type),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "key": pa.array(keys.ravel(), pa.int64()),
         }
     )
 
@@ -165,8 +202,12 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: in
 
     Bucketed shuffle (hash(band,key) % B -> B groups) with a vectorized
     pandas loop over the LSH buckets inside each group — never one Python
-    dispatch per LSH bucket.
+    dispatch per LSH bucket.  Hot LSH buckets (boilerplate-heavy corpora) are
+    *salted* into deterministic sub-buckets exactly like the ER pair path
+    (pairs._emit_bucket) — bounded recall loss, never a silent truncation;
+    ``lsh_bucket_metrics`` reports the emitted/dropped estimate.
     """
+    from ..pairs import dedup_pairs, stable_hash
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = (
@@ -182,9 +223,16 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: in
             n = len(ids)
             if n < 2:
                 continue
-            if n > max_bucket:  # hot bucket guard (boilerplate-heavy corpora)
-                ids = ids[:max_bucket]
-                n = max_bucket
+            if n > max_bucket:  # salt the hot bucket into sub-buckets
+                k = -(-n // max_bucket)
+                salt = stable_hash(ids) % k
+                for sv in range(k):
+                    chunk = ids[salt == sv]  # ascending -> id_a < id_b holds
+                    if len(chunk) < 2:
+                        continue
+                    ia, ib = np.triu_indices(len(chunk), k=1)
+                    frames.append(pd.DataFrame({"id_a": chunk[ia], "id_b": chunk[ib]}))
+                continue
             ia, ib = np.triu_indices(n, k=1)
             frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
         if not frames:
@@ -192,8 +240,6 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: in
                 {"id_a": pd.Series([], dtype=df[id_col].dtype), "id_b": pd.Series([], dtype=df[id_col].dtype)}
             )
         return pd.concat(frames, ignore_index=True)
-
-    from ..pairs import dedup_pairs
 
     pairs = (
         bucket_ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -203,40 +249,113 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: in
     return dedup_pairs(pairs)
 
 
-def _jaccard_verify_batch(t: pa.Table, text_ref, shingle, k, threshold) -> pa.Table:
-    """Verify candidate pairs with exact shingle Jaccard (broadcast text map,
-    resolved once per worker via the broadcast cache)."""
-    texts = _get_broadcast(text_ref)
+def lsh_bucket_metrics(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: int = 64) -> dict:
+    """Emitted/dropped candidate estimates for the LSH bucket pair emission —
+    the dedup-family analog of ``pairs.pair_metrics`` (no silent caps)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = (
+            t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % num_buckets
+        return pa.table(
+            {"band": t["band"], "key": t["key"], id_col: t[id_col],
+             "bucket": pa.array(h.astype(np.int64), pa.int64())}
+        )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(subset=["band", "key", id_col])
+        return u.groupby(["band", "key"], sort=False).size().rename("n").reset_index()[["n"]]
+
+    from ..pairs import _even_split
+
+    tbl = (
+        bucket_ds.select_columns(["band", "key", id_col])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sizes, batch_format="pandas")
+        .to_pandas()
+    )
+    n = tbl["n"].to_numpy(dtype=np.int64)
+    full = n * (n - 1) // 2
+    salted = 0
+    for sz in n[n > max_bucket]:
+        parts = _even_split(int(sz), -(-int(sz) // max_bucket))
+        salted += int((parts * (parts - 1) // 2).sum())
+    emitted = int(full[n <= max_bucket].sum()) + salted
+    return {
+        "lsh_buckets": int(len(n)),
+        "buckets_over_cap": int((n > max_bucket).sum()),
+        "pairs_full": int(full.sum()),
+        "pairs_emitted_est": emitted,
+        "pairs_dropped_est": int(full.sum()) - emitted,
+    }
+
+
+def _jaccard_verify_hydrated(t: pa.Table, shingle, k, threshold) -> pa.Table:
+    """Verify hydrated candidate pairs (text_a/text_b attached by the
+    partition-aligned cogroup — no corpus broadcast anywhere) with exact
+    shingle Jaccard.  Shingle sets are memoized per distinct text within the
+    batch: a document in j pairs is shingled once, not j times."""
     shingle_fn = word_shingles if shingle == "word" else char_ngrams
-    out = []
-    for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
-        sa = set(shingle_fn(texts.get(a, ""), k))
-        sb = set(shingle_fn(texts.get(b, ""), k))
+    cache: dict = {}
+
+    def sh(text):
+        s = cache.get(text)
+        if s is None:
+            s = frozenset(shingle_fn(text or "", k))
+            cache[text] = s
+        return s
+
+    out = np.empty(t.num_rows, dtype=np.float64)
+    for i, (ta, tb) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
+        if ta is not None and ta == tb:
+            out[i] = 1.0
+            continue
+        sa, sb = sh(ta), sh(tb)
         inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter) if inter else 0.0
-        out.append(j)
+        out[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
     score = pa.array(out, pa.float64())
     keep = pc.greater_equal(score, threshold)
     return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "score": score}).filter(keep)
 
 
 def _assignment(ds, id_col: str, edges_ds):
-    """edges -> components -> (doc_id, keep_id) with singleton completion."""
-    labels = connected_components(edges_ds)
-    lab_df = labels.to_pandas()
-    label_map = dict(zip(lab_df["node"], lab_df["label"])) if not lab_df.empty else {}
+    """edges -> components -> (doc_id, keep_id) with singleton completion.
+
+    The label side (clustered nodes only) is broadcast as a zero-copy Arrow
+    table and joined per whole block with ``pc.index_in`` — no Python dict
+    ships to workers and per-worker memory does not scale with actor count
+    (cluster.entity_map_from_table pattern)."""
     import ray
 
-    ref = ray.put(label_map)
+    labels = connected_components(edges_ds)
+    from ..scoring import dataset_arrow_types
+
+    lab_tbls = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
+    id_type = dataset_arrow_types(ds)[id_col]
+    if lab_tbls:
+        lab = pa.concat_tables(lab_tbls).combine_chunks()
+    else:
+        lab = pa.table({"node": pa.nulls(0, id_type), "label": pa.nulls(0, id_type)})
+    nodes = pc_cast_arr(lab["node"], id_type)
+    labs = pc_cast_arr(lab["label"], id_type)
+    ref = ray.put(pa.table({"node": nodes, "label": labs}).combine_chunks())
 
     def annot(t: pa.Table) -> pa.Table:
         m = _get_broadcast(ref)
-        ids = t[id_col].to_pylist()
-        return pa.table(
-            {id_col: t[id_col], "keep_id": pa.array([m.get(i, i) for i in ids])}
-        )
+        idx = pc.index_in(t[id_col], value_set=m["node"].combine_chunks())
+        keep = pc.coalesce(pc.take(m["label"].combine_chunks(), idx), t[id_col])
+        return pa.table({id_col: t[id_col], "keep_id": keep})
 
-    return ds.select_columns([id_col]).map_batches(annot, batch_format="pyarrow")
+    return ds.select_columns([id_col]).map_batches(
+        annot, batch_format="pyarrow", batch_size=None
+    )
+
+
+def pc_cast_arr(arr, typ):
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return arr if arr.type == typ else pc.cast(arr, typ)
 
 
 def minhash_lsh_dedup(
@@ -256,9 +375,10 @@ def minhash_lsh_dedup(
     Jaccard threshold.  ``verify=False`` skips the exact-Jaccard pass (pure
     LSH recall, lower precision).
 
-    Note: the verifier broadcasts an {id: text} map — fine for corpus shards
-    that fit the object store; at 100 TB run per-partition or carry shingle
-    sketches through the pair rows instead.
+    Scale posture: the exact-Jaccard verify hydrates texts onto the candidate
+    pairs via the partition-aligned bucketed cogroup (scoring.bucketed_hydrate)
+    — each verify task touches one corpus shard; NOTHING collects the corpus
+    to the driver or broadcasts it.
     """
     buckets = ds.map_batches(
         _minhash_bands_batch,
@@ -269,13 +389,18 @@ def minhash_lsh_dedup(
     )
     pairs = _bucket_pairs(buckets, id_col)
     if verify:
-        import ray
+        from ..scoring import bucketed_hydrate
 
-        id_text = ds.select_columns([id_col, text_col]).to_pandas()
-        texts = dict(zip(id_text[id_col], id_text[text_col]))
-        pairs = pairs.map_batches(
-            _jaccard_verify_batch,
-            fn_kwargs=dict(text_ref=ray.put(texts), shingle=shingle, k=k, threshold=threshold),
+        renamed = ds.select_columns([id_col, text_col])
+        if text_col != "text":
+            renamed = renamed.map_batches(
+                lambda t: pa.table({id_col: t[id_col], "text": t[text_col]}),
+                batch_format="pyarrow",
+            )
+        hydrated = bucketed_hydrate(pairs, renamed, id_col, ["text"])
+        pairs = hydrated.map_batches(
+            _jaccard_verify_hydrated,
+            fn_kwargs=dict(shingle=shingle, k=k, threshold=threshold),
             batch_format="pyarrow",
         )
     return _assignment(ds, id_col, pairs)
@@ -391,9 +516,14 @@ def simhash_dedup(
 
 
 # ------------------------------------------------------- embedding near-dup
-def _hyperplane_buckets_batch(t: pa.Table, id_col, vec_col, dim, n_planes=12, seed=5) -> pa.Table:
+def _hyperplane_buckets_batch(
+    t: pa.Table, id_col, vec_col, dim, n_planes=12, seed=5, carry_vec=False
+) -> pa.Table:
     """Random-hyperplane LSH for unit vectors (cosine LSH); deterministic
-    planes rebuilt per worker (cheap: dim x n_planes floats)."""
+    planes rebuilt per worker (cheap: dim x n_planes floats).
+
+    ``carry_vec``: keep the embedding in the bucket row (one row per doc, so
+    no duplication) — the within-bucket verify then needs no vector lookup."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
@@ -401,7 +531,12 @@ def _hyperplane_buckets_batch(t: pa.Table, id_col, vec_col, dim, n_planes=12, se
         vecs = vecs.reshape(0, dim)
     signs = (vecs @ planes) > 0
     keys = (signs.astype(np.uint64) << np.arange(signs.shape[1], dtype=np.uint64)).sum(axis=1)
-    return pa.table({id_col: t[id_col], "key": pa.array(keys.astype(np.int64), pa.int64())})
+    cols = {id_col: t[id_col], "key": pa.array(keys.astype(np.int64), pa.int64())}
+    if carry_vec:
+        cols["vec"] = pc_cast_arr(
+            t[vec_col], pa.list_(pa.float64())
+        )
+    return pa.table(cols)
 
 
 def embedding_cosine_dedup(
@@ -415,37 +550,32 @@ def embedding_cosine_dedup(
     """Embedding near-dup: hyperplane buckets -> within-bucket cosine >= tau
     -> components -> (id, keep_id).
 
-    The within-bucket verify broadcasts bucket members only (numpy matmul per
-    group) — no global materialization.
+    Scale posture: the embedding travels *inside its own bucket row* (exactly
+    one bucket row per doc — no duplication), so the within-bucket verify is a
+    local numpy matmul over the group's vectors.  No driver materialization,
+    no vector broadcast; the only wide op is the one bucketed groupby.
     """
     if dim is None:
         first = ds.take(1)[0][vec_col]
         dim = len(first)
     buckets = ds.map_batches(
         _hyperplane_buckets_batch,
-        fn_kwargs=dict(id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes),
+        fn_kwargs=dict(id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, carry_vec=True),
         batch_format="pyarrow",
     )
-    import ray
-
-    vec_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    vec_map = {
-        i: np.asarray(v, dtype=np.float64) for i, v in zip(vec_df[id_col], vec_df[vec_col])
-    }
-    vec_ref = ray.put(vec_map)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = t["key"].to_numpy(zero_copy_only=False) % 64
         return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        vecs = ray.get(vec_ref)
         frames = []
         for _, sub in df.groupby("key", sort=False):
-            ids = np.sort(sub[id_col].unique())
+            u = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = u[id_col].to_numpy()
             if len(ids) < 2:
                 continue
-            V = np.stack([vecs[i] for i in ids])
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in u["vec"]])
             V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = V @ V.T
             ia, ib = np.triu_indices(len(ids), k=1)

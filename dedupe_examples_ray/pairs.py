@@ -96,10 +96,24 @@ def _emit_bucket(
         if source_col is not None:
             left = members[src[o : o + s] == 0]
             right = members[src[o : o + s] != 0]
-            if len(left) and len(right):
+            if not len(left) or not len(right):
+                continue
+            if s <= max_block_size or policy == "keep":
                 ia, ib = np.meshgrid(left, right, indexing="ij")
                 out_a.append(ia.ravel())
                 out_b.append(ib.ravel())
+            elif policy == "drop":
+                continue
+            else:  # salt cross-source blocks too — same contract as dedupe mode
+                k = -(-s // max_block_size)
+                salt = stable_hash(ids[o : o + s]) % k
+                for sv in range(k):
+                    li = left[salt[left - o] == sv]
+                    ri = right[salt[right - o] == sv]
+                    if len(li) and len(ri):
+                        ia, ib = np.meshgrid(li, ri, indexing="ij")
+                        out_a.append(ia.ravel())
+                        out_b.append(ib.ravel())
             continue
         if s <= max_block_size or policy == "keep":
             ia, ib = _pair_idx(s)
@@ -180,41 +194,60 @@ def dedup_pairs(pairs_ds, num_buckets: int = 64):
     return bucketed.groupby("pbucket").map_groups(drop, batch_format="pandas")
 
 
+def _even_split(n: int, k: int) -> np.ndarray:
+    """Sizes of an even k-way split of n (the salting estimate model)."""
+    base, rem = divmod(n, k)
+    return np.array([base + 1] * rem + [base] * (k - rem), dtype=np.int64)
+
+
 def pair_metrics(blocks_ds, id_col: str, max_block_size: int = 200, policy: str = "salt",
-                 num_buckets: int = 64) -> dict:
+                 num_buckets: int = 64, source_col: str | None = None) -> dict:
     """Emitted / capped / dropped pair counts (no silent caps — SURVEY.md §4).
 
     Cheap bucketed pass over the (block_key, id) projection only.
+    ``source_col``: cross-source (RecordLink/Gazetteer) mode — full pairs are
+    left×right per block and salting splits both sides with the same salt.
     """
+    cols = ["block_key", id_col] + ([source_col] if source_col else [])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = stable_hash(t["block_key"].to_numpy(zero_copy_only=False)) % num_buckets
         return pa.table(
-            {"block_key": t["block_key"], id_col: t[id_col],
-             "bucket": pa.array(b.astype(np.int64), pa.int64())}
+            {**{c: t[c] for c in cols}, "bucket": pa.array(b.astype(np.int64), pa.int64())}
         )
 
     def sizes(df: pd.DataFrame) -> pd.DataFrame:
         u = df.drop_duplicates(subset=["block_key", id_col])
-        return u.groupby("block_key", sort=False).size().rename("n").reset_index()[["n"]]
+        g = u.groupby("block_key", sort=False)
+        out = g.size().rename("n").reset_index()[["n"]]
+        if source_col:
+            out["nl"] = g.apply(lambda s: int((s[source_col] == 0).sum())).to_numpy()
+        return out
 
     tbl = (
-        blocks_ds.select_columns(["block_key", id_col])
+        blocks_ds.select_columns(cols)
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sizes, batch_format="pandas")
         .to_pandas()
     )
     n = tbl["n"].to_numpy(dtype=np.int64)
-    full = n * (n - 1) // 2
-    emitted = np.where(n <= max_block_size, full, 0)
-    over = n[n > max_block_size]
-    salted_emit = 0
-    for sz in over:
-        k = -(-sz // max_block_size)
-        base, rem = divmod(sz, k)
-        # worst-case-even split estimate of salted emission
-        salted_emit += rem * (base + 1) * base // 2 + (k - rem) * base * (base - 1) // 2
+    if source_col:
+        nl = tbl["nl"].to_numpy(dtype=np.int64)
+        nr = n - nl
+        full = nl * nr
+        emitted = np.where(n <= max_block_size, full, 0)
+        salted_emit = 0
+        for sz, l, r in zip(n[n > max_block_size], nl[n > max_block_size], nr[n > max_block_size]):
+            k = -(-sz // max_block_size)
+            salted_emit += int((_even_split(int(l), k) * _even_split(int(r), k)).sum())
+    else:
+        full = n * (n - 1) // 2
+        emitted = np.where(n <= max_block_size, full, 0)
+        salted_emit = 0
+        for sz in n[n > max_block_size]:
+            parts = _even_split(int(sz), -(-int(sz) // max_block_size))
+            salted_emit += int((parts * (parts - 1) // 2).sum())
     if policy == "salt":
         emitted_total = int(emitted.sum()) + int(salted_emit)
     elif policy == "drop":

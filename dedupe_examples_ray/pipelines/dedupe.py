@@ -47,6 +47,7 @@ def dedupe_dataset(
     scorer_blocks: int | None = 32,
     broadcast_records_limit: int = 2_000_000,
     n_records: int | None = None,
+    input_token: str | None = None,
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -61,7 +62,6 @@ def dedupe_dataset(
     repartition, no shuffle) so the scorer actor pool parallelizes even when
     the pair groupby emitted few blocks.
     """
-    fp = settings.fingerprint()
     carry = sorted({f.column for f in settings.fields})
 
     # Pairs travel SLIM (ids only): blocking rows and both pair shuffles never
@@ -70,6 +70,10 @@ def dedupe_dataset(
     # actor), else via partitioned hash-join hydration (J2).
     if n_records is None:
         n_records = (ids_ds if ids_ds is not None else records_ds).count()
+    # Checkpoint identity = settings fingerprint + input identity (row count
+    # plus an optional caller token, e.g. the source path) — a rerun against a
+    # different/updated corpus must NOT replay stale stage Parquet.
+    fp = settings.fingerprint() + f"-n{n_records}" + (f"-{input_token}" if input_token else "")
     use_broadcast = n_records <= broadcast_records_limit
     if use_broadcast and workdir is None:
         records_ds = records_ds.materialize()  # reused for blocks + record map

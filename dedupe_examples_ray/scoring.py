@@ -282,6 +282,124 @@ def build_record_map(records_ds, id_col: str, cols: list[str]) -> pa.Table:
     return _pa.concat_tables(tbls).combine_chunks()
 
 
+def bucketed_hydrate(
+    pairs_ds,
+    records_ds,
+    id_col: str,
+    cols: list[str],
+    num_buckets: int = 64,
+    pair_schema: list[tuple] | None = None,
+):
+    """Partition-aligned pair hydration — the 100-TB scale path.
+
+    Replaces both the driver-collected broadcast record map (DRAM-ceiling at
+    large record counts) and the generic ``Dataset.join`` fallback: pairs and
+    records are bucketed on the SAME ``stable_hash(id) % B`` key and co-grouped
+    so each hydration task reads exactly one record shard — per-task working
+    set is |records|/B regardless of cluster size, and no task ever touches a
+    global table.  Two phases (side a, then side b); each is one bucketed
+    shuffle with a vectorized pandas indexer inside the group.
+
+    ``pair_schema``: [(name, pyarrow type)] of the pair columns; defaults to
+    id_a/id_b typed like the record id.  Passed explicitly so no intermediate
+    ``Dataset.schema()`` call forces execution mid-pipeline.
+
+    Output: pair columns + ``{col}_a`` / ``{col}_b`` for each hydrated col.
+    """
+    from .pairs import stable_hash
+
+    rec_type = dataset_arrow_types(records_ds)
+    id_type = rec_type[id_col]
+    if pair_schema is None:
+        pair_schema = [("id_a", id_type), ("id_b", id_type)]
+    rec_proj = records_ds.select_columns([id_col] + cols)
+
+    def one_side(pairs, side: str, pair_schema: list[tuple]):
+        out_schema = pair_schema + [(f"{c}_{side}", rec_type[c]) for c in cols]
+        pair_cols = [n for n, _ in pair_schema]
+        all_types = dict(out_schema)
+
+        def tag_records(t: pa.Table) -> pa.Table:
+            b = stable_hash(t[id_col].to_numpy(zero_copy_only=False)) % num_buckets
+            n = t.num_rows
+            data = {"__k": pc_cast(t[id_col], id_type)}
+            for name, typ in pair_schema:
+                data[name] = pa.nulls(n, typ)
+            for c in cols:
+                data[f"{c}_{side}"] = pc_cast(t[c], rec_type[c])
+            data["__bkt"] = pa.array(b.astype("int64"), pa.int64())
+            data["__kind"] = pa.array(np.zeros(n, np.int8))
+            return pa.table(data)
+
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            b = stable_hash(t[f"id_{side}"].to_numpy(zero_copy_only=False)) % num_buckets
+            n = t.num_rows
+            data = {"__k": pa.nulls(n, id_type)}
+            for name, typ in pair_schema:
+                data[name] = pc_cast(t[name], typ)
+            for c in cols:
+                data[f"{c}_{side}"] = pa.nulls(n, rec_type[c])
+            data["__bkt"] = pa.array(b.astype("int64"), pa.int64())
+            data["__kind"] = pa.array(np.ones(n, np.int8))
+            return pa.table(data)
+
+        recs = rec_proj.map_batches(tag_records, batch_format="pyarrow")
+        prs = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+
+        def hydrate(df) -> pa.Table:
+            import pandas as pd
+
+            rec = df[df["__kind"] == 0]
+            pr = df[df["__kind"] == 1]
+            if pr.empty:
+                return pa.table({n: pa.nulls(0, t) for n, t in out_schema})
+            idx = pd.Index(rec["__k"])
+            pos = idx.get_indexer(pr[f"id_{side}"])
+            arrays = {}
+            for c in pair_cols:
+                arrays[c] = pa.array(pr[c], type=all_types[c], from_pandas=True)
+            hit = pos >= 0
+            for c in cols:
+                vals = rec[f"{c}_{side}"].to_numpy()
+                got = np.empty(len(pos), dtype=object)
+                got[hit] = vals[pos[hit]]
+                got[~hit] = None
+                arrays[f"{c}_{side}"] = pa.array(got, type=rec_type[c], from_pandas=True)
+            return pa.table(arrays)
+
+        out = prs.union(recs).groupby("__bkt").map_groups(hydrate, batch_format="pandas")
+        return out, out_schema
+
+    out, sch = one_side(pairs_ds, "a", pair_schema)
+    out, _ = one_side(out, "b", sch)
+    return out
+
+
+def pc_cast(arr, typ):
+    import pyarrow.compute as pc
+
+    return arr if arr.type == typ else pc.cast(arr, typ)
+
+
+def dataset_arrow_types(ds) -> dict:
+    """{column: pyarrow DataType} for a Dataset — Ray's ``Schema.types`` may
+    hold Python classes for object-typed blocks; prefer the Arrow base schema
+    and fall back to inference."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for nm, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, ValueError, pa.ArrowNotImplementedError):
+                t = pa.string()
+        out[nm] = t
+    return out
+
+
 def hydrate_pairs(pairs_ds, records_ds, id_col: str, cols: list[str], num_partitions: int = 32):
     """Scale path: attach both sides' fields via two partitioned hash joins
     (reference J2 hydration, mysql_example.py:261-262) — used when the record
