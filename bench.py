@@ -162,7 +162,15 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Same job in fresh processes at two parallelism levels (sandbox
-    stand-in for the N vs 4N node criterion, BASELINE.md)."""
+    stand-in for the N vs 4N node criterion, BASELINE.md).
+
+    Interleaved median-of-R runs (this sandbox shows ±25% run-to-run noise;
+    representative single runs are not judgeable).  Env knobs:
+    GRAFT_SCALING_CPUS="8,32" (N and 4N), GRAFT_SCALING_REPEAT=3,
+    GRAFT_BENCH_CLUSTERS (corpus size; default 200000 -> 625k pages so
+    compute dominates fixed orchestration).
+    """
+    import statistics
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -176,7 +184,11 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpu, hi_cpu = 8, 32
+    lo_cpu, hi_cpu = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    )
+    repeat = int(os.environ.get("GRAFT_SCALING_REPEAT", "3"))
+    os.environ.setdefault("GRAFT_BENCH_CLUSTERS", "200000")
     # build the corpus cache once (untimed) + warm the OS page cache
     subprocess.run(
         [sys.executable, "-c",
@@ -187,21 +199,31 @@ def run_scaling() -> dict:
         check=True,
     )
     os.environ["GRAFT_HEADLINE_ONLY"] = "1"
-    lo = run(lo_cpu)
-    hi = run(hi_cpu)
+    los, his = [], []
+    for _ in range(repeat):  # interleaved so slow host phases hit both levels
+        his.append(run(hi_cpu))
+        los.append(run(lo_cpu))
     del os.environ["GRAFT_HEADLINE_ONLY"]
-    tput_lo = lo["n_pages"] / lo["value"]
-    tput_hi = hi["n_pages"] / hi["value"]
+    lo_sec = statistics.median(r["value"] for r in los)
+    hi_sec = statistics.median(r["value"] for r in his)
+    n_pages = los[0]["n_pages"]
+    tput_lo = n_pages / lo_sec
+    tput_hi = n_pages / hi_sec
     eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus": [lo_cpu, hi_cpu],
-        "sec": {str(lo_cpu): lo["value"], str(hi_cpu): hi["value"]},
+        "repeat": repeat,
+        "n_pages": n_pages,
+        "sec_median": {str(lo_cpu): round(lo_sec, 2), str(hi_cpu): round(hi_sec, 2)},
+        "sec_all": {
+            str(lo_cpu): [r["value"] for r in los],
+            str(hi_cpu): [r["value"] for r in his],
+        },
         "pages_per_sec": {str(lo_cpu): round(tput_lo, 1), str(hi_cpu): round(tput_hi, 1)},
-        "queries": {str(lo_cpu): lo["queries"], str(hi_cpu): hi["queries"]},
-        "sf": lo["sf"],
+        "sf": los[0]["sf"],
     }
 
 

@@ -28,6 +28,9 @@ COMPARATORS = (
     "jaro_winkler",
     "affine_gap",
     "text",         # TF-IDF token cosine (needs corpus IDF stats)
+    "token_cosine", # TF-IDF cosine over precomputed list<uint64> token-hash
+                    # signatures (normalize.token_signature_array) — the
+                    # zero-Python-object scale path for long text fields
     "exact",
     "categorical",
     "price",
@@ -159,7 +162,10 @@ def default_page_settings() -> Settings:
     return Settings(
         fields=[
             Field("title", "string"),
-            Field("body", "text", has_missing=True),
+            # body compared via precomputed token-hash signatures — the
+            # tokenize cost is per-record at derive time, the per-pair cost is
+            # a numpy sorted-intersection (no Python strings in the scorer)
+            Field("body_sig", "token_cosine", has_missing=True, name="body"),
             Field("host", "exact"),
             Field("path", "string", has_missing=True),
         ],

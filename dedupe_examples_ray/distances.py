@@ -37,6 +37,14 @@ def _encode_padded(strings: list, cap: int) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+_DP_CHUNK = 1536  # pairs per DP slab — keeps the whole DP working set
+# (~6 live int16 arrays of (chunk, cap+1) ≈ 1 MB) resident in a core's
+# PRIVATE L2, so 32 concurrent scorer workers don't contend for shared
+# L3/DRAM.  Measured: at 8 MB slabs the per-pair CPU cost inflated 8.5x when
+# going from 8 to 32 concurrent workers on one node; L2-sized slabs keep it
+# flat — which is what makes the score stage CPU-scalable.
+
+
 def batch_levenshtein_sim(a: list, b: list, cap: int = 48) -> np.ndarray:
     """Normalized Levenshtein similarity 1 - dist/max(len) for N pairs at once.
 
@@ -44,16 +52,18 @@ def batch_levenshtein_sim(a: list, b: list, cap: int = 48) -> np.ndarray:
     missing indicators before they matter).  Exactly-equal pairs short-circuit
     to 1.0 before the DP — in duplicate-heavy blocks most compared values
     normalize to identical strings, so this skips the bulk of the work.
+
+    The DP runs on int16 in L2-sized slabs with preallocated buffers — the
+    row-vector Wagner-Fischer is memory-bound, so dtype width and slab size,
+    not FLOPs, set both its speed and its multi-worker scalability.
     """
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=np.float64)
-    if n > 8192:
-        # keep the DP working set cache-sized regardless of caller batch size
-        # (the row-vector DP over a 100k-pair batch is DRAM-bandwidth-bound)
+    if n > _DP_CHUNK:
         out = np.empty(n, dtype=np.float64)
-        for o in range(0, n, 8192):
-            out[o : o + 8192] = batch_levenshtein_sim(a[o : o + 8192], b[o : o + 8192], cap)
+        for o in range(0, n, _DP_CHUNK):
+            out[o : o + _DP_CHUNK] = batch_levenshtein_sim(a[o : o + _DP_CHUNK], b[o : o + _DP_CHUNK], cap)
         return out
     eq = np.fromiter(
         (x is not None and x != "" and x == y for x, y in zip(a, b)), dtype=bool, count=n
@@ -75,18 +85,28 @@ def batch_levenshtein_sim(a: list, b: list, cap: int = 48) -> np.ndarray:
 
     dist = np.where(la == 0, lb, 0).astype(np.float64)  # la==0 rows resolved now
     if max_la > 0:
-        jr = np.arange(lbmax + 1, dtype=np.int64)
-        prev = np.broadcast_to(jr, (n, lbmax + 1)).astype(np.int64).copy()
+        w = lbmax + 1
+        jr = np.arange(w, dtype=np.int16)
+        prev = np.broadcast_to(jr, (n, w)).astype(np.int16).copy()
+        cur = np.empty((n, w), dtype=np.int16)
+        cand = np.empty((n, lbmax), dtype=np.int16)
+        tmp = np.empty((n, lbmax), dtype=np.int16)
         Bv = B[:, :lbmax]
         for i in range(1, max_la + 1):
-            cost = (A[:, i - 1 : i] != Bv).astype(np.int64)  # (n, lbmax)
-            cand = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
-            t = np.concatenate([np.full((n, 1), i, dtype=np.int64), cand], axis=1)
-            cur = np.minimum.accumulate(t - jr, axis=1) + jr
+            # cand = min(prev[:,1:] + 1, prev[:,:-1] + (A[:,i-1] != B))
+            np.add(prev[:, :-1], (A[:, i - 1 : i] != Bv), out=cand, casting="unsafe")
+            np.add(prev[:, 1:], np.int16(1), out=tmp)
+            np.minimum(cand, tmp, out=cand)
+            # cur[j] = min_{k<=j}(t[k] - k) + j  (running-min prefix scan)
+            cur[:, 0] = i
+            cur[:, 1:] = cand
+            cur -= jr
+            np.minimum.accumulate(cur, axis=1, out=cur)
+            cur += jr
             done = la == i
             if done.any():
                 dist[done] = cur[done, lb[done]]
-            prev = cur
+            prev, cur = cur, prev
     denom = np.maximum(np.maximum(la, lb), 1).astype(np.float64)
     sim = 1.0 - dist / denom
     sim[(la == 0) | (lb == 0)] = 0.0
@@ -173,6 +193,70 @@ def affine_gap_sim(a: str, b: str, mismatch: float = 1.0, gap_open: float = 1.0,
     best = min(prevM[lb], prevX[lb], prevY[lb])
     worst = gap_open + (max(la, lb) - 1) * gap_extend + min(la, lb) * mismatch
     return max(0.0, 1.0 - best / worst) if worst > 0 else 1.0
+
+
+def batch_token_sig_cosine(
+    offs_a: np.ndarray,
+    vals_a: np.ndarray,
+    lens_a: np.ndarray,
+    offs_b: np.ndarray,
+    vals_b: np.ndarray,
+    lens_b: np.ndarray,
+    idf_hash: dict | None = None,
+) -> np.ndarray:
+    """Cosine over precomputed sorted-unique token-hash signatures.
+
+    Inputs are Arrow list-array views: ``offs`` (n+1 offsets into ``vals``)
+    and ``lens`` (0 = missing).  Intersection of two sorted uint64 slices via
+    ``np.searchsorted`` — no Python strings, sets, or per-pair allocation
+    beyond two small views.  With ``idf_hash`` ({token_hash: idf weight}) the
+    cosine is TF-IDF weighted, matching ``cosine_tokens`` semantics.
+    """
+    n = len(lens_a)
+    out = np.zeros(n, dtype=np.float64)
+    for i in range(n):
+        la = lens_a[i]
+        lb = lens_b[i]
+        if la == 0 or lb == 0:
+            continue
+        sa = offs_a[i]
+        sb = offs_b[i]
+        va = vals_a[sa : sa + la]
+        vb = vals_b[sb : sb + lb]
+        if la < lb:
+            va, vb = vb, va
+            la, lb = lb, la
+        pos = np.searchsorted(va, vb)
+        pos[pos == la] = la - 1
+        match = va[pos] == vb
+        if idf_hash is None:
+            inter = int(match.sum())
+            if inter:
+                out[i] = inter / math.sqrt(float(la) * float(lb))
+        else:
+            num = sum(idf_hash.get(int(h), 1.0) ** 2 for h in vb[match])
+            if num:
+                na = math.sqrt(sum(idf_hash.get(int(h), 1.0) ** 2 for h in va))
+                nb = math.sqrt(sum(idf_hash.get(int(h), 1.0) ** 2 for h in vb))
+                out[i] = num / (na * nb)
+    return out
+
+
+def list_array_view(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(offsets, flat values, lengths) numpy views of an Arrow list array;
+    null rows get length 0.  Offsets index into the FULL child array, so this
+    is correct for sliced arrays too."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    lens = offs[1:] - offs[:-1]
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        lens = np.where(valid, lens, 0)
+    return offs[:-1], vals, lens
 
 
 _TOKEN_NONE = frozenset()

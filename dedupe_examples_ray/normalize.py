@@ -126,6 +126,50 @@ def parse_date(arr, fmt: str = "%m/%d/%Y") -> pa.Array:
     return pa.Array.from_pandas(parsed, type=pa.timestamp("us"))
 
 
+def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-record token signature: sorted unique uint64 token hashes as
+    ``list<uint64>``; null/empty strings -> empty list.
+
+    Tokenization is a PER-RECORD cost paid once here, not per candidate pair
+    in the scorer — the ``token_cosine`` comparator then intersects two sorted
+    numpy slices with zero Python-object materialization.  Fully vectorized:
+    one split kernel, ONE hash call over the whole batch's flattened tokens,
+    one lexsort for within-record sort+unique.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(str_arr, pa.ChunkedArray):
+        str_arr = str_arr.combine_chunks()
+    n = len(str_arr)
+    filled = pc.fill_null(pc.cast(str_arr, pa.string()), "")
+    toks = pc.split_pattern(filled, " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.to_pandas().to_numpy(dtype=object)
+    lens = offs[1:] - offs[:-1]
+    # empty/null input rows produce one "" token from split — drop those rows
+    empty_rows = pc.equal(filled, "").to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.uint64())
+        )
+    h = pd.util.hash_array(flat).astype(np.uint64)
+    rec = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep_tok = ~empty_rows[rec]
+    h, rec = h[keep_tok], rec[keep_tok]
+    order = np.lexsort((h, rec))
+    hs, rs = h[order], rec[order]
+    dedup = np.ones(len(hs), dtype=bool)
+    dedup[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    hs, rs = hs[dedup], rs[dedup]
+    new_lens = np.bincount(rs, minlength=n)
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(new_lens, out=new_offs[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(new_offs, pa.int32()), pa.array(hs, pa.uint64())
+    )
+
+
 def derive_page_fields(batch: pa.Table, text_col: str = "text", url_col: str = "url") -> pa.Table:
     """Derive the compared entity-resolution fields from a pages batch.
 
@@ -154,9 +198,11 @@ def derive_page_fields(batch: pa.Table, text_col: str = "text", url_col: str = "
     path = pc.replace_substring_regex(nohost, r"^[^/]*", "")
 
     out = batch
+    body_norm = normalize_string_array(body)
     for name, col in [
         ("title", normalize_string_array(title)),
-        ("body", normalize_string_array(body)),
+        ("body", body_norm),
+        ("body_sig", token_signature_array(body_norm)),
         ("host", normalize_string_array(apex, strip_punct=False)),
         ("path", normalize_string_array(path)),
     ]:

@@ -32,7 +32,13 @@ from ..cluster import (
 from ..config import Field as Field_, Settings, default_page_settings
 from ..normalize import derive_page_fields
 from ..pairs import candidate_pairs
-from ..scoring import build_record_map, hydrate_pairs, score_pairs, threshold_edges
+from ..scoring import (
+    bucketed_hydrate,
+    build_record_map,
+    hydrate_pairs,
+    score_pairs,
+    threshold_edges,
+)
 
 
 def dedupe_dataset(
@@ -41,13 +47,14 @@ def dedupe_dataset(
     id_col: str,
     workdir: str | None = None,
     idf: dict | None = None,
-    scorer_concurrency=(1, 4),
+    scorer_concurrency=None,
     driver_cc_limit: int = 30_000_000,
     ids_ds=None,
     scorer_blocks: int | None = 32,
     broadcast_records_limit: int = 2_000_000,
     n_records: int | None = None,
     input_token: str | None = None,
+    hydration: str = "auto",
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -74,9 +81,16 @@ def dedupe_dataset(
     # plus an optional caller token, e.g. the source path) — a rerun against a
     # different/updated corpus must NOT replay stale stage Parquet.
     fp = settings.fingerprint() + f"-n{n_records}" + (f"-{input_token}" if input_token else "")
-    use_broadcast = n_records <= broadcast_records_limit
-    if use_broadcast and workdir is None:
-        records_ds = records_ds.materialize()  # reused for blocks + record map
+    # Hydration strategy: "broadcast" collects the record projection once and
+    # ships it via ray.put (fastest when it fits one node's DRAM budget);
+    # "cogroup" is the partition-aligned scale path — pairs and records
+    # bucketed on the same key, each scorer task touching one record shard,
+    # nothing global anywhere.  "auto" switches on the record count; the old
+    # Dataset.join fallback (measured ~10x slower) is gone.
+    if hydration == "auto":
+        hydration = "broadcast" if n_records <= broadcast_records_limit else "cogroup"
+    if workdir is None:
+        records_ds = records_ds.materialize()  # reused for blocks + hydration
 
     blocks = run_stage(
         "blocks",
@@ -100,12 +114,17 @@ def dedupe_dataset(
         pairs = pairs.repartition(scorer_blocks)
 
     def scored_edges():
-        if use_broadcast:
+        if hydration == "broadcast":
             records = build_record_map(records_ds, id_col, carry)
             scores = score_pairs(
                 pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records
             )
-        else:
+        elif hydration == "cogroup":
+            hydrated = bucketed_hydrate(
+                pairs.select_columns(["id_a", "id_b"]), records_ds, id_col, carry
+            )
+            scores = score_pairs(hydrated, settings, idf=idf, concurrency=scorer_concurrency)
+        else:  # "join": generic hash-join hydration (kept for parity tests)
             hydrated = hydrate_pairs(pairs, records_ds, id_col, carry)
             scores = score_pairs(hydrated, settings, idf=idf, concurrency=scorer_concurrency)
         return threshold_edges(scores, settings.threshold)
@@ -213,7 +232,7 @@ def dedupe_documents(
     settings: Settings | None = None,
     id_col: str = "doc_id",
     workdir: str | None = None,
-    scorer_concurrency=(1, 4),
+    scorer_concurrency=None,
 ):
     """ER flagship over a flat text table (doc_id, text, ...)."""
     settings = settings or document_settings()
@@ -234,7 +253,7 @@ def dedupe_pages(
     settings: Settings | None = None,
     workdir: str | None = None,
     use_idf: bool = False,
-    scorer_concurrency=(1, 4),
+    scorer_concurrency=None,
     n_records: int | None = None,
 ):
     """Web-pages flagship: derive fields from (url, text), then dedupe.

@@ -20,10 +20,12 @@ from .distances import (
     affine_gap_sim,
     batch_jaro_winkler,
     batch_levenshtein_sim,
+    batch_token_sig_cosine,
     cosine_tokens,
     exact_sim,
     haversine_sim,
     jaccard,
+    list_array_view,
     price_sim,
     tokens,
 )
@@ -82,11 +84,13 @@ class PairScorer:
                 self.rec_tbl = records_ref.combine_chunks()
                 self._rec_id_col = self.rec_tbl.column_names[0]
                 self._rec_ids = self.rec_tbl[self._rec_id_col].combine_chunks()
-                # small table: hash index built ONCE per actor (cheap heap
-                # copy).  big table: per-actor heap must not scale with the
-                # record count -> per-batch pc.index_in on larger batches.
+                # hash index built ONCE per worker (pd.Index over the id
+                # column) — per-batch pc.index_in would rebuild the value-set
+                # hash per call, which dominates the score stage once the
+                # record table passes ~1M rows.  The index covers the whole
+                # broadcast regime (the cogroup path takes over beyond it).
                 self._rec_index = None
-                if self.rec_tbl.num_rows <= 300_000:
+                if self.rec_tbl.num_rows <= 2_000_000:
                     import pandas as pd
 
                     self._rec_index = pd.Index(self._rec_ids.to_pandas())
@@ -94,6 +98,15 @@ class PairScorer:
                 self._col_index, self.records = records_ref
         self._w = self.settings.weight_vector()
         self._names = self.settings.feature_names()
+        # hash-keyed IDF map for the token_cosine comparator (signatures carry
+        # token hashes, not strings)
+        self._idf_hash = None
+        if self.idf:
+            import pandas as pd
+
+            keys = np.asarray(list(self.idf.keys()), dtype=object)
+            hk = pd.util.hash_array(keys).astype(np.uint64)
+            self._idf_hash = {int(h): float(self.idf[k]) for h, k in zip(hk, keys)}
 
     def _field_sim(self, comparator: str, a_list, b_list) -> np.ndarray:
         if comparator == "string":
@@ -147,8 +160,9 @@ class PairScorer:
         raise ValueError(f"unknown comparator {comparator!r}")
 
     def _gather(self, batch: pa.Table) -> dict:
-        """Per-field (a_list, b_list) — from denormalized columns or from the
-        broadcast record table/map when pairs are slim."""
+        """Per-field column pairs — Arrow arrays where possible (zero Python
+        materialization until a comparator actually needs pylists) — from
+        denormalized columns or from the broadcast record table/map."""
         import pyarrow.compute as pc
 
         out: dict = {}
@@ -164,16 +178,13 @@ class PairScorer:
             rows_a = self.rec_tbl.take(idx_a)
             rows_b = self.rec_tbl.take(idx_b)
             for col in self.rec_tbl.column_names[1:]:
-                out[col] = (rows_a[col].to_pylist(), rows_b[col].to_pylist())
+                out[col] = (rows_a[col], rows_b[col])
             return out
         if self.records is None:
             for f in self.settings.fields:
                 if f.column in out:
                     continue
-                out[f.column] = (
-                    batch[f"{f.column}_a"].to_pylist(),
-                    batch[f"{f.column}_b"].to_pylist(),
-                )
+                out[f.column] = (batch[f"{f.column}_a"], batch[f"{f.column}_b"])
             return out
         rec = self.records
         ta = [rec.get(i) for i in batch["id_a"].to_pylist()]
@@ -185,20 +196,62 @@ class PairScorer:
             )
         return out
 
+    @staticmethod
+    def _as_list_view(v, length_hint: int):
+        """Arrow list array (or python list of lists) -> (offs, vals, lens)."""
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return list_array_view(v)
+        return list_array_view(pa.array(v, pa.list_(pa.uint64())))
+
     def features(self, batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
         n = batch.num_rows
         feats: dict[str, np.ndarray] = {}
         gathered = self._gather(batch)
+        pyl_cache: dict = {}
+
+        def pyl(col):
+            if col not in pyl_cache:
+                aa, bb = gathered[col]
+                to_l = lambda v: v.to_pylist() if isinstance(v, (pa.Array, pa.ChunkedArray)) else v
+                pyl_cache[col] = (to_l(aa), to_l(bb))
+            return pyl_cache[col]
+
         for f in self.settings.fields:
-            a_list, b_list = gathered[f.column]
-            sim = self._field_sim(f.comparator, a_list, b_list)
-            missing = np.array(
-                [a is None or b is None or a == "" or b == "" for a, b in zip(a_list, b_list)]
-            )
+            aa, bb = gathered[f.column]
+            if f.comparator == "token_cosine":
+                oa, va, la = self._as_list_view(aa, n)
+                ob, vb, lb = self._as_list_view(bb, n)
+                missing = (la == 0) | (lb == 0)
+                sim = batch_token_sig_cosine(oa, va, la, ob, vb, lb, self._idf_hash)
+            elif f.comparator in ("exact", "categorical") and isinstance(
+                aa, (pa.Array, pa.ChunkedArray)
+            ):
+                # whole-column Arrow equality; ''/null = missing (parity with
+                # the scalar path below)
+                def miss_mask(v):
+                    m = v.is_null()
+                    if pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
+                        m = pc.or_(m, pc.fill_null(pc.equal(v, ""), False))
+                    return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+
+                missing = pc.or_(miss_mask(aa), miss_mask(bb)).to_numpy(zero_copy_only=False)
+                sim = (
+                    pc.fill_null(pc.equal(aa, bb), False)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+            else:
+                a_list, b_list = pyl(f.column)
+                sim = self._field_sim(f.comparator, a_list, b_list)
+                missing = np.array(
+                    [a is None or b is None or a == "" or b == "" for a, b in zip(a_list, b_list)]
+                )
             sim = np.where(missing, 0.0, sim)
             feats[f.feature] = sim
             if f.has_missing:
-                feats[f.feature + "__missing"] = missing.astype(np.float64)
+                feats[f.feature + "__missing"] = np.asarray(missing, dtype=np.float64)
         for a, b in self.settings.interactions:
             feats[f"{a}*{b}"] = feats[a] * feats[b]
         X = np.zeros((n, len(self._names)))
@@ -220,19 +273,43 @@ class PairScorer:
         return pa.table(cols)
 
 
+# Per-worker-process scorer cache: task-based scoring reuses the session's
+# already-warm worker pool (no actor-pool cold start — measured ~10-15 s of
+# fixed cost per run on a 32-CPU node) while keeping the build-once-per-worker
+# property of the actor pattern.  Keyed on the broadcast refs' hex (stable
+# across tasks) + the settings payload.
+_SCORER_CACHE: dict = {}
+
+
+def _score_batch_cached(t: pa.Table, settings_json, idf_ref, keep_features, records_ref):
+    def _k(ref):
+        return ref.hex() if hasattr(ref, "hex") else id(ref)
+
+    key = (settings_json, _k(idf_ref), _k(records_ref), keep_features)
+    scorer = _SCORER_CACHE.get(key)
+    if scorer is None:
+        scorer = PairScorer(settings_json, idf_ref, keep_features, records_ref)
+        _SCORER_CACHE[key] = scorer
+    return scorer(t)
+
+
 def score_pairs(
     pairs_ds,
     settings: Settings,
     idf: dict | None = None,
-    concurrency: int | tuple = (1, 4),
+    concurrency: int | tuple | None = None,
     batch_size: int | None = None,
     keep_features: bool = False,
     records=None,
+    use_actors: bool = False,
 ):
     """Score a candidate-pair Dataset -> (id_a, id_b, score) Dataset.
 
-    ``records``: optional ``(col_index, {id: tuple})`` map (or a ray ref to
-    one) enabling slim-pair scoring — see PairScorer.
+    ``records``: optional Arrow record table / ``(col_index, {id: tuple})``
+    map (or a ray ref) enabling slim-pair scoring — see PairScorer.
+    Default execution is task-based with a per-worker scorer cache (reuses the
+    warm worker pool); ``use_actors=True`` restores the dedicated actor pool
+    (useful when scorer state is too big to keep per generic worker).
     """
     import ray
 
@@ -249,17 +326,25 @@ def score_pairs(
         # big record tables amortize the per-batch index_in hash build with
         # larger batches; small tables keep cache-friendly batches
         batch_size = 65536 if n_rec > 300_000 else 8192
+    kwargs = dict(
+        settings_json=settings.to_json(),
+        idf_ref=idf_ref,
+        keep_features=keep_features,
+        records_ref=records_ref,
+    )
+    if use_actors:
+        return pairs_ds.map_batches(
+            PairScorer,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 4),
+        )
     return pairs_ds.map_batches(
-        PairScorer,
-        fn_constructor_kwargs=dict(
-            settings_json=settings.to_json(),
-            idf_ref=idf_ref,
-            keep_features=keep_features,
-            records_ref=records_ref,
-        ),
+        _score_batch_cached,
+        fn_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -346,28 +431,23 @@ def bucketed_hydrate(
         recs = rec_proj.map_batches(tag_records, batch_format="pyarrow")
         prs = pairs.map_batches(tag_pairs, batch_format="pyarrow")
 
-        def hydrate(df) -> pa.Table:
-            import pandas as pd
+        def hydrate(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-            rec = df[df["__kind"] == 0]
-            pr = df[df["__kind"] == 1]
-            if pr.empty:
-                return pa.table({n: pa.nulls(0, t) for n, t in out_schema})
-            idx = pd.Index(rec["__k"])
-            pos = idx.get_indexer(pr[f"id_{side}"])
-            arrays = {}
-            for c in pair_cols:
-                arrays[c] = pa.array(pr[c], type=all_types[c], from_pandas=True)
-            hit = pos >= 0
+            kind = t["__kind"]
+            rec = t.filter(pc.equal(kind, 0))
+            pr = t.filter(pc.equal(kind, 1))
+            if pr.num_rows == 0:
+                return pa.table({n: pa.nulls(0, ty) for n, ty in out_schema})
+            # index_in returns the FIRST match, so duplicate record ids (bad
+            # input) degrade to keep-first instead of failing
+            idx = pc.index_in(pr[f"id_{side}"], value_set=rec["__k"].combine_chunks())
+            arrays = {name: pr[name] for name, _ in pair_schema}
             for c in cols:
-                vals = rec[f"{c}_{side}"].to_numpy()
-                got = np.empty(len(pos), dtype=object)
-                got[hit] = vals[pos[hit]]
-                got[~hit] = None
-                arrays[f"{c}_{side}"] = pa.array(got, type=rec_type[c], from_pandas=True)
+                arrays[f"{c}_{side}"] = pc.take(rec[f"{c}_{side}"].combine_chunks(), idx)
             return pa.table(arrays)
 
-        out = prs.union(recs).groupby("__bkt").map_groups(hydrate, batch_format="pandas")
+        out = prs.union(recs).groupby("__bkt").map_groups(hydrate, batch_format="pyarrow")
         return out, out_schema
 
     out, sch = one_side(pairs_ds, "a", pair_schema)

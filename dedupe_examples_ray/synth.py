@@ -146,7 +146,10 @@ def make_cluster(cluster_id: int, seed: int = 42) -> list[dict]:
         title_tokens.append(str(rng.choice(_ACCENT_WORDS)))
     body_tokens = _words(rng, int(rng.integers(25, 61)))
     host = f"{VOCAB[int(rng.integers(0, len(VOCAB)))]}{cluster_id % 97}.example"
-    path = "/".join(_words(rng, int(rng.integers(1, 4))))
+    # unique per-cluster path slug: record identity is the url (SURVEY §1.1),
+    # so urls must be globally unique — without this, large corpora collide on
+    # (host word, id%97, path words) and two gold clusters share one url
+    path = "/".join(_words(rng, int(rng.integers(1, 4)))) + f"/p{cluster_id:x}"
     lang = str(rng.choice(_LANGS))
 
     rows = []
