@@ -296,7 +296,15 @@ def _q_lang_id_documents(sf_dir):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = language_id(docs).to_pandas()[["doc_id", "lang_pred", "lang_conf"]]
+    out["lang_conf"] = _round_half_away(out["lang_conf"])
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _round_half_away(s, digits=6):
+    """DuckDB ROUND semantics (half away from zero) for non-negative values —
+    numpy/pandas round is half-to-even, which differs on exact boundaries."""
+    scale = 10.0 ** digits
+    return np.floor(np.asarray(s, dtype=np.float64) * scale + 0.5) / scale
 
 
 def _q_quality_documents(sf_dir):
@@ -304,7 +312,45 @@ def _q_quality_documents(sf_dir):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = quality_score(docs).to_pandas()
-    return out[["doc_id", "n_chars_text", "punct_ratio", "stopword_ratio", "quality"]]
+    out = out[["doc_id", "n_chars_text", "punct_ratio", "stopword_ratio", "quality"]].copy()
+    for c in ("punct_ratio", "stopword_ratio", "quality"):
+        out[c] = _round_half_away(out[c])
+    return out
+
+
+def _q_er_exact_consistency_documents(sf_dir):
+    """ER invariant with a DuckDB oracle: run the flagship document dedupe
+    over the corpus UNIONed with an exact clone of itself (clone ids shifted
+    by 10M); every (original, clone) pair has identical text, so it MUST land
+    in one cluster.  The oracle states the expected constant (n_canon = 1 per
+    group), so any clustering regression hash-mismatches.
+    """
+    import pandas as pd
+
+    from dedupe_examples_ray.pipelines import dedupe_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(t["doc_id"], pa.int64()), 10_000_000)
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    doubled = docs.union(docs.map_batches(clone, batch_format="pyarrow"))
+    ent = dedupe_documents(doubled).to_pandas()
+    ids = ent["record_id"].astype(np.int64)
+    grp = np.where(ids >= 10_000_000, ids - 10_000_000, ids)
+    g = (
+        pd.DataFrame({"grp": grp, "canon_id": ent["canon_id"]})
+        .groupby("grp")
+        .agg(n_docs=("canon_id", "count"), n_canon=("canon_id", "nunique"))
+        .reset_index()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"grp": g["grp"].astype(np.int64), "n_docs": g["n_docs"].astype(np.int64),
+         "n_canon": g["n_canon"].astype(np.int64)}
+    )
 
 
 def _q_fingerprint_documents(sf_dir):
@@ -455,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "null_flag_lang": _q_null_flag_lang,
         "er_dedupe_inventors": _q_er_dedupe_inventors,
+        "er_exact_consistency_documents": _q_er_exact_consistency_documents,
     }
 
 
@@ -528,4 +575,74 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words, "
             "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents"
         ),
+        "quality_documents": _quality_oracle_sql(),
+        "lang_id_documents": _lang_id_oracle_sql(),
+        "token_df_documents": (
+            "SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df FROM ("
+            "  SELECT DISTINCT doc_id, t FROM ("
+            "    SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS t"
+            "    FROM documents)) WHERE t <> '' GROUP BY t"
+        ),
+        "er_exact_consistency_documents": (
+            "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS n_canon FROM documents ORDER BY grp"
+        ),
+        # deterministic corpus: 200 gold clusters at seed 42 -> 554 pages, and
+        # the extraction invariant demands every one byte-identical
+        "pages_extract_invariant": (
+            "SELECT CAST(554 AS BIGINT) AS n_rows, CAST(554 AS BIGINT) AS n_ok"
+        ),
     }
+
+
+def _quality_oracle_sql() -> str:
+    """DuckDB mirror of ops.textstats.quality_score (same RE2 patterns, same
+    expression tree, ROUND(...,6) on both sides)."""
+    from dedupe_examples_ray.ops.textstats import _STOPWORDS
+
+    stop_re = "\\b(" + "|".join(sorted(_STOPWORDS["en"])) + ")\\b"
+    return (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars_text, "
+        "ROUND(punct_ratio, 6) AS punct_ratio, ROUND(stop_ratio, 6) AS stopword_ratio, "
+        "ROUND((least(CAST(n_chars AS DOUBLE)/200.0, 1.0) * greatest(1.0 - punct_ratio*4.0, 0.0))"
+        " * (least(stop_ratio*4.0, 1.0)*0.5 + 0.5), 6) AS quality "
+        "FROM ("
+        "  SELECT doc_id, n_chars, "
+        "    CAST(n_punct AS DOUBLE)/CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio, "
+        "    CAST(n_stop AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) AS stop_ratio "
+        "  FROM ("
+        "    SELECT doc_id, length(COALESCE(text,'')) AS n_chars, "
+        "      len(regexp_extract_all(COALESCE(text,''), '[^\\w\\s]')) AS n_punct, "
+        "      len(regexp_extract_all(COALESCE(text,''), '[A-Za-z0-9]+')) AS n_words, "
+        f"      len(regexp_extract_all(lower(COALESCE(text,'')), '{stop_re}')) AS n_stop "
+        "    FROM documents))"
+    )
+
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of ops.textstats._LangId (same token regex, stopword
+    tables, argmax with lexicographically-larger-language tie-break)."""
+    from dedupe_examples_ray.ops.textstats import _STOPWORDS
+
+    def in_list(lang):
+        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+    score = (
+        "CASE WHEN len(ts)=0 THEN 0.0 ELSE "
+        "CAST(len(list_filter(ts, t -> t IN ({lst}))) AS DOUBLE)/len(ts) END AS s_{lang}"
+    )
+    scores = ", ".join(score.format(lst=in_list(lg), lang=lg) for lg in ("en", "de", "fr", "es"))
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, list_slice(regexp_extract_all(lower(COALESCE(text,'')), "
+        "    '[a-zà-ÿäöüßéèêëàâîïôûçñ]+'), 1, 200) AS ts FROM documents), "
+        f"sc AS (SELECT doc_id, ts, {scores} FROM toks) "
+        "SELECT doc_id, "
+        "  CASE WHEN len(ts)=0 OR greatest(s_en, s_de, s_fr, s_es) <= 0.03 THEN 'und' "
+        "       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' "
+        "       WHEN s_es >= s_en AND s_es >= s_de THEN 'es' "
+        "       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred, "
+        "  ROUND(CASE WHEN len(ts)=0 THEN 0.0 ELSE greatest(s_en, s_de, s_fr, s_es) END, 6) "
+        "    AS lang_conf "
+        "FROM sc ORDER BY doc_id"
+    )

@@ -45,14 +45,21 @@ def _df_partial(batch: pa.Table, column: str) -> pa.Table:
     )
 
 
-def compute_token_df(ds, column: str):
-    """Dataset of (token, df) over ``column`` (whitespace tokens, per-doc distinct)."""
+def compute_token_df(ds, column: str, min_df: int = 1):
+    """Dataset of (token, df) over ``column`` (whitespace tokens, per-doc
+    distinct).  ``min_df`` prunes the Zipf tail post-aggregate (callers that
+    broadcast the table treat absent tokens as df < min_df)."""
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(
         lambda b: _df_partial(b, column), batch_format="pyarrow", batch_size=4096
     )
-    return partial.groupby("token").aggregate(Sum("df", alias_name="df"))
+    agg = partial.groupby("token").aggregate(Sum("df", alias_name="df"))
+    if min_df > 1:
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], min_df)), batch_format="pyarrow"
+        )
+    return agg
 
 
 def idf_from_df(df_table: pa.Table, n_docs: int, min_df: int = 1) -> dict:

@@ -24,15 +24,32 @@ from ..config import Settings
 from .predicates import emit_keys
 
 
+INDEX_PREDICATE_KINDS = ("rare_token", "tfidf_canopy")
+
+
 class Fingerprinter:
     """Callable for ``map_batches``: emits the blocking map for one batch.
 
     ``common_ref`` may be a ``ray.ObjectRef`` to a frozenset of too-common
     tokens (resolved once per actor here in ``__init__``) or the frozenset
     itself (tests / driver-side use).
+
+    ``df_ref``: Arrow table ``(token, df)`` (or a ray ref to it) backing the
+    ``tfidf_canopy`` predicate — the T2 inverted-index pattern
+    (mysql_example.py:200-211): shipped once via ``ray.put`` (zero-copy get),
+    converted to one per-actor lookup dict in ``__init__``.  Only tokens with
+    df >= 2 need to be present; unseen tokens are treated as df=1 (rarest) —
+    that is what keeps the broadcast Zipf-bounded at corpus scale.
     """
 
-    def __init__(self, settings_json: str, id_col: str, carry_cols: list[str], common_ref=None):
+    def __init__(
+        self,
+        settings_json: str,
+        id_col: str,
+        carry_cols: list[str],
+        common_ref=None,
+        df_ref=None,
+    ):
         self.settings = Settings.from_json(settings_json)
         self.id_col = id_col
         self.carry_cols = list(carry_cols)
@@ -46,6 +63,21 @@ class Fingerprinter:
             except ImportError:
                 pass
             self.common = frozenset(common_ref)
+        self.df: dict = {}
+        if df_ref is not None:
+            try:
+                import ray
+
+                if isinstance(df_ref, ray.ObjectRef):
+                    df_ref = ray.get(df_ref)
+            except ImportError:
+                pass
+            if isinstance(df_ref, pa.Table):
+                self.df = dict(
+                    zip(df_ref["token"].to_pylist(), df_ref["df"].to_pylist())
+                )
+            else:
+                self.df = dict(df_ref)
 
     def _emit_rare_token(self, arr) -> tuple[np.ndarray, pa.Array]:
         idx, keys = emit_keys("token", arr)
@@ -64,6 +96,10 @@ class Fingerprinter:
             arr = batch[col]
             if kind == "rare_token":
                 idx, keys = self._emit_rare_token(arr)
+            elif kind == "tfidf_canopy":
+                from .predicates import emit_tfidf_canopy
+
+                idx, keys = emit_tfidf_canopy(arr, df=self.df, **spec)
             else:
                 idx, keys = emit_keys(kind, arr, **spec)
             if len(idx) == 0:
@@ -90,25 +126,71 @@ class Fingerprinter:
         return pa.table(cols)
 
 
+def build_predicate_indexes(ds, settings: Settings, min_df: int = 2):
+    """Pass-1 index build for index-backed predicates (reference B2 phase:
+    ``SELECT DISTINCT field -> fingerprinter.index()``, mysql_example.py:200-211).
+
+    Returns ``{column: ray.ObjectRef[pa.Table(token, df)]}`` for every column
+    a ``tfidf_canopy`` predicate names — one DF aggregate per indexed column,
+    broadcast once.  Tokens with df < min_df are dropped (treated as rarest
+    by the emitter), which Zipf-bounds the broadcast.
+    """
+    import ray
+
+    from .corpus import compute_token_df
+
+    out: dict = {}
+    for p in settings.predicates:
+        if p.get("kind") != "tfidf_canopy":
+            continue
+        col = p["column"]
+        if col in out:
+            continue
+        df_tbl = compute_token_df(ds, col, min_df=min_df)
+        tbls = list(df_tbl.iter_batches(batch_size=None, batch_format="pyarrow"))
+        tbl = (
+            pa.concat_tables(tbls).combine_chunks()
+            if tbls
+            else pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        )
+        out[col] = ray.put(tbl)
+    return out
+
+
 def fingerprint_dataset(
     ds,
     settings: Settings,
     id_col: str,
     carry_cols: list[str],
     common_tokens=None,
+    df_indexes: dict | None = None,
     concurrency=None,
     batch_size: int = 8192,
 ):
     """Apply the fingerprinter over a Dataset -> blocking-map Dataset.
 
-    Stateless (task pool) unless an index predicate needs the broadcast set —
-    then a bounded actor pool resolves the ``ray.put`` ref once per actor.
+    Index-backed predicates (rare_token, tfidf_canopy) get their broadcast
+    index resolved once per worker; ``df_indexes`` comes from
+    ``build_predicate_indexes`` (auto-built here when absent).
     """
-    needs_index = any(p.get("kind") == "rare_token" for p in settings.predicates)
+    kinds = {p.get("kind") for p in settings.predicates}
+    needs_common = "rare_token" in kinds
+    needs_df = "tfidf_canopy" in kinds
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
-    if needs_index or concurrency is not None:
+    df_ref = None
+    if needs_df:
+        if df_indexes is None:
+            df_indexes = build_predicate_indexes(ds, settings)
+        # one df table serves all canopy predicates on the same column; with
+        # multiple indexed columns, merge (prefix tokens by column) — current
+        # settings artifacts index a single column
+        canopy_cols = {p["column"] for p in settings.predicates if p.get("kind") == "tfidf_canopy"}
+        if len(canopy_cols) > 1:
+            raise NotImplementedError("one tfidf_canopy column per settings artifact")
+        df_ref = df_indexes[next(iter(canopy_cols))]
+    if needs_common or needs_df or concurrency is not None:
         common_ref = common_tokens
-        if needs_index and common_tokens is not None:
+        if needs_common and common_tokens is not None:
             import ray
 
             if not isinstance(common_tokens, ray.ObjectRef):
@@ -120,6 +202,7 @@ def fingerprint_dataset(
                 id_col=id_col,
                 carry_cols=carry_cols,
                 common_ref=common_ref,
+                df_ref=df_ref,
             ),
             concurrency=concurrency or 4,
             **kwargs,

@@ -127,6 +127,29 @@ def emit_sorted_tokens(arr, n: int = 4) -> tuple[np.ndarray, pa.Array]:
     return idx, pa.array(keys, pa.string())
 
 
+def emit_tfidf_canopy(arr, k: int = 2, df: dict | None = None) -> tuple[np.ndarray, pa.Array]:
+    """TF-IDF canopy keys: each record's k rarest tokens by corpus DF
+    (index-backed — ``df`` maps token -> document frequency; absent tokens
+    count as df=1, i.e. rarest, which keeps the index Zipf-bounded).
+
+    Records sharing any high-IDF token co-block — recall-robust on reordered
+    or prefix-divergent values where positional predicates miss (the role of
+    the reference's TfidfTextCanopyPredicate, mysql_example.py:200-211).
+    """
+    df = df or {}
+    idx, vals = _valid(_as_string(arr))
+    out_idx: list[int] = []
+    out_keys: list[str] = []
+    for i, v in zip(idx, vals.to_pylist()):
+        toks = set(v.split())
+        if not toks:
+            continue
+        rare = sorted(toks, key=lambda t: (df.get(t, 1), t))[:k]
+        out_idx.extend([int(i)] * len(rare))
+        out_keys.extend(rare)
+    return np.array(out_idx, dtype=np.int64), pa.array(out_keys, pa.string())
+
+
 PREDICATE_KINDS = {
     "sorted_tokens": emit_sorted_tokens,
     "whole_field": emit_whole_field,

@@ -195,6 +195,96 @@ def affine_gap_sim(a: str, b: str, mismatch: float = 1.0, gap_open: float = 1.0,
     return max(0.0, 1.0 - best / worst) if worst > 0 else 1.0
 
 
+def batch_affine_gap_sim(
+    a: list,
+    b: list,
+    cap: int = 48,
+    mismatch: float = 1.0,
+    gap_open: float = 1.0,
+    gap_extend: float = 0.25,
+) -> np.ndarray:
+    """Vectorized Gotoh affine-gap similarity over the pair axis — the batch
+    form of ``affine_gap_sim`` (same normalization), built like
+    ``batch_levenshtein_sim``: one numpy op per DP row, float32 L2-sized
+    slabs, with the in-row gap dependency X[j] = min(M[j-1]+open, X[j-1]+ext)
+    resolved as a running-min prefix scan on X[j] - j*ext.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    if n > _DP_CHUNK:
+        out = np.empty(n, dtype=np.float64)
+        for o in range(0, n, _DP_CHUNK):
+            out[o : o + _DP_CHUNK] = batch_affine_gap_sim(
+                a[o : o + _DP_CHUNK], b[o : o + _DP_CHUNK], cap, mismatch, gap_open, gap_extend
+            )
+        return out
+    eq = np.fromiter(
+        (x is not None and x != "" and x == y for x, y in zip(a, b)), dtype=bool, count=n
+    )
+    if eq.any():
+        out = np.empty(n, dtype=np.float64)
+        out[eq] = 1.0
+        sub = np.flatnonzero(~eq)
+        if len(sub):
+            out[sub] = batch_affine_gap_sim(
+                [a[i] for i in sub], [b[i] for i in sub], cap, mismatch, gap_open, gap_extend
+            )
+        return out
+    A, la = _encode_padded(a, cap)
+    B, lb = _encode_padded(b, cap)
+    max_la = int(la.max()) if n else 0
+    lbmax = int(lb.max()) if n else 0
+    w = lbmax + 1
+    INF = np.float32(np.inf)
+    jr = np.arange(w, dtype=np.float32)
+    ext = np.float32(gap_extend)
+    opn = np.float32(gap_open)
+    # row 0 boundary (scalar affine_gap_sim lines M[0]=0, X[j]=open+(j-1)ext)
+    M = np.full((n, w), INF, dtype=np.float32)
+    M[:, 0] = 0.0
+    X = np.full((n, w), INF, dtype=np.float32)
+    if lbmax > 0:
+        X[:, 1:] = opn + (jr[1:] - 1) * ext
+    Y = np.full((n, w), INF, dtype=np.float32)
+    best = np.full(n, INF, dtype=np.float32)
+    done0 = la == 0
+    if done0.any():  # empty a: best = X[lb] (or 0 if b also empty)
+        fin = np.minimum(M, X)[done0, lb[done0]]
+        best[done0] = fin
+    Bv = B[:, :lbmax]
+    for i in range(1, max_la + 1):
+        prev_min = np.minimum(np.minimum(M, X), Y)  # (n, w) of row i-1
+        cost = (A[:, i - 1 : i] != Bv).astype(np.float32) * np.float32(mismatch)
+        newM = np.full((n, w), INF, dtype=np.float32)
+        newM[:, 1:] = cost + prev_min[:, :-1]
+        newY = np.minimum(M + opn, Y + ext)
+        newY[:, 0] = opn + np.float32(i - 1) * ext
+        # X[j] = min(M[j-1]+open, X[j-1]+ext) -> prefix cummin of (val - j*ext)
+        T = np.full((n, w), INF, dtype=np.float32)
+        T[:, 1:] = newM[:, :-1] + opn - jr[1:] * ext
+        Z = np.minimum.accumulate(T, axis=1)
+        newX = Z + jr * ext
+        newX[:, 0] = INF
+        M, X, Y = newM, newX, newY
+        fin_rows = la == i
+        if fin_rows.any():
+            stack = np.minimum(np.minimum(M, X), Y)
+            best[fin_rows] = stack[fin_rows, lb[fin_rows]]
+    worst = (
+        gap_open
+        + (np.maximum(la, lb) - 1) * gap_extend
+        + np.minimum(la, lb) * mismatch
+    ).astype(np.float64)
+    both_empty = (la == 0) & (lb == 0)
+    one_empty = ((la == 0) | (lb == 0)) & ~both_empty
+    with np.errstate(invalid="ignore"):
+        sim = np.maximum(0.0, 1.0 - best.astype(np.float64) / np.maximum(worst, 1e-12))
+    sim[both_empty] = 1.0
+    sim[one_empty] = 0.0
+    return sim
+
+
 def batch_token_sig_cosine(
     offs_a: np.ndarray,
     vals_a: np.ndarray,

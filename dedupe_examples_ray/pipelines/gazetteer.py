@@ -108,3 +108,43 @@ class GazetteerIndex:
             ).head(n_matches)
 
         return scored.groupby("id_a").map_groups(topk, batch_format="pandas")
+
+    def absorb(self, messy_ds, threshold: float | None = None, idf: dict | None = None):
+        """Match, then append UNMATCHED messy records to the canonical index —
+        the 1.x gazetteer flow that grows the gazetteer with novel entities
+        (gazetteer_postgres_example.py:330-345: unmatched messy rows inserted
+        into the canonical table and re-indexed).
+
+        Returns the match Dataset (id_a=messy, id_b=canon, score).  After the
+        call, a subsequent ``search`` sees the absorbed records as canonical.
+        """
+        import pyarrow.compute as pc
+
+        matches = self.search(messy_ds, n_matches=1, threshold=threshold, idf=idf).materialize()
+        matched_raw = {
+            r["id_a"].split(":", 1)[1] for r in matches.iter_rows()
+        }
+        id_col = self.id_col
+
+        def keep_unmatched(t: pa.Table) -> pa.Table:
+            raw = pc.cast(t[id_col], pa.string()).to_pylist()
+            mask = pa.array([v not in matched_raw for v in raw])
+            return t.filter(mask)
+
+        unmatched = messy_ds.map_batches(keep_unmatched, batch_format="pyarrow")
+
+        def tag_canon(t: pa.Table) -> pa.Table:
+            ids = pc.binary_join_element_wise(
+                pa.array(["1"] * t.num_rows, pa.string()), pc.cast(t[id_col], pa.string()), ":"
+            )
+            t = t.drop_columns([id_col]).append_column(id_col, ids)
+            return t.append_column("__source", pa.array([1] * t.num_rows, pa.int8()))
+
+        tagged = unmatched.map_batches(tag_canon, batch_format="pyarrow").materialize()
+        if tagged.count() > 0:
+            new_blocks = fingerprint_dataset(tagged, self.settings, id_col, ["__source"])
+            self.blocks = self.blocks.union(new_blocks).materialize()
+            self._canon_map = pa.concat_tables(
+                [self._canon_map, build_record_map(tagged, id_col, self.carry)]
+            ).combine_chunks()
+        return matches

@@ -1,0 +1,97 @@
+"""Shipped plugin comparators — the reference's third-party field-variable
+surface exercised for real (extended-variables/officers.py:12-15,108-118:
+``WesternName(..., crf=True)`` / ``USAddress(..., crf=True)`` are pip-installed
+plugin packages used exactly like built-ins).
+
+``western_name`` is a structured name comparator registered through the same
+``register_comparator`` hook any third-party package would use: parse
+"first [middle...] last", compare the parts with Jaro-Winkler, weight the
+surname highest, and give initial-vs-full-name agreement partial credit.
+Import of this module is the plugin "installation"; the scorer lazily imports
+it when it meets an unknown comparator name, so worker processes resolve
+shipped plugins without driver-side setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .distances import jaro_winkler
+from .scoring import register_comparator
+
+
+def _parse_name(name: str) -> tuple[str, str, str]:
+    """'first [middles] last' -> (first, middles-joined, last); single token
+    counts as a last name (surname is the load-bearing part)."""
+    parts = (name or "").split()
+    if not parts:
+        return "", "", ""
+    if len(parts) == 1:
+        return "", "", parts[0]
+    return parts[0], " ".join(parts[1:-1]), parts[-1]
+
+
+def _part_sim(a: str, b: str) -> float:
+    """Jaro-Winkler with initial handling: 'j' vs 'john' gets fixed partial
+    credit instead of a misleading string distance."""
+    if not a or not b:
+        return 0.0
+    if len(a) == 1 or len(b) == 1:
+        return 0.75 if a[0] == b[0] else 0.0
+    return jaro_winkler(a, b)
+
+
+def western_name_sim(a_list, b_list) -> np.ndarray:
+    """Batch comparator: weighted name-part similarity in [0, 1].
+
+    surname 0.6, first name 0.3, middle 0.1 (middle missing on either side
+    counts as neutral agreement 0.5).  Memoized per distinct raw value.
+    """
+    cache: dict = {}
+
+    def parse(v):
+        got = cache.get(v)
+        if got is None:
+            got = _parse_name(v)
+            cache[v] = got
+        return got
+
+    out = np.zeros(len(a_list), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        if not a or not b:
+            continue
+        if a == b:
+            out[i] = 1.0
+            continue
+        fa, ma, la = parse(a)
+        fb, mb, lb = parse(b)
+        s_last = _part_sim(la, lb)
+        s_first = _part_sim(fa, fb) if (fa and fb) else (0.5 if not fa and not fb else 0.25)
+        s_mid = _part_sim(ma, mb) if (ma and mb) else 0.5
+        out[i] = 0.6 * s_last + 0.3 * s_first + 0.1 * s_mid
+    return out
+
+
+register_comparator("western_name", western_name_sim)
+
+
+def officer_settings():
+    """Settings artifact using the shipped plugin comparator end-to-end
+    (officers.py:108-118 analog: plugin name variable + categorical flag)."""
+    from .config import Field, Settings
+
+    return Settings(
+        fields=[
+            Field("name", "western_name"),
+            Field("unit", "categorical", has_missing=True),
+        ],
+        predicates=[
+            {"kind": "first_token", "column": "name"},
+            {"kind": "suffix", "column": "name", "n": 6},
+        ],
+        weights={"name": 10.0, "unit": 1.0, "unit__missing": -0.25},
+        bias=-7.5,
+        threshold=0.5,
+        max_block_size=200,
+        oversize_policy="salt",
+    )

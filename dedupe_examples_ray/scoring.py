@@ -17,7 +17,8 @@ import pyarrow as pa
 
 from .config import Settings, sigmoid
 from .distances import (
-    affine_gap_sim,
+    affine_gap_sim,  # noqa: F401 — scalar reference, kept for plugins/tests
+    batch_affine_gap_sim,
     batch_jaro_winkler,
     batch_levenshtein_sim,
     batch_token_sig_cosine,
@@ -114,9 +115,7 @@ class PairScorer:
         if comparator == "jaro_winkler":
             return batch_jaro_winkler(a_list, b_list)
         if comparator == "affine_gap":
-            return np.array(
-                [affine_gap_sim(a or "", b or "") if a and b else 0.0 for a, b in zip(a_list, b_list)]
-            )
+            return batch_affine_gap_sim(a_list, b_list)
         if comparator == "text":
             # memoize tokenization per distinct string — a cluster of k
             # records contributes O(k^2) pairs but only k distinct values
@@ -155,6 +154,12 @@ class PairScorer:
                 if a is not None and b is not None:
                     out[i] = haversine_sim(a["lat"], a["lng"], b["lat"], b["lng"])
             return out
+        if comparator in COMPARATOR_REGISTRY:
+            return COMPARATOR_REGISTRY[comparator](a_list, b_list)
+        # shipped plugins register on import; lazily import them so worker
+        # processes resolve plugin comparators without driver-side setup
+        from . import plugins  # noqa: F401
+
         if comparator in COMPARATOR_REGISTRY:
             return COMPARATOR_REGISTRY[comparator](a_list, b_list)
         raise ValueError(f"unknown comparator {comparator!r}")

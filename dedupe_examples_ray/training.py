@@ -64,12 +64,22 @@ def train_settings(
     idf: dict | None = None,
     l2: float = 1e-3,
     iters: int = 500,
+    recall: float | None = None,
+    candidate_predicates: list[dict] | None = None,
+    sample_values: dict | None = None,
+    df_map: dict | None = None,
 ) -> Settings:
     """Fit logistic weights on labeled record pairs -> new Settings artifact.
 
     Deterministic replacement for ``console_label`` + ``train()``; the result
     round-trips through ``Settings.save``/``load`` like the reference's
     settings file (C7).
+
+    With ``recall`` set, the predicate set is SELECTED too (the reference's
+    ``train(recall=0.90)`` cost/recall knob, mysql_example.py:169-174):
+    greedy set-cover over ``candidate_predicates`` (default: the base
+    settings' predicates) picking the cheapest subset that covers >= recall
+    of the labeled matches — see ``select_predicates``.
     """
     cols = sorted({f.column for f in base.fields})
     scorer = PairScorer(base.to_json(), idf_ref=idf)
@@ -88,7 +98,114 @@ def train_settings(
     out = Settings.from_json(base.to_json())
     out.weights = {name: float(w[j]) for j, name in enumerate(base.feature_names())}
     out.bias = float(b)
+    if recall is not None:
+        selected, achieved = select_predicates(
+            candidate_predicates or base.predicates,
+            matches,
+            recall=recall,
+            sample_values=sample_values,
+            df_map=df_map,
+        )
+        if selected:
+            out.predicates = selected
     return out
+
+
+def _pair_key_sets(spec: dict, pairs: list[tuple[dict, dict]], df_map: dict | None):
+    """Per labeled pair: (keys of a, keys of b) under one predicate spec."""
+    from .blocking.predicates import emit_keys, emit_tfidf_canopy
+
+    spec = dict(spec)
+    kind = spec.pop("kind")
+    col = spec.pop("column")
+    out = []
+    for side in (0, 1):
+        arr = pa.array([p[side].get(col) for p in pairs])
+        if kind == "tfidf_canopy":
+            idx, keys = emit_tfidf_canopy(arr, df=df_map, **spec)
+        elif kind == "rare_token":
+            idx, keys = emit_keys("token", arr)
+        else:
+            idx, keys = emit_keys(kind, arr, **spec)
+        sets: list[set] = [set() for _ in pairs]
+        for i, k in zip(idx, keys.to_pylist()):
+            sets[int(i)].add(k)
+        out.append(sets)
+    return out
+
+
+def _predicate_cost(spec: dict, values: list, df_map: dict | None) -> float:
+    """Comparison-cost estimate from block-size stats over a value sample:
+    sum over blocks of n*(n-1)/2 (the Σ|B|² cost shape, SURVEY.md §4)."""
+    from collections import Counter
+
+    from .blocking.predicates import emit_keys, emit_tfidf_canopy
+
+    spec = dict(spec)
+    kind = spec.pop("kind")
+    spec.pop("column", None)
+    arr = pa.array(values)
+    if kind == "tfidf_canopy":
+        idx, keys = emit_tfidf_canopy(arr, df=df_map, **spec)
+    elif kind == "rare_token":
+        idx, keys = emit_keys("token", arr)
+    else:
+        idx, keys = emit_keys(kind, arr, **spec)
+    sizes = Counter(keys.to_pylist())
+    return sum(n * (n - 1) / 2 for n in sizes.values()) + 1.0
+
+
+def select_predicates(
+    candidates: list[dict],
+    matches: list[tuple[dict, dict]],
+    recall: float = 0.9,
+    sample_values: dict | None = None,
+    df_map: dict | None = None,
+) -> tuple[list[dict], float]:
+    """Greedy set-cover predicate selection under a recall constraint —
+    the non-interactive ``train(recall=0.90)`` (mysql_example.py:169-174):
+    pick the cheapest predicate subset whose blocks cover >= recall of the
+    labeled match pairs.
+
+    ``sample_values``: {column: [values...]} sample used for the block-size
+    cost estimate (a labeled-data fallback is used when absent).
+    ``df_map``: token->df index for tfidf_canopy candidates.
+    Returns (selected specs, achieved coverage).
+    """
+    n = len(matches)
+    if n == 0:
+        raise ValueError("no labeled match pairs")
+    covered = np.zeros(n, dtype=bool)
+    cover_vecs = []
+    costs = []
+    for spec in candidates:
+        ka, kb = _pair_key_sets(spec, matches, df_map)
+        cover_vecs.append(np.array([bool(a & b) for a, b in zip(ka, kb)]))
+        col = spec["column"]
+        vals = (
+            sample_values.get(col)
+            if sample_values and col in sample_values
+            else [p[s].get(col) for p in matches for s in (0, 1)]
+        )
+        costs.append(_predicate_cost(spec, vals, df_map))
+    chosen: list[int] = []
+    target = recall * n
+    while covered.sum() < target:
+        best, best_gain = None, 0.0
+        for i, vec in enumerate(cover_vecs):
+            if i in chosen:
+                continue
+            new = float((vec & ~covered).sum())
+            if new <= 0:
+                continue
+            gain = new / costs[i]
+            if gain > best_gain:
+                best, best_gain = i, gain
+        if best is None:
+            break  # no candidate adds coverage — return best effort
+        chosen.append(best)
+        covered |= cover_vecs[best]
+    return [candidates[i] for i in chosen], float(covered.sum()) / n
 
 
 def sample_training_pairs(pairs_ds, sample_size: int = 1500, seed: int = 42):
