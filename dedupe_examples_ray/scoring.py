@@ -1,13 +1,22 @@
-"""Pairwise scoring — actor-pool stage (reference ``Dedupe.score``, T3).
+"""Pairwise scoring — stateful ``map_batches`` stage (reference
+``Dedupe.score``, T3).
 
 The reference scores pair streams with a trained logistic model over
 per-field distances, fanned out over ``num_cores`` subprocesses
 (mysql_example/mysql_example.py:269-271, num_cores mysql_example.py:118,134).
-Here it is a ``map_batches`` actor pool: the settings artifact (weights +
-comparators) and the broadcast IDF stats load once per actor in ``__init__``;
-``__call__`` computes a feature matrix per Arrow batch (batched Levenshtein
-kernel for string fields — no per-pair Python in the hot path) and applies the
-logistic model vectorized.
+Here it is a ``map_batches`` stage over Arrow batches: the settings artifact
+(weights + comparators) and the broadcast record/IDF tables load once per
+worker (task mode with a per-process cache — reuses the session's warm
+worker pool — or a classic actor pool with ``use_actors=True``); each call
+computes a feature matrix per batch with batched kernels (L2-slab
+Levenshtein/Gotoh DPs, token-signature cosine, whole-column Arrow equality)
+and applies the logistic model vectorized.
+
+Pair hydration strategies (record fields -> slim id pairs), smallest working
+set first: ``records=`` broadcast Arrow table (zero-copy per worker, fits-
+one-node regime), ``semi_hydrate`` (bounded candidate sets, no shuffle),
+``bucketed_hydrate`` (partition-aligned cogroup — nothing global anywhere,
+the 100-TB path).
 """
 
 from __future__ import annotations
@@ -483,6 +492,56 @@ def dataset_arrow_types(ds) -> dict:
                 t = pa.string()
         out[nm] = t
     return out
+
+
+def semi_hydrate(pairs_ds, records_ds, id_col: str, cols: list[str]):
+    """Bounded-candidate hydration fast path (no shuffles).
+
+    For SMALL pair sets (LSH candidates after banding are the small side, the
+    way thresholded edges are), the cogroup's two sort-shuffles are pure
+    overhead.  Instead: pull the pairs (bounded by candidate count, like the
+    driver CC edge pull — NOT a corpus collect), semi-join-filter the record
+    table down to only referenced ids (streaming pass, is_in mask), pull that
+    bounded subset, and hydrate with two vectorized takes.  Corpus size never
+    bounds driver memory — candidate count does; callers switch to
+    ``bucketed_hydrate`` above a pair budget.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    tbls = list(pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tbls:
+        return pairs_ds
+    pairs_tbl = pa.concat_tables(tbls).combine_chunks()
+    ids = pc.unique(
+        pa.concat_arrays(
+            [pairs_tbl["id_a"].combine_chunks(), pairs_tbl["id_b"].combine_chunks()]
+        )
+    )
+    ids_ref = ray.put(ids)
+
+    def flt(t: pa.Table) -> pa.Table:
+        vs = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        mask = pc.is_in(t[id_col], value_set=vs)
+        return t.select([id_col] + cols).filter(mask)
+
+    sub_tbls = list(
+        records_ds.map_batches(flt, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    rec_type = dataset_arrow_types(records_ds)
+    if sub_tbls:
+        sub = pa.concat_tables(sub_tbls).combine_chunks()
+    else:
+        sub = pa.table({c: pa.nulls(0, rec_type[c]) for c in [id_col] + cols})
+    out_cols = {n: pairs_tbl[n] for n in pairs_tbl.column_names}
+    for side in ("a", "b"):
+        idx = pc.index_in(pairs_tbl[f"id_{side}"], value_set=sub[id_col].combine_chunks())
+        for c in cols:
+            out_cols[f"{c}_{side}"] = pc.take(sub[c].combine_chunks(), idx)
+    return rd.from_arrow(pa.table(out_cols))
 
 
 def hydrate_pairs(pairs_ds, records_ds, id_col: str, cols: list[str], num_partitions: int = 32):

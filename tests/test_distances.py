@@ -105,3 +105,74 @@ def test_price_and_exact():
     assert exact_sim("x", "x") == 1.0
     assert exact_sim(None, None) == 0.0
     assert exact_sim("x", "y") == 0.0
+
+
+def test_batch_levenshtein_matches_scalar_reference():
+    """int16 slab DP vs a straightforward scalar Wagner-Fischer."""
+    import random
+
+    from dedupe_examples_ray.distances import batch_levenshtein_sim
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[len(b)]
+
+    rng = random.Random(7)
+    A, B = [], []
+    for _ in range(500):
+        A.append("".join(rng.choice("abcde ") for _ in range(rng.randint(0, 47))))
+        B.append("".join(rng.choice("abcde ") for _ in range(rng.randint(0, 47))))
+    got = batch_levenshtein_sim(A, B)
+    for x, y, g in zip(A, B, got):
+        exp = 0.0 if (not x or not y) else 1.0 - lev(x, y) / max(len(x), len(y))
+        assert abs(g - exp) < 1e-12, (x, y)
+
+
+def test_batch_affine_gap_matches_scalar():
+    import random
+
+    from dedupe_examples_ray.distances import affine_gap_sim, batch_affine_gap_sim
+
+    rng = random.Random(3)
+    A, B = [], []
+    for _ in range(500):
+        A.append("".join(rng.choice("abcd ") for _ in range(rng.randint(0, 40))))
+        B.append("".join(rng.choice("abcd ") for _ in range(rng.randint(0, 40))))
+    A += [None, "", "abc", "abc"]
+    B += ["abc", "", None, "abc"]
+    got = batch_affine_gap_sim(A, B)
+    for x, y, g in zip(A, B, got):
+        if not x and not y:
+            exp = 1.0
+        elif not x or not y:
+            exp = 0.0
+        else:
+            exp = affine_gap_sim(x, y)
+        assert abs(g - exp) < 1e-5, (x, y, g, exp)
+
+
+def test_token_sig_cosine_matches_set_cosine():
+    """Hash-signature cosine == tokens-set cosine (no idf)."""
+    import math
+
+    import pyarrow as pa
+
+    from dedupe_examples_ray.distances import batch_token_sig_cosine, list_array_view
+    from dedupe_examples_ray.normalize import token_signature_array
+
+    a = ["red fox jumps", "alpha beta", "", "same same", "x y z"]
+    b = ["fox red sleeps", "gamma delta", "anything", "same", "x y z"]
+    sa = token_signature_array(pa.array(a))
+    sb = token_signature_array(pa.array(b))
+    oa, va, la = list_array_view(sa)
+    ob, vb, lb = list_array_view(sb)
+    got = batch_token_sig_cosine(oa, va, la, ob, vb, lb)
+    for x, y, g in zip(a, b, got):
+        ta, tb = set(x.split()), set(y.split())
+        exp = len(ta & tb) / math.sqrt(len(ta) * len(tb)) if ta and tb else 0.0
+        assert abs(g - exp) < 1e-12, (x, y, g, exp)

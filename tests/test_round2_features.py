@@ -171,6 +171,33 @@ def test_gazetteer_absorb(ray_session):
     assert "1:m2" in found
 
 
+def test_one_to_one_distributed_equals_greedy(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.pipelines.record_link import (
+        greedy_one_to_one,
+        one_to_one_links,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(120):
+        for j in rng.choice(80, size=rng.integers(1, 4), replace=False):
+            rows.append(
+                {"id_a": f"a{i:03d}", "id_b": f"b{j:03d}",
+                 "score": float(np.round(rng.random(), 6))}
+            )
+    import pandas as pd
+
+    df = pd.DataFrame(rows).drop_duplicates(subset=["id_a", "id_b"])
+    links = rd.from_pandas(df)
+    want = greedy_one_to_one(df)
+    got = one_to_one_links(links, driver_limit=0)  # force distributed rounds
+    got_df = got.to_pandas() if hasattr(got, "to_pandas") else got
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(got_df) == key(want)
+
+
 def test_shipped_plugin_comparator_end_to_end(ray_session):
     import ray.data as rd
 

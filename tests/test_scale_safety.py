@@ -150,3 +150,27 @@ def test_checkpoint_keyed_on_input_identity(ray_session, tmp_path):
     )
     out_b = dedupe_documents(b, workdir=wd).take_all()
     assert {r["record_id"] for r in out_b} == {f"b{i}" for i in range(30)}
+
+
+def test_hydration_paths_agree(ray_session):
+    """bucketed_hydrate (cogroup scale path) and semi_hydrate (bounded fast
+    path) produce identical hydrated pairs, including missing-id nulls."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.scoring import bucketed_hydrate, semi_hydrate
+
+    recs = rd.from_items(
+        [{"id": f"r{i:03d}", "text": f"text {i}", "n": i} for i in range(100)]
+    )
+    prs = [
+        {"id_a": f"r{i:03d}", "id_b": f"r{(i * 7 + 3) % 100:03d}"} for i in range(25)
+    ] + [{"id_a": "r001", "id_b": "zzz"}]
+    pairs = rd.from_items(prs)
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return df.reindex(sorted(df.columns), axis=1).astype(str)
+
+    a = canon(bucketed_hydrate(pairs, recs, "id", ["text", "n"]))
+    b = canon(semi_hydrate(pairs, recs, "id", ["text", "n"]))
+    assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a.shape, b.shape))
