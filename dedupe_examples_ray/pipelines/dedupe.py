@@ -81,14 +81,18 @@ def dedupe_dataset(
     # plus an optional caller token, e.g. the source path) — a rerun against a
     # different/updated corpus must NOT replay stale stage Parquet.
     fp = settings.fingerprint() + f"-n{n_records}" + (f"-{input_token}" if input_token else "")
-    # Hydration strategy: "broadcast" collects the record projection once and
-    # ships it via ray.put (fastest when it fits one node's DRAM budget);
-    # "cogroup" is the partition-aligned scale path — pairs and records
-    # bucketed on the same key, each scorer task touching one record shard,
-    # nothing global anywhere.  "auto" switches on the record count; the old
+    # Hydration strategy (smallest working set first):
+    # - "broadcast": record projection shipped once via ray.put — fastest
+    #   while it fits one node's DRAM budget;
+    # - "sharded": bucket-partitioned Parquet record store written once;
+    #   scorer groups read only their aligned shard — per-task working set is
+    #   records/num_buckets, no record shuffle, resumable by construction;
+    # - "cogroup": fully in-flight partition-aligned cogroup (no shared
+    #   storage needed — pairs AND records shuffle on the same bucket key).
+    # "auto" switches broadcast -> sharded at the record budget; the old
     # Dataset.join fallback (measured ~10x slower) is gone.
     if hydration == "auto":
-        hydration = "broadcast" if n_records <= broadcast_records_limit else "cogroup"
+        hydration = "broadcast" if n_records <= broadcast_records_limit else "sharded"
     if workdir is None:
         records_ds = records_ds.materialize()  # reused for blocks + hydration
 
@@ -118,6 +122,18 @@ def dedupe_dataset(
             records = build_record_map(records_ds, id_col, carry)
             scores = score_pairs(
                 pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records
+            )
+        elif hydration == "sharded":
+            import tempfile
+
+            from ..scoring import score_pairs_sharded, shard_records_to_store
+
+            store = (
+                f"{workdir}/record_store" if workdir else tempfile.mkdtemp(prefix="recstore_", dir="/tmp")
+            )
+            shard_records_to_store(records_ds, id_col, carry, store)
+            scores = score_pairs_sharded(
+                pairs.select_columns(["id_a", "id_b"]), store, settings, id_col, carry, idf=idf
             )
         elif hydration == "cogroup":
             hydrated = bucketed_hydrate(

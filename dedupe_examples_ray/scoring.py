@@ -494,6 +494,147 @@ def dataset_arrow_types(ds) -> dict:
     return out
 
 
+def shard_records_to_store(
+    records_ds, id_col: str, cols: list[str], store_dir: str, num_buckets: int = 64
+) -> str:
+    """Write a bucket-partitioned Parquet record store: one hive partition
+    per ``stable_hash(id) % num_buckets``.
+
+    This is the partition-aligned hydration SUBSTRATE for the 100-TB regime:
+    the record table is written once, partitioned on the same key the pair
+    shuffle uses, and each scorer group then reads exactly its own shard
+    from storage — no record shuffle per run, no per-node copy of a global
+    table, resumable by construction (north rule: partitioned output).
+    Size ``num_buckets`` to O(record_bytes / target shard size) at scale.
+    """
+    from .pairs import stable_hash
+
+    def add(t: pa.Table) -> pa.Table:
+        b = stable_hash(t[id_col].to_numpy(zero_copy_only=False)) % num_buckets
+        return t.select([id_col] + cols).append_column(
+            "__bkt", pa.array(b.astype("int64"), pa.int64())
+        )
+
+    records_ds.map_batches(add, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["__bkt"]
+    )
+    return store_dir
+
+
+# per-worker shard cache: (store_dir, bucket) -> (pd.Index, pa.Table); small
+# LRU so a worker that serves several buckets doesn't hold the whole store
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_CAP = 8
+
+
+def _read_shard(store_dir: str, bucket: int, id_col: str):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    key = (store_dir, bucket)
+    got = _SHARD_CACHE.get(key)
+    if got is None:
+        import os
+
+        path = os.path.join(store_dir, f"__bkt={bucket}")
+        if os.path.isdir(path):
+            tbl = pq.read_table(path)
+        else:  # empty bucket
+            tbl = None
+        idx = pd.Index(tbl[id_col].to_pandas()) if tbl is not None else None
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_CAP:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = got = (idx, tbl)
+    return got
+
+
+def _attach_side(t: pa.Table, store_dir: str, id_col: str, cols: list[str], side: str) -> pa.Table:
+    """Attach ``{col}_{side}`` from the store shard this group is aligned to."""
+    import pyarrow.compute as pc
+
+    bkt = int(t["__bkt"][0].as_py())
+    idx, shard = _read_shard(store_dir, bkt, id_col)
+    out = {n: t[n] for n in t.column_names if n != "__bkt"}
+    if shard is None:
+        for c in cols:
+            out[f"{c}_{side}"] = pa.nulls(t.num_rows)
+        return pa.table(out)
+    pos = idx.get_indexer(t[f"id_{side}"].to_pandas())
+    take = pa.array([None if p < 0 else p for p in pos] if (pos < 0).any() else pos)
+    for c in cols:
+        out[f"{c}_{side}"] = pc.take(shard[c].combine_chunks(), take)
+    return pa.table(out)
+
+
+def score_pairs_sharded(
+    pairs_ds,
+    store_dir: str,
+    settings: Settings,
+    id_col: str,
+    cols: list[str],
+    idf: dict | None = None,
+    num_buckets: int = 64,
+    keep_features: bool = False,
+):
+    """Score slim (id_a, id_b) pairs against a bucket-partitioned record
+    store (``shard_records_to_store``) — the storage-partition-aligned path.
+
+    Two bucketed pair shuffles, ZERO record shuffles: phase a groups pairs on
+    hash(id_a) and attaches a-side fields from the aligned shard; phase b
+    groups on hash(id_b), attaches b-side fields, and SCORES inside the same
+    group so only slim (id_a, id_b, score) rows leave the stage.  Per-task
+    working set = one shard (records/num_buckets), independent of corpus and
+    cluster size.
+    """
+    import ray
+
+    from .pairs import stable_hash
+
+    idf_ref = None
+    if idf is not None:
+        idf_ref = idf if isinstance(idf, ray.ObjectRef) else ray.put(idf)
+    settings_json = settings.to_json()
+
+    def bucket_by(side):
+        def fn(t: pa.Table) -> pa.Table:
+            b = stable_hash(t[f"id_{side}"].to_numpy(zero_copy_only=False)) % num_buckets
+            if "__bkt" in t.column_names:
+                t = t.drop_columns(["__bkt"])
+            return t.append_column("__bkt", pa.array(b.astype("int64"), pa.int64()))
+
+        return fn
+
+    def phase_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.drop_columns(["__bkt"]) if "__bkt" in t.column_names else t
+        return _attach_side(t, store_dir, id_col, cols, "a")
+
+    def phase_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.nulls(0, pa.string()), "id_b": pa.nulls(0, pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+        hydrated = _attach_side(t, store_dir, id_col, cols, "b")
+        scorer = _score_batch_cached  # per-worker scorer cache
+        out = []
+        n = hydrated.num_rows
+        for o in range(0, n, 65536):
+            out.append(scorer(hydrated.slice(o, 65536), settings_json, idf_ref, keep_features, None))
+        return pa.concat_tables(out)
+
+    a_done = (
+        pairs_ds.map_batches(bucket_by("a"), batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(phase_a, batch_format="pyarrow")
+    )
+    return (
+        a_done.map_batches(bucket_by("b"), batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(phase_b, batch_format="pyarrow")
+    )
+
+
 def semi_hydrate(pairs_ds, records_ds, id_col: str, cols: list[str]):
     """Bounded-candidate hydration fast path (no shuffles).
 

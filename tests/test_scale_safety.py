@@ -174,3 +174,28 @@ def test_hydration_paths_agree(ray_session):
     a = canon(bucketed_hydrate(pairs, recs, "id", ["text", "n"]))
     b = canon(semi_hydrate(pairs, recs, "id", ["text", "n"]))
     assert a.equals(b), (a.compare(b) if a.shape == b.shape else (a.shape, b.shape))
+
+
+def test_sharded_hydration_matches_broadcast(ray_session, tmp_path):
+    """The storage-partition-aligned scorer path (bucket-partitioned record
+    store, zero record shuffles) produces the same entity map as broadcast."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.pipelines.dedupe import dedupe_dataset
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    pages = synth_pages_dataset(120, seed=7).drop_columns(["true_id"]).materialize()
+    slim = pages.select_columns(["url", "text"])
+    derived = slim.map_batches(derive_page_fields, batch_format="pyarrow")
+    s = default_page_settings()
+
+    def run(h):
+        out = dedupe_dataset(derived, s, id_col="url", hydration=h)
+        return out.to_pandas().sort_values("record_id").reset_index(drop=True)
+
+    a = run("broadcast")
+    b = run("sharded")
+    assert a["canon_id"].equals(b["canon_id"])
+    assert (abs(a["cluster_score"].fillna(-1) - b["cluster_score"].fillna(-1)) < 1e-9).all()
