@@ -469,6 +469,28 @@ def _q_media_decode(sf_dir):
     return out[["media_id", "kind", "decoded_ok", "n_bytes"]].sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_frames(sf_dir):
+    """Frame-sampling plumbing (actor pool, small batches, typed features)."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.multimodal import sample_frames, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(60))
+    out = sample_frames(ds, every_ms=2000).to_pandas()
+    return out[["media_id", "frame_ts_ms"]].sort_values(["media_id", "frame_ts_ms"]).reset_index(drop=True)
+
+
+def _q_ann_lsh_top5(sf_dir):
+    """Bucketed ANN scale path (hyperplane signatures + multi-probe)."""
+    from dedupe_examples_ray.ops import ann_lsh
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = vecs.filter(lambda r: r["vec_id"] == 1).take(1)[0]["embedding"]
+    rest = vecs.filter(lambda r: r["vec_id"] != 1)
+    out = ann_lsh(rest, [(1, np.asarray(q, dtype=np.float64))], k=5, n_planes=8)
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_dedupe_documents": _q_er_dedupe_documents,
@@ -502,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_flag_lang": _q_null_flag_lang,
         "er_dedupe_inventors": _q_er_dedupe_inventors,
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
+        "media_frames": _q_media_frames,
+        "ann_lsh_top5": _q_ann_lsh_top5,
     }
 
 
