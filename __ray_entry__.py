@@ -491,6 +491,17 @@ def _q_ann_lsh_top5(sf_dir):
     return out.reset_index(drop=True)
 
 
+def _q_ann_ivf_top5(sf_dir):
+    """IVF ANN (k-means coarse quantizer, bounded train sample, cell scan)."""
+    from dedupe_examples_ray.ops import ann_ivf
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = vecs.filter(lambda r: r["vec_id"] == 2).take(1)[0]["embedding"]
+    rest = vecs.filter(lambda r: r["vec_id"] != 2)
+    out = ann_ivf(rest, [(2, np.asarray(q, dtype=np.float64))], k=5, n_cells=8, n_probe=3)
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_dedupe_documents": _q_er_dedupe_documents,
@@ -526,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
         "media_frames": _q_media_frames,
         "ann_lsh_top5": _q_ann_lsh_top5,
+        "ann_ivf_top5": _q_ann_ivf_top5,
     }
 
 

@@ -5,7 +5,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_dedup,
     embedding_cosine_dedup,
 )
-from .ann import ann_brute_force, ann_lsh  # noqa: F401
+from .ann import ann_brute_force, ann_ivf, ann_lsh  # noqa: F401
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

@@ -84,6 +84,83 @@ def ann_brute_force(ds, queries: list[tuple], k: int = 10, id_col: str = "vec_id
     return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def kmeans_fit(X: np.ndarray, k: int, iters: int = 12, seed: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means (numpy, kmeans++-lite seeding) -> (k, dim)
+    centroids.  Trains the IVF coarse quantizer on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    k = min(k, n)
+    # seeding: first centroid random, rest = farthest-point heuristic
+    cent = [X[int(rng.integers(0, n))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.asarray(cent)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        cent.append(X[int(np.argmax(d2))])
+    C = np.asarray(cent, dtype=np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def ann_ivf(
+    ds,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 3,
+    train_sample: int = 4096,
+    seed: int = 5,
+):
+    """IVF ANN: k-means coarse quantizer -> per-cell inverted scan.
+
+    Train on a bounded sample (driver-side k-means — the coarse quantizer is
+    tiny state, broadcast to every task), then scan ONLY corpus rows whose
+    nearest centroid is among each query's ``n_probe`` closest cells.  The
+    standard IVF-Flat recall/cost trade: raise n_probe toward n_cells for
+    exactness.  At 100 TB the train sample stays fixed-size and the filter
+    pass is one streaming map — nothing materializes the corpus.
+    """
+    import ray
+
+    n = ds.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).take(train_sample)
+    if not sample:
+        return ann_brute_force(ds, queries, k=k, id_col=id_col, vec_col=vec_col)
+    X = _as_matrix([r[vec_col] for r in sample])
+    C = kmeans_fit(_normalize(X), n_cells, seed=seed)
+    Cn = _normalize(C)
+    Q = _normalize(_as_matrix([q[1] for q in queries]))
+    # cosine nearest cells per query (vectors normalized -> dot = cosine)
+    probe_cells = np.unique(
+        np.argsort(-(Q @ Cn.T), axis=1)[:, : min(n_probe, len(Cn))].ravel()
+    )
+    cref = ray.put(Cn)
+    pref = ray.put(probe_cells)
+
+    def cell_filter(t):
+        if t.num_rows == 0:
+            return t
+        Cn_ = ray.get(cref)
+        probe = ray.get(pref)
+        V = _normalize(_as_matrix(t[vec_col].to_pylist()))
+        cells = (V @ Cn_.T).argmax(axis=1)
+        import pyarrow as pa_
+
+        return t.filter(pa_.array(np.isin(cells, probe)))
+
+    filtered = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return ann_brute_force(filtered, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def ann_lsh(
     ds,
     queries: list[tuple],

@@ -184,8 +184,15 @@ class PairScorer:
             if self._rec_index is not None:
                 ia = self._rec_index.get_indexer(batch["id_a"].to_pandas())
                 ib = self._rec_index.get_indexer(batch["id_b"].to_pandas())
-                idx_a = pa.array([None if i < 0 else i for i in ia] if (ia < 0).any() else ia)
-                idx_b = pa.array([None if i < 0 else i for i in ib] if (ib < 0).any() else ib)
+
+                def _idx(v):  # typed so an all-miss batch doesn't infer null
+                    return pa.array(
+                        [None if i < 0 else int(i) for i in v] if (v < 0).any() else v,
+                        type=pa.int64(),
+                    )
+
+                idx_a = _idx(ia)
+                idx_b = _idx(ib)
             else:
                 idx_a = pc.index_in(batch["id_a"], value_set=self._rec_ids)
                 idx_b = pc.index_in(batch["id_b"], value_set=self._rec_ids)

@@ -179,3 +179,30 @@ def test_multimodal_stub(ray_session):
     assert (frames.groupby("media_id").size() >= 1).all()
     with pytest.raises(NotImplementedError):
         MediaDecoder(decoder="real")
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF with full probe = exact; partial probe finds planted neighbors."""
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import ann_brute_force, ann_ivf
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated gaussian clusters in 8d
+    centers = rng.standard_normal((4, 8)) * 10
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(8) * 0.3
+        rows.append({"vec_id": f"v{i:03d}", "embedding": v.tolist()})
+    ds = rd.from_items(rows)
+    q = [("q0", (centers[0] + rng.standard_normal(8) * 0.1).tolist())]
+    exact = ann_brute_force(ds, q, k=10)
+    # full probe == exact
+    full = ann_ivf(ds, q, k=10, n_cells=8, n_probe=8)
+    assert set(full["match_id"]) == set(exact["match_id"])
+    # partial probe keeps high recall on clustered data
+    part = ann_ivf(ds, q, k=10, n_cells=4, n_probe=1)
+    recall = len(set(part["match_id"]) & set(exact["match_id"])) / 10
+    assert recall >= 0.9
