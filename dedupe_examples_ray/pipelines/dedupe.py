@@ -21,7 +21,7 @@ the last completed stage.
 from __future__ import annotations
 
 from ..blocking import compute_token_df, fingerprint_dataset, idf_from_df
-from ..checkpoint import run_stage
+from ..checkpoint import run_stage, stage_complete
 from ..cluster import (
     build_entity_map,
     connected_components,
@@ -102,6 +102,17 @@ def dedupe_dataset(
         workdir,
         fp,
     )
+    # checkpointed runs record the skew posture (blocks over cap, estimated
+    # emitted/dropped pairs — the reference's per-10k progress print, M13,
+    # generalized to durable per-stage metrics) in the pairs manifest
+    pairs_metrics = None
+    if workdir is not None and not stage_complete(workdir, "pairs", fp):
+        from ..pairs import pair_metrics
+
+        pairs_metrics = pair_metrics(
+            blocks, id_col, max_block_size=settings.max_block_size,
+            policy=settings.oversize_policy,
+        )
     pairs = run_stage(
         "pairs",
         lambda: candidate_pairs(
@@ -113,6 +124,7 @@ def dedupe_dataset(
         ),
         workdir,
         fp,
+        metrics=pairs_metrics,
     )
     if scorer_blocks:
         pairs = pairs.repartition(scorer_blocks)
@@ -124,14 +136,26 @@ def dedupe_dataset(
                 pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records
             )
         elif hydration == "sharded":
+            import os
+            import shutil
             import tempfile
 
             from ..scoring import score_pairs_sharded, shard_records_to_store
 
+            # store keyed on the full run fingerprint (settings + input
+            # identity) with a completion marker: a rerun reuses a finished
+            # store, a changed run rebuilds — never appends into stale shards
             store = (
-                f"{workdir}/record_store" if workdir else tempfile.mkdtemp(prefix="recstore_", dir="/tmp")
+                os.path.join(workdir, f"record_store_{fp}")
+                if workdir
+                else tempfile.mkdtemp(prefix="recstore_", dir="/tmp")
             )
-            shard_records_to_store(records_ds, id_col, carry, store)
+            marker = os.path.join(store, "_COMPLETE")
+            if not os.path.exists(marker):
+                shutil.rmtree(store, ignore_errors=True)
+                shard_records_to_store(records_ds, id_col, carry, store)
+                with open(marker, "w") as f:
+                    f.write("ok")
             scores = score_pairs_sharded(
                 pairs.select_columns(["id_a", "id_b"]), store, settings, id_col, carry, idf=idf
             )
