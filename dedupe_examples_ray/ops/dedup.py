@@ -58,11 +58,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(doc_id, keep_id): keep the min id per exact content hash."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        hs = [
-            int.from_bytes(hashlib.blake2b((s or "").encode(), digest_size=8).digest(), "big") >> 1
-            for s in texts
-        ]
+        # one vectorized 64-bit content hash call over the whole batch
+        texts = np.asarray(t[text_col].to_pylist(), dtype=object)
+        if len(texts):
+            texts = np.where(pd.isna(texts), "", texts)
+        hs = (pd.util.hash_array(texts).astype(np.uint64) >> np.uint64(1)).astype(np.int64)
         return pa.table({id_col: t[id_col], "h": pa.array(hs, pa.int64())})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -435,26 +435,58 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> in
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def batch_simhash64(texts: list) -> np.ndarray:
+    """(n_docs,) uint64 simhashes computed batched: one vectorized token-hash
+    call over the batch's concatenated tokens, bit votes summed per doc with
+    ``np.add.reduceat`` — no per-doc Python beyond the tokenizer split."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    toks = [(tx or "").lower().split() for tx in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    if counts.sum() == 0:
+        return out
+    th = _hash_tokens(np.concatenate([np.asarray(x, dtype=object) for x in toks if x]))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    CHUNK = 1 << 15
+    doc = 0
+    while doc < n:
+        end = doc
+        tok_count = 0
+        while end < n and (tok_count == 0 or tok_count + counts[end] <= CHUNK):
+            tok_count += int(counts[end])
+            end += 1
+        if tok_count > 0:
+            x = th[offsets[doc] : offsets[end]]
+            votes = (
+                2 * ((x[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+                - 1
+            )  # (toks, 64)
+            nonempty = np.flatnonzero(counts[doc:end]) + doc
+            starts = (offsets[nonempty] - offsets[doc]).astype(np.int64)
+            sums = np.add.reduceat(votes, starts, axis=0)  # (n_nonempty, 64)
+            bits = (sums > 0).astype(np.uint64)
+            out[nonempty] = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        doc = end
+    return out
+
+
 def _simhash_bands_batch(t: pa.Table, id_col, text_col, bands) -> pa.Table:
-    ids = t[id_col].to_pylist()
+    ids = np.asarray(t[id_col].to_pylist(), dtype=object)
     texts = t[text_col].to_pylist()
-    rows_id, rows_band, rows_key, rows_sim = [], [], [], []
+    n = len(ids)
     width = 64 // bands
-    mask = (1 << width) - 1
-    for did, text in zip(ids, texts):
-        toks = (text or "").lower().split()
-        sh = simhash64(_hash_tokens(np.array(toks, dtype=object)))
-        for bi in range(bands):
-            rows_id.append(did)
-            rows_band.append(bi)
-            rows_key.append((sh >> (bi * width)) & mask)
-            rows_sim.append(sh)
+    mask = np.uint64((1 << width) - 1)
+    sims = batch_simhash64(texts)
+    shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))[None, :]
+    keys = ((sims[:, None] >> shifts) & mask).astype(np.int64)  # (n, bands)
     return pa.table(
         {
-            id_col: pa.array(rows_id),
-            "band": pa.array(rows_band, pa.int32()),
-            "key": pa.array(rows_key, pa.int64()),
-            "simhash": pa.array(rows_sim, pa.uint64()),
+            id_col: pa.array(np.repeat(ids, bands), t[id_col].type),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "key": pa.array(keys.ravel(), pa.int64()),
+            "simhash": pa.array(np.repeat(sims, bands), pa.uint64()),
         }
     )
 

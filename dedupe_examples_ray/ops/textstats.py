@@ -162,22 +162,67 @@ def rolling_hashes(tokens: list[str], window: int = 4, base: int = 1_000_003) ->
     return out
 
 
+def batch_min_window_hash(token_lists: list, window: int = 4) -> np.ndarray:
+    """Min windowed polynomial hash per doc, computed batched.
+
+    Same robust-sketch semantics as ``min(rolling_hashes(tokens))`` (any
+    window of ``window`` consecutive tokens surviving an edit keeps the
+    fingerprint stable) but vectorized: ONE hash call over the batch's
+    concatenated tokens, the w-term polynomial as w shifted multiply-adds on
+    the flat array (wrapping uint64), per-doc minima via ``minimum.reduceat``.
+    Docs shorter than the window hash their whole token list; empty docs -> 0.
+    """
+    import pandas as pd
+
+    n = len(token_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    counts = np.array([len(x) for x in token_lists], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    th = pd.util.hash_array(
+        np.concatenate([np.asarray(x, dtype=object) for x in token_lists if x])
+    ).astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    base = np.uint64(1_000_003)
+    # windowed polynomial over the flat array: acc[i] = sum th[i+j]*base^(w-1-j)
+    w = window
+    if total >= w:
+        acc = np.zeros(total - w + 1, dtype=np.uint64)
+        p = np.uint64(1)
+        for j in range(w - 1, -1, -1):
+            acc += th[j : total - w + 1 + j] * p
+            p = p * base  # wraps mod 2^64, matching the scalar definition
+        # valid window starts: fully inside one doc
+        for i in np.flatnonzero(counts >= w):
+            s, e = offsets[i], offsets[i + 1]
+            out[i] = acc[s : e - w + 1].min()
+    # short docs: polynomial over the whole token list
+    for i in np.flatnonzero((counts > 0) & (counts < w)):
+        a = np.uint64(0)
+        for x in th[offsets[i] : offsets[i + 1]]:
+            a = a * base + x
+        out[i] = a
+    return out
+
+
 def doc_fingerprint(ds, text_col: str = "text", window: int = 4):
-    """Append ``fingerprint`` (min rolling hash — robust to local edits) and
-    ``content_hash`` (exact FNV-1a of the text)."""
+    """Append ``fingerprint`` (min windowed token hash — robust to local
+    edits) and ``content_hash`` (exact 64-bit hash of the text)."""
     import re
+
+    import pandas as pd
 
     tok_re = re.compile(r"\w+")
 
     def fn(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        fps = []
-        chs = []
-        for s in texts:
-            s = s or ""
-            chs.append(_content_hash(s.encode()))
-            rh = rolling_hashes(tok_re.findall(s.lower()), window)
-            fps.append(min(rh) if rh else 0)
+        toks = [tok_re.findall((s or "").lower()) for s in texts]
+        fps = batch_min_window_hash(toks, window)
+        arr = np.asarray([s or "" for s in texts], dtype=object)
+        chs = pd.util.hash_array(arr).astype(np.uint64) if len(arr) else np.array([], np.uint64)
         return t.append_column("fingerprint", pa.array(fps, pa.uint64())).append_column(
             "content_hash", pa.array(chs, pa.uint64())
         )
