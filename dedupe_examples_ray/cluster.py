@@ -191,6 +191,41 @@ def _dedup_labels(ds):
     return _with_bucket(ds, "node").groupby("bucket").map_groups(min_label, batch_format="pandas")
 
 
+def spanning_forest_batch(t: pa.Table) -> pa.Table:
+    """Per-block edge contraction: replace a block's edges with its spanning
+    forest (node -> block-local root), ≤ nodes-1 edges, connectivity
+    preserved under ANY edge partition (Boruvka-style filtering).
+
+    A plain ``map_batches`` stage — no shuffle — that typically shrinks the
+    edge multiset by the average within-block redundancy before the global
+    CC, extending the driver fast path's reach by the same factor.
+    """
+    if t.num_rows == 0:
+        return pa.table({"id_a": pa.nulls(0, pa.string()), "id_b": pa.nulls(0, pa.string())})
+    ida = pc.cast(t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"], pa.string())
+    idb = pc.cast(t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"], pa.string())
+    both = pa.concat_arrays([ida, idb])
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    m = t.num_rows
+    root = numpy_connected_components(codes[:m], codes[m:], len(enc.dictionary))
+    nodes = np.arange(len(enc.dictionary))
+    keep = nodes != root
+    return pa.table(
+        {
+            "id_a": enc.dictionary.take(pa.array(nodes[keep], pa.int64())),
+            "id_b": enc.dictionary.take(pa.array(root[keep], pa.int64())),
+        }
+    )
+
+
+def contract_edges(edges_ds):
+    """Edge Dataset -> contracted edge Dataset (same connected components)."""
+    return edges_ds.select_columns(["id_a", "id_b"]).map_batches(
+        spanning_forest_batch, batch_format="pyarrow"
+    )
+
+
 def connected_components(edges_ds, driver_limit: int = 2_000_000, max_rounds: int = 20):
     """(id_a, id_b) edge Dataset -> (node, label) Dataset.
 

@@ -214,9 +214,14 @@ def dedupe_dataset(
             fp,
         )
         return entity
+    # beyond the driver budget: contract edges first (per-block spanning
+    # forests, no shuffle, same components) — usually brings the edge set
+    # back under the driver limit; star rounds remain the true fallback
+    from ..cluster import contract_edges
+
     labels = run_stage(
         "clusters",
-        lambda: connected_components(edges, driver_limit=driver_cc_limit),
+        lambda: connected_components(contract_edges(edges), driver_limit=driver_cc_limit),
         workdir,
         fp,
     )

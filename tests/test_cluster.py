@@ -88,3 +88,39 @@ def test_member_confidence_and_entity_map(ray_session):
     # singleton completion: unclustered record becomes its own cluster (J6)
     assert em.loc["lonely", "canon_id"] == "lonely"
     assert np.isnan(em.loc["lonely", "cluster_score"])
+
+
+def test_contract_edges_preserves_components(ray_session):
+    """Per-block spanning-forest contraction keeps exactly the same connected
+    components under an adversarial block split."""
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import connected_components, contract_edges
+
+    rng = np.random.default_rng(4)
+    edges = []
+    # 30 chains of length 8 plus random intra-cluster extras
+    for c in range(30):
+        ids = [f"c{c:02d}n{j}" for j in range(8)]
+        edges += [{"id_a": a, "id_b": b} for a, b in zip(ids, ids[1:])]
+        for _ in range(10):  # redundant edges that contraction should shed
+            i, j = rng.integers(0, 8, size=2)
+            if i != j:
+                edges.append({"id_a": ids[min(i, j)], "id_b": ids[max(i, j)]})
+    rng.shuffle(edges)
+    ds = rd.from_items(edges).repartition(7)  # blocks cut across clusters
+
+    def labels(lds):
+        return {
+            r["node"]: r["label"] for r in lds.iter_rows()
+        }
+
+    direct = labels(connected_components(ds))
+    contracted_ds = contract_edges(ds).materialize()
+    assert contracted_ds.count() < len(edges)  # actually shrank
+    via = labels(connected_components(contracted_ds))
+    assert set(direct) == set(via)
+    # same partition: equal label maps up to component renaming — both use
+    # min-id labels, so they must be identical
+    assert direct == via
