@@ -57,6 +57,24 @@ def _q_er_dedupe_pages(sf_dir):
     return dedupe_pages(pages).to_pandas().sort_values("record_id").reset_index(drop=True)
 
 
+def _q_er_dedupe_pages_canopy(sf_dir):
+    """Flagship ER with the TF-IDF canopy index predicate in the settings
+    artifact (two-pass: DF aggregate -> broadcast index -> rarest-k keys);
+    recall-robust to token reordering that positional predicates miss."""
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    settings = default_page_settings()
+    settings.predicates = settings.predicates + [
+        {"kind": "tfidf_canopy", "column": "title", "k": 2}
+    ]
+    full = synth_pages_dataset(200, seed=42)
+    pages = full.drop_columns(["true_id"])
+    out = dedupe_pages(pages, settings=settings)
+    return out.to_pandas().sort_values("record_id").reset_index(drop=True)
+
+
 def _q_pages_extract_invariant(sf_dir):
     """Byte-identical extraction check as a pipeline: count of mismatches."""
     import ray.data as rd
@@ -538,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
+        "er_dedupe_pages_canopy": _q_er_dedupe_pages_canopy,
     }
 
 

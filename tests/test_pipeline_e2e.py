@@ -45,3 +45,18 @@ def test_confidence_present_for_clustered(gold_run):
     clustered = entity[entity["record_id"] != entity["canon_id"]]
     assert clustered["cluster_score"].notna().all()
     assert ((clustered["cluster_score"] > 0.5) & (clustered["cluster_score"] <= 1.0)).all()
+
+
+def test_f1_with_canopy_predicates(ray_session):
+    """Adding the TF-IDF canopy index predicate keeps the gold contract
+    (recall can only grow; precision is guarded by the scorer)."""
+    from dedupe_examples_ray.config import default_page_settings
+
+    full = synth_pages_dataset(150, seed=7)
+    pages = full.drop_columns(["true_id"]).materialize()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    s = default_page_settings()
+    s.predicates = s.predicates + [{"kind": "tfidf_canopy", "column": "title", "k": 2}]
+    entity = dedupe_pages(pages, settings=s).to_pandas()
+    scores = evaluate_entity_map(entity, gold)
+    assert scores["f1"] >= 0.99, scores
