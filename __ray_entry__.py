@@ -520,6 +520,112 @@ def _q_ann_ivf_top5(sf_dir):
     return out.reset_index(drop=True)
 
 
+def _q_events_window_6h(sf_dir):
+    """Tumbling-window aggregate (6-hour windows) — derived-key combiner."""
+    from dedupe_examples_ray.windows import tumbling_window
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return tumbling_window(ev, "ts", ["event_type"], {"value": "sum_value"},
+                           multiple=6, unit="hour", count_col="n", round_digits=4)
+
+
+def _q_sessionize_events(sf_dir):
+    """Gap-based sessionization (30-min gap) per user."""
+    from dedupe_examples_ray.windows import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ev, gap_s=1800.0).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_running_total_orders(sf_dir):
+    """Per-customer running order total (SQL windowed SUM parity)."""
+    from dedupe_examples_ray.windows import running_sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = running_sum(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "o_totalprice", round_digits=4)
+    return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
+
+
+def _q_top3_orders_per_cust(sf_dir):
+    """Per-key top-n with combiner pruning (ROW_NUMBER ... QUALIFY parity)."""
+    from dedupe_examples_ray.windows import grouped_top_n
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_top_n(orders, ["o_custkey"], by="o_totalprice", n=3,
+                         tie_cols=["o_orderkey"], rank_col="rank")
+
+
+def _q_asof_click_purchase(sf_dir):
+    """As-of join: each click matched to the user's most recent purchase."""
+    from dedupe_examples_ray.relational import filter_batches
+    from dedupe_examples_ray.windows import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    clicks = filter_batches(ev, lambda t: pc.equal(t["event_type"], "click"))
+    purchases = filter_batches(ev, lambda t: pc.equal(t["event_type"], "purchase"))
+    out = asof_join(clicks, purchases, key_col="user_id", ts_col="ts",
+                    left_id="event_id", right_id="event_id",
+                    out_right_id="purchase_event_id", how="inner")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+_PRICE_BANDS = [("b900", 900.0, 920.0), ("b920", 920.0, 940.0),
+                ("b940", 940.0, 960.0), ("b960", 960.0, 980.0),
+                ("b980", 980.0, 1000.0)]
+
+
+def _q_price_band_parts(sf_dir):
+    """Range join of parts against broadcast price bands."""
+    import pandas as pd
+
+    from dedupe_examples_ray.relational import range_join_broadcast
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    bands = pd.DataFrame(_PRICE_BANDS, columns=["band", "lo", "hi"])
+    out = range_join_broadcast(part, bands, val_col="p_retailprice")
+    return out.select_columns(["p_partkey", "band"])
+
+
+def _q_grouped_stats_orders(sf_dir):
+    """AVG/MIN/MAX/COUNT per priority (combiner partials, derived mean)."""
+    from dedupe_examples_ray.relational import grouped_stats
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return grouped_stats(orders, ["o_orderpriority"], "o_totalprice",
+                         round_digits=4, prefix="price")
+
+
+def _q_quantile_price_by_priority(sf_dir):
+    """Exact per-group quantiles (quantile_cont parity)."""
+    from dedupe_examples_ray.relational import grouped_quantile
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return grouped_quantile(orders, ["o_orderpriority"], "o_totalprice",
+                            {"p50": 0.5, "p90": 0.9}, round_digits=4)
+
+
+def _q_ptype_except(sf_dir):
+    """Bucketed distributed EXCEPT (neither side broadcast)."""
+    from dedupe_examples_ray.relational import except_distinct, filter_batches
+
+    part = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+    a = filter_batches(part, lambda t: pc.equal(t["p_size"], 50))
+    b = filter_batches(part, lambda t: pc.equal(t["p_size"], 1))
+    return except_distinct(a, b, ["p_brand", "p_type"])
+
+
+def _q_ptype_intersect(sf_dir):
+    """Bucketed distributed INTERSECT (neither side broadcast)."""
+    from dedupe_examples_ray.relational import filter_batches, intersect_distinct
+
+    part = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+    a = filter_batches(part, lambda t: pc.equal(t["p_size"], 50))
+    b = filter_batches(part, lambda t: pc.equal(t["p_size"], 1))
+    return intersect_distinct(a, b, ["p_brand", "p_type"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_dedupe_documents": _q_er_dedupe_documents,
@@ -557,6 +663,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
         "er_dedupe_pages_canopy": _q_er_dedupe_pages_canopy,
+        "events_window_6h": _q_events_window_6h,
+        "sessionize_events": _q_sessionize_events,
+        "running_total_orders": _q_running_total_orders,
+        "top3_orders_per_cust": _q_top3_orders_per_cust,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "price_band_parts": _q_price_band_parts,
+        "grouped_stats_orders": _q_grouped_stats_orders,
+        "quantile_price_by_priority": _q_quantile_price_by_priority,
+        "ptype_except": _q_ptype_except,
+        "ptype_intersect": _q_ptype_intersect,
     }
 
 
@@ -646,6 +762,61 @@ def oracle_sql() -> dict[str, str]:
         # the extraction invariant demands every one byte-identical
         "pages_extract_invariant": (
             "SELECT CAST(554 AS BIGINT) AS n_rows, CAST(554 AS BIGINT) AS n_ok"
+        ),
+        "events_window_6h": (
+            "SELECT event_type, make_timestamp(CAST(epoch_us(ts) // 21600000000 AS BIGINT)"
+            " * 21600000000) AS win, ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize_events": (
+            "SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM ("
+            "  SELECT event_id, user_id, SUM(CASE WHEN prev_us IS NULL OR "
+            "    epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) "
+            "    OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "          ROWS UNBOUNDED PRECEDING) AS session_id "
+            "  FROM (SELECT event_id, user_id, ts, LAG(epoch_us(ts)) "
+            "        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us "
+            "        FROM events)) ORDER BY event_id"
+        ),
+        "running_total_orders": (
+            "SELECT o_orderkey, o_custkey, ROUND(SUM(o_totalprice) "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING), 4) AS running_total FROM orders"
+        ),
+        "top3_orders_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, "
+            "    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn "
+            "  FROM orders) WHERE rn <= 3"
+        ),
+        "asof_click_purchase": (
+            "SELECT l.event_id, l.user_id, r.event_id AS purchase_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
+        ),
+        "price_band_parts": (
+            "SELECT p_partkey, band FROM part JOIN (VALUES "
+            + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+            + ") AS bands(band, lo, hi) ON p_retailprice >= lo AND p_retailprice < hi"
+        ),
+        "grouped_stats_orders": (
+            "SELECT o_orderpriority, ROUND(SUM(o_totalprice)/COUNT(*), 4) AS avg_price, "
+            "ROUND(MIN(o_totalprice), 4) AS min_price, ROUND(MAX(o_totalprice), 4) AS max_price, "
+            "COUNT(*) AS n FROM orders GROUP BY 1"
+        ),
+        "quantile_price_by_priority": (
+            "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY 1"
+        ),
+        "ptype_except": (
+            "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "
+            "EXCEPT SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 1"
+        ),
+        "ptype_intersect": (
+            "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "
+            "INTERSECT SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 1"
         ),
     }
 

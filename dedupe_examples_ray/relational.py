@@ -137,3 +137,160 @@ def filter_batches(ds, predicate):
     return ds.map_batches(
         lambda t: t.filter(predicate(t)), batch_format="pyarrow"
     )
+
+
+def grouped_stats(ds, keys: list[str], col: str, round_digits: int = 4,
+                  prefix: str | None = None):
+    """``SELECT keys, AVG(col), MIN(col), MAX(col), COUNT(*) GROUP BY keys``.
+
+    Combiner pattern: each batch collapses to one (sum, count, min, max) row
+    per key before the shuffle; avg is derived after the global merge (a mean
+    of means would be wrong under uneven batch sizes).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    p = prefix or col
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [col]).to_pandas()
+        g = df.groupby(keys, as_index=False, sort=False)[col].agg(
+            ["sum", "count", "min", "max"]
+        ).reset_index(drop=True)
+        g.columns = keys + ["_s", "_c", "_mn", "_mx"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    merged = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
+        Sum("_s", alias_name="_s"),
+        Sum("_c", alias_name="_c"),
+        Min("_mn", alias_name="_mn"),
+        Max("_mx", alias_name="_mx"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["_s"].to_pylist(), dtype=np.float64)
+        c = np.asarray(t["_c"].to_pylist(), dtype=np.float64)
+        scale = 10.0 ** round_digits
+        rnd = lambda x: np.floor(np.asarray(x, np.float64) * scale + 0.5) / scale
+        cols = {k: t[k] for k in keys}
+        cols[f"avg_{p}"] = pa.array(rnd(s / np.maximum(c, 1.0)), pa.float64())
+        cols[f"min_{p}"] = pa.array(rnd(t["_mn"].to_pylist()), pa.float64())
+        cols[f"max_{p}"] = pa.array(rnd(t["_mx"].to_pylist()), pa.float64())
+        cols["n"] = pa.array(c.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
+                     round_digits: int = 4):
+    """Exact per-group quantiles (linear interpolation — ``quantile_cont``
+    semantics).  One shuffle on the keys; the whole group's values sort inside
+    one task, so this is the exact path for bounded groups — for groups that
+    exceed task memory at 100 TB, switch to a mergeable sketch (KLL/t-digest)
+    with the same output schema.
+    """
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[col].to_numpy(dtype=np.float64))
+        scale = 10.0 ** round_digits
+        out = {k: [df[k].iloc[0]] for k in keys}
+        for name, q in qs.items():
+            val = float(np.percentile(v, q * 100.0, method="linear"))
+            out[name] = [np.floor(val * scale + 0.5) / scale]
+        return pd.DataFrame(out)
+
+    proj = ds.select_columns(keys + [col])
+    return proj.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
+def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
+                         band_col: str = "band", lo_col: str = "lo",
+                         hi_col: str = "hi", concurrency=(1, 4)):
+    """Inner join of a big table against a small interval table on
+    ``lo <= val < hi`` — the classic range join, with the small side broadcast
+    (``ray.put`` once) and resolved per batch via ``np.searchsorted`` when the
+    intervals are non-overlapping, falling back to a vectorized mask per
+    interval otherwise.  No shuffle of the big side.
+    """
+    import ray
+
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    lo = iv[lo_col].to_numpy(dtype=np.float64)
+    hi = iv[hi_col].to_numpy(dtype=np.float64)
+    disjoint = bool(np.all(hi[:-1] <= lo[1:])) if len(iv) > 1 else True
+    ref = ray.put((lo, hi, iv[band_col].to_numpy()))
+
+    class _RangeJoiner:
+        def __init__(self):
+            self.lo, self.hi, self.bands = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[val_col].to_pylist(), dtype=np.float64)
+            if disjoint:
+                idx = np.searchsorted(self.lo, v, side="right") - 1
+                ok = (idx >= 0) & (v < self.hi[np.maximum(idx, 0)])
+                kept = t.filter(pa.array(ok))
+                return kept.append_column(
+                    band_col, pa.array(self.bands[idx[ok]].tolist(), pa.string())
+                )
+            parts = []
+            for j in range(len(self.lo)):
+                m = (v >= self.lo[j]) & (v < self.hi[j])
+                if m.any():
+                    sub = t.filter(pa.array(m))
+                    parts.append(sub.append_column(
+                        band_col,
+                        pa.array([self.bands[j]] * sub.num_rows, pa.string()),
+                    ))
+            if not parts:
+                return t.slice(0, 0).append_column(band_col, pa.array([], pa.string()))
+            return pa.concat_tables(parts)
+
+    return ds.map_batches(_RangeJoiner, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def _tagged_distinct_setop(ds_a, ds_b, cols: list[str], keep: str,
+                           num_buckets: int = 64):
+    """Shared engine for EXCEPT/INTERSECT (DISTINCT semantics): tag each side,
+    per-batch dedupe (combiner), one bucketed shuffle on a row hash, then a
+    vectorized set decision per bucket.  Neither side is broadcast — both may
+    be arbitrarily large.
+    """
+
+    def local(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            u = df[cols].drop_duplicates().reset_index(drop=True)
+            u["bucket"] = (
+                pd.util.hash_pandas_object(u, index=False).to_numpy() % num_buckets
+            ).astype(np.int64)
+            u["side"] = np.int8(side)
+            return u
+
+        return fn
+
+    tagged = ds_a.select_columns(cols).map_batches(local(0), batch_format="pandas").union(
+        ds_b.select_columns(cols).map_batches(local(1), batch_format="pandas")
+    )
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        in_a = df[df["side"] == 0][cols].drop_duplicates()
+        b_keys = set(map(tuple, df[df["side"] == 1][cols].itertuples(index=False)))
+        mask = [tuple(r) in b_keys for r in in_a.itertuples(index=False)]
+        m = np.asarray(mask, dtype=bool) if mask else np.zeros(0, dtype=bool)
+        return in_a[m] if keep == "both" else in_a[~m]
+
+    return tagged.groupby("bucket").map_groups(decide, batch_format="pandas")
+
+
+def except_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
+    """``SELECT DISTINCT cols FROM a EXCEPT SELECT DISTINCT cols FROM b``."""
+    return _tagged_distinct_setop(ds_a, ds_b, cols, keep="a_only", num_buckets=num_buckets)
+
+
+def intersect_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
+    """``SELECT DISTINCT cols FROM a INTERSECT SELECT DISTINCT ... FROM b``."""
+    return _tagged_distinct_setop(ds_a, ds_b, cols, keep="both", num_buckets=num_buckets)

@@ -1,0 +1,258 @@
+"""Windowed / ordered operators the reference (and plain Ray Data) lack.
+
+The reference is strictly batch (SURVEY.md §2.9) — but a training-data engine
+over event streams needs windowed aggregates, sessionization, running totals,
+per-key top-n and as-of joins.  Each is expressed Ray-Data-first as a
+composition of ``map_batches`` (combiners) + ``groupby``/``map_groups`` with
+ONE documented partitioning assumption per operator:
+
+- ``tumbling_window``: pure derived-key groupby — reuses the combiner-pattern
+  ``grouped_sum`` (no new shuffle shape; the window start is just a key).
+- ``sessionize`` / ``running_sum``: shuffle once on the entity key; ordered
+  logic runs vectorized (sort + diff/cumsum) inside each group.
+  **Partitioning assumption: one entity's history fits in one task** — the
+  same assumption any per-user sessionizer makes; salting would break the
+  session chain, so skewed entities must be bounded upstream.
+- ``grouped_top_n``: per-batch partial top-n (combiner) so the shuffle moves
+  at most ``n`` rows per key per batch, then a final per-key top-n.
+- ``asof_join``: both sides tagged and co-partitioned on the join key in one
+  shuffle; within each key group a sorted ``np.searchsorted`` resolves the
+  most-recent-right-row-at-or-before-left-ts (DuckDB ``ASOF JOIN`` semantics;
+  ties on right ts resolved deterministically to the largest right id).
+
+No operator here materializes its input on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import grouped_sum
+
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    """DuckDB ROUND (half away from zero) for non-negative doubles; numpy and
+    pandas round half-to-even, which differs on exact .5 boundaries."""
+    scale = 10.0 ** digits
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
+
+
+def tumbling_window(
+    ds,
+    ts_col: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    multiple: int = 6,
+    unit: str = "hour",
+    window_col: str = "win",
+    count_col: str | None = None,
+    round_digits: int | None = None,
+):
+    """Fixed (tumbling) time-window aggregate: floor each timestamp to the
+    window start, then ``grouped_sum`` on (keys..., window).
+
+    The window start is epoch-aligned (``floor(epoch/width)*width``), matching
+    ``make_timestamp(floor(epoch_us(ts)/W)*W)`` in SQL.  Scale posture is
+    identical to ``grouped_sum`` — the combiner collapses each batch to one
+    row per (key, window) before the shuffle.
+    """
+    width_us = _UNIT_SECONDS[unit] * multiple * 1_000_000
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = pc.cast(ts, pa.int64())
+        # integer floor-divide (epoch >= 0 here), exact at any timestamp
+        win = pc.multiply(pc.divide(us, width_us), width_us)
+        win_ts = pc.cast(win, pa.timestamp("us"))
+        cols = {k: t[k] for k in keys}
+        cols[window_col] = win_ts
+        for c in sum_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    out = grouped_sum(derived, keys + [window_col], sum_cols, count_col=count_col,
+                      round_digits=round_digits)
+    # Ray's sort-based aggregate can downcast timestamp keys; restore us unit
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index(window_col), window_col,
+            pc.cast(t[window_col], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sessionize(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: float = 1800.0,
+    out_col: str = "session_id",
+):
+    """Gap-based sessionization: events of one entity, ordered by
+    ``(ts, id)``, start a new session when the gap to the previous event
+    exceeds ``gap_s`` seconds.  Session ids are 1-based per entity.
+
+    One shuffle on ``key_col``; inside each group the chain is vectorized
+    (sort + diff + cumsum).  Assumes one entity's history fits in a task (the
+    session chain cannot be salted without splitting sessions).
+    """
+    gap_us = int(gap_s * 1_000_000)
+    proj = ds.select_columns([id_col, key_col, ts_col])
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        # explicit unit: pandas may hold datetime64[us] or [ns] depending on source
+        us = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gaps = np.diff(us)
+        new = np.ones(len(us), dtype=np.int64)
+        if len(us) > 1:
+            new[1:] = (gaps > gap_us).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                key_col: df[key_col].to_numpy(),
+                out_col: np.cumsum(new),
+            }
+        )
+
+    return proj.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def running_sum(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "running_total",
+    round_digits: int | None = None,
+):
+    """Per-key running total in ``order_cols`` order (SQL
+    ``SUM(val) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``).  One shuffle on the key; sequential accumulation order is
+    fixed by the sort, so results are bit-stable across partitionings.
+    """
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        acc = df[val_col].to_numpy(dtype=np.float64).cumsum()
+        if round_digits is not None:
+            acc = _round_half_away(acc, round_digits)
+        df[out_col] = acc
+        return df
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_top_n(
+    ds,
+    key_cols: list[str],
+    by: str,
+    n: int,
+    ascending: bool = False,
+    tie_cols: list[str] | None = None,
+    rank_col: str | None = "rank",
+):
+    """Top-``n`` rows per key by ``by`` (deterministic tie-break on
+    ``tie_cols``), with an optional 1-based rank column (SQL ``ROW_NUMBER()
+    ... QUALIFY rn <= n``).
+
+    Combiner pattern: each batch is pruned to its local per-key top-n BEFORE
+    the shuffle, so at most ``n`` rows per key per batch move — a hot key
+    costs ``n × num_batches`` rows, never its full row count.
+    """
+    order = [by] + (tie_cols or [])
+    asc = [ascending] + [True] * len(tie_cols or [])
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(order, ascending=asc, kind="mergesort")
+        return s.groupby(key_cols, sort=False).head(n)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(order, ascending=asc, kind="mergesort").head(n)
+        if rank_col:
+            s = s.reset_index(drop=True)
+            s[rank_col] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    return pruned.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def asof_join(
+    left,
+    right,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    out_right_id: str | None = None,
+    how: str = "inner",
+):
+    """As-of join: for each left row, the right row with the same key and the
+    greatest ``ts`` <= left ``ts`` (DuckDB ``ASOF JOIN ... ON l.key = r.key
+    AND l.ts >= r.ts``).  Ties on right ``ts`` resolve to the largest right
+    id, deterministically.
+
+    Both sides are tagged and co-partitioned on ``key_col`` in ONE shuffle
+    (no broadcast — either side may be large); within each key group a sorted
+    ``np.searchsorted`` resolves every probe in O((L+R) log R).  ``how``:
+    "inner" drops unmatched left rows (keeps output columns non-nullable);
+    "left" keeps them with a null match id.
+    """
+    out_right_id = out_right_id or f"{right_id}_matched"
+
+    def tag(side: int, id_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    ts_col: t[ts_col],
+                    "rid": pc.cast(t[id_col], pa.int64()),
+                    "side": pa.array(np.full(t.num_rows, side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    tagged = left.select_columns([key_col, ts_col, left_id]).map_batches(
+        tag(0, left_id), batch_format="pyarrow"
+    ).union(
+        right.select_columns([key_col, ts_col, right_id]).map_batches(
+            tag(1, right_id), batch_format="pyarrow"
+        )
+    )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["side"] == 0].sort_values([ts_col, "rid"], kind="mergesort")
+        r = df[df["side"] == 1].sort_values([ts_col, "rid"], kind="mergesort")
+        lts = l[ts_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        rts = r[ts_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        # rightmost right row with rts <= lts; sort put the max-id row last
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        matched = idx >= 0
+        out = pd.DataFrame(
+            {
+                left_id: l["rid"].to_numpy(),
+                key_col: l[key_col].to_numpy(),
+                out_right_id: np.where(matched, r["rid"].to_numpy()[np.maximum(idx, 0)]
+                                       if len(r) else np.zeros(len(l), np.int64), -1),
+            }
+        )
+        if how == "inner":
+            return out[matched.astype(bool)] if len(out) else out
+        out[out_right_id] = out[out_right_id].where(matched, other=pd.NA).astype("Int64")
+        return out
+
+    return tagged.groupby(key_col).map_groups(per_key, batch_format="pandas")

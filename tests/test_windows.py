@@ -1,0 +1,195 @@
+"""Unit tests for windowed/ordered operators (windows.py) and the new
+relational extensions (stats, quantiles, range join, set ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dedupe_examples_ray.relational import (
+    except_distinct,
+    grouped_quantile,
+    grouped_stats,
+    intersect_distinct,
+    range_join_broadcast,
+)
+from dedupe_examples_ray.windows import (
+    asof_join,
+    grouped_top_n,
+    running_sum,
+    sessionize,
+    tumbling_window,
+)
+
+
+def _ts(*secs):
+    return pd.to_datetime(np.asarray(secs, dtype="int64") * 1_000_000, unit="us", utc=False)
+
+
+def _events(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_s", "value"])
+    tbl = pa.table(
+        {
+            "event_id": pa.array(df.event_id, pa.int64()),
+            "user_id": pa.array(df.user_id, pa.int64()),
+            "ts": pa.array(
+                (df.ts_s.to_numpy(dtype=np.int64) * 1_000_000), pa.timestamp("us")
+            ),
+            "value": pa.array(df.value, pa.float64()),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+def test_sessionize_gap_semantics():
+    # user 1: gaps 100s, 2000s (new session), exactly 1800s (same session)
+    ds = _events(
+        [
+            (1, 1, 1000, 0.0),
+            (2, 1, 1100, 0.0),
+            (3, 1, 3100, 0.0),
+            (4, 1, 4900, 0.0),  # gap exactly 1800 -> same session (strict >)
+            (5, 2, 50, 0.0),
+        ]
+    )
+    out = (
+        sessionize(ds, gap_s=1800.0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out.session_id.tolist() == [1, 1, 2, 2, 1]
+    assert out.session_id.dtype == np.int64
+
+
+def test_tumbling_window_alignment():
+    # 6h windows are epoch-aligned: 0..21599 -> win 0, 21600 -> next
+    ds = _events(
+        [(1, 1, 0, 1.0), (2, 1, 21599, 2.0), (3, 1, 21600, 4.0), (4, 1, 43200, 8.0)]
+    )
+    out = (
+        tumbling_window(ds, "ts", ["user_id"], {"value": "sum_value"}, multiple=6,
+                        unit="hour", count_col="n")
+        .to_pandas()
+        .sort_values("win")
+        .reset_index(drop=True)
+    )
+    assert out.sum_value.tolist() == [3.0, 4.0, 8.0]
+    assert out.n.tolist() == [2, 1, 1]
+    assert out.win.tolist() == list(_ts(0, 21600, 43200))
+
+
+def test_running_sum_order():
+    df = pd.DataFrame(
+        {"k": [1, 1, 1, 2], "o": [3, 1, 2, 1], "v": [10.0, 1.0, 100.0, 5.0]}
+    )
+    ds = rd.from_pandas(df)
+    out = (
+        running_sum(ds, "k", ["o"], "v", round_digits=4)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    assert out.running_total.tolist() == [1.0, 101.0, 111.0, 5.0]
+
+
+def test_grouped_top_n_prunes_and_ranks():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 500),
+            "id": np.arange(500, dtype=np.int64),
+            "v": rng.random(500),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)  # force multi-batch combiner path
+    out = grouped_top_n(ds, ["k"], by="v", n=3, tie_cols=["id"]).to_pandas()
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k", sort=False)
+        .head(3)
+    )
+    got = out.sort_values(["k", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "v"], ascending=[True, False]).reset_index(drop=True)
+    assert got.id.tolist() == exp.id.tolist()
+    assert got[got.k == 0]["rank"].tolist() == [1, 2, 3]
+
+
+def test_asof_join_inner_and_left():
+    left = _events([(10, 1, 1000, 0.0), (11, 1, 2000, 0.0), (12, 2, 500, 0.0)])
+    right = _events([(90, 1, 900, 0.0), (91, 1, 1500, 0.0), (92, 3, 1, 0.0)])
+    inner = (
+        asof_join(left, right, "user_id", "ts", "event_id", "event_id",
+                  out_right_id="m", how="inner")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # 10 -> 90 (900 <= 1000), 11 -> 91 (1500 <= 2000), 12 -> no purchase for user 2
+    assert inner.event_id.tolist() == [10, 11]
+    assert inner.m.tolist() == [90, 91]
+    left_out = (
+        asof_join(left, right, "user_id", "ts", "event_id", "event_id",
+                  out_right_id="m", how="left")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert left_out.event_id.tolist() == [10, 11, 12]
+    assert left_out.m.tolist()[:2] == [90, 91]
+    assert pd.isna(left_out.m.iloc[2])
+
+
+def test_asof_join_tie_breaks_to_max_id():
+    left = _events([(10, 1, 1000, 0.0)])
+    right = _events([(90, 1, 1000, 0.0), (95, 1, 1000, 0.0)])
+    out = asof_join(left, right, "user_id", "ts", "event_id", "event_id",
+                    out_right_id="m").to_pandas()
+    assert out.m.tolist() == [95]  # equal ts: largest right id, deterministic
+
+
+def test_grouped_stats_matches_pandas():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 3, 400), "v": rng.random(400) * 100})
+    out = (
+        grouped_stats(rd.from_pandas(df).repartition(5), ["k"], "v", prefix="v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.groupby("k")["v"].agg(["mean", "min", "max", "count"]).reset_index()
+    assert np.allclose(out.avg_v, exp["mean"].round(4), atol=1e-4)
+    assert np.allclose(out.min_v, exp["min"].round(4), atol=1e-4)
+    assert np.allclose(out.max_v, exp["max"].round(4), atol=1e-4)
+    assert out.n.tolist() == exp["count"].tolist()
+
+
+def test_grouped_quantile_linear_interpolation():
+    df = pd.DataFrame({"k": ["a"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 10.0]})
+    out = grouped_quantile(rd.from_pandas(df), ["k"], "v", {"p50": 0.5, "p90": 0.9}).to_pandas()
+    assert out.p50.tolist() == [3.0]
+    assert out.p90.tolist() == [pytest.approx(7.6)]  # linear between 4 and 10
+
+
+def test_range_join_disjoint_and_overlapping():
+    df = pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 15.0, 25.0, 99.0]})
+    ds = rd.from_pandas(df)
+    iv = pd.DataFrame({"band": ["lo", "mid"], "lo": [0.0, 10.0], "hi": [10.0, 30.0]})
+    out = range_join_broadcast(ds, iv, "v").to_pandas().sort_values("id")
+    assert out.id.tolist() == [1, 2, 3]  # 99 matches nothing (inner)
+    assert out.band.tolist() == ["lo", "mid", "mid"]
+    # overlapping intervals -> mask fallback, row can match twice
+    iv2 = pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 0.0], "hi": [20.0, 30.0]})
+    out2 = range_join_broadcast(ds, iv2, "v").to_pandas()
+    assert sorted(out2[out2.id == 1].band.tolist()) == ["a", "b"]
+
+
+def test_set_ops_distinct_semantics():
+    a = rd.from_pandas(pd.DataFrame({"x": ["p", "p", "q", "r"]}))
+    b = rd.from_pandas(pd.DataFrame({"x": ["q", "s"]}))
+    ex = except_distinct(a, b, ["x"]).to_pandas()
+    assert sorted(ex.x.tolist()) == ["p", "r"]
+    it = intersect_distinct(a, b, ["x"]).to_pandas()
+    assert it.x.tolist() == ["q"]
