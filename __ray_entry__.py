@@ -846,29 +846,30 @@ def _quality_oracle_sql() -> str:
 
 
 def _lang_id_oracle_sql() -> str:
-    """DuckDB mirror of ops.textstats._LangId (same token regex, stopword
-    tables, argmax with lexicographically-larger-language tie-break)."""
-    from dedupe_examples_ray.ops.textstats import _STOPWORDS
+    """DuckDB mirror of ops.textstats._lang_id_batch (same RE2 token regex and
+    per-language stopword hit-count regexes, score = hits / word tokens,
+    argmax with fr > es > en > de tie-break, 'und' at <= 0.03 or empty)."""
+    from dedupe_examples_ray.ops.textstats import _LANG_TOKEN_RE, _lang_pattern
 
-    def in_list(lang):
-        return ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
-
-    score = (
-        "CASE WHEN len(ts)=0 THEN 0.0 ELSE "
-        "CAST(len(list_filter(ts, t -> t IN ({lst}))) AS DOUBLE)/len(ts) END AS s_{lang}"
+    # DuckDB single-quoted strings pass backslashes through to RE2 unescaped
+    hits = ", ".join(
+        "len(regexp_extract_all(s, '" + _lang_pattern(lg) + "')) AS h_" + lg
+        for lg in ("fr", "es", "en", "de")
     )
-    scores = ", ".join(score.format(lst=in_list(lg), lang=lg) for lg in ("en", "de", "fr", "es"))
+    scores = ", ".join(
+        f"CAST(h_{lg} AS DOUBLE)/greatest(ntok, 1) AS s_{lg}" for lg in ("fr", "es", "en", "de")
+    )
     return (
-        "WITH toks AS ("
-        "  SELECT doc_id, list_slice(regexp_extract_all(lower(COALESCE(text,'')), "
-        "    '[a-zà-ÿäöüßéèêëàâîïôûçñ]+'), 1, 200) AS ts FROM documents), "
-        f"sc AS (SELECT doc_id, ts, {scores} FROM toks) "
+        "WITH base AS (SELECT doc_id, lower(COALESCE(text,'')) AS s FROM documents), "
+        f"cnt AS (SELECT doc_id, len(regexp_extract_all(s, '{_LANG_TOKEN_RE}')) AS ntok, "
+        f"{hits} FROM base), "
+        f"sc AS (SELECT doc_id, ntok, {scores} FROM cnt) "
         "SELECT doc_id, "
-        "  CASE WHEN len(ts)=0 OR greatest(s_en, s_de, s_fr, s_es) <= 0.03 THEN 'und' "
+        "  CASE WHEN ntok = 0 OR greatest(s_fr, s_es, s_en, s_de) <= 0.03 THEN 'und' "
         "       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' "
         "       WHEN s_es >= s_en AND s_es >= s_de THEN 'es' "
         "       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred, "
-        "  ROUND(CASE WHEN len(ts)=0 THEN 0.0 ELSE greatest(s_en, s_de, s_fr, s_es) END, 6) "
+        "  ROUND(CASE WHEN ntok = 0 THEN 0.0 ELSE greatest(s_fr, s_es, s_en, s_de) END, 6) "
         "    AS lang_conf "
         "FROM sc ORDER BY doc_id"
     )

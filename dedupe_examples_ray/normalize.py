@@ -116,14 +116,15 @@ def null_flag(arr, name_true: str = "true", name_false: str = "false") -> pa.Arr
 
 
 def parse_date(arr, fmt: str = "%m/%d/%Y") -> pa.Array:
-    """``STR_TO_DATE`` (mysql_init_db.py:190, M10): unparseable -> null."""
+    """``STR_TO_DATE`` (mysql_init_db.py:190, M10): unparseable -> null.
+
+    Vectorized Arrow kernel (``pc.strptime`` with ``error_is_null``) — no
+    per-value Python parse.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     arr = pc.cast(arr, pa.string())
-    import pandas as pd
-
-    parsed = pd.to_datetime(pd.Series(arr.to_pylist()), format=fmt, errors="coerce")
-    return pa.Array.from_pandas(parsed, type=pa.timestamp("us"))
+    return pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
 
 
 def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -95,40 +95,52 @@ def quality_score(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-class _LangId:
-    """Stopword-hit language classifier; tables built once per actor."""
-
-    def __init__(self):
-        import re
-
-        self.token = re.compile(r"[a-zà-ÿäöüßéèêëàâîïôûçñ]+")
-        self.tables = {k: v for k, v in _STOPWORDS.items()}
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist() if "text" in t.column_names else []
-        langs = []
-        confs = []
-        for s in texts:
-            toks = self.token.findall((s or "").lower())[:200]
-            if not toks:
-                langs.append("und")
-                confs.append(0.0)
-                continue
-            scores = {
-                lang: sum(tok in table for tok in toks) / len(toks)
-                for lang, table in self.tables.items()
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            langs.append(best if scores[best] > 0.03 else "und")
-            confs.append(float(scores[best]))
-        return t.append_column("lang_pred", pa.array(langs, pa.string())).append_column(
-            "lang_conf", pa.array(confs, pa.float64())
-        )
+# word-token alphabet used by the language-ID heuristic (latin + accents)
+_LANG_TOKEN_RE = r"[a-zà-ÿäöüßéèêëàâîïôûçñ]+"
+# descending-lex order fixes the argmax tie-break (fr > es > en > de),
+# matching the SQL oracle's CASE ladder
+_LANG_ORDER = ("fr", "es", "en", "de")
 
 
-def language_id(ds, concurrency=(1, 4)):
-    """Heuristic language-ID over ``text`` -> lang_pred, lang_conf."""
-    return ds.map_batches(_LangId, batch_format="pyarrow", concurrency=concurrency)
+def _lang_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(sorted(_STOPWORDS[lang])) + r")\b"
+
+
+def _lang_id_batch(t: pa.Table) -> pa.Table:
+    """Fully Arrow-vectorized stopword-ratio language ID: per language, ONE
+    ``count_substring_regex`` over the lowered text; score = stopword hits /
+    word tokens; argmax with descending-lex tie-break; 'und' below 0.03 or on
+    empty text.  RE2 kernels end to end — no per-row Python."""
+    s = t["text"] if "text" in t.column_names else pa.array([], pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    s = pc.utf8_lower(pc.fill_null(pc.cast(s, pa.string()), ""))
+    ntok = pc.cast(pc.count_substring_regex(s, _LANG_TOKEN_RE), pa.float64())
+    ntok = np.asarray(ntok)
+    denom = np.maximum(ntok, 1.0)
+    S = np.stack(
+        [
+            np.asarray(pc.cast(pc.count_substring_regex(s, _lang_pattern(lg)), pa.float64()))
+            / denom
+            for lg in _LANG_ORDER
+        ]
+    )  # (4, n); np.argmax picks the FIRST max -> fr wins ties over es/en/de
+    best = S.argmax(axis=0)
+    conf = S.max(axis=0) if S.size else np.zeros(0)
+    conf = np.where(ntok > 0, conf, 0.0)
+    names = np.asarray(_LANG_ORDER, dtype=object)
+    pred = np.where((ntok > 0) & (conf > 0.03), names[best], "und")
+    return t.append_column("lang_pred", pa.array(pred.tolist(), pa.string())).append_column(
+        "lang_conf", pa.array(conf, pa.float64())
+    )
+
+
+def language_id(ds, concurrency=None):
+    """Heuristic language-ID over ``text`` -> lang_pred, lang_conf.
+
+    Stateless vectorized stage (regex tables are module constants compiled by
+    RE2 inside Arrow); ``concurrency`` kept for API compatibility."""
+    return ds.map_batches(_lang_id_batch, batch_format="pyarrow")
 
 
 import hashlib
