@@ -340,6 +340,9 @@ def list_array_view(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.NullArray):  # all-null column (e.g. untyped literals)
+        n = len(arr)
+        return np.zeros(n, np.int64), np.zeros(0, np.uint64), np.zeros(n, np.int64)
     offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = arr.values.to_numpy(zero_copy_only=False)
     lens = offs[1:] - offs[:-1]
