@@ -302,22 +302,6 @@ def _get_broadcast(ref):
     return ref
 
 
-def _annotate_labels(t: pa.Table, labels_ref, conf_ref) -> pa.Table:
-    """Broadcast-join stage: canon/conf lookup dicts shipped once via
-    ``ray.put`` (the small-side broadcast pattern, SURVEY.md §4)."""
-    labels = _get_broadcast(labels_ref)
-    conf = _get_broadcast(conf_ref)
-    rids = t["record_id"].to_pylist()
-    canon = [labels.get(r, r) for r in rids]
-    cols = {
-        "record_id": t["record_id"],
-        "canon_id": pa.array(canon, pa.string()),
-    }
-    if conf is not None:
-        cols["cluster_score"] = pa.array([conf.get(r) for r in rids], pa.float64())
-    return pa.table(cols)
-
-
 def numpy_connected_components(a: np.ndarray, b: np.ndarray, n_nodes: int) -> np.ndarray:
     """Vectorized hooking + pointer-jumping CC over integer node codes.
 
@@ -451,31 +435,6 @@ def _annotate_from_table(t: pa.Table, tbl_ref) -> pa.Table:
     return pa.table(cols)
 
 
-def entity_map_from_maps(records_ds, id_col: str, label_map: dict, conf_map: dict | None):
-    """ids + broadcast label table -> entity map (no label-dataset round
-    trips; Arrow broadcast so per-worker cost doesn't scale with map size)."""
-    import ray
-
-    ids = records_ds.select_columns([id_col]).map_batches(
-        lambda t: pa.table({"record_id": pc.cast(t[id_col], pa.string())}),
-        batch_format="pyarrow",
-    )
-    nodes = [str(k) for k in label_map]
-    tbl = {
-        "node": pa.array(nodes, pa.string()),
-        "label": pa.array([str(label_map[k]) for k in label_map], pa.string()),
-    }
-    if conf_map is not None:
-        tbl["score"] = pa.array(
-            [float(conf_map.get(k, np.nan)) for k in label_map], pa.float64()
-        )
-    ref = ray.put(pa.table(tbl))
-    return ids.map_batches(
-        _annotate_from_table, fn_kwargs=dict(tbl_ref=ref), batch_format="pyarrow",
-        batch_size=None,
-    )
-
-
 def build_entity_map(
     records_ds,
     id_col: str,
@@ -500,20 +459,22 @@ def build_entity_map(
     if n_labels <= broadcast_limit:
         import ray
 
+        # one Arrow broadcast table (zero-copy per worker, vectorized lookup
+        # in _annotate_from_table) — never a Python-dict broadcast
         lab = labels_ds.to_pandas()
-        label_map = (
-            {} if lab.empty else dict(zip(lab["node"].astype(str), lab["label"].astype(str)))
-        )
-        conf_map = None
         if confidence_ds is not None:
-            cf = confidence_ds.to_pandas()
-            conf_map = (
-                {} if cf.empty else dict(zip(cf["node"].astype(str), cf["cluster_score"]))
-            )
+            lab = lab.merge(confidence_ds.to_pandas(), on="node", how="left")
+        tbl = {
+            "node": pa.array(lab["node"].astype(str), pa.string()),
+            "label": pa.array(lab["label"].astype(str), pa.string()),
+        }
+        if "cluster_score" in lab.columns:
+            tbl["score"] = pa.array(lab["cluster_score"], pa.float64(), from_pandas=True)
         return ids.map_batches(
-            _annotate_labels,
-            fn_kwargs=dict(labels_ref=ray.put(label_map), conf_ref=ray.put(conf_map)),
+            _annotate_from_table,
+            fn_kwargs=dict(tbl_ref=ray.put(pa.table(tbl))),
             batch_format="pyarrow",
+            batch_size=None,
         )
 
     labels = labels_ds.map_batches(
