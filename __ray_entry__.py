@@ -336,6 +336,48 @@ def _q_quality_documents(sf_dir):
     return out
 
 
+def _q_repetition_documents(sf_dir):
+    from dedupe_examples_ray.ops import repetition_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_stats(docs).to_pandas()
+    out = out[
+        ["doc_id", "n_words", "dup_word_frac", "top_word_frac", "n_lines", "dup_line_frac"]
+    ].copy()
+    for c in ("dup_word_frac", "top_word_frac", "dup_line_frac"):
+        out[c] = _round_half_away(out[c])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _repetition_oracle_sql() -> str:
+    """DuckDB mirror of ops.textstats.repetition_stats (same ASCII word regex,
+    same non-blank-line rule, ROUND half-away on the fractions)."""
+    return (
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(COALESCE(text, '')), "
+        "'[A-Za-z0-9_]+')) AS tok FROM documents), "
+        "wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok), "
+        "wagg AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_c "
+        "FROM wc GROUP BY doc_id), "
+        "l AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''), chr(10))) AS ln "
+        "FROM documents), "
+        "lf AS (SELECT doc_id, ln FROM l WHERE regexp_matches(ln, '\\S')), "
+        "lc AS (SELECT doc_id, ln, COUNT(*) AS c FROM lf GROUP BY doc_id, ln), "
+        "lagg AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct_lines "
+        "FROM lc GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(wagg.n_words, 0) AS BIGINT) AS n_words, "
+        "ROUND(CASE WHEN COALESCE(wagg.n_words, 0) > 0 THEN "
+        "(wagg.n_words - wagg.n_distinct) / (1.0 * wagg.n_words) ELSE 0 END, 6) AS dup_word_frac, "
+        "ROUND(CASE WHEN COALESCE(wagg.n_words, 0) > 0 THEN "
+        "wagg.top_c / (1.0 * wagg.n_words) ELSE 0 END, 6) AS top_word_frac, "
+        "CAST(COALESCE(lagg.n_lines, 0) AS BIGINT) AS n_lines, "
+        "ROUND(CASE WHEN COALESCE(lagg.n_lines, 0) > 0 THEN "
+        "(lagg.n_lines - lagg.n_distinct_lines) / (1.0 * lagg.n_lines) ELSE 0 END, 6) "
+        "AS dup_line_frac "
+        "FROM documents d LEFT JOIN wagg ON d.doc_id = wagg.doc_id "
+        "LEFT JOIN lagg ON d.doc_id = lagg.doc_id ORDER BY d.doc_id"
+    )
+
+
 def _q_er_exact_consistency_documents(sf_dir):
     """ER invariant with a DuckDB oracle: run the flagship document dedupe
     over the corpus UNIONed with an exact clone of itself (clone ids shifted
@@ -651,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": _q_text_token_counts,
         "lang_id_documents": _q_lang_id_documents,
         "quality_documents": _q_quality_documents,
+        "repetition_documents": _q_repetition_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "token_df_documents": _q_token_df_documents,
         "record_link_pages": _q_record_link_pages,
@@ -747,6 +790,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) AS BIGINT) AS n_chars_text FROM documents"
         ),
         "quality_documents": _quality_oracle_sql(),
+        "repetition_documents": _repetition_oracle_sql(),
         "lang_id_documents": _lang_id_oracle_sql(),
         "token_df_documents": (
             "SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS df FROM ("

@@ -11,4 +11,5 @@ from .textstats import (  # noqa: F401
     quality_score,
     token_count,
     doc_fingerprint,
+    repetition_stats,
 )

@@ -220,6 +220,71 @@ def batch_min_window_hash(token_lists: list, window: int = 4) -> np.ndarray:
     return out
 
 
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition stats per document (public quality heuristics):
+
+    - ``n_words`` / ``dup_word_frac``  — fraction of word occurrences that are
+      repeats of an earlier occurrence (``(n - n_distinct) / n``)
+    - ``top_word_frac``                — share of the single most frequent word
+    - ``n_lines`` / ``dup_line_frac``  — same over non-blank lines
+
+    Boilerplate-heavy web pages (nav bars, keyword stuffing) score high on all
+    three.  One batch-wide hash pass (``pd.util.hash_array`` over the
+    concatenated token stream), per-doc distinct counts via C-speed
+    ``np.unique`` on slices; empty documents score 0 everywhere.
+    """
+    import re
+
+    import pandas as pd
+
+    # ASCII-explicit (RE2/DuckDB \w is ASCII-only) so the oracle SQL matches
+    word_re = re.compile(r"[A-Za-z0-9_]+")
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = [(s or "") for s in t[text_col].to_pylist()]
+        n = len(texts)
+        toks = [word_re.findall(s.lower()) for s in texts]
+        counts = np.array([len(x) for x in toks], dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(x, dtype=object) for x in toks if x])
+            if counts.sum()
+            else np.array([], dtype=object)
+        )
+        th = (
+            pd.util.hash_array(flat).astype(np.uint64)
+            if len(flat)
+            else np.array([], np.uint64)
+        )
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        dup_w = np.zeros(n)
+        top_w = np.zeros(n)
+        dup_l = np.zeros(n)
+        n_lines = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            c = counts[i]
+            if c:
+                seg = th[offs[i] : offs[i + 1]]
+                uniq, cnt = np.unique(seg, return_counts=True)
+                dup_w[i] = (c - len(uniq)) / c
+                top_w[i] = cnt.max() / c
+            lines = [ln for ln in texts[i].split("\n") if ln.strip()]
+            n_lines[i] = len(lines)
+            if lines:
+                dup_l[i] = (len(lines) - len(set(lines))) / len(lines)
+        out = t
+        for name, col in [
+            ("n_words", pa.array(counts, pa.int64())),
+            ("dup_word_frac", pa.array(dup_w, pa.float64())),
+            ("top_word_frac", pa.array(top_w, pa.float64())),
+            ("n_lines", pa.array(n_lines, pa.int64())),
+            ("dup_line_frac", pa.array(dup_l, pa.float64())),
+        ]:
+            out = out.append_column(name, col)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def doc_fingerprint(ds, text_col: str = "text", window: int = 4):
     """Append ``fingerprint`` (min windowed token hash — robust to local
     edits) and ``content_hash`` (exact 64-bit hash of the text)."""

@@ -206,3 +206,29 @@ def test_ann_ivf_recall(ray_session):
     part = ann_ivf(ds, q, k=10, n_cells=4, n_probe=1)
     recall = len(set(part["match_id"]) & set(exact["match_id"])) / 10
     assert recall >= 0.9
+
+
+def test_repetition_stats(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import repetition_stats
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "spam spam spam spam",          # 1 distinct / 4 words
+                    "all words here differ fine",   # no repetition
+                    "",                             # empty -> zeros
+                    "a b\na b\nc d",                # duplicate line
+                ],
+            }
+        )
+    )
+    out = repetition_stats(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_word_frac"] == 0.75
+    assert out.loc[1, "top_word_frac"] == 1.0
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert out.loc[3, "dup_word_frac"] == 0.0 and out.loc[3, "dup_line_frac"] == 0.0
+    assert out.loc[4, "dup_line_frac"] == pytest.approx(1.0 / 3.0, abs=1e-6)
