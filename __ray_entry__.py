@@ -668,6 +668,88 @@ def _q_ptype_intersect(sf_dir):
     return intersect_distinct(a, b, ["p_brand", "p_type"])
 
 
+def _q_split_documents(sf_dir):
+    """Deterministic md5-hash train/valid/test split (98/1/1) — reproducible
+    by any engine that ships md5 (the DuckDB oracle recomputes it)."""
+    from dedupe_examples_ray.ops import split_by_hash
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    out = split_by_hash(docs, "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_sample_per_source(sf_dir):
+    """Deterministic stratified sample: 5 docs per source, md5(doc_id)-ranked
+    (combiner-pruned shuffle — n rows per group per batch move)."""
+    from dedupe_examples_ray.ops import sample_per_group
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = sample_per_group(docs, ["source"], 5, "doc_id").to_pandas()
+    return (
+        out[["source", "doc_id", "rank"]]
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_clean_corpus_documents(sf_dir):
+    """C4/Gopher-style cleaning funnel (lang -> token bounds -> quality ->
+    repetition -> exact dedup); the oracle re-derives the surviving ids with
+    the mirrored SQL expression tree."""
+    from dedupe_examples_ray.ops import clean_corpus
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = clean_corpus(docs).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_host_stats_pages(sf_dir):
+    """URL canonicalization + host extraction + per-host size stats over the
+    synthetic web-pages corpus (domain-level corpus accounting)."""
+    from dedupe_examples_ray.ops import host_stats
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    pages = synth_pages_dataset(n, seed=42).drop_columns(["true_id"])
+    out = host_stats(pages).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _clean_corpus_oracle_sql() -> str:
+    """DuckDB mirror of ops.corpus.clean_corpus over ``documents`` (same
+    regexes and quality expression tree as the quality/repetition oracles;
+    dedup = min doc_id per distinct text via QUALIFY)."""
+    from dedupe_examples_ray.ops.textstats import _STOPWORDS
+
+    stop_re = "\\b(" + "|".join(sorted(_STOPWORDS["en"])) + ")\\b"
+    return (
+        "WITH f AS ("
+        "  SELECT doc_id, COALESCE(text,'') AS s FROM documents WHERE lang = 'en' AND "
+        f"    len(regexp_extract_all(COALESCE(text,''), '{_TOKEN_RE}')) BETWEEN 20 AND 50000), "
+        "q AS ("
+        "  SELECT doc_id, s FROM ("
+        "    SELECT doc_id, s, "
+        "      CAST(len(regexp_extract_all(s, '[^\\w\\s]')) AS DOUBLE)"
+        "        / CAST(greatest(length(s), 1) AS DOUBLE) AS punct_ratio, "
+        f"      CAST(len(regexp_extract_all(lower(s), '{stop_re}')) AS DOUBLE)"
+        "        / CAST(greatest(len(regexp_extract_all(s, '[A-Za-z0-9]+')), 1) AS DOUBLE)"
+        "        AS stop_ratio, "
+        "      length(s) AS n_chars FROM f)"
+        "  WHERE (least(CAST(n_chars AS DOUBLE)/200.0, 1.0)"
+        "         * greatest(1.0 - punct_ratio*4.0, 0.0))"
+        "        * (least(stop_ratio*4.0, 1.0)*0.5 + 0.5) >= 0.3), "
+        "lf AS (SELECT doc_id, ln FROM (SELECT doc_id, "
+        "  unnest(string_split(s, chr(10))) AS ln FROM q) WHERE regexp_matches(ln, '\\S')), "
+        "lagg AS (SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT ln) AS n_distinct "
+        "  FROM lf GROUP BY doc_id), "
+        "kept AS (SELECT q.doc_id, q.s FROM q LEFT JOIN lagg ON q.doc_id = lagg.doc_id "
+        "  WHERE COALESCE((lagg.n_lines - lagg.n_distinct) / (1.0 * lagg.n_lines), 0)"
+        "        <= 0.30) "
+        "SELECT doc_id FROM kept QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY s) "
+        "ORDER BY doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_dedupe_documents": _q_er_dedupe_documents,
@@ -716,6 +798,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_price_by_priority": _q_quantile_price_by_priority,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
+        "split_documents": _q_split_documents,
+        "sample_per_source": _q_sample_per_source,
+        "clean_corpus_documents": _q_clean_corpus_documents,
+        "host_stats_pages": _q_host_stats_pages,
     }
 
 
@@ -862,6 +948,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "
             "INTERSECT SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 1"
         ),
+        "split_documents": (
+            "SELECT doc_id, CASE WHEN b < 9800 THEN 'train' "
+            "WHEN b < 9900 THEN 'valid' ELSE 'test' END AS split FROM ("
+            "  SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+            "    % 10000 AS b FROM documents) ORDER BY doc_id"
+        ),
+        "sample_per_source": (
+            "SELECT source, doc_id, CAST(rn AS BIGINT) AS rank FROM ("
+            "  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source "
+            "    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rn "
+            "  FROM documents) WHERE rn <= 5 ORDER BY source, rank"
+        ),
+        "clean_corpus_documents": _clean_corpus_oracle_sql(),
     }
 
 

@@ -13,3 +13,12 @@ from .textstats import (  # noqa: F401
     doc_fingerprint,
     repetition_stats,
 )
+from .corpus import (  # noqa: F401
+    add_url_host,
+    clean_corpus,
+    clean_corpus_funnel,
+    host_stats,
+    normalize_url,
+    sample_per_group,
+    split_by_hash,
+)

@@ -1,0 +1,317 @@
+"""Corpus-management operators for LLM training-data pipelines.
+
+Deterministic, cross-engine-reproducible corpus plumbing the reference has no
+analog for (its world ends at one labeled table in memory — e.g.
+csv_example.py:41-55 loads everything into a dict): hash-based dataset
+splits, stratified per-group sampling, URL canonicalization, and a composed
+C4/Gopher-style cleaning funnel.  Every operator is a single-pass
+``map_batches`` stage except the final exact-dedup in ``clean_corpus``,
+which is one bucketed shuffle of the already-filtered survivors.
+
+Split/sample hashing is md5 (NOT ``pd.util.hash_array``) on purpose: md5 is
+the portable choice — DuckDB / Spark / Polars all ship it — so a split
+computed here is bit-reproducible by any other engine (and by the DuckDB
+oracles in ``__ray_entry__``).  The per-value C-speed md5 over short keys is
+~0.5 µs; these stages are read-bound, not hash-bound.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: bucket space for fraction-based splits (0.01 % granularity)
+SPLIT_BUCKETS = 10_000
+
+
+def _col(t: pa.Table, name: str) -> pa.Array:
+    arr = t[name]
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _md5_bucket(values, n_buckets: int = SPLIT_BUCKETS) -> np.ndarray:
+    """md5(str(key))[:8] as int, mod ``n_buckets`` — the portable record
+    bucket (DuckDB: ``('0x' || substr(md5(k), 1, 8))::UBIGINT % n``)."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(str(v).encode()).hexdigest()[:8], 16) % n_buckets for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def split_by_hash(ds, key_col: str, splits: dict[str, float] | None = None,
+                  out_col: str = "split"):
+    """Append a deterministic train/valid/test ``split`` label per record.
+
+    ``splits`` is an ordered {name: fraction} (fractions sum to 1).  A record's
+    split depends only on md5 of its key — stable across runs, engines,
+    partitionings, and corpus growth (new records never move old ones between
+    splits, the property hash-splits exist for).
+    """
+    splits = splits or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    fracs = np.array(list(splits.values()), dtype=np.float64)
+    if fracs.min() < 0 or abs(fracs.sum() - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >=0 and sum to 1, got {splits}")
+    bounds = np.round(np.cumsum(fracs) * SPLIT_BUCKETS).astype(np.int64)
+    names = np.array(list(splits.keys()), dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = _md5_bucket(_col(t, key_col).to_pylist())
+        idx = np.searchsorted(bounds, b, side="right")
+        return t.append_column(out_col, pa.array(names[idx], pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_per_group(ds, group_cols: list[str], n: int, key_col: str,
+                     rank_col: str | None = "rank"):
+    """Deterministic stratified sample: the ``n`` records per group whose
+    md5(key) sorts first (uniform within the group, reproducible anywhere:
+    SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY substr(md5(k),1,16), k)
+    <= n``).
+
+    Rides :func:`~dedupe_examples_ray.windows.grouped_top_n`'s combiner, so
+    at most ``n`` rows per group per batch move through the shuffle — a
+    billion-page group costs the same as a thousand-page one.
+    """
+    from ..windows import grouped_top_n
+
+    md5 = hashlib.md5
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ks = [md5(str(v).encode()).hexdigest()[:16] for v in _col(t, key_col).to_pylist()]
+        return t.append_column("_smpkey", pa.array(ks, pa.string()))
+
+    out = grouped_top_n(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        key_cols=list(group_cols),
+        by="_smpkey",
+        n=n,
+        ascending=True,
+        tie_cols=[key_col],
+        rank_col=rank_col,
+    )
+    return out.drop_columns(["_smpkey"])
+
+
+# ----------------------------------------------------------------- url ops
+_URL_HEAD_RE = r"^(?P<head>[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(?P<rest>.*)$"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]+)"
+
+
+def normalize_url(ds, url_col: str = "url", out_col: str = "url_norm"):
+    """Append a canonical url: strip ``#fragment``, lowercase the
+    ``scheme://host`` head, drop a trailing empty query (``?``) and a single
+    trailing ``/``.  Fully Arrow-vectorized; non-url values pass through
+    unchanged (post-fragment-strip).  The standard first step before
+    url-keyed exact dedup of a web crawl.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(_col(t, url_col), pa.string()), "")
+        s = pc.replace_substring_regex(s, r"#.*$", "")
+        m = pc.extract_regex(s, _URL_HEAD_RE)
+        norm = pc.if_else(
+            pc.is_null(m),
+            s,
+            pc.binary_join_element_wise(
+                pc.utf8_lower(pc.struct_field(m, "head")), pc.struct_field(m, "rest"), ""
+            ),
+        )
+        norm = pc.replace_substring_regex(norm, r"\?$", "")
+        norm = pc.replace_substring_regex(norm, r"(.)/$", "\\1")
+        return t.append_column(out_col, norm)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_url_host(ds, url_col: str = "url", out_col: str = "host"):
+    """Append the url's host (``''`` for non-url values — DuckDB
+    ``regexp_extract`` no-match parity), the key for domain-level stats,
+    per-domain sampling, and robots/quality policies."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(_col(t, url_col), pa.string()), "")
+        m = pc.extract_regex(s, _HOST_RE)
+        host = pc.if_else(pc.is_null(m), "", pc.utf8_lower(pc.struct_field(m, "host")))
+        return t.append_column(out_col, host)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def host_stats(ds, url_col: str = "url", text_col: str = "text"):
+    """Per-host page count and text-size stats (combiner-pattern groupby via
+    :func:`~dedupe_examples_ray.relational.grouped_stats` — one row per
+    (host, batch) moves through the shuffle)."""
+    from ..relational import grouped_stats
+
+    def add_len(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(_col(t, text_col), pa.string()), "")
+        return t.append_column("_n_chars", pc.cast(pc.utf8_length(s), pa.int64()))
+
+    withhost = add_url_host(ds, url_col=url_col).map_batches(add_len, batch_format="pyarrow")
+    return grouped_stats(withhost, ["host"], "_n_chars", prefix="chars")
+
+
+# ---------------------------------------------------------- cleaning funnel
+def _funnel_masks(t: pa.Table, text_col: str, lang_col: str | None,
+                  keep_langs, min_tokens: int, max_tokens: int,
+                  min_quality: float, max_dup_line_frac: float) -> list[np.ndarray]:
+    """Cumulative keep-masks for the four filter stages, vectorized.
+
+    Reuses the exact expression trees of ops.textstats (token_count /
+    quality_score / repetition_stats) so the DuckDB funnel oracle mirrors
+    bit-for-bit.
+    """
+    from .textstats import TOKEN_RE, _STOPWORDS
+
+    n = t.num_rows
+    s = pc.fill_null(pc.cast(_col(t, text_col), pa.string()), "")
+
+    # 1. language allow-list
+    if lang_col is not None:
+        lang = _col(t, lang_col)
+        m_lang = np.zeros(n, dtype=bool)
+        for lg in keep_langs:
+            m_lang |= pc.equal(pc.fill_null(pc.cast(lang, pa.string()), ""), lg).to_numpy(
+                zero_copy_only=False
+            )
+    else:
+        m_lang = np.ones(n, dtype=bool)
+
+    # 2. token-count bounds (same TOKEN_RE as ops.token_count)
+    n_tok = pc.count_substring_regex(s, TOKEN_RE).to_numpy(zero_copy_only=False)
+    m_tok = m_lang & (n_tok >= min_tokens) & (n_tok <= max_tokens)
+
+    # 3. composite quality (same expression tree as ops.quality_score)
+    n_chars = pc.utf8_length(s)
+    n_chars_f = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    n_punct = pc.count_substring_regex(s, r"[^\w\s]")
+    n_words = pc.count_substring_regex(s, r"[A-Za-z0-9]+")
+    n_stop = pc.count_substring_regex(
+        pc.utf8_lower(s), r"\b(" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+    )
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), n_chars_f)
+    stop_ratio = pc.divide(
+        pc.cast(n_stop, pa.float64()),
+        pc.cast(pc.max_element_wise(n_words, 1), pa.float64()),
+    )
+    len_term = pc.min_element_wise(pc.divide(pc.cast(n_chars, pa.float64()), 200.0), 1.0)
+    stop_term = pc.min_element_wise(pc.multiply(stop_ratio, 4.0), 1.0)
+    punct_term = pc.max_element_wise(pc.subtract(1.0, pc.multiply(punct_ratio, 4.0)), 0.0)
+    quality = pc.multiply(
+        pc.multiply(len_term, punct_term), pc.add(pc.multiply(stop_term, 0.5), 0.5)
+    ).to_numpy(zero_copy_only=False)
+    m_q = m_tok & (quality >= min_quality)
+
+    # 4. duplicate-line fraction (same non-blank-line rule as repetition_stats)
+    texts = s.to_pylist()
+    dup_l = np.zeros(n)
+    for i in np.flatnonzero(m_q):  # only survivors — the cold minority
+        lines = [ln for ln in texts[i].split("\n") if ln.strip()]
+        if lines:
+            dup_l[i] = (len(lines) - len(set(lines))) / len(lines)
+    m_rep = m_q & (dup_l <= max_dup_line_frac)
+
+    return [m_lang, m_tok, m_q, m_rep]
+
+
+def clean_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
+                 lang_col: str | None = "lang", keep_langs=("en",),
+                 min_tokens: int = 20, max_tokens: int = 50_000,
+                 min_quality: float = 0.3, max_dup_line_frac: float = 0.30,
+                 dedupe: bool = True, n_buckets: int = 256):
+    """C4/Gopher-style cleaning funnel over a document table; returns the
+    surviving rows with their original columns.
+
+    Stages — 1-4 fuse into ONE streaming pass (stateless ``map_batches``);
+    stage 5 is the only shuffle, and it moves just the filtered survivors:
+
+    1. language allow-list (``lang_col`` in ``keep_langs``)
+    2. token-count bounds (ops.token_count's TOKEN_RE)
+    3. composite quality >= ``min_quality`` (ops.quality_score's formula)
+    4. duplicate-line fraction <= ``max_dup_line_frac`` (repetition_stats rule)
+    5. exact text dedup, keep the min id per distinct text (reference A1
+       ``SELECT DISTINCT``, mysql_init_db.py:134-143, as a bucketed groupby)
+    """
+
+    def filt(t: pa.Table) -> pa.Table:
+        masks = _funnel_masks(t, text_col, lang_col, keep_langs, min_tokens,
+                              max_tokens, min_quality, max_dup_line_frac)
+        return t.filter(pa.array(masks[-1]))
+
+    survivors = ds.map_batches(filt, batch_format="pyarrow")
+    if not dedupe:
+        return survivors
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        texts = np.asarray(_col(t, text_col).to_pylist(), dtype=object)
+        if len(texts):
+            texts = np.where(pd.isna(texts), "", texts)
+        hs = pd.util.hash_array(texts).astype(np.uint64)
+        return t.append_column(
+            "_bkt", pa.array((hs % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        # group on the text itself (the hash only routes buckets — no
+        # collision risk in the keep decision)
+        keep = df.groupby(text_col, sort=False)[id_col].transform("min") == df[id_col]
+        return df[keep].drop(columns=["_bkt"])
+
+    return (
+        survivors.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+def clean_corpus_funnel(ds, text_col: str = "text", id_col: str = "doc_id",
+                        lang_col: str | None = "lang", keep_langs=("en",),
+                        min_tokens: int = 20, max_tokens: int = 50_000,
+                        min_quality: float = 0.3, max_dup_line_frac: float = 0.30,
+                        ) -> pd.DataFrame:
+    """Per-stage survivor counts for the :func:`clean_corpus` funnel — the
+    lineage metric a production cleaning job publishes (north_rule: per-stage
+    metrics, no silent drops).  One streaming pass emits per-batch partial
+    counts; a tiny groupby sums them; the final dedup count runs the real
+    stage 5 on the survivors.  Returns (stage, n_rows) ordered by stage.
+    """
+    stages = ["input", "lang", "tokens", "quality", "repetition"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        masks = _funnel_masks(t, text_col, lang_col, keep_langs, min_tokens,
+                              max_tokens, min_quality, max_dup_line_frac)
+        counts = [t.num_rows] + [int(m.sum()) for m in masks]
+        return pa.table({
+            "stage_idx": pa.array(range(len(stages)), pa.int64()),
+            "stage": pa.array(stages, pa.string()),
+            "n_rows": pa.array(counts, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["stage_idx", "stage"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values("stage_idx")
+    )
+    n_dedup = clean_corpus(
+        ds, text_col=text_col, id_col=id_col, lang_col=lang_col,
+        keep_langs=keep_langs, min_tokens=min_tokens, max_tokens=max_tokens,
+        min_quality=min_quality, max_dup_line_frac=max_dup_line_frac,
+    ).count()
+    out = pd.concat(
+        [agg[["stage", "n_rows"]],
+         pd.DataFrame({"stage": ["dedup"], "n_rows": [n_dedup]})],
+        ignore_index=True,
+    )
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out

@@ -1,0 +1,207 @@
+"""Corpus-management operators: hash splits, stratified sampling, URL
+canonicalization, and the C4/Gopher-style cleaning funnel (ops/corpus.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedupe_examples_ray.ops import (
+    add_url_host,
+    clean_corpus,
+    clean_corpus_funnel,
+    host_stats,
+    normalize_url,
+    sample_per_group,
+    split_by_hash,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _bucket(v, n=10_000):
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n
+
+
+# ------------------------------------------------------------ split_by_hash
+def test_split_by_hash_matches_direct_md5(ray_session):
+    out = split_by_hash(_docs(ray_session), "doc_id").to_pandas()
+    assert set(out["split"].unique()) <= {"train", "valid", "test"}
+    for _, r in out.iterrows():
+        b = _bucket(r["doc_id"])
+        want = "train" if b < 9800 else ("valid" if b < 9900 else "test")
+        assert r["split"] == want, (r["doc_id"], b, r["split"], want)
+
+
+def test_split_by_hash_is_subset_stable(ray_session):
+    """A record's split never changes when the corpus around it changes."""
+    import ray.data as rd
+
+    full = split_by_hash(_docs(ray_session), "doc_id").to_pandas()
+    half_ds = rd.from_pandas(
+        full[full["doc_id"] % 2 == 0][["doc_id", "text"]].reset_index(drop=True)
+    )
+    half = split_by_hash(half_ds, "doc_id").to_pandas()
+    merged = half.merge(full[["doc_id", "split"]], on="doc_id", suffixes=("_h", "_f"))
+    assert (merged["split_h"] == merged["split_f"]).all()
+
+
+def test_split_by_hash_custom_fractions_and_validation(ray_session):
+    out = split_by_hash(
+        _docs(ray_session), "doc_id", splits={"a": 0.5, "b": 0.5}, out_col="part"
+    ).to_pandas()
+    assert set(out["part"].unique()) <= {"a", "b"}
+    # 0.5/0.5 over md5 buckets: both sides populated even at 50 docs
+    assert out["part"].nunique() == 2
+    with pytest.raises(ValueError):
+        split_by_hash(_docs(ray_session), "doc_id", splits={"a": 0.5, "b": 0.4})
+
+
+# --------------------------------------------------------- sample_per_group
+def test_sample_per_group_matches_pandas(ray_session):
+    got = (
+        sample_per_group(_docs(ray_session), ["source"], 3, "doc_id")
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = pd.read_parquet(f"{SF}/documents.parquet")
+    ref["_k"] = [hashlib.md5(str(v).encode()).hexdigest()[:16] for v in ref["doc_id"]]
+    want = (
+        ref.sort_values(["_k", "doc_id"], kind="mergesort")
+        .groupby("source", sort=True)
+        .head(3)
+        .sort_values(["source", "_k"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.groupby("source").size().max() <= 3
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got.groupby("source")["rank"].min() == 1).all()
+
+
+# ------------------------------------------------------------------ url ops
+def test_normalize_url_cases(ray_session):
+    import ray.data as rd
+
+    cases = {
+        "HTTPS://WWW.Ex.COM/A/b/#frag": "https://www.ex.com/A/b",
+        "https://ex.com/path/?": "https://ex.com/path",
+        "http://H.io/": "http://h.io",
+        "ftp://X.Y/z?q=1": "ftp://x.y/z?q=1",
+        "notaurl": "notaurl",
+        "": "",
+    }
+    ds = rd.from_pandas(pd.DataFrame({"url": list(cases)}))
+    out = normalize_url(ds).to_pandas()
+    for _, r in out.iterrows():
+        assert r["url_norm"] == cases[r["url"]], r["url"]
+
+
+def test_add_url_host_and_stats(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "url": ["https://a.com/x", "https://a.com/y", "http://B.org/", "junk"],
+            "text": ["aaaa", "bb", "c", "dd"],
+        }
+    )
+    out = add_url_host(rd.from_pandas(df)).to_pandas()
+    assert list(out["host"]) == ["a.com", "a.com", "b.org", ""]
+    hs = host_stats(rd.from_pandas(df)).to_pandas().set_index("host")
+    assert hs.loc["a.com", "n"] == 2
+    assert hs.loc["a.com", "avg_chars"] == 3.0
+    assert hs.loc["b.org", "max_chars"] == 1.0
+
+
+# ----------------------------------------------------------- clean_corpus
+def _ref_clean(df: pd.DataFrame, min_tokens=20, max_tokens=50_000,
+               min_quality=0.3, max_dup=0.30) -> pd.DataFrame:
+    """Independent pandas reimplementation of the funnel semantics."""
+    from dedupe_examples_ray.ops.textstats import TOKEN_RE, _STOPWORDS
+
+    stop_re = re.compile(r"\b(" + "|".join(sorted(_STOPWORDS["en"])) + r")\b")
+    tok_re = re.compile(TOKEN_RE)
+    keep = []
+    for _, r in df.iterrows():
+        s = r["text"] or ""
+        if r["lang"] != "en":
+            continue
+        nt = len(tok_re.findall(s))
+        if not (min_tokens <= nt <= max_tokens):
+            continue
+        nc = len(s)
+        npunct = len(re.findall(r"[^\w\s]", s))
+        nwords = len(re.findall(r"[A-Za-z0-9]+", s))
+        nstop = len(stop_re.findall(s.lower()))
+        punct_r = npunct / max(nc, 1)
+        stop_r = nstop / max(nwords, 1)
+        q = (min(nc / 200.0, 1.0) * max(1.0 - punct_r * 4.0, 0.0)) * (
+            min(stop_r * 4.0, 1.0) * 0.5 + 0.5
+        )
+        if q < min_quality:
+            continue
+        lines = [ln for ln in s.split("\n") if ln.strip()]
+        if lines and (len(lines) - len(set(lines))) / len(lines) > max_dup:
+            continue
+        keep.append(r)
+    kept = pd.DataFrame(keep)
+    if kept.empty:
+        return kept
+    mins = kept.groupby("text", sort=False)["doc_id"].transform("min")
+    return kept[mins == kept["doc_id"]]
+
+
+def test_clean_corpus_matches_reference_semantics(ray_session):
+    got = clean_corpus(_docs(ray_session)).to_pandas().sort_values("doc_id")
+    ref = pd.read_parquet(f"{SF}/documents.parquet")
+    want = _ref_clean(ref).sort_values("doc_id")
+    assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_clean_corpus_dedups_exact_text(ray_session):
+    import ray.data as rd
+
+    base = "the of and to in a is that it was for on are with as be at by this "
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base * 3, base * 3, base * 3 + "unique tail", base * 3],
+            "lang": ["en"] * 4,
+        }
+    )
+    got = clean_corpus(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [1, 3]
+
+
+def test_clean_corpus_funnel_counts(ray_session):
+    fn = clean_corpus_funnel(_docs(ray_session))
+    assert list(fn["stage"]) == ["input", "lang", "tokens", "quality", "repetition", "dedup"]
+    n = fn["n_rows"].to_numpy()
+    assert (np.diff(n) <= 0).all()  # monotone funnel
+    assert n[0] == pd.read_parquet(f"{SF}/documents.parquet").shape[0]
+    assert n[-1] == clean_corpus(_docs(ray_session)).count()
+
+
+def test_corpus_ops_on_empty_dataset(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="object"),
+                      "lang": pd.Series([], dtype="object")})
+    )
+    assert split_by_hash(empty, "doc_id").count() == 0
+    assert clean_corpus(empty).count() == 0
+    assert sample_per_group(empty, ["lang"], 2, "doc_id").count() == 0
