@@ -34,8 +34,8 @@ from ..normalize import derive_page_fields
 from ..pairs import candidate_pairs
 from ..scoring import (
     bucketed_hydrate,
-    build_record_map,
     hydrate_pairs,
+    record_map_ref,
     score_pairs,
     threshold_edges,
 )
@@ -131,9 +131,12 @@ def dedupe_dataset(
 
     def scored_edges():
         if hydration == "broadcast":
-            records = build_record_map(records_ds, id_col, carry)
+            # broadcast built off-driver: one remote consolidation task,
+            # workers map the combined object zero-copy (record_map_ref)
+            records = record_map_ref(records_ds, id_col, carry)
             scores = score_pairs(
-                pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records
+                pairs, settings, idf=idf, concurrency=scorer_concurrency,
+                records=records, n_records_hint=n_records,
             )
         elif hydration == "sharded":
             import os

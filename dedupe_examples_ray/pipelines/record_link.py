@@ -23,7 +23,7 @@ from ..blocking import fingerprint_dataset
 from ..checkpoint import run_stage
 from ..config import Settings
 from ..pairs import candidate_pairs
-from ..scoring import build_record_map, score_pairs, threshold_edges
+from ..scoring import record_map_ref, score_pairs, threshold_edges
 
 
 def tag_sources(ds_a, ds_b, id_col: str):
@@ -203,7 +203,7 @@ def record_link(
         workdir,
         fp,
     )
-    records = build_record_map(tagged, id_col, carry)
+    records = record_map_ref(tagged, id_col, carry)
     scored = run_stage(
         "rl_scores",
         lambda: score_pairs(pairs, settings, idf=idf, concurrency=scorer_concurrency, records=records),
