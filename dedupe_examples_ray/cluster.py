@@ -422,10 +422,8 @@ def _annotate_from_table(t: pa.Table, tbl_ref) -> pa.Table:
         _LBL_INDEX_CACHE[key] = got
     node_idx, lbl = got
     pos = node_idx.get_indexer(t["record_id"].to_pandas())
-    idx = pa.array(
-        [None if p < 0 else int(p) for p in pos] if (pos < 0).any() else pos,
-        type=pa.int64(),
-    )
+    # misses (singletons) become nulls via the validity mask — no Python loop
+    idx = pa.array(pos.astype("int64"), type=pa.int64(), mask=pos < 0)
     canon = pc.coalesce(
         pc.take(lbl["label"], idx), pc.cast(t["record_id"], pa.string())
     )

@@ -189,16 +189,24 @@ def dedupe_dataset(
         # driver fast path: ONE edge pull feeds vectorized CC + confidence +
         # the broadcast entity-map annotation (reference's in-driver posture)
         import pyarrow as pa_
+        import ray as ray_
 
-        batches = list(
-            edges.select_columns(["id_a", "id_b", "score"]).iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
-        )
+        # zero-copy pull: the projection materializes in parallel and the
+        # driver maps the result blocks from plasma (no re-batching copy).
+        # Empty blocks can carry a degenerate column-less schema — drop them
+        # before concat (concat_tables requires identical schemas).
+        tbls = ray_.get(edges.select_columns(["id_a", "id_b", "score"]).to_arrow_refs())
+        tbls = [t for t in tbls if t.num_rows > 0]
         edges_tbl = (
-            pa_.concat_tables(batches)
-            if batches
-            else pa_.table({"id_a": [], "id_b": [], "score": []})
+            pa_.concat_tables(tbls)
+            if tbls
+            else pa_.table(
+                {
+                    "id_a": pa_.array([], pa_.string()),
+                    "id_b": pa_.array([], pa_.string()),
+                    "score": pa_.array([], pa_.float64()),
+                }
+            )
         )
         label_tbl = driver_cluster_table(edges_tbl)
         if workdir is not None:
