@@ -24,16 +24,32 @@ import numpy as np
 
 
 def _encode_padded(strings: list, cap: int) -> tuple[np.ndarray, np.ndarray]:
-    """Pad/truncate to ``cap`` codepoints -> (N, cap) uint32 matrix + lengths."""
+    """Pad/truncate to ``cap`` codepoints -> (N, cap) codepoint matrix + lengths.
+
+    All-ASCII batches (the common case — preProcess transliterates upstream)
+    encode as uint8, quartering the matrix bytes the DP re-reads every row;
+    any non-ASCII string falls back to uint32 codepoints for the whole batch.
+    Cross-dtype equality against the other side still compares codepoints.
+    """
     n = len(strings)
-    mat = np.zeros((n, cap), dtype=np.uint32)
+    ascii_ok = all((not s) or s.isascii() for s in strings)
     lens = np.zeros(n, dtype=np.int64)
-    for i, s in enumerate(strings):
-        if not s:
-            continue
-        s = s[:cap]
-        lens[i] = len(s)
-        mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    if ascii_ok:
+        mat = np.zeros((n, cap), dtype=np.uint8)
+        for i, s in enumerate(strings):
+            if not s:
+                continue
+            bts = s.encode("ascii")[:cap]
+            lens[i] = len(bts)
+            mat[i, : len(bts)] = np.frombuffer(bts, dtype=np.uint8)
+    else:
+        mat = np.zeros((n, cap), dtype=np.uint32)
+        for i, s in enumerate(strings):
+            if not s:
+                continue
+            s = s[:cap]
+            lens[i] = len(s)
+            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     return mat, lens
 
 
@@ -85,17 +101,22 @@ def batch_levenshtein_sim(a: list, b: list, cap: int = 48) -> np.ndarray:
 
     dist = np.where(la == 0, lb, 0).astype(np.float64)  # la==0 rows resolved now
     if max_la > 0:
+        # cell values live in [-cap, 2*cap]: int8 suffices up to cap 62 and
+        # halves the slab bytes the accumulate scans stream every DP row
+        dt = np.int8 if cap <= 62 else np.int16
         w = lbmax + 1
-        jr = np.arange(w, dtype=np.int16)
-        prev = np.broadcast_to(jr, (n, w)).astype(np.int16).copy()
-        cur = np.empty((n, w), dtype=np.int16)
-        cand = np.empty((n, lbmax), dtype=np.int16)
-        tmp = np.empty((n, lbmax), dtype=np.int16)
+        jr = np.arange(w, dtype=dt)
+        prev = np.broadcast_to(jr, (n, w)).astype(dt).copy()
+        cur = np.empty((n, w), dtype=dt)
+        cand = np.empty((n, lbmax), dtype=dt)
+        tmp = np.empty((n, lbmax), dtype=dt)
+        neq = np.empty((n, lbmax), dtype=bool)
         Bv = B[:, :lbmax]
         for i in range(1, max_la + 1):
             # cand = min(prev[:,1:] + 1, prev[:,:-1] + (A[:,i-1] != B))
-            np.add(prev[:, :-1], (A[:, i - 1 : i] != Bv), out=cand, casting="unsafe")
-            np.add(prev[:, 1:], np.int16(1), out=tmp)
+            np.not_equal(A[:, i - 1 : i], Bv, out=neq)
+            np.add(prev[:, :-1], neq, out=cand, casting="unsafe")
+            np.add(prev[:, 1:], dt(1), out=tmp)
             np.minimum(cand, tmp, out=cand)
             # cur[j] = min_{k<=j}(t[k] - k) + j  (running-min prefix scan)
             cur[:, 0] = i
