@@ -413,6 +413,75 @@ def _q_er_exact_consistency_documents(sf_dir):
     )
 
 
+def _clone_doubled_docs(sf_dir):
+    """documents UNION an exact clone of itself (clone ids shifted by 10M) —
+    shared input for the near-dup consistency oracles."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(t["doc_id"], pa.int64()), 10_000_000)
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    return docs.union(docs.map_batches(clone, batch_format="pyarrow"))
+
+
+def _consistency_frame(assign, id_col="doc_id", keep_col="keep_id"):
+    """(grp, n_docs, n_keep) per original id over a clone-doubled corpus —
+    every (original, clone) pair has identical text, so n_keep MUST be 1."""
+    import pandas as pd
+
+    df = assign.to_pandas()
+    ids = df[id_col].astype(np.int64)
+    grp = np.where(ids >= 10_000_000, ids - 10_000_000, ids)
+    g = (
+        pd.DataFrame({"grp": grp, "keep": df[keep_col]})
+        .groupby("grp")
+        .agg(n_docs=("keep", "count"), n_keep=("keep", "nunique"))
+        .reset_index()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"grp": g["grp"].astype(np.int64), "n_docs": g["n_docs"].astype(np.int64),
+         "n_keep": g["n_keep"].astype(np.int64)}
+    )
+
+
+def _q_minhash_consistency_documents(sf_dir):
+    """MinHash-LSH invariant with a DuckDB oracle: exact clones have identical
+    signatures, land in the same bands, and verify at Jaccard 1.0 — each
+    (original, clone) pair must share one keep_id."""
+    from dedupe_examples_ray.ops import minhash_lsh_dedup
+
+    return _consistency_frame(minhash_lsh_dedup(_clone_doubled_docs(sf_dir)))
+
+
+def _q_simhash_consistency_documents(sf_dir):
+    """SimHash invariant with a DuckDB oracle: exact clones have hamming
+    distance 0 — each (original, clone) pair must share one keep_id."""
+    from dedupe_examples_ray.ops import simhash_dedup
+
+    return _consistency_frame(simhash_dedup(_clone_doubled_docs(sf_dir)))
+
+
+def _q_embedding_consistency(sf_dir):
+    """Embedding-cosine invariant with a DuckDB oracle: clone vectors are
+    bit-identical (cosine 1.0, same hyperplane bucket) — each (original,
+    clone) pair must share one keep_id."""
+    from dedupe_examples_ray.ops import embedding_cosine_dedup
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(t["vec_id"], pa.int64()), 10_000_000)
+        return pa.table({"vec_id": ids, "embedding": t["embedding"]})
+
+    doubled = vecs.union(vecs.map_batches(clone, batch_format="pyarrow"))
+    return _consistency_frame(
+        embedding_cosine_dedup(doubled), id_col="vec_id"
+    )
+
+
 def _q_fingerprint_documents(sf_dir):
     from dedupe_examples_ray.ops import doc_fingerprint
 
@@ -784,6 +853,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_flag_lang": _q_null_flag_lang,
         "er_dedupe_inventors": _q_er_dedupe_inventors,
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
+        "minhash_consistency_documents": _q_minhash_consistency_documents,
+        "simhash_consistency_documents": _q_simhash_consistency_documents,
+        "embedding_consistency": _q_embedding_consistency,
         "media_frames": _q_media_frames,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
@@ -887,6 +959,18 @@ def oracle_sql() -> dict[str, str]:
         "er_exact_consistency_documents": (
             "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
             "CAST(1 AS BIGINT) AS n_canon FROM documents ORDER BY grp"
+        ),
+        "minhash_consistency_documents": (
+            "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS n_keep FROM documents ORDER BY grp"
+        ),
+        "simhash_consistency_documents": (
+            "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS n_keep FROM documents ORDER BY grp"
+        ),
+        "embedding_consistency": (
+            "SELECT CAST(vec_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS n_keep FROM embeddings ORDER BY grp"
         ),
         # deterministic corpus: 200 gold clusters at seed 42 -> 554 pages, and
         # the extraction invariant demands every one byte-identical
