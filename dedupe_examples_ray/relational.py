@@ -228,7 +228,7 @@ def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
             self.lo, self.hi, self.bands = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            v = np.asarray(t[val_col].to_pylist(), dtype=np.float64)
+            v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             if disjoint:
                 idx = np.searchsorted(self.lo, v, side="right") - 1
                 ok = (idx >= 0) & (v < self.hi[np.maximum(idx, 0)])
@@ -276,14 +276,17 @@ def _tagged_distinct_setop(ds_a, ds_b, cols: list[str], keep: str,
         ds_b.select_columns(cols).map_batches(local(1), batch_format="pandas")
     )
 
-    def decide(df: pd.DataFrame) -> pd.DataFrame:
-        in_a = df[df["side"] == 0][cols].drop_duplicates()
-        b_keys = set(map(tuple, df[df["side"] == 1][cols].itertuples(index=False)))
-        mask = [tuple(r) in b_keys for r in in_a.itertuples(index=False)]
-        m = np.asarray(mask, dtype=bool) if mask else np.zeros(0, dtype=bool)
-        return in_a[m] if keep == "both" else in_a[~m]
+    def decide(t: pa.Table) -> pa.Table:
+        # Arrow-native set decision: distinct per side via group_by, then a
+        # hash semi/anti join (C++ kernels; schema-stable even for empty
+        # groups, so Ray's block-size estimator never sees untyped frames).
+        side = t["side"]
+        in_a = t.filter(pc.equal(side, 0)).select(cols).group_by(cols).aggregate([])
+        in_b = t.filter(pc.equal(side, 1)).select(cols).group_by(cols).aggregate([])
+        how = "left semi" if keep == "both" else "left anti"
+        return in_a.join(in_b, keys=cols, join_type=how)
 
-    return tagged.groupby("bucket").map_groups(decide, batch_format="pandas")
+    return tagged.groupby("bucket").map_groups(decide, batch_format="pyarrow")
 
 
 def except_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
