@@ -784,6 +784,52 @@ def _q_host_stats_pages(sf_dir):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_latest_event_per_user(sf_dir):
+    """Latest-row-per-key dedup (keep_latest) on the events table: each
+    user's most recent event, ties on ts broken by greatest event_id —
+    the combiner-pattern re-crawl dedup, SQL-oracled via ROW_NUMBER."""
+    from dedupe_examples_ray.ops import keep_latest
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = keep_latest(ev, "user_id", "ts", tie_col="event_id").to_pandas()
+    return (
+        out[["user_id", "event_id", "ts", "event_type", "value"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_keep_latest_pages(sf_dir):
+    """Re-crawl dedup over the synthetic web corpus: stack a second snapshot
+    (md5-selected 30% of urls re-crawled one day later with edited text) on
+    the first, keep the latest snapshot per url."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.ops import keep_latest
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    pages = synth_pages_dataset(n, seed=42).drop_columns(["true_id"])
+
+    def recrawl(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        urls = t["url"].to_pylist()
+        keep = [int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 10 < 3 for u in urls]
+        t = t.filter(pa.array(keep))
+        ts = pc.add(t["warc_ts"], pa.scalar(86_400_000_000, pa.duration("us")))
+        text = pc.binary_join_element_wise(t["text"], "updated.", "\n")
+        return (
+            t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts", ts)
+            .set_column(t.schema.get_field_index("text"), "text", text)
+        )
+
+    stacked = pages.union(pages.map_batches(recrawl, batch_format="pyarrow"))
+    out = keep_latest(stacked, "url", "warc_ts").to_pandas()
+    return out[["url", "warc_ts"]].sort_values("url").reset_index(drop=True)
+
+
 def _clean_corpus_oracle_sql() -> str:
     """DuckDB mirror of ops.corpus.clean_corpus over ``documents`` (same
     regexes and quality expression tree as the quality/repetition oracles;
@@ -874,6 +920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": _q_sample_per_source,
         "clean_corpus_documents": _q_clean_corpus_documents,
         "host_stats_pages": _q_host_stats_pages,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "keep_latest_pages": _q_keep_latest_pages,
     }
 
 
@@ -1045,6 +1093,13 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents) WHERE rn <= 5 ORDER BY source, rank"
         ),
         "clean_corpus_documents": _clean_corpus_oracle_sql(),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, ts, event_type, value FROM ("
+            "  SELECT user_id, event_id, ts, event_type, value, "
+            "    ROW_NUMBER() OVER (PARTITION BY user_id "
+            "      ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
     }
 
 

@@ -18,6 +18,7 @@ from .corpus import (  # noqa: F401
     clean_corpus,
     clean_corpus_funnel,
     host_stats,
+    keep_latest,
     normalize_url,
     sample_per_group,
     split_by_hash,

@@ -158,6 +158,64 @@ def host_stats(ds, url_col: str = "url", text_col: str = "text"):
     return grouped_stats(withhost, ["host"], "_n_chars", prefix="chars")
 
 
+# ------------------------------------------------------- re-crawl dedup
+def _latest_indices(t: pa.Table, key_col: str, sort_cols: list[str]) -> np.ndarray:
+    """Row indices of each key's winner (greatest ``sort_cols[1:]``) in ``t``.
+
+    Only the key/timestamp columns are converted; payload columns (html,
+    text) stay in Arrow for the subsequent zero-copy ``take``.
+    """
+    df = pa.table({c: _col(t, c) for c in sort_cols}).to_pandas()
+    order = df.sort_values(sort_cols, kind="stable", na_position="first").index.to_numpy()
+    codes, _ = pd.factorize(df[key_col])  # nulls -> -1: one group, any dtype
+    keys = codes[order]
+    is_last = np.ones(len(order), dtype=bool)
+    is_last[:-1] = keys[:-1] != keys[1:]
+    return np.sort(order[is_last])
+
+
+def keep_latest(ds, key_col: str, ts_col: str, tie_col: str | None = None,
+                num_buckets: int = 64):
+    """Latest-row-per-key dedup — web re-crawl semantics: keep, for every
+    key (e.g. ``url``), the row with the greatest ``ts_col`` (``warc_ts``);
+    ties broken by the greatest ``tie_col`` (pass one whenever (key, ts) is
+    not unique) so the winner is deterministic under any partitioning.
+    Null timestamps lose to any non-null one; null keys form one group
+    (SQL ``GROUP BY`` semantics).
+
+    Scale shape (combiner pattern): each input batch first reduces to its
+    own per-key winners — a batch holding k snapshots of one url forwards
+    one row — then ONE bucketed shuffle on ``stable_hash(key) % num_buckets``
+    moves only those per-batch winners, and the per-bucket task picks the
+    global winner.  Shuffle volume is O(distinct keys × batches-per-key),
+    not O(rows): a superseded snapshot's payload never leaves its input
+    block.
+
+    Reference analog: the DISTINCT-donors step keeps one representative per
+    identity (mysql_init_db.py:134-143); ``keep_latest`` is the time-aware
+    variant a snapshot-stacked crawl table needs.
+    """
+    from ..pairs import stable_hash
+
+    sort_cols = [key_col, ts_col] + ([tie_col] if tie_col else [])
+
+    def local_winner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.take(pa.array(_latest_indices(t, key_col, sort_cols)))
+        b = stable_hash(_col(t, key_col).to_numpy(zero_copy_only=False)) % num_buckets
+        return t.append_column("_bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_bucket"])
+        if t.num_rows == 0:
+            return t
+        return t.take(pa.array(_latest_indices(t, key_col, sort_cols)))
+
+    partial = ds.map_batches(local_winner, batch_format="pyarrow")
+    return partial.groupby("_bucket").map_groups(final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- cleaning funnel
 def _funnel_masks(t: pa.Table, text_col: str, lang_col: str | None,
                   keep_langs, min_tokens: int, max_tokens: int,

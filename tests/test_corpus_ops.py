@@ -205,3 +205,68 @@ def test_corpus_ops_on_empty_dataset(ray_session):
     assert split_by_hash(empty, "doc_id").count() == 0
     assert clean_corpus(empty).count() == 0
     assert sample_per_group(empty, ["lang"], 2, "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------- keep_latest
+def test_keep_latest_picks_global_winner_across_blocks(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import keep_latest
+
+    # 3 snapshots of url "a" spread across blocks; winner must be the
+    # globally-latest row even though no single batch sees all three.
+    df = pd.DataFrame(
+        {
+            "url": ["a", "b", "a", "c", "a", "b"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01", "2024-06-01", "2024-03-01",
+                 "2024-02-01", "2024-02-01", "2024-05-01"]
+            ),
+            "text": ["a1", "b2", "a3", "c1", "a2", "b1"],
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i : i + 2] for i in range(0, 6, 2)])
+    out = keep_latest(ds, "url", "warc_ts").to_pandas().sort_values("url")
+    assert list(out["url"]) == ["a", "b", "c"]
+    assert list(out["text"]) == ["a3", "b2", "c1"]
+
+
+def test_keep_latest_tie_break_and_nulls(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import keep_latest
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-01", None, "2024-01-01", None, None])
+    df = pd.DataFrame(
+        {
+            "k": ["x", "x", "x", None, None, "y"],
+            "ts": ts,
+            "eid": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    out = keep_latest(rd.from_pandas(df), "k", "ts", tie_col="eid").to_pandas()
+    got = {r["k"] if pd.notna(r["k"]) else None: r["eid"] for _, r in out.iterrows()}
+    # tie on ts -> greatest eid wins; null ts loses to non-null; null keys
+    # form one group and its only non-null-ts row wins
+    assert got == {"x": 2, None: 4, "y": 6}
+
+
+def test_keep_latest_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import keep_latest
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    out = (
+        keep_latest(ev, "user_id", "ts", tie_col="event_id")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)[["user_id", "event_id"]]
+    )
+    want = duckdb.sql(
+        f"SELECT user_id, event_id FROM read_parquet('{SF}/events.parquet') "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 "
+        "ORDER BY user_id"
+    ).df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
