@@ -830,6 +830,77 @@ def _q_keep_latest_pages(sf_dir):
     return out[["url", "warc_ts"]].sort_values("url").reset_index(drop=True)
 
 
+def _split_docs_snapshots(sf_dir):
+    """documents as two crawl snapshots: even doc_ids arrive first, odd
+    doc_ids are the incoming snapshot to dedup against the store."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def even(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    def odd(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+
+    import pyarrow as pa  # noqa: F401
+
+    return (
+        docs.map_batches(even, batch_format="pyarrow"),
+        docs.map_batches(odd, batch_format="pyarrow"),
+    )
+
+
+def _q_incremental_exact_documents(sf_dir):
+    """Snapshot-over-snapshot exact dedup against the persisted signature
+    store: even-id docs are snapshot A; snapshot B = odd-id docs plus clones
+    of every 10th even doc (re-crawled content, new ids) so the oracle
+    exercises dup_prior/dup_snapshot, not just unique."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops import incremental_exact_dedup
+
+    snap_a, snap_b = _split_docs_snapshots(sf_dir)
+
+    def clones(offset):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % 10 == np.int64(offset == 2_000_000)))
+            new_ids = t["doc_id"].to_numpy(zero_copy_only=False) + offset
+            return pa.table({"doc_id": pa.array(new_ids, pa.int64()), "text": t["text"]})
+
+        return fn
+
+    # clones of A docs (-> dup_prior) and of B docs (-> dup_snapshot)
+    snap_b = snap_b.union(
+        snap_a.map_batches(clones(1_000_000), batch_format="pyarrow"),
+        snap_b.map_batches(clones(2_000_000), batch_format="pyarrow"),
+    )
+    store = tempfile.mkdtemp(prefix="incstore_", dir="/tmp")
+    incremental_exact_dedup(snap_a, store, "A").materialize()
+    out = incremental_exact_dedup(snap_b, store, "B").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_incremental_minhash_documents(sf_dir):
+    """Near-dup variant of the incremental snapshot dedup (minhash store,
+    signature-estimated Jaccard verify)."""
+    import tempfile
+
+    from dedupe_examples_ray.ops import incremental_minhash_dedup
+
+    snap_a, snap_b = _split_docs_snapshots(sf_dir)
+    store = tempfile.mkdtemp(prefix="incstore_", dir="/tmp")
+    incremental_minhash_dedup(snap_a, store, "A").materialize()
+    out = incremental_minhash_dedup(snap_b, store, "B").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _clean_corpus_oracle_sql() -> str:
     """DuckDB mirror of ops.corpus.clean_corpus over ``documents`` (same
     regexes and quality expression tree as the quality/repetition oracles;
@@ -922,6 +993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_pages": _q_host_stats_pages,
         "latest_event_per_user": _q_latest_event_per_user,
         "keep_latest_pages": _q_keep_latest_pages,
+        "incremental_exact_documents": _q_incremental_exact_documents,
+        "incremental_minhash_documents": _q_incremental_minhash_documents,
     }
 
 
@@ -1099,6 +1172,24 @@ def oracle_sql() -> dict[str, str]:
             "    ROW_NUMBER() OVER (PARTITION BY user_id "
             "      ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
             "WHERE rn = 1 ORDER BY user_id"
+        ),
+        "incremental_exact_documents": (
+            "WITH a AS (SELECT doc_id, COALESCE(text,'') AS t FROM documents WHERE doc_id % 2 = 0), "
+            "b AS (SELECT doc_id, COALESCE(text,'') AS t FROM documents WHERE doc_id % 2 = 1 "
+            "      UNION ALL "
+            "      SELECT doc_id + 1000000, COALESCE(text,'') FROM documents "
+            "      WHERE doc_id % 2 = 0 AND doc_id % 10 = 0 "
+            "      UNION ALL "
+            "      SELECT doc_id + 2000000, COALESCE(text,'') FROM documents "
+            "      WHERE doc_id % 2 = 1 AND doc_id % 10 = 1), "
+            "awin AS (SELECT t, MIN(doc_id) AS akeep FROM a GROUP BY t), "
+            "bwin AS (SELECT t, MIN(doc_id) AS bkeep FROM b GROUP BY t) "
+            "SELECT b.doc_id, COALESCE(awin.akeep, bwin.bkeep) AS keep_id, "
+            "  CASE WHEN awin.akeep IS NOT NULL THEN 'dup_prior' "
+            "       WHEN bwin.bkeep <> b.doc_id THEN 'dup_snapshot' "
+            "       ELSE 'unique' END AS status "
+            "FROM b LEFT JOIN awin ON b.t = awin.t JOIN bwin ON b.t = bwin.t "
+            "ORDER BY b.doc_id"
         ),
     }
 

@@ -13,6 +13,10 @@ from .textstats import (  # noqa: F401
     doc_fingerprint,
     repetition_stats,
 )
+from .incremental import (  # noqa: F401
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
+)
 from .corpus import (  # noqa: F401
     add_url_host,
     clean_corpus,

@@ -1,0 +1,184 @@
+"""Incremental snapshot-over-snapshot dedup against the persisted signature
+store (ops/incremental.py): exact + minhash variants, generation layout,
+idempotent re-runs, survivor-only store semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen sleepy "
+    "badgers carry bright copper kettles across the frozen northern river "
+    "toward a distant market town full of cheerful merchants and musicians"
+)
+NEAR = BASE.replace("cheerful", "grumpy").replace("seventeen", "nineteen")
+OTHER = (
+    "completely unrelated content about spacecraft navigation systems using "
+    "stellar parallax measurements combined with onboard atomic clocks to "
+    "estimate heliocentric velocity during long interplanetary transfers"
+)
+THIRD = (
+    "a third corpus document describing medieval agriculture crop rotation "
+    "patterns three field systems oxen plough teams and the seasonal rhythm "
+    "of planting harvesting and fallow years across feudal estates"
+)
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _to_map(ds):
+    df = ds.to_pandas()
+    return {r["doc_id"]: (r["keep_id"], r["status"]) for _, r in df.iterrows()}
+
+
+# ------------------------------------------------------------------- exact
+def test_incremental_exact_two_snapshots(ray_session, tmp_path):
+    from dedupe_examples_ray.ops import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+    snap_a = _ds(
+        [
+            {"doc_id": "a0", "text": BASE},
+            {"doc_id": "a1", "text": BASE},  # dup within A
+            {"doc_id": "a2", "text": OTHER},
+        ]
+    )
+    got_a = _to_map(incremental_exact_dedup(snap_a, store, "A"))
+    assert got_a == {
+        "a0": ("a0", "unique"),
+        "a1": ("a0", "dup_snapshot"),
+        "a2": ("a2", "unique"),
+    }
+
+    snap_b = _ds(
+        [
+            {"doc_id": "b0", "text": BASE},  # already in store -> a0
+            {"doc_id": "b1", "text": THIRD},
+            {"doc_id": "b2", "text": THIRD},  # dup within B
+        ]
+    )
+    got_b = _to_map(incremental_exact_dedup(snap_b, store, "B"))
+    assert got_b == {
+        "b0": ("a0", "dup_prior"),
+        "b1": ("b1", "unique"),
+        "b2": ("b1", "dup_snapshot"),
+    }
+    # generation layout: one immutable dir per snapshot
+    gens = sorted(os.listdir(os.path.join(store, "exact")))
+    assert gens == ["snap-A", "snap-B"]
+
+
+def test_incremental_exact_rerun_is_idempotent(ray_session, tmp_path):
+    from dedupe_examples_ray.ops import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+    snap = _ds([{"doc_id": "a0", "text": BASE}, {"doc_id": "a1", "text": OTHER}])
+    first = _to_map(incremental_exact_dedup(snap, store, "A"))
+    again = _to_map(incremental_exact_dedup(snap, store, "A"))
+    # rerun excludes its own generation: no self-collision, same result
+    assert first == again == {"a0": ("a0", "unique"), "a1": ("a1", "unique")}
+    assert sorted(os.listdir(os.path.join(store, "exact"))) == ["snap-A"]
+
+
+# ----------------------------------------------------------------- minhash
+def test_incremental_minhash_two_snapshots(ray_session, tmp_path):
+    from dedupe_examples_ray.ops import incremental_minhash_dedup
+
+    store = str(tmp_path / "store")
+    snap_a = _ds(
+        [
+            {"doc_id": "a0", "text": BASE},
+            {"doc_id": "a1", "text": NEAR},  # near-dup of a0 within A
+            {"doc_id": "a2", "text": OTHER},
+        ]
+    )
+    got_a = _to_map(incremental_minhash_dedup(snap_a, store, "A"))
+    assert got_a == {
+        "a0": ("a0", "unique"),
+        "a1": ("a0", "dup_snapshot"),
+        "a2": ("a2", "unique"),
+    }
+
+    snap_b = _ds(
+        [
+            {"doc_id": "b0", "text": NEAR},  # near-dup of stored a0
+            {"doc_id": "b1", "text": THIRD},
+            {"doc_id": "b2", "text": THIRD + " extra trailing words here"},
+        ]
+    )
+    got_b = _to_map(incremental_minhash_dedup(snap_b, store, "B"))
+    assert got_b["b0"] == ("a0", "dup_prior")
+    assert got_b["b1"] == ("b1", "unique")
+    assert got_b["b2"] == ("b1", "dup_snapshot")
+
+
+def test_incremental_minhash_store_holds_survivors_only(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from dedupe_examples_ray.ops import incremental_minhash_dedup
+
+    store = str(tmp_path / "store")
+    snap_a = _ds(
+        [
+            {"doc_id": "a0", "text": BASE},
+            {"doc_id": "a1", "text": NEAR},  # loses to a0 -> must NOT enter store
+        ]
+    )
+    incremental_minhash_dedup(snap_a, store, "A")
+    sig_files = []
+    for root, _, files in os.walk(os.path.join(store, "minhash", "sigs")):
+        sig_files += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    stored = set()
+    for f in sig_files:
+        stored |= set(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert stored == {"a0"}
+
+    # a third snapshot near-dup of the LOSER's text still maps to the
+    # surviving representative (the store never points at dead docs)
+    got_c = _to_map(incremental_minhash_dedup(_ds([{"doc_id": "c0", "text": NEAR}]), store, "C"))
+    assert got_c["c0"] == ("a0", "dup_prior")
+
+
+def test_incremental_minhash_rerun_is_idempotent(ray_session, tmp_path):
+    from dedupe_examples_ray.ops import incremental_minhash_dedup
+
+    store = str(tmp_path / "store")
+    snap = _ds([{"doc_id": "a0", "text": BASE}, {"doc_id": "a1", "text": OTHER}])
+    first = _to_map(incremental_minhash_dedup(snap, store, "A"))
+    again = _to_map(incremental_minhash_dedup(snap, store, "A"))
+    assert first == again == {"a0": ("a0", "unique"), "a1": ("a1", "unique")}
+    gens = sorted(os.listdir(os.path.join(store, "minhash", "sigs")))
+    assert gens == ["snap-A"]
+
+
+def test_incremental_minhash_matches_batch_on_union(ray_session, tmp_path):
+    """Incremental A-then-B agrees with one-shot minhash dedup of A∪B on
+    which documents survive (representative choice may differ only when a
+    bridge doc merges two prior representatives — absent here)."""
+    from dedupe_examples_ray.ops import incremental_minhash_dedup, minhash_lsh_dedup
+
+    store = str(tmp_path / "store")
+    rows_a = [
+        {"doc_id": "a0", "text": BASE},
+        {"doc_id": "a1", "text": OTHER},
+    ]
+    rows_b = [
+        {"doc_id": "b0", "text": NEAR},  # dup of a0
+        {"doc_id": "b1", "text": THIRD},
+    ]
+    incremental_minhash_dedup(_ds(rows_a), store, "A")
+    got_b = _to_map(incremental_minhash_dedup(_ds(rows_b), store, "B"))
+
+    batch = {
+        r["doc_id"]: r["keep_id"]
+        for _, r in minhash_lsh_dedup(_ds(rows_a + rows_b)).to_pandas().iterrows()
+    }
+    for doc in ("b0", "b1"):
+        assert got_b[doc][0] == batch[doc], (doc, got_b[doc], batch[doc])
