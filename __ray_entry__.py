@@ -901,6 +901,30 @@ def _q_incremental_minhash_documents(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_decontam_documents(sf_dir):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 play the eval
+    set; every other doc is flagged if it shares an 8-word-gram with it
+    (broadcast eval-gram set, one streaming pass over training docs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops import ngram_decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(is_eval):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 20 == 0) == is_eval))
+
+        return fn
+
+    ev = docs.map_batches(part(True), batch_format="pyarrow")
+    tr = docs.map_batches(part(False), batch_format="pyarrow")
+    out = ngram_decontaminate(tr, ev).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _clean_corpus_oracle_sql() -> str:
     """DuckDB mirror of ops.corpus.clean_corpus over ``documents`` (same
     regexes and quality expression tree as the quality/repetition oracles;
@@ -995,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_latest_pages": _q_keep_latest_pages,
         "incremental_exact_documents": _q_incremental_exact_documents,
         "incremental_minhash_documents": _q_incremental_minhash_documents,
+        "decontam_documents": _q_decontam_documents,
     }
 
 
@@ -1190,6 +1215,23 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE 'unique' END AS status "
             "FROM b LEFT JOIN awin ON b.t = awin.t JOIN bwin ON b.t = bwin.t "
             "ORDER BY b.doc_id"
+        ),
+        "decontam_documents": (
+            "WITH t AS (SELECT doc_id, "
+            "    regexp_extract_all(lower(COALESCE(text,'')), '\\S+') AS tk FROM documents), "
+            "g AS ("
+            "  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram "
+            "  FROM t, UNNEST(generate_series(1, len(tk)-7)) AS u(i) WHERE len(tk) >= 8 "
+            "  UNION ALL "
+            "  SELECT doc_id, array_to_string(tk, ' ') FROM t WHERE len(tk) BETWEEN 1 AND 7), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0), "
+            "tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 20 <> 0), "
+            "hits AS (SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr "
+            "  JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "  COALESCE(h.n_hits, 0) > 0 AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d "
+            "LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
         ),
     }
 

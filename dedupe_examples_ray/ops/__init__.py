@@ -23,6 +23,7 @@ from .corpus import (  # noqa: F401
     clean_corpus_funnel,
     host_stats,
     keep_latest,
+    ngram_decontaminate,
     normalize_url,
     sample_per_group,
     split_by_hash,

@@ -216,6 +216,67 @@ def keep_latest(ds, key_col: str, ts_col: str, tie_col: str | None = None,
     return partial.groupby("_bucket").map_groups(final, batch_format="pyarrow")
 
 
+# ------------------------------------------------------- decontamination
+def ngram_decontaminate(train_ds, eval_ds, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8):
+    """Benchmark decontamination: flag every training document that shares a
+    word ``n``-gram with the evaluation set (the GPT-3/Gopher train–test
+    overlap rule).  Documents shorter than ``n`` words contribute their whole
+    text as one gram (so short eval items still match verbatim copies).
+
+    Returns ``(doc_id, n_hits, contaminated)`` per training doc, where
+    ``n_hits`` counts the doc's DISTINCT n-grams found in the eval set.
+
+    Scale shape: the eval side is benchmark-sized by definition — its gram
+    hashes are collected once (bounded by eval size, never the corpus),
+    deduped, sorted, and broadcast via ``ray.put``; the training pass is one
+    streaming ``map_batches`` doing a vectorized ``np.isin`` per batch — no
+    shuffle, no training-corpus materialization anywhere.
+    """
+    import ray
+
+    from .dedup import _get_broadcast, _hash_tokens, word_shingles
+
+    def gram_hashes(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        grams = [word_shingles(tx, n) for tx in texts]
+        flat = [g for gs in grams for g in gs]
+        hs = _hash_tokens(np.asarray(flat, dtype=object)) if flat else np.array([], np.uint64)
+        return pa.table({"h": pa.array(np.unique(hs), pa.uint64())})
+
+    eval_hashes = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in eval_ds.map_batches(gram_hashes, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    ev = np.unique(np.concatenate(eval_hashes)) if eval_hashes else np.array([], np.uint64)
+    ev_ref = ray.put(ev)
+
+    def check(t: pa.Table) -> pa.Table:
+        evs = _get_broadcast(ev_ref)
+        texts = t[text_col].to_pylist()
+        per_doc = [np.unique(_hash_tokens(word_shingles(tx, n))) for tx in texts]
+        counts = np.array([len(x) for x in per_doc], dtype=np.int64)
+        n_hits = np.zeros(len(texts), dtype=np.int64)
+        if counts.sum():
+            hits = np.isin(np.concatenate(per_doc), evs, assume_unique=False)
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            nz = counts > 0  # reduceat over non-empty docs only: empty docs
+            # have no elements, so consecutive non-empty starts still bound
+            # each doc's exact segment (and no start can run off the end)
+            n_hits[nz] = np.add.reduceat(hits, offsets[nz])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return train_ds.map_batches(check, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- cleaning funnel
 def _funnel_masks(t: pa.Table, text_col: str, lang_col: str | None,
                   keep_langs, min_tokens: int, max_tokens: int,

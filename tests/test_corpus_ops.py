@@ -270,3 +270,61 @@ def test_keep_latest_matches_duckdb(ray_session):
         "ORDER BY user_id"
     ).df()
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+# -------------------------------------------------------- ngram_decontaminate
+def test_decontaminate_flags_verbatim_and_partial_overlap(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import ngram_decontaminate
+
+    eval_txt = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    train = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "prefix words " + eval_txt + " suffix words",  # contains the 8-gram
+                    "alpha beta gamma delta epsilon zeta eta IOTA",  # 7-word overlap only
+                    "totally different content with no overlap at all here",
+                    "",  # empty doc
+                ],
+            }
+        )
+    )
+    ev = rd.from_pandas(pd.DataFrame({"doc_id": [100], "text": [eval_txt]}))
+    out = ngram_decontaminate(train, ev).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 1
+    assert not bool(out.loc[2, "contaminated"])  # needs a full 8-gram
+    assert not bool(out.loc[3, "contaminated"])
+    assert not bool(out.loc[4, "contaminated"]) and out.loc[4, "n_hits"] == 0
+
+
+def test_decontaminate_short_docs_whole_text_gram(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import ngram_decontaminate
+
+    # eval item shorter than n: its whole text is one gram; a verbatim train
+    # copy (also < n words) must match, a superstring must not
+    ev = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["short eval item"]}))
+    train = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["short eval item", "short eval item extended"]}
+        )
+    )
+    out = ngram_decontaminate(train, ev).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+
+
+def test_decontaminate_empty_eval_set(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import ngram_decontaminate
+
+    ev = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                      "text": pd.Series([], dtype="object")}))
+    train = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["some words here"]}))
+    out = ngram_decontaminate(train, ev).to_pandas()
+    assert not out["contaminated"].any()
