@@ -55,6 +55,25 @@ def _pages_cache(n_clusters: int) -> str:
     return path
 
 
+def _cpu_stat() -> tuple[int, int, int]:
+    """(busy, steal, total) jiffies from /proc/stat, summed across CPUs."""
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    busy = int(p[1]) + int(p[3])  # user + system
+    total = sum(int(x) for x in p[1:])
+    steal = int(p[8]) if len(p) > 8 else 0
+    return busy, steal, total
+
+
+def _steal_pct(before, after) -> float:
+    """% of CPU time stolen by other tenants of this (virtualized) host over
+    the measured interval.  Published with every timing: on this shared
+    sandbox steal routinely swings 0-50%, which dwarfs any code-level
+    variance — a number without its steal context is not judgeable."""
+    db = after[2] - before[2]
+    return round(100.0 * (after[1] - before[1]) / db, 1) if db else 0.0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -89,11 +108,13 @@ def run_bench() -> dict:
         lambda t: t.select(["url"]), batch_format="pyarrow"
     ).count()
 
+    stat0 = _cpu_stat()
     t0 = time.monotonic()
     pages = rd.read_parquet(cache, columns=["url", "text"])
     entity = dedupe_pages(pages, scorer_concurrency=max(int(NUM_CPUS * 0.6), 2))
     n_entities = entity.count()
     headline = time.monotonic() - t0
+    steal = _steal_pct(stat0, _cpu_stat())
     queries["er_pages"] = round(headline, 3)
     assert n_entities == n_pages, (n_entities, n_pages)
 
@@ -115,6 +136,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "n_pages": n_pages,
             "pages_per_sec": round(n_pages / headline, 1),
+            "steal_pct": steal,
         }
         ray.shutdown()
         return result
@@ -160,6 +182,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / headline, 1),
+        "steal_pct": steal,
     }
     ray.shutdown()
     return result
@@ -227,6 +250,10 @@ def run_scaling() -> dict:
         "sec_all": {
             str(lo_cpu): [r["value"] for r in los],
             str(hi_cpu): [r["value"] for r in his],
+        },
+        "steal_pct_all": {
+            str(lo_cpu): [r.get("steal_pct") for r in los],
+            str(hi_cpu): [r.get("steal_pct") for r in his],
         },
         "pages_per_sec": {str(lo_cpu): round(tput_lo, 1), str(hi_cpu): round(tput_hi, 1)},
         "hardware_ceiling_eff": ceiling,
