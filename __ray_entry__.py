@@ -960,6 +960,55 @@ def _clean_corpus_oracle_sql() -> str:
     )
 
 
+def _q_pii_redact_documents(sf_dir):
+    """PII redaction (email / IPv4 / phone -> sentinels) with per-kind match
+    counts.  The synthetic documents contain no digits, so the query first
+    derives a PII-bearing column deterministically from (text, doc_id) —
+    identically on the Ray side and in the SQL oracle — then redacts it;
+    the value hash therefore verifies RE2-pattern parity end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.ops import redact_pii
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        idn = t["doc_id"].to_numpy()
+        pii = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t["text"], 0, 40),
+            " contact user",
+            pa.array(idn.astype(str)),
+            "@mail.example.com or call +1 (555) 010-",
+            pa.array(np.char.zfill((idn % 10000).astype(str), 4)),
+            " from 10.",
+            pa.array((idn % 256).astype(str)),
+            ".0.",
+            pa.array((idn % 100).astype(str)),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "pii_text": pii})
+
+    out = redact_pii(
+        docs.map_batches(derive, batch_format="pyarrow"), text_col="pii_text"
+    ).to_pandas()
+    return out[["doc_id", "pii_text", "n_email", "n_ipv4", "n_phone"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _q_chunk_documents(sf_dir):
+    """Fixed-width overlapping character chunking (context-window packing):
+    size=200, overlap=50, chunk k = text[k*150 : k*150+200] while the start
+    is inside the document; oracled via generate_series + substring."""
+    from dedupe_examples_ray.ops import chunk_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_text(docs, size=200, overlap=50).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "er_dedupe_documents": _q_er_dedupe_documents,
@@ -1020,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_exact_documents": _q_incremental_exact_documents,
         "incremental_minhash_documents": _q_incremental_minhash_documents,
         "decontam_documents": _q_decontam_documents,
+        "pii_redact_documents": _q_pii_redact_documents,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -1233,7 +1284,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d "
             "LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
         ),
+        "pii_redact_documents": _pii_oracle_sql(),
+        "chunk_documents": (
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            "  substring(text, CAST(i*150+1 AS INT), 200) AS chunk "
+            "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
+            "      FROM documents WHERE length(text) > 0) "
+            "ORDER BY doc_id, chunk_id"
+        ),
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of ops.pii.redact_pii over the deterministically derived
+    PII column (both engines embed RE2, so the exact same pattern strings are
+    used on both sides — imported from PII_PATTERNS, not re-typed)."""
+    from dedupe_examples_ray.ops.pii import PII_PATTERNS
+
+    red = "raw"
+    for _, pattern, sentinel in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pattern}', '{sentinel}', 'g')"
+    return (
+        "WITH p AS (SELECT doc_id, "
+        "  substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "  || '@mail.example.com or call +1 (555) 010-' "
+        "  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+        "  || CAST(doc_id % 100 AS VARCHAR) AS raw FROM documents), "
+        f"r AS (SELECT doc_id, {red} AS pii_text FROM p) "
+        "SELECT doc_id, pii_text, "
+        "  CAST((length(pii_text) - length(replace(pii_text, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email, "
+        "  CAST((length(pii_text) - length(replace(pii_text, '<IPV4>', ''))) // 6 AS BIGINT) AS n_ipv4, "
+        "  CAST((length(pii_text) - length(replace(pii_text, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone "
+        "FROM r ORDER BY doc_id"
+    )
 
 
 def _quality_oracle_sql() -> str:

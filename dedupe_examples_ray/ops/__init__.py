@@ -28,3 +28,5 @@ from .corpus import (  # noqa: F401
     sample_per_group,
     split_by_hash,
 )
+from .pii import flag_pii, redact_pii  # noqa: F401
+from .corpus import chunk_text  # noqa: F401

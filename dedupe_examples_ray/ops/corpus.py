@@ -434,3 +434,54 @@ def clean_corpus_funnel(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out
+
+
+def chunk_text(ds, text_col: str = "text", id_col: str = "doc_id",
+               size: int = 200, overlap: int = 50, out_col: str = "chunk"):
+    """Split each document into fixed-width character windows with overlap —
+    the context-window packing step of a training-data pipeline (1 -> N
+    ``flat_map`` semantics, expressed as a batch transform).
+
+    Chunk ``k`` covers codepoints ``[k*stride, k*stride + size)`` with
+    ``stride = size - overlap``; chunks are emitted while ``k*stride <
+    len(text)``, so the last chunk may be short and an empty/null document
+    yields no chunks.  Deterministic and SQL-reproducible (DuckDB
+    ``generate_series`` + ``substring`` oracle in ``__ray_entry__``).
+
+    Scale shape: stateless, shuffle-free, vectorized per CHUNK INDEX, not per
+    row — each iteration slices the whole surviving batch with one Arrow
+    ``utf8_slice_codeunits`` kernel, so per-batch cost is
+    O(max_chunks x kernel) with zero Python-per-row work.  Output rows are
+    (id, chunk_id, chunk): the full text never fans out more than the
+    overlap factor ``size/stride``.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = _col(t, text_col)
+        ids = _col(t, id_col)
+        lens = pc.fill_null(pc.utf8_length(text), 0)
+        empty = pa.table({
+            id_col: pa.array([], ids.type),
+            "chunk_id": pa.array([], pa.int64()),
+            out_col: pa.array([], pa.string()),
+        })
+        if t.num_rows == 0:
+            return empty
+        max_len = pc.max(lens).as_py() or 0
+        parts, k = [], 0
+        while k * stride < max_len:
+            start = k * stride
+            mask = pc.greater(lens, start)
+            sub_text = text.filter(mask)
+            parts.append(pa.table({
+                id_col: ids.filter(mask),
+                "chunk_id": pa.array(np.full(len(sub_text), k, np.int64)),
+                out_col: pc.utf8_slice_codeunits(sub_text, start, start + size),
+            }))
+            k += 1
+        return pa.concat_tables(parts) if parts else empty
+
+    return ds.map_batches(fn, batch_format="pyarrow")
