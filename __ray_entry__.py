@@ -131,12 +131,23 @@ def _q_embedding_dedup(sf_dir):
     return embedding_cosine_dedup(vecs).to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _split_probe(vecs, probe_id: int):
+    """Split one probe row out of an embeddings Dataset with vectorized Arrow
+    masks (never a per-row Python filter)."""
+    take = vecs.map_batches(
+        lambda t: t.filter(pc.equal(t["vec_id"], probe_id)), batch_format="pyarrow"
+    ).take(1)
+    rest = vecs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], probe_id)), batch_format="pyarrow"
+    )
+    return take[0]["embedding"], rest
+
+
 def _q_ann_top10_vec0(sf_dir):
     from dedupe_examples_ray.ops import ann_brute_force
 
     vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = vecs.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
-    rest = vecs.filter(lambda r: r["vec_id"] != 0)
+    q, rest = _split_probe(vecs, 0)
     out = ann_brute_force(rest, [(0, np.asarray(q, dtype=np.float64))], k=10)
     out = out.reset_index(drop=True)
     import pandas as pd
@@ -614,8 +625,7 @@ def _q_ann_lsh_top5(sf_dir):
     from dedupe_examples_ray.ops import ann_lsh
 
     vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = vecs.filter(lambda r: r["vec_id"] == 1).take(1)[0]["embedding"]
-    rest = vecs.filter(lambda r: r["vec_id"] != 1)
+    q, rest = _split_probe(vecs, 1)
     out = ann_lsh(rest, [(1, np.asarray(q, dtype=np.float64))], k=5, n_planes=8)
     return out.reset_index(drop=True)
 
@@ -625,8 +635,7 @@ def _q_ann_ivf_top5(sf_dir):
     from dedupe_examples_ray.ops import ann_ivf
 
     vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = vecs.filter(lambda r: r["vec_id"] == 2).take(1)[0]["embedding"]
-    rest = vecs.filter(lambda r: r["vec_id"] != 2)
+    q, rest = _split_probe(vecs, 2)
     out = ann_ivf(rest, [(2, np.asarray(q, dtype=np.float64))], k=5, n_cells=8, n_probe=3)
     return out.reset_index(drop=True)
 
