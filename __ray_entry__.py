@@ -969,6 +969,22 @@ def _clean_corpus_oracle_sql() -> str:
     )
 
 
+def _q_zscore_events(sf_dir):
+    """Per-group z-score normalization (feature scaling): two streaming
+    passes — combiner moment aggregate, tiny stats table broadcast via
+    ray.put, stateless annotate.  Oracle mirrors the exact float expression
+    tree (sum/sumsq moments, not STDDEV_POP) so ROUND(6) hashes match."""
+    from dedupe_examples_ray.relational import grouped_zscore
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = grouped_zscore(ev, ["event_type"], "value").to_pandas()
+    return (
+        out[["event_id", "event_type", "z"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_pii_redact_documents(sf_dir):
     """PII redaction (email / IPv4 / phone -> sentinels) with per-kind match
     counts.  The synthetic documents contain no digits, so the query first
@@ -1080,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_documents": _q_decontam_documents,
         "pii_redact_documents": _q_pii_redact_documents,
         "chunk_documents": _q_chunk_documents,
+        "zscore_events": _q_zscore_events,
     }
 
 
@@ -1294,6 +1311,14 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
         ),
         "pii_redact_documents": _pii_oracle_sql(),
+        "zscore_events": (
+            "WITH s AS (SELECT event_type, SUM(value) AS sx, "
+            "    SUM(value*value) AS sxx, COUNT(value) AS n "
+            "  FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, "
+            "  ROUND((e.value - sx/n) / NULLIF(sqrt(greatest(sxx/n - (sx/n)*(sx/n), 0)), 0), 6) AS z "
+            "FROM events e LEFT JOIN s USING (event_type) ORDER BY e.event_id"
+        ),
         "chunk_documents": (
             "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
             "  substring(text, CAST(i*150+1 AS INT), 200) AS chunk "

@@ -297,3 +297,79 @@ def except_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
 def intersect_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
     """``SELECT DISTINCT cols FROM a INTERSECT SELECT DISTINCT ... FROM b``."""
     return _tagged_distinct_setop(ds_a, ds_b, cols, keep="both", num_buckets=num_buckets)
+
+
+# Per-worker stats-table cache for broadcast normalization (same pattern as
+# scoring._SCORER_CACHE: the ref's hex is stable across tasks, so each worker
+# process resolves the broadcast exactly once).
+_STATS_CACHE: dict = {}
+
+
+def _zscore_batch(t: pa.Table, keys, col, out_col, round_digits, stats_ref):
+    import ray
+
+    k = stats_ref.hex() if hasattr(stats_ref, "hex") else id(stats_ref)
+    stats = _STATS_CACHE.get(k)
+    if stats is None:
+        stats = ray.get(stats_ref) if hasattr(stats_ref, "hex") else stats_ref
+        _STATS_CACHE[k] = stats
+    df = t.select(keys + [col]).to_pandas()
+    m = df.merge(stats, on=keys, how="left", sort=False)
+    mu = m["_mu"].to_numpy(np.float64)
+    sd = m["_sd"].to_numpy(np.float64)
+    x = m[col].to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (x - mu) / sd
+    z[~np.isfinite(z)] = np.nan  # zero-variance group -> NULL (SQL NULLIF)
+    scale = 10.0 ** round_digits
+    z = np.where(np.isnan(z), np.nan, np.floor(np.abs(z) * scale + 0.5) / scale * np.sign(z))
+    return t.append_column(out_col, pa.array(z, pa.float64()))
+
+
+def grouped_zscore(ds, keys: list[str], col: str, out_col: str = "z",
+                   round_digits: int = 6):
+    """Per-group z-score normalization: ``(x - AVG(x) OVER key) /
+    STDDEV_POP(x) OVER key`` — the feature-scaling step of a training
+    pipeline, as two streaming passes instead of a windowed shuffle.
+
+    Pass 1 combiner-aggregates per-key moments (sum, sum-of-squares, count)
+    — the shuffle moves one row per key per batch, never raw rows.  The
+    merged stats table is collected and broadcast once via ``ray.put``
+    (partitioning assumption: ``keys`` is dimension-like — the stats table,
+    NOT the data, must fit in one object).  Pass 2 is a stateless
+    ``map_batches`` annotate with a per-worker cached lookup.
+
+    Rows with a NULL ``col`` keep a NULL z; a zero-variance group yields
+    NULL (matches SQL ``NULLIF(stddev_pop, 0)`` division).  ``round_digits``
+    matches DuckDB ``ROUND`` half-away-from-zero so the oracle hash is exact.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [col]).to_pandas()
+        df["_x"] = df[col].astype(np.float64)
+        df["_xx"] = df["_x"] * df["_x"]
+        df["_n"] = (~df[col].isna()).astype(np.int64)
+        g = df.groupby(keys, as_index=False, sort=False)[["_x", "_xx", "_n"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(Sum("_x", alias_name="_x"), Sum("_xx", alias_name="_xx"),
+                   Sum("_n", alias_name="_n"))
+        .to_pandas()
+    )
+    n = merged["_n"].to_numpy(np.float64)
+    mu = merged["_x"].to_numpy(np.float64) / np.maximum(n, 1.0)
+    var = np.maximum(merged["_xx"].to_numpy(np.float64) / np.maximum(n, 1.0) - mu * mu, 0.0)
+    stats = merged[keys].copy()
+    stats["_mu"] = mu
+    stats["_sd"] = np.sqrt(var)
+    stats_ref = ray.put(stats)
+    return ds.map_batches(
+        _zscore_batch, batch_format="pyarrow",
+        fn_kwargs=dict(keys=keys, col=col, out_col=out_col,
+                       round_digits=round_digits, stats_ref=stats_ref),
+    )

@@ -193,3 +193,36 @@ def test_set_ops_distinct_semantics():
     assert sorted(ex.x.tolist()) == ["p", "r"]
     it = intersect_distinct(a, b, ["x"]).to_pandas()
     assert it.x.tolist() == ["q"]
+
+
+def test_grouped_zscore_matches_pandas():
+    from dedupe_examples_ray.relational import grouped_zscore
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 500), "v": rng.random(500) * 50})
+    out = (
+        grouped_zscore(rd.from_pandas(df).repartition(6), ["k"], "v")
+        .to_pandas()
+        .sort_index()
+    )
+    mu = df.groupby("k")["v"].transform("mean")
+    sd = df.groupby("k")["v"].transform(lambda s: s.std(ddof=0))
+    exp = ((df["v"] - mu) / sd).round(6)
+    assert np.allclose(out["z"].to_numpy(), exp.to_numpy(), atol=2e-6)
+    # z-scores are standardized: per-group mean ~0, pop-std ~1
+    g = out.groupby("k")["z"]
+    assert np.allclose(g.mean(), 0.0, atol=1e-5)
+    assert np.allclose(g.std(ddof=0), 1.0, atol=1e-4)
+
+
+def test_grouped_zscore_zero_variance_and_nulls():
+    from dedupe_examples_ray.relational import grouped_zscore
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "b", "b", "c"], "v": [5.0, 5.0, 1.0, 3.0, None]}
+    )
+    out = grouped_zscore(rd.from_pandas(df), ["k"], "v").to_pandas()
+    by_k = {k: g["z"].tolist() for k, g in out.groupby("k", dropna=False)}
+    assert all(pd.isna(z) for z in by_k["a"])  # zero variance -> NULL
+    assert by_k["b"] == [-1.0, 1.0]
+    assert all(pd.isna(z) for z in by_k["c"])  # all-null group -> NULL
