@@ -199,3 +199,30 @@ def test_sharded_hydration_matches_broadcast(ray_session, tmp_path):
     b = run("sharded")
     assert a["canon_id"].equals(b["canon_id"])
     assert (abs(a["cluster_score"].fillna(-1) - b["cluster_score"].fillna(-1)) < 1e-9).all()
+
+
+def test_driver_cc_byte_budget_falls_back_to_distributed(ray_session):
+    """The driver-CC fast path is budgeted in bytes as well as edges; forcing
+    a zero byte budget must route through contract_edges + distributed CC and
+    produce the identical entity map."""
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.pipelines.dedupe import dedupe_dataset, derive_page_fields
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    pages = synth_pages_dataset(60, seed=3).select_columns(["url", "text"])
+    derived = pages.map_batches(derive_page_fields, batch_format="pyarrow").materialize()
+    s = default_page_settings()
+
+    def em(**kw):
+        return (
+            dedupe_dataset(derived, s, id_col="url", **kw)
+            .to_pandas()
+            .sort_values("record_id")
+            .reset_index(drop=True)
+        )
+
+    fast = em()
+    slow = em(driver_cc_bytes=0)
+    pd.testing.assert_frame_equal(
+        fast[["record_id", "canon_id"]], slow[["record_id", "canon_id"]]
+    )
