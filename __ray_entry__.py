@@ -985,6 +985,18 @@ def _q_zscore_events(sf_dir):
     )
 
 
+def _q_pivot_user_events(sf_dir):
+    """Long-to-wide pivot: per-user SUM(value) per event type (enumerated
+    domain — the scale-safe PIVOT ... IN contract), combiner-aggregated so
+    the shuffle moves keys x 5 cells, never raw rows."""
+    from dedupe_examples_ray.relational import pivot_sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_sum(ev, ["user_id"], "event_type", "value", kinds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_pii_redact_documents(sf_dir):
     """PII redaction (email / IPv4 / phone -> sentinels) with per-kind match
     counts.  The synthetic documents contain no digits, so the query first
@@ -1097,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_documents": _q_pii_redact_documents,
         "chunk_documents": _q_chunk_documents,
         "zscore_events": _q_zscore_events,
+        "pivot_user_events": _q_pivot_user_events,
     }
 
 
@@ -1311,6 +1324,17 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"
         ),
         "pii_redact_documents": _pii_oracle_sql(),
+        "pivot_user_events": (
+            "SELECT user_id, "
+            "  ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 4) AS click, "
+            "  ROUND(COALESCE(SUM(value) FILTER (event_type = 'error'), 0), 4) AS error, "
+            "  ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 4) AS purchase, "
+            "  ROUND(COALESCE(SUM(value) FILTER (event_type = 'signup'), 0), 4) AS signup, "
+            "  ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 4) AS view "
+            "FROM events WHERE event_type IN "
+            "  ('click','error','purchase','signup','view') "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
         "zscore_events": (
             "WITH s AS (SELECT event_type, SUM(value) AS sx, "
             "    SUM(value*value) AS sxx, COUNT(value) AS n "

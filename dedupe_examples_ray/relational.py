@@ -373,3 +373,58 @@ def grouped_zscore(ds, keys: list[str], col: str, out_col: str = "z",
         fn_kwargs=dict(keys=keys, col=col, out_col=out_col,
                        round_digits=round_digits, stats_ref=stats_ref),
     )
+
+
+def pivot_sum(ds, keys: list[str], pivot_col: str, value_col: str,
+              pivot_values: list[str], round_digits: int = 4):
+    """``SELECT keys, SUM(value) FILTER (pivot_col = v) AS v ... GROUP BY
+    keys`` — long-to-wide reshape with one output column per pivot value.
+
+    The pivot domain must be ENUMERATED by the caller (``pivot_values``):
+    at 100 TB a discover-the-domain pass would be its own aggregate, and an
+    unbounded domain makes unbounded-width rows — the explicit list is the
+    scale-safe contract (same posture as DuckDB's PIVOT ... IN).
+
+    Combiner pattern: each batch collapses to one row per key with all pivot
+    columns already summed (a batch-local pandas pivot_table), so the
+    shuffle moves |keys-per-batch| x |pivot_values| cells, never raw rows.
+    Keys absent a pivot value get 0.0 (SUM FILTER over an empty set is NULL
+    in SQL; COALESCE to 0 in the oracle — the 0.0 contract is friendlier to
+    downstream feature code).  Rows whose pivot value is outside
+    ``pivot_values`` are dropped BEFORE grouping, so a key appearing only
+    with out-of-domain values is absent from the output (mirror with a
+    ``WHERE pivot_col IN (...)`` in SQL).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [f"{v}" for v in pivot_values]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [pivot_col, value_col]).to_pandas()
+        df = df[df[pivot_col].isin(pivot_values)]
+        if df.empty:
+            empty = {k: pd.Series([], dtype=object) for k in keys}
+            empty.update({c: pd.Series([], dtype=np.float64) for c in cols})
+            return pa.Table.from_pandas(pd.DataFrame(empty), preserve_index=False)
+        w = df.pivot_table(index=keys, columns=pivot_col, values=value_col,
+                           aggfunc="sum", fill_value=0.0)
+        w = w.reindex(columns=pivot_values, fill_value=0.0)
+        w.columns = cols
+        return pa.Table.from_pandas(w.reset_index(), preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        scale = 10.0 ** round_digits
+        out = {k: t[k] for k in keys}
+        for c in cols:
+            x = np.asarray(t[c].to_pylist(), dtype=np.float64)
+            out[c] = pa.array(np.floor(np.abs(x) * scale + 0.5) / scale * np.sign(x),
+                              pa.float64())
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

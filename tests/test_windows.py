@@ -226,3 +226,26 @@ def test_grouped_zscore_zero_variance_and_nulls():
     assert all(pd.isna(z) for z in by_k["a"])  # zero variance -> NULL
     assert by_k["b"] == [-1.0, 1.0]
     assert all(pd.isna(z) for z in by_k["c"])  # all-null group -> NULL
+
+
+def test_pivot_sum_wide_reshape():
+    from dedupe_examples_ray.relational import pivot_sum
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3, 3],
+            "t": ["a", "a", "b", "b", "zzz", "zzz", "a"],
+            "v": [1.0, 2.0, 5.0, 7.0, 100.0, 100.0, None],
+        }
+    )
+    out = (
+        pivot_sum(rd.from_pandas(df).repartition(4), ["u"], "t", "v", ["a", "b"])
+        .to_pandas()
+        .sort_values("u")
+        .set_index("u")
+    )
+    assert out.loc[1, "a"] == 3.0 and out.loc[1, "b"] == 5.0
+    assert out.loc[2, "a"] == 0.0 and out.loc[2, "b"] == 7.0  # absent kind -> 0
+    # key 3: only out-of-domain or null values -> a=0 (null sum), present via 'a' null row
+    assert out.loc[3, "a"] == 0.0 and out.loc[3, "b"] == 0.0
+    assert list(out.columns) == ["a", "b"]
