@@ -793,6 +793,30 @@ def _q_host_stats_pages(sf_dir):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_host_stats_documents(sf_dir):
+    """URL-host extraction + per-host text-size stats, DuckDB-oracled
+    end-to-end: deterministic urls are built from the documents table
+    (``source`` -> host, ``doc_id`` -> path) so the oracle can replicate the
+    host regex and the combiner-pattern grouped stats on real table input."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.ops import host_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def mk_url(t: pa.Table) -> pa.Table:
+        idstr = pc.cast(t["doc_id"], pa.string())
+        url = pc.binary_join_element_wise(
+            "https://", t["source"], ".example.com/doc/", idstr, ""
+        )
+        return t.append_column("url", url)
+
+    ds = docs.map_batches(mk_url, batch_format="pyarrow")
+    out = host_stats(ds).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_latest_event_per_user(sf_dir):
     """Latest-row-per-key dedup (keep_latest) on the events table: each
     user's most recent event, ties on ts broken by greatest event_id —
@@ -1101,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": _q_sample_per_source,
         "clean_corpus_documents": _q_clean_corpus_documents,
         "host_stats_pages": _q_host_stats_pages,
+        "host_stats_documents": _q_host_stats_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "keep_latest_pages": _q_keep_latest_pages,
         "incremental_exact_documents": _q_incremental_exact_documents,
@@ -1250,6 +1275,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, band FROM part JOIN (VALUES "
             + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
             + ") AS bands(band, lo, hi) ON p_retailprice >= lo AND p_retailprice < hi"
+        ),
+        "host_stats_documents": (
+            "WITH d AS (SELECT lower(regexp_extract("
+            "'https://' || source || '.example.com/doc/' || doc_id, "
+            "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1)) AS host, "
+            "length(text) AS n_chars FROM documents) "
+            "SELECT host, ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*), 4) AS avg_chars, "
+            "ROUND(CAST(MIN(n_chars) AS DOUBLE), 4) AS min_chars, "
+            "ROUND(CAST(MAX(n_chars) AS DOUBLE), 4) AS max_chars, "
+            "COUNT(*) AS n FROM d GROUP BY 1"
         ),
         "grouped_stats_orders": (
             "SELECT o_orderpriority, ROUND(SUM(o_totalprice)/COUNT(*), 4) AS avg_price, "
