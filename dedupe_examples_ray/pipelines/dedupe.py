@@ -56,6 +56,7 @@ def dedupe_dataset(
     n_records: int | None = None,
     input_token: str | None = None,
     hydration: str = "auto",
+    progress_every: int | None = None,
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -130,6 +131,15 @@ def dedupe_dataset(
     if scorer_blocks:
         pairs = pairs.repartition(scorer_blocks)
 
+    # M13 progress stream: reference parity with mysql_example.py:41-42
+    # (a line every `progress_every` scored pairs); the final total lands in
+    # the edges-stage manifest metrics when checkpointing is on.
+    progress = None
+    if progress_every:
+        from ..scoring import make_score_progress
+
+        progress = make_score_progress(progress_every)
+
     def scored_edges():
         if hydration == "broadcast":
             # broadcast built off-driver: one remote consolidation task,
@@ -137,7 +147,7 @@ def dedupe_dataset(
             records = record_map_ref(records_ds, id_col, carry)
             scores = score_pairs(
                 pairs, settings, idf=idf, concurrency=scorer_concurrency,
-                records=records, n_records_hint=n_records,
+                records=records, n_records_hint=n_records, progress=progress,
             )
         elif hydration == "sharded":
             import os
@@ -161,16 +171,19 @@ def dedupe_dataset(
                 with open(marker, "w") as f:
                     f.write("ok")
             scores = score_pairs_sharded(
-                pairs.select_columns(["id_a", "id_b"]), store, settings, id_col, carry, idf=idf
+                pairs.select_columns(["id_a", "id_b"]), store, settings, id_col, carry,
+                idf=idf, progress=progress,
             )
         elif hydration == "cogroup":
             hydrated = bucketed_hydrate(
                 pairs.select_columns(["id_a", "id_b"]), records_ds, id_col, carry
             )
-            scores = score_pairs(hydrated, settings, idf=idf, concurrency=scorer_concurrency)
+            scores = score_pairs(hydrated, settings, idf=idf,
+                                 concurrency=scorer_concurrency, progress=progress)
         else:  # "join": generic hash-join hydration (kept for parity tests)
             hydrated = hydrate_pairs(pairs, records_ds, id_col, carry)
-            scores = score_pairs(hydrated, settings, idf=idf, concurrency=scorer_concurrency)
+            scores = score_pairs(hydrated, settings, idf=idf,
+                                 concurrency=scorer_concurrency, progress=progress)
         return threshold_edges(scores, settings.threshold)
 
     # The thresholded edge set fans out three ways (count for the CC path
@@ -185,6 +198,17 @@ def dedupe_dataset(
         id_source = records_ds
     else:
         id_source = ids_ds if ids_ds is not None else records_ds
+    if progress is not None:
+        import logging
+
+        import ray as _ray
+
+        # edges are materialized (parquet or object store) at this point, so
+        # the counter holds the final total; a checkpoint replay reads 0.
+        _total = _ray.get(progress.total.remote())
+        logging.getLogger("dedupe_examples_ray.progress").info(
+            "scoring complete: %d pairs scored", _total
+        )
     n_edges = edges.count()
     # The driver fast path is budgeted in BYTES as well as edge count: long
     # string ids make 30 M edges multi-GB of driver heap on a cluster, so an
@@ -331,8 +355,12 @@ def dedupe_pages(
     use_idf: bool = False,
     scorer_concurrency=None,
     n_records: int | None = None,
+    **dedupe_kwargs,
 ):
     """Web-pages flagship: derive fields from (url, text), then dedupe.
+
+    ``dedupe_kwargs`` forward to :func:`dedupe_dataset` (e.g.
+    ``progress_every``, ``hydration``, ``input_token``).
 
     Input columns needed: url, text (prune others at the read — the html
     payload must not travel through the shuffle).
@@ -360,4 +388,5 @@ def dedupe_pages(
         scorer_concurrency=scorer_concurrency,
         ids_ds=slim.select_columns(["url"]),
         n_records=n_records,
+        **dedupe_kwargs,
     )

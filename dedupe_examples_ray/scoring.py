@@ -59,9 +59,11 @@ class PairScorer:
     by pair generation).  Output: ``id_a, id_b, score``.
     """
 
-    def __init__(self, settings_json: str, idf_ref=None, keep_features: bool = False, records_ref=None):
+    def __init__(self, settings_json: str, idf_ref=None, keep_features: bool = False,
+                 records_ref=None, progress_ref=None):
         self.settings = Settings.from_json(settings_json)
         self.keep_features = keep_features
+        self.progress_ref = progress_ref
         self.idf: dict | None = None
         if idf_ref is not None:
             try:
@@ -298,7 +300,42 @@ class PairScorer:
         if self.keep_features:
             for j, name in enumerate(self._names):
                 cols["f_" + name.replace("*", "_x_")] = pa.array(X[:, j], pa.float64())
+        if self.progress_ref is not None and batch.num_rows:
+            self.progress_ref.add.remote(batch.num_rows)  # fire-and-forget
         return pa.table(cols)
+
+
+def make_score_progress(every: int = 10_000):
+    """Reference-parity scoring progress stream (M13): mysql_example.py:41-42
+    prints a line every 10,000 scored pairs.  Returns a zero-CPU counter
+    actor; scorer batches fire-and-forget their pair counts into it and the
+    actor logs each time the cumulative total crosses a multiple of
+    ``every``.  Read the running/final total with ``ray.get(h.total.remote())``.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class ScoreProgress:
+        def __init__(self, every: int):
+            self.every = max(1, int(every))
+            self.n = 0
+            self._next = self.every
+
+        def add(self, k: int) -> None:
+            self.n += int(k)
+            if self.n >= self._next:
+                import logging
+
+                logging.getLogger("dedupe_examples_ray.progress").info(
+                    "%d pairs scored", self.n
+                )
+                while self._next <= self.n:
+                    self._next += self.every
+
+        def total(self) -> int:
+            return self.n
+
+    return ScoreProgress.remote(every)
 
 
 # Per-worker-process scorer cache: task-based scoring reuses the session's
@@ -309,7 +346,9 @@ class PairScorer:
 _SCORER_CACHE: dict = {}
 
 
-def _score_batch_cached(t: pa.Table, settings_json, idf_ref, keep_features, records_ref):
+def _score_batch_cached(
+    t: pa.Table, settings_json, idf_ref, keep_features, records_ref, progress_ref=None
+):
     def _k(ref):
         if isinstance(ref, list):  # block-ref broadcast: stable across tasks
             return tuple(r.hex() if hasattr(r, "hex") else id(r) for r in ref)
@@ -320,7 +359,10 @@ def _score_batch_cached(t: pa.Table, settings_json, idf_ref, keep_features, reco
     if scorer is None:
         scorer = PairScorer(settings_json, idf_ref, keep_features, records_ref)
         _SCORER_CACHE[key] = scorer
-    return scorer(t)
+    out = scorer(t)
+    if progress_ref is not None and t.num_rows:
+        progress_ref.add.remote(t.num_rows)  # fire-and-forget, off the hot path
+    return out
 
 
 def score_pairs(
@@ -333,6 +375,7 @@ def score_pairs(
     records=None,
     use_actors: bool = False,
     n_records_hint: int = 0,
+    progress=None,
 ):
     """Score a candidate-pair Dataset -> (id_a, id_b, score) Dataset.
 
@@ -341,6 +384,9 @@ def score_pairs(
     Default execution is task-based with a per-worker scorer cache (reuses the
     warm worker pool); ``use_actors=True`` restores the dedicated actor pool
     (useful when scorer state is too big to keep per generic worker).
+    ``progress``: optional counter actor from :func:`make_score_progress`
+    (M13 — the reference's every-10k-pairs progress stream,
+    mysql_example.py:41-42); each scored batch reports its pair count.
     """
     import ray
 
@@ -366,6 +412,7 @@ def score_pairs(
         idf_ref=idf_ref,
         keep_features=keep_features,
         records_ref=records_ref,
+        progress_ref=progress,
     )
     if use_actors:
         return pairs_ds.map_batches(
@@ -622,6 +669,7 @@ def score_pairs_sharded(
     idf: dict | None = None,
     num_buckets: int = 64,
     keep_features: bool = False,
+    progress=None,
 ):
     """Score slim (id_a, id_b) pairs against a bucket-partitioned record
     store (``shard_records_to_store``) — the storage-partition-aligned path.
@@ -667,7 +715,8 @@ def score_pairs_sharded(
         out = []
         n = hydrated.num_rows
         for o in range(0, n, 65536):
-            out.append(scorer(hydrated.slice(o, 65536), settings_json, idf_ref, keep_features, None))
+            out.append(scorer(hydrated.slice(o, 65536), settings_json, idf_ref,
+                              keep_features, None, progress))
         return pa.concat_tables(out)
 
     a_done = (

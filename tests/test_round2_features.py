@@ -222,3 +222,73 @@ def test_shipped_plugin_comparator_end_to_end(ray_session):
         rd.from_items(rows), officer_settings(), id_col="rid").take_all()}
     assert out["o1"] == out["o2"]
     assert out["o3"] != out["o1"]
+
+
+def test_score_progress_stream(ray_session):
+    """M13: per-N-pairs scoring progress (reference prints every 10k pairs,
+    mysql_example.py:41-42) — the counter actor ends at the exact pair count."""
+    import time
+
+    import ray
+    import ray.data as rd
+
+    from dedupe_examples_ray.scoring import make_score_progress, score_pairs
+
+    s = Settings(fields=[Field("name", "exact")], weights={"name": 4.0}, bias=-2.0)
+    n = 250
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": [str(i) for i in range(n)],
+                "id_b": [str(i + n) for i in range(n)],
+                "name_a": ["x"] * n,
+                "name_b": ["x"] * n,
+            }
+        )
+    )
+    prog = make_score_progress(every=100)
+    out = score_pairs(pairs, s, progress=prog).materialize()
+    assert out.count() == n
+    # adds are fire-and-forget: poll until the in-flight ones drain
+    total = 0
+    for _ in range(100):
+        total = ray.get(prog.total.remote())
+        if total == n:
+            break
+        time.sleep(0.1)
+    assert total == n
+
+
+def test_dedupe_dataset_progress_every(ray_session):
+    """progress_every wires through the full pipeline without changing it."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.config import inventor_settings
+    from dedupe_examples_ray.normalize import latlong_struct, normalize_string_array
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.synth import synth_inventors_table
+
+    tbl = synth_inventors_table(60, seed=7)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "person_id": t["person_id"],
+                "name": normalize_string_array(t["name"]),
+                "latlong": latlong_struct(t["lat"], t["lng"]),
+                "class": t["class"],
+                "coauthor": t["coauthor"],
+            }
+        )
+
+    ds = (
+        rd.from_arrow(tbl.drop_columns(["true_id"]))
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    base = dedupe_dataset(ds, inventor_settings(), id_col="person_id").to_pandas()
+    with_prog = dedupe_dataset(
+        ds, inventor_settings(), id_col="person_id", progress_every=10
+    ).to_pandas()
+    key = lambda df: df.sort_values("record_id").reset_index(drop=True)
+    assert key(base).equals(key(with_prog))
