@@ -467,6 +467,15 @@ def _q_minhash_consistency_documents(sf_dir):
     return _consistency_frame(minhash_lsh_dedup(_clone_doubled_docs(sf_dir)))
 
 
+def _q_ngram_consistency_documents(sf_dir):
+    """n-gram Jaccard invariant with a DuckDB oracle: exact clones share
+    every shingle (Jaccard 1.0) and land in the same LSH buckets — each
+    (original, clone) pair must share one keep_id."""
+    from dedupe_examples_ray.ops import ngram_jaccard_dedup
+
+    return _consistency_frame(ngram_jaccard_dedup(_clone_doubled_docs(sf_dir)))
+
+
 def _q_simhash_consistency_documents(sf_dir):
     """SimHash invariant with a DuckDB oracle: exact clones have hamming
     distance 0 — each (original, clone) pair must share one keep_id."""
@@ -1105,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_dedupe_inventors": _q_er_dedupe_inventors,
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
         "minhash_consistency_documents": _q_minhash_consistency_documents,
+        "ngram_consistency_documents": _q_ngram_consistency_documents,
         "simhash_consistency_documents": _q_simhash_consistency_documents,
         "embedding_consistency": _q_embedding_consistency,
         "media_frames": _q_media_frames,
@@ -1222,6 +1232,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS BIGINT) AS n_canon FROM documents ORDER BY grp"
         ),
         "minhash_consistency_documents": (
+            "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
+            "CAST(1 AS BIGINT) AS n_keep FROM documents ORDER BY grp"
+        ),
+        "ngram_consistency_documents": (
             "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "
             "CAST(1 AS BIGINT) AS n_keep FROM documents ORDER BY grp"
         ),
