@@ -726,6 +726,18 @@ def _q_grouped_stats_orders(sf_dir):
                          round_digits=4, prefix="price")
 
 
+def _q_global_quantile_lineitem(sf_dir):
+    """Exact GLOBAL quantile_cont via distributed selection (iterative
+    histogram refinement) — no task or driver ever holds the column; the
+    scale path for quantiles over groups that exceed task memory."""
+    from dedupe_examples_ray.relational import global_quantile
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return global_quantile(
+        li, "l_extendedprice", {"p50": 0.5, "p90": 0.9, "p99": 0.99}, round_digits=4
+    )
+
+
 def _q_quantile_price_by_priority(sf_dir):
     """Exact per-group quantiles (quantile_cont parity)."""
     from dedupe_examples_ray.relational import grouped_quantile
@@ -1129,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_band_parts": _q_price_band_parts,
         "grouped_stats_orders": _q_grouped_stats_orders,
         "quantile_price_by_priority": _q_quantile_price_by_priority,
+        "global_quantile_lineitem": _q_global_quantile_lineitem,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
@@ -1308,6 +1321,11 @@ def oracle_sql() -> dict[str, str]:
         "quantile_price_by_priority": (
             "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
             "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY 1"
+        ),
+        "global_quantile_lineitem": (
+            "SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
+            "ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem"
         ),
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

@@ -206,6 +206,118 @@ def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
     )
 
 
+def global_quantile(ds, col: str, qs: dict[str, float], round_digits: int = 4,
+                    bins: int = 256, collect_budget: int = 262_144):
+    """Exact GLOBAL ``quantile_cont`` without any task or the driver ever
+    holding the column — the scale path :func:`grouped_quantile`'s docstring
+    calls for when a group exceeds task memory.
+
+    Distributed selection by iterative histogram refinement: each round is one
+    streaming pass over the dataset emitting ``bins`` partial counts per batch
+    (tiny), the candidate value window narrows geometrically (window mass
+    shrinks ~``1/bins`` per round), and once the window holding the target
+    order statistics carries fewer than ``collect_budget`` values a final pass
+    collects just that window for the exact linear interpolation.  Nulls/NaN
+    are excluded (``quantile_cont`` parity).  Returns a one-row pandas frame
+    with one column per ``qs`` key, rounded half-up to ``round_digits``.
+    """
+    proj = ds.select_columns([col])
+
+    def _clean(t: pa.Table) -> np.ndarray:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return v[~np.isnan(v)]
+
+    def stats_pass(t: pa.Table) -> pa.Table:
+        v = _clean(t)
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "mn": pa.array([float(v.min()) if len(v) else np.inf], pa.float64()),
+            "mx": pa.array([float(v.max()) if len(v) else -np.inf], pa.float64()),
+        })
+
+    st = proj.map_batches(stats_pass, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    scale = 10.0 ** round_digits
+    rnd = lambda x: float(np.floor(float(x) * scale + 0.5) / scale)
+    if n == 0:
+        return pd.DataFrame({name: [np.nan] for name in qs})
+    gmin, gmax = float(st["mn"].min()), float(st["mx"].max())
+
+    def hist_pass(lo_v: float, hi_v: float) -> tuple[np.ndarray, int, float, float]:
+        """One streaming pass: (bin counts in [lo_v, hi_v], count below lo_v,
+        window min, window max)."""
+        w = hi_v - lo_v
+
+        def h(t: pa.Table) -> pa.Table:
+            v = _clean(t)
+            below = int((v < lo_v).sum())
+            vv = v[(v >= lo_v) & (v <= hi_v)]
+            if w > 0:
+                idx = np.minimum(((vv - lo_v) / w * bins).astype(np.int64), bins - 1)
+            else:
+                idx = np.zeros(len(vv), np.int64)
+            cnt = np.bincount(idx, minlength=bins).astype(np.int64)
+            return pa.table({
+                "below": pa.array([below], pa.int64()),
+                "wmin": pa.array([float(vv.min()) if len(vv) else np.inf], pa.float64()),
+                "wmax": pa.array([float(vv.max()) if len(vv) else -np.inf], pa.float64()),
+                "cnt": pa.array([cnt.tolist()], pa.list_(pa.int64())),
+            })
+
+        part = proj.map_batches(h, batch_format="pyarrow").to_pandas()
+        cnt = np.sum(np.stack(part["cnt"].to_numpy()), axis=0)
+        return cnt, int(part["below"].sum()), float(part["wmin"].min()), float(part["wmax"].max())
+
+    def order_stats(k_lo: int, k_hi: int) -> np.ndarray:
+        """Exact order statistics v[k_lo..k_hi] (0-indexed, global ascending)."""
+        lo_v, hi_v, below = gmin, gmax, 0
+        for _ in range(128):  # geometric narrowing; 128 is an unreachable backstop
+            cnt, below, wmin, wmax = hist_pass(lo_v, hi_v)
+            if wmin == wmax:  # window is one repeated value
+                return np.full(k_hi - k_lo + 1, wmin)
+            cum = below + np.cumsum(cnt)  # rank of last value in each bin + 1
+            first = int(np.searchsorted(cum, k_lo + 1))
+            last = int(np.searchsorted(cum, k_hi + 1))
+            in_win = int(cnt[first:last + 1].sum())
+            w = (hi_v - lo_v) / bins
+            new_lo = max(wmin, lo_v + first * w)
+            new_hi = min(wmax, lo_v + (last + 1) * w)
+            stuck = new_lo == lo_v and new_hi == hi_v  # float-degenerate window
+            if in_win <= collect_budget or stuck:
+                lo_v, hi_v = new_lo, new_hi
+
+                def take(t: pa.Table) -> pa.Table:
+                    v = _clean(t)
+                    keep = v[(v >= lo_v) & (v <= hi_v)]
+                    blw = int((v < lo_v).sum())
+                    return pa.table({
+                        "below": pa.array([blw], pa.int64()),
+                        "vals": pa.array([keep.tolist()], pa.list_(pa.float64())),
+                    })
+
+                got = proj.map_batches(take, batch_format="pyarrow").to_pandas()
+                vals = np.sort(np.concatenate(
+                    [np.asarray(x, np.float64) for x in got["vals"].to_numpy()]
+                ))
+                base = int(got["below"].sum())
+                return vals[k_lo - base:k_hi - base + 1]
+            lo_v, hi_v = new_lo, new_hi
+        raise RuntimeError("global_quantile did not converge")
+
+    out = {}
+    for name, q in qs.items():
+        p = q * (n - 1)
+        k = int(np.floor(p))
+        frac = p - k
+        if frac == 0.0 or k + 1 > n - 1:
+            v = order_stats(k, k)
+            out[name] = [rnd(v[0])]
+        else:
+            v = order_stats(k, k + 1)
+            out[name] = [rnd(v[0] + frac * (v[1] - v[0]))]
+    return pd.DataFrame(out)
+
+
 def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
                          band_col: str = "band", lo_col: str = "lo",
                          hi_col: str = "hi", concurrency=(1, 4)):

@@ -249,3 +249,36 @@ def test_pivot_sum_wide_reshape():
     # key 3: only out-of-domain or null values -> a=0 (null sum), present via 'a' null row
     assert out.loc[3, "a"] == 0.0 and out.loc[3, "b"] == 0.0
     assert list(out.columns) == ["a", "b"]
+
+
+def test_global_quantile_exact(ray_session):
+    """Distributed selection matches numpy/quantile_cont exactly, including
+    with a tiny collect budget that forces several refinement rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import global_quantile
+
+    rng = np.random.default_rng(11)
+    # mixed distribution + duplicates + NaN to exclude
+    v = np.concatenate([
+        rng.normal(100, 15, 4000),
+        rng.exponential(5, 3000),
+        np.repeat(42.5, 800),
+        [np.nan] * 50,
+    ])
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(8)
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = global_quantile(ds, "x", qs, round_digits=6,
+                          bins=8, collect_budget=64)  # force many rounds
+    clean = v[~np.isnan(v)]
+    for name, q in qs.items():
+        exp = float(np.percentile(clean, q * 100.0, method="linear"))
+        assert got[name][0] == pytest.approx(round(exp, 6), abs=2e-6), name
+
+    # degenerate cases: constant column, single row
+    c = rd.from_arrow(pa.table({"x": np.repeat(7.0, 500)}))
+    assert global_quantile(c, "x", {"p50": 0.5})["p50"][0] == 7.0
+    one = rd.from_arrow(pa.table({"x": [3.25]}))
+    assert global_quantile(one, "x", {"p90": 0.9})["p90"][0] == 3.25
