@@ -726,6 +726,22 @@ def _q_grouped_stats_orders(sf_dir):
                          round_digits=4, prefix="price")
 
 
+def _q_approx_distinct_users(sf_dir):
+    """Mergeable HLL cardinality sketch vs the exact distinct count, oracled:
+    the output is (exact count, estimate-within-3-sigma flag), so the DuckDB
+    row (COUNT(DISTINCT), TRUE) only hash-matches when the sketch holds its
+    published error bound on real data."""
+    import pandas as pd
+
+    from dedupe_examples_ray.relational import approx_ndistinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    hll = approx_ndistinct(ev, "user_id", precision=12)
+    n_exact = ev.groupby("user_id").count().count()
+    ok = abs(hll["estimate"] - n_exact) / max(n_exact, 1) <= 3 * hll["error_bound"]
+    return pd.DataFrame({"n_exact": [np.int64(n_exact)], "within_bound": [bool(ok)]})
+
+
 def _q_global_quantile_lineitem(sf_dir):
     """Exact GLOBAL quantile_cont via distributed selection (iterative
     histogram refinement) — no task or driver ever holds the column; the
@@ -1142,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats_orders": _q_grouped_stats_orders,
         "quantile_price_by_priority": _q_quantile_price_by_priority,
         "global_quantile_lineitem": _q_global_quantile_lineitem,
+        "approx_distinct_users": _q_approx_distinct_users,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
@@ -1326,6 +1343,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
             "ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90, "
             "ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99 FROM lineitem"
+        ),
+        "approx_distinct_users": (
+            "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound FROM events"
         ),
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

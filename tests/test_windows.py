@@ -282,3 +282,28 @@ def test_global_quantile_exact(ray_session):
     assert global_quantile(c, "x", {"p50": 0.5})["p50"][0] == 7.0
     one = rd.from_arrow(pa.table({"x": [3.25]}))
     assert global_quantile(one, "x", {"p90": 0.9})["p90"][0] == 3.25
+
+
+def test_approx_ndistinct_hll(ray_session):
+    """Mergeable HLL sketch: estimate within the published error bound."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import approx_ndistinct
+
+    rng = np.random.default_rng(5)
+    # 50k distinct ids, each repeated 1-4 times, shuffled across 16 blocks
+    ids = np.repeat(np.arange(50_000), rng.integers(1, 5, 50_000))
+    rng.shuffle(ids)
+    ds = rd.from_arrow(pa.table({"uid": ids.astype(str)})).repartition(16)
+    got = approx_ndistinct(ds, "uid", precision=12)
+    rel_err = abs(got["estimate"] - 50_000) / 50_000
+    assert rel_err <= 3 * got["error_bound"], (got, rel_err)
+
+    # small-cardinality regime (linear counting) + determinism
+    small = rd.from_arrow(pa.table({"uid": [str(i % 150) for i in range(3000)]}))
+    a = approx_ndistinct(small, "uid")
+    b = approx_ndistinct(small, "uid")
+    assert a["estimate"] == b["estimate"]  # deterministic hash -> stable sketch
+    assert abs(a["estimate"] - 150) / 150 <= 3 * a["error_bound"]
