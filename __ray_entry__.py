@@ -726,6 +726,27 @@ def _q_grouped_stats_orders(sf_dir):
                          round_digits=4, prefix="price")
 
 
+def _q_join_revenue_by_priority(sf_dir):
+    """Big-big shuffle join: lineitem x orders are BOTH fact-sized — no
+    broadcast side — cogrouped via hash_join's single bucketed sort-shuffle,
+    then aggregated with the combiner pattern (the reference delegates this
+    shape to the database: pgsql_big_dedupe_example.py's server-side joins)."""
+    from dedupe_examples_ray.relational import grouped_sum, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", r)
+
+    j = j.map_batches(rev, batch_format="pyarrow")
+    return grouped_sum(j, ["o_orderpriority"], {"revenue": "revenue"},
+                       count_col="n_items", round_digits=2)
+
+
 def _q_approx_distinct_users(sf_dir):
     """Mergeable HLL cardinality sketch vs the exact distinct count, oracled:
     the output is (exact count, estimate-within-3-sigma flag), so the DuckDB
@@ -1159,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_price_by_priority": _q_quantile_price_by_priority,
         "global_quantile_lineitem": _q_global_quantile_lineitem,
         "approx_distinct_users": _q_approx_distinct_users,
+        "join_revenue_by_priority": _q_join_revenue_by_priority,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
@@ -1346,6 +1368,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_distinct_users": (
             "SELECT COUNT(DISTINCT user_id) AS n_exact, TRUE AS within_bound FROM events"
+        ),
+        "join_revenue_by_priority": (
+            "SELECT o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_items FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
         ),
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

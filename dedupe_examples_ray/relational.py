@@ -206,6 +206,108 @@ def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
     )
 
 
+def _key_hash_u64(keys) -> np.ndarray:
+    """Deterministic uint64 hash of an Arrow key column, canonicalized by type
+    family so equal values hash equally on both join sides — a null-bearing
+    int64 column must NOT hash through numpy's float64 upcast (5 vs 5.0 would
+    split the key across buckets).  Null slots get an arbitrary hash; callers
+    mask them with the column's validity bitmap."""
+    from .pairs import stable_hash
+
+    t = keys.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
+        vals = pc.cast(pc.fill_null(keys, 0), pa.int64(), safe=False).to_numpy(
+            zero_copy_only=False)
+        return pd.util.hash_array(vals.astype(np.int64))
+    if pa.types.is_floating(t):
+        vals = pc.cast(pc.fill_null(keys, 0.0), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return pd.util.hash_array(vals)
+    return stable_hash(pc.fill_null(keys, "").to_numpy(zero_copy_only=False))
+
+
+def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
+              how: str = "inner", num_buckets: int = 64):
+    """Big-big shuffle join — neither side is broadcast, collected, or assumed
+    to fit anywhere.  The 100-TB fact-x-fact path the broadcast joins above
+    can't take (``dim_join`` requires the small side on the driver).
+
+    Both sides are tagged, padded to a common schema, unioned, bucketed by
+    ``stable_hash(key) % num_buckets``, and cogrouped with ONE sort-shuffle;
+    each group joins its two sides with the vectorized ``pyarrow.Table.join``
+    kernel.  Per-task working set = one key bucket of each side (bounded by
+    bucket count, independent of total table size); hot keys are bounded by
+    the bucket they hash into, and raising ``num_buckets`` shrinks every
+    bucket uniformly.
+
+    ``how``: ``"inner"`` or ``"left"`` (LEFT OUTER, a-side preserved).
+    Non-key column names must be disjoint between the two sides (rename
+    before joining).  Null join keys never match (SQL semantics); under
+    ``"left"`` they are preserved with b-side nulls.
+    """
+    from .scoring import dataset_arrow_types
+
+    right_on = right_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    a_types = dataset_arrow_types(ds_a)
+    b_types = dataset_arrow_types(ds_b)
+    a_cols = list(a_types)
+    b_cols = [c for c in b_types if c != right_on]
+    clash = set(a_cols) & set(b_cols)
+    if clash:
+        raise ValueError(f"non-key column names must be disjoint: {sorted(clash)}")
+    # unified wire schema: a-cols + b-cols (b's key renamed onto `on`) + side tag
+    wire = {c: a_types[c] for c in a_cols}
+    wire.update({c: b_types[c] for c in b_cols})
+    out_fields = [(c, wire[c]) for c in a_cols + b_cols]
+
+    def pad(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if side == "b" and right_on != on:
+                t = t.rename_columns([on if c == right_on else c for c in t.column_names])
+            cols = {}
+            for c, typ in wire.items():
+                cols[c] = t[c] if c in t.column_names else pa.nulls(t.num_rows, typ)
+            cols["__side"] = pa.array(np.full(t.num_rows, 0 if side == "a" else 1,
+                                              dtype=np.int8))
+            keys = t[on]
+            b = _key_hash_u64(keys) % num_buckets
+            # null keys can't match; park them in bucket 0 (kept only by "left")
+            b = np.where(pc.is_valid(keys).to_numpy(zero_copy_only=False), b, 0)
+            cols["__bkt"] = pa.array(b.astype(np.int64))
+            out = pa.table(cols)
+            if how == "inner" or side == "b":
+                out = out.filter(keys.is_valid())
+            return out
+
+        return fn
+
+    empty = pa.table({c: pa.nulls(0, typ) for c, typ in out_fields})
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        ta = t.filter(pa.array(side == 0)).select([on] + [c for c in a_cols if c != on])
+        tb = t.filter(pa.array(side == 1)).select([on] + b_cols)
+        if ta.num_rows == 0:
+            return empty
+        if tb.num_rows == 0:
+            if how == "inner":
+                return empty
+            joined = ta
+            for c in b_cols:
+                joined = joined.append_column(c, pa.nulls(ta.num_rows, wire[c]))
+        else:
+            jt = "inner" if how == "inner" else "left outer"
+            joined = ta.join(tb, keys=[on], join_type=jt)
+        return joined.select([c for c, _ in out_fields])
+
+    tagged = ds_a.map_batches(pad("a"), batch_format="pyarrow").union(
+        ds_b.map_batches(pad("b"), batch_format="pyarrow")
+    )
+    return tagged.groupby("__bkt").map_groups(join_group, batch_format="pyarrow")
+
+
 def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
     """Approximate COUNT(DISTINCT col) with a mergeable HyperLogLog sketch —
     the 100-TB cardinality path (exact distinct needs an all-to-all shuffle;

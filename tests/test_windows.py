@@ -307,3 +307,50 @@ def test_approx_ndistinct_hll(ray_session):
     b = approx_ndistinct(small, "uid")
     assert a["estimate"] == b["estimate"]  # deterministic hash -> stable sketch
     assert abs(a["estimate"] - 150) / 150 <= 3 * a["error_bound"]
+
+
+def test_hash_join_inner_and_left(ray_session):
+    """Big-big cogroup join matches a pandas merge, incl. null keys and
+    differing key names."""
+    from dedupe_examples_ray.relational import hash_join
+
+    rng = np.random.default_rng(11)
+    n_a, n_b = 5000, 1200
+    ka = rng.integers(0, 800, n_a).astype("float64")
+    ka[rng.choice(n_a, 50, replace=False)] = np.nan  # null join keys
+    a = pd.DataFrame({"k": pd.array(ka, dtype="Int64"), "a_val": np.arange(n_a)})
+    b = pd.DataFrame({"bk": rng.integers(0, 1000, n_b), "b_val": np.arange(n_b) * 10})
+    b = b.drop_duplicates("bk")
+    ds_a = rd.from_pandas(a).repartition(7)
+    ds_b = rd.from_pandas(b).repartition(3)
+
+    got = hash_join(ds_a, ds_b, on="k", right_on="bk", num_buckets=16).to_pandas()
+    exp = a.merge(b.rename(columns={"bk": "k"}), on="k", how="inner")
+    key = ["k", "a_val", "b_val"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key].astype("float64"),
+        exp.sort_values(key).reset_index(drop=True)[key].astype("float64"),
+    )
+
+    got_l = hash_join(ds_a, ds_b, on="k", right_on="bk", how="left",
+                      num_buckets=16).to_pandas()
+    exp_l = a.merge(b.rename(columns={"bk": "k"}), on="k", how="left")
+    assert len(got_l) == len(exp_l)
+    # null keys preserved with b-side nulls under left join
+    assert got_l[got_l["k"].isna()]["b_val"].isna().all()
+    assert got_l["k"].isna().sum() == 50
+    pd.testing.assert_frame_equal(
+        got_l.sort_values(key).reset_index(drop=True)[key].astype("float64"),
+        exp_l.sort_values(key).reset_index(drop=True)[key].astype("float64"),
+    )
+
+
+def test_hash_join_empty_and_clash(ray_session):
+    from dedupe_examples_ray.relational import hash_join
+
+    a = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                "a_val": pa.array([], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": [1, 2], "b_val": [10, 20]}))
+    assert hash_join(a, b, on="k").count() == 0
+    with pytest.raises(ValueError):
+        hash_join(b, b, on="k")  # non-key name clash (b_val on both sides)
