@@ -747,6 +747,16 @@ def _q_join_revenue_by_priority(sf_dir):
                        count_col="n_items", round_digits=2)
 
 
+def _q_heavy_hitters_events(sf_dir):
+    """Exact heavy hitters (count*(cap+1) > total) found with a mergeable
+    Misra-Gries sketch + exact candidate-count pass — two streaming passes,
+    O(capacity) driver state, no groupby shuffle of the raw column."""
+    from dedupe_examples_ray.relational import frequent_items
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    return frequent_items(ev, "event_type", capacity=20)
+
+
 def _q_approx_distinct_users(sf_dir):
     """Mergeable HLL cardinality sketch vs the exact distinct count, oracled:
     the output is (exact count, estimate-within-3-sigma flag), so the DuckDB
@@ -1181,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_quantile_lineitem": _q_global_quantile_lineitem,
         "approx_distinct_users": _q_approx_distinct_users,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
+        "heavy_hitters_events": _q_heavy_hitters_events,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
@@ -1374,6 +1385,11 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
             "COUNT(*) AS n_items FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "heavy_hitters_events": (
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type "
+            "HAVING COUNT(*) * 21 > (SELECT COUNT(event_type) FROM events)"
         ),
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

@@ -363,6 +363,85 @@ def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
     }
 
 
+def frequent_items(ds, col: str, capacity: int = 20) -> pd.DataFrame:
+    """Exact heavy hitters at stream scale: a mergeable Misra-Gries sketch
+    finds the candidate set in one streaming pass (each batch collapses to
+    <= ``capacity``+1 partial rows; the driver merges and re-compresses), then
+    one more streaming pass counts ONLY those candidates exactly (combiner
+    groupby over a <= ``capacity``-item broadcast filter).
+
+    Output: every item whose exact count satisfies
+    ``count * (capacity + 1) > total_rows`` — the classical MG guarantee says
+    the sketch's candidate set is a superset of these, so the result equals
+    ``GROUP BY col HAVING COUNT(*)*(capacity+1) > (SELECT COUNT(*) ...)``
+    computed exactly, at two streaming passes and O(capacity) driver state.
+    Null values are ignored (SQL GROUP BY semantics would keep them; heavy-
+    hitter analysis of a key column treats null as missing).
+    """
+    cap = int(capacity)
+
+    def _compress(items: np.ndarray, counts: np.ndarray):
+        """Misra-Gries decrement step: keep <= cap counters."""
+        if len(items) <= cap:
+            return items, counts
+        order = np.argsort(counts)[::-1]
+        items, counts = items[order], counts[order]
+        dec = counts[cap]  # (cap+1)-th largest
+        counts = counts - dec
+        keep = counts > 0
+        return items[:cap][keep[:cap]], counts[:cap][keep[:cap]]
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = t[col].drop_null()
+        vc = pc.value_counts(vals)
+        items = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        items, counts = _compress(items, counts)
+        # one null-item marker row carries this batch's non-null total, so the
+        # threshold denominator needs no second pass over the data
+        return pa.table({
+            "item": pa.array(np.concatenate([items, [None]]), type=t[col].type),
+            "cnt": pa.array(np.concatenate([counts, [len(vals)]]).astype(np.int64)),
+        })
+
+    empty_out = pd.DataFrame({col: pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
+    parts = list(
+        ds.select_columns([col])
+        .map_batches(sketch, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not parts:
+        return empty_out
+    pdf = pa.concat_tables(parts).to_pandas()
+    total = int(pdf.loc[pdf["item"].isna(), "cnt"].sum())
+    merged = pdf.dropna(subset=["item"]).groupby("item", sort=False)["cnt"].sum()
+    items, _counts = _compress(merged.index.to_numpy(), merged.to_numpy())
+    if total == 0 or len(items) == 0:
+        return empty_out
+
+    # exact pass, restricted to the <= cap sketch candidates (a guaranteed
+    # superset of every item above the threshold)
+    item_type = parts[0].schema.field("item").type
+    cand = pa.array(list(items), type=item_type)
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        v = t[col].drop_null()
+        vc = pc.value_counts(v.filter(pc.is_in(v, value_set=cand)))
+        return pa.table({col: vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    exact_parts = list(
+        ds.select_columns([col])
+        .map_batches(exact_counts, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    exact = pa.concat_tables(exact_parts).to_pandas().groupby(
+        col, as_index=False, sort=False)["n"].sum()
+    out = exact[exact["n"] * (cap + 1) > total].sort_values(col)
+    return out.reset_index(drop=True)
+
+
 def global_quantile(ds, col: str, qs: dict[str, float], round_digits: int = 4,
                     bins: int = 256, collect_budget: int = 262_144):
     """Exact GLOBAL ``quantile_cont`` without any task or the driver ever

@@ -354,3 +354,32 @@ def test_hash_join_empty_and_clash(ray_session):
     assert hash_join(a, b, on="k").count() == 0
     with pytest.raises(ValueError):
         hash_join(b, b, on="k")  # non-key name clash (b_val on both sides)
+
+
+def test_frequent_items_misra_gries(ray_session):
+    """MG sketch + exact pass == exact HAVING count*(cap+1) > total, on a
+    skewed stream with far more distinct values than sketch capacity."""
+    from dedupe_examples_ray.relational import frequent_items
+
+    rng = np.random.default_rng(3)
+    # 3 heavy items (~20% / 15% / 10%) + 5000 rare distinct values + nulls
+    heavy = np.array(["alpha"] * 4000 + ["beta"] * 3000 + ["gamma"] * 2000)
+    rare = np.array([f"tail_{i}" for i in rng.integers(0, 5000, 11000)])
+    vals = np.concatenate([heavy, rare]).astype(object)
+    rng.shuffle(vals)
+    vals[rng.choice(len(vals), 100, replace=False)] = None
+    ds = rd.from_arrow(pa.table({"k": pa.array(list(vals), pa.string())})).repartition(13)
+
+    got = frequent_items(ds, "k", capacity=8)
+    exp = (
+        pd.Series([v for v in vals if v is not None])
+        .value_counts()
+        .pipe(lambda s: s[s * 9 > s.sum()])
+        .sort_index()
+    )
+    assert list(got["k"]) == list(exp.index)
+    assert list(got["n"]) == list(exp.to_numpy())
+
+    # empty input
+    e = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    assert len(frequent_items(e, "k")) == 0
