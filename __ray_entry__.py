@@ -747,6 +747,16 @@ def _q_join_revenue_by_priority(sf_dir):
                        count_col="n_items", round_digits=2)
 
 
+def _q_hash_sample_documents(sf_dir):
+    """Deterministic content-hash train/held-out split, bit-identical to
+    DuckDB's md5_number_lower — the reproducible sampling gate (vs seed-and-
+    partitioning-dependent random_sample)."""
+    from dedupe_examples_ray.relational import hash_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return hash_sample(docs, "doc_id", pct=10, method="md5")
+
+
 def _q_heavy_hitters_events(sf_dir):
     """Exact heavy hitters (count*(cap+1) > total) found with a mergeable
     Misra-Gries sketch + exact candidate-count pass — two streaming passes,
@@ -1192,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
         "heavy_hitters_events": _q_heavy_hitters_events,
+        "hash_sample_documents": _q_hash_sample_documents,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
@@ -1390,6 +1401,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n FROM events "
             "WHERE event_type IS NOT NULL GROUP BY event_type "
             "HAVING COUNT(*) * 21 > (SELECT COUNT(event_type) FROM events)"
+        ),
+        "hash_sample_documents": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10"
         ),
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

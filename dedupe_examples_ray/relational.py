@@ -363,6 +363,47 @@ def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
     }
 
 
+def hash_sample(ds, col: str, pct: float, mod: int = 100, method: str = "stable"):
+    """Deterministic content-hash sampling — the reproducible train/held-out
+    split a training-data pipeline needs (``ds.random_sample`` is seed- and
+    partitioning-dependent; this depends only on the VALUE of ``col``, so the
+    same row lands on the same side of the split on every engine and every
+    re-run, and late-arriving data splits consistently).
+
+    Keeps rows where ``H(cast(col as string)) % mod < pct``.  ``method``:
+
+    - ``"stable"`` (default): vectorized uint64 hash — the fast production
+      path.
+    - ``"md5"``: engine-portable ``md5`` semantics, bit-identical to DuckDB's
+      ``md5_number_lower(CAST(col AS VARCHAR))`` (lower 8 digest bytes,
+      little-endian) — per-row C hashing, used for cross-engine verification.
+    """
+    from .pairs import stable_hash
+
+    thr = int(pct)
+
+    def flt(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[col], pa.string())
+        if method == "md5":
+            import hashlib
+
+            md5 = hashlib.md5
+            h = np.fromiter(
+                (int.from_bytes(md5(v.encode()).digest()[8:], "little")
+                 if v is not None else 0
+                 for v in s.to_pylist()),
+                dtype=np.uint64, count=len(s),
+            )
+        else:
+            h = stable_hash(s.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        keep = (h % mod) < thr
+        # SQL semantics: NULL fails the predicate
+        keep &= pc.is_valid(s).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def frequent_items(ds, col: str, capacity: int = 20) -> pd.DataFrame:
     """Exact heavy hitters at stream scale: a mergeable Misra-Gries sketch
     finds the candidate set in one streaming pass (each batch collapses to

@@ -383,3 +383,29 @@ def test_frequent_items_misra_gries(ray_session):
     # empty input
     e = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
     assert len(frequent_items(e, "k")) == 0
+
+
+def test_hash_sample_deterministic(ray_session):
+    """Value-keyed sampling: same rows on every run / partitioning; md5 path
+    matches an independent hashlib computation; stable path is repartition-
+    invariant; nulls are excluded (SQL predicate semantics)."""
+    import hashlib
+
+    from dedupe_examples_ray.relational import hash_sample
+
+    ids = list(range(2000)) + [None]
+    t = pa.table({"id": pa.array(ids, pa.int64()), "v": list(range(2001))})
+    ds = rd.from_arrow(t)
+
+    got = sorted(hash_sample(ds, "id", pct=10, method="md5").to_pandas()["id"])
+    exp = sorted(
+        i for i in range(2000)
+        if int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:], "little") % 100 < 10
+    )
+    assert got == exp
+    assert 100 < len(got) < 350  # ~10%
+
+    a = sorted(hash_sample(ds, "id", pct=25).to_pandas()["id"])
+    b = sorted(hash_sample(ds.repartition(9), "id", pct=25).to_pandas()["id"])
+    assert a == b and len(a) > 0
+    assert None not in a
