@@ -747,6 +747,40 @@ def _q_join_revenue_by_priority(sf_dir):
                        count_col="n_items", round_digits=2)
 
 
+def _q_semi_join_customers(sf_dir):
+    """Big-big EXISTS: customers with at least one order — hash_join semi
+    mode, only distinct order keys travel the shuffle."""
+    from dedupe_examples_ray.relational import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ords = _read(sf_dir, "orders", columns=["o_custkey"])
+    return hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="semi")
+
+
+def _q_anti_join_customers(sf_dir):
+    """Big-big NOT EXISTS: customers with no URGENT order — hash_join anti
+    mode over a pre-filtered right side (predicate pushed below the shuffle)."""
+    from dedupe_examples_ray.relational import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    ords = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
+
+    ords = ords.map_batches(urgent, batch_format="pyarrow")
+    return hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="anti")
+
+
+def _q_collect_suppliers_by_nation(sf_dir):
+    """string_agg(col ORDER BY col) per group — the one-training-example-per-
+    entity builder; one slim-projection groupby shuffle."""
+    from dedupe_examples_ray.relational import grouped_collect
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_name"])
+    return grouped_collect(sup, ["s_nationkey"], "s_name", out_col="names")
+
+
 def _q_hash_sample_documents(sf_dir):
     """Deterministic content-hash train/held-out split, bit-identical to
     DuckDB's md5_number_lower — the reproducible sampling gate (vs seed-and-
@@ -1203,6 +1237,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": _q_join_revenue_by_priority,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
+        "semi_join_customers": _q_semi_join_customers,
+        "anti_join_customers": _q_anti_join_customers,
+        "collect_suppliers_by_nation": _q_collect_suppliers_by_nation,
         "ptype_except": _q_ptype_except,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
@@ -1405,6 +1442,19 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_documents": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10"
+        ),
+        "semi_join_customers": (
+            "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        ),
+        "anti_join_customers": (
+            "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "collect_suppliers_by_nation": (
+            "SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names "
+            "FROM supplier GROUP BY s_nationkey"
         ),
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

@@ -240,20 +240,24 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
     the bucket they hash into, and raising ``num_buckets`` shrinks every
     bucket uniformly.
 
-    ``how``: ``"inner"`` or ``"left"`` (LEFT OUTER, a-side preserved).
-    Non-key column names must be disjoint between the two sides (rename
-    before joining).  Null join keys never match (SQL semantics); under
-    ``"left"`` they are preserved with b-side nulls.
+    ``how``: ``"inner"``, ``"left"`` (LEFT OUTER, a-side preserved),
+    ``"semi"`` (a-rows whose key EXISTS in b — only DISTINCT b keys travel),
+    or ``"anti"`` (a-rows whose key does NOT exist in b; NOT-EXISTS
+    semantics, so a-side null keys are kept).  Non-key column names must be
+    disjoint between the two sides (rename before joining).  Null join keys
+    never match (SQL semantics); under ``"left"`` they are preserved with
+    b-side nulls.
     """
     from .scoring import dataset_arrow_types
 
     right_on = right_on or on
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
+    existence = how in ("semi", "anti")
     a_types = dataset_arrow_types(ds_a)
     b_types = dataset_arrow_types(ds_b)
     a_cols = list(a_types)
-    b_cols = [c for c in b_types if c != right_on]
+    b_cols = [] if existence else [c for c in b_types if c != right_on]
     clash = set(a_cols) & set(b_cols)
     if clash:
         raise ValueError(f"non-key column names must be disjoint: {sorted(clash)}")
@@ -266,6 +270,9 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
         def fn(t: pa.Table) -> pa.Table:
             if side == "b" and right_on != on:
                 t = t.rename_columns([on if c == right_on else c for c in t.column_names])
+            if side == "b" and existence:
+                # existence checks need only the distinct keys (combiner)
+                t = pa.table({on: pc.unique(t[on].combine_chunks().drop_null())})
             cols = {}
             for c, typ in wire.items():
                 cols[c] = t[c] if c in t.column_names else pa.nulls(t.num_rows, typ)
@@ -277,7 +284,7 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
             b = np.where(pc.is_valid(keys).to_numpy(zero_copy_only=False), b, 0)
             cols["__bkt"] = pa.array(b.astype(np.int64))
             out = pa.table(cols)
-            if how == "inner" or side == "b":
+            if side == "b" or how in ("inner", "semi"):
                 out = out.filter(keys.is_valid())
             return out
 
@@ -291,7 +298,13 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
         tb = t.filter(pa.array(side == 1)).select([on] + b_cols)
         if ta.num_rows == 0:
             return empty
-        if tb.num_rows == 0:
+        if existence:
+            mask = pc.fill_null(
+                pc.is_in(ta[on], value_set=pc.unique(tb[on].combine_chunks())),
+                False,
+            )
+            joined = ta.filter(mask if how == "semi" else pc.invert(mask))
+        elif tb.num_rows == 0:
             if how == "inner":
                 return empty
             joined = ta
@@ -361,6 +374,32 @@ def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
         "registers": m,
         "error_bound": 1.04 / np.sqrt(m),
     }
+
+
+def grouped_collect(ds, keys: list[str], col: str, out_col: str = "items",
+                    sep: str = ","):
+    """``SELECT keys, string_agg(col, sep ORDER BY col) AS out_col GROUP BY
+    keys`` — the build-one-training-example-per-entity shape.  Within-group
+    sort makes the output independent of partitioning / arrival order.
+
+    Concatenation can't pre-combine per batch (the within-group ORDER BY is
+    global), so this is one groupby shuffle of the (keys, col) projection —
+    inherent to the op; the projection keeps the shuffle slim.  Output rows ==
+    group count; a pathological single-key input concentrates on one task, so
+    keep ``col`` values bounded (ids/names, not documents).
+    """
+    def agg(t: pa.Table) -> pa.Table:
+        arr = t[col].combine_chunks().drop_null()
+        # ORDER BY uses the column's native comparison, THEN stringify
+        ordered = pc.take(arr, pc.array_sort_indices(arr))
+        s = sep.join(pc.cast(ordered, pa.string()).to_pylist())
+        out = {k: t[k][:1] for k in keys}
+        out[out_col] = pa.array([s], pa.string())
+        return pa.table(out)
+
+    proj = ds.select_columns(keys + [col])
+    return proj.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        agg, batch_format="pyarrow")
 
 
 def hash_sample(ds, col: str, pct: float, mod: int = 100, method: str = "stable"):

@@ -409,3 +409,39 @@ def test_hash_sample_deterministic(ray_session):
     b = sorted(hash_sample(ds.repartition(9), "id", pct=25).to_pandas()["id"])
     assert a == b and len(a) > 0
     assert None not in a
+
+
+def test_hash_join_semi_anti(ray_session):
+    """semi == EXISTS (nulls dropped), anti == NOT EXISTS (nulls kept)."""
+    from dedupe_examples_ray.relational import hash_join
+
+    a = pd.DataFrame({"k": pd.array([1, 2, 3, 4, None], dtype="Int64"),
+                      "v": [10, 20, 30, 40, 50]})
+    b = pd.DataFrame({"bk": [2, 2, 4, 9, 9]})
+    ds_a, ds_b = rd.from_pandas(a).repartition(3), rd.from_pandas(b).repartition(2)
+
+    semi = hash_join(ds_a, ds_b, on="k", right_on="bk", how="semi",
+                     num_buckets=8).to_pandas()
+    assert sorted(semi["v"]) == [20, 40]
+    anti = hash_join(ds_a, ds_b, on="k", right_on="bk", how="anti",
+                     num_buckets=8).to_pandas()
+    assert sorted(anti["v"]) == [10, 30, 50]  # null-key row kept (NOT EXISTS)
+
+    # b empty: semi -> none, anti -> everything
+    eb = rd.from_arrow(pa.table({"bk": pa.array([], pa.int64())}))
+    assert hash_join(ds_a, eb, on="k", right_on="bk", how="semi").count() == 0
+    assert hash_join(ds_a, eb, on="k", right_on="bk", how="anti").count() == 5
+
+
+def test_grouped_collect_string_agg(ray_session):
+    from dedupe_examples_ray.relational import grouped_collect
+
+    t = pa.table({"g": [1, 1, 2, 2, 2, 1], "x": ["b", "a", "z", None, "m", "c"]})
+    got = grouped_collect(rd.from_arrow(t).repartition(4), ["g"], "x",
+                          out_col="xs").to_pandas().sort_values("g")
+    assert list(got["xs"]) == ["a,b,c", "m,z"]
+
+    # native-order sort for non-string columns (2 < 10 numerically)
+    t2 = pa.table({"g": [1, 1], "x": [10, 2]})
+    got2 = grouped_collect(rd.from_arrow(t2), ["g"], "x").to_pandas()
+    assert list(got2["items"]) == ["2,10"]
