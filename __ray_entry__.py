@@ -858,6 +858,16 @@ def _q_ptype_intersect(sf_dir):
     return intersect_distinct(a, b, ["p_brand", "p_type"])
 
 
+def _q_ptype_union(sf_dir):
+    """Bucketed distributed UNION DISTINCT (set-op family completion)."""
+    from dedupe_examples_ray.relational import filter_batches, union_distinct
+
+    part = _read(sf_dir, "part", columns=["p_brand", "p_type", "p_size"])
+    a = filter_batches(part, lambda t: pc.equal(t["p_size"], 50))
+    b = filter_batches(part, lambda t: pc.equal(t["p_size"], 1))
+    return union_distinct(a, b, ["p_brand", "p_type"])
+
+
 def _q_split_documents(sf_dir):
     """Deterministic md5-hash train/valid/test split (98/1/1) — reproducible
     by any engine that ships md5 (the DuckDB oracle recomputes it)."""
@@ -1241,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _q_anti_join_customers,
         "collect_suppliers_by_nation": _q_collect_suppliers_by_nation,
         "ptype_except": _q_ptype_except,
+        "ptype_union": _q_ptype_union,
         "ptype_intersect": _q_ptype_intersect,
         "split_documents": _q_split_documents,
         "sample_per_source": _q_sample_per_source,
@@ -1459,6 +1470,10 @@ def oracle_sql() -> dict[str, str]:
         "ptype_except": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "
             "EXCEPT SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 1"
+        ),
+        "ptype_union": (
+            "SELECT p_brand, p_type FROM part WHERE p_size = 50 "
+            "UNION SELECT p_brand, p_type FROM part WHERE p_size = 1"
         ),
         "ptype_intersect": (
             "SELECT DISTINCT p_brand, p_type FROM part WHERE p_size = 50 "

@@ -727,6 +727,15 @@ def intersect_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
     return _tagged_distinct_setop(ds_a, ds_b, cols, keep="both", num_buckets=num_buckets)
 
 
+def union_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
+    """``SELECT cols FROM a UNION SELECT cols FROM b`` (distinct union) —
+    completes the set-op family; one bucketed distinct over the concatenation."""
+    return distinct(
+        ds_a.select_columns(cols).union(ds_b.select_columns(cols)),
+        cols, num_buckets=num_buckets,
+    )
+
+
 # Per-worker stats-table cache for broadcast normalization (same pattern as
 # scoring._SCORER_CACHE: the ref's hex is stable across tasks, so each worker
 # process resolves the broadcast exactly once).
