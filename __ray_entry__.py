@@ -608,18 +608,25 @@ def _q_er_dedupe_inventors(sf_dir):
 
 
 def _q_media_decode(sf_dir):
-    """Multimodal plumbing demo on the deterministic fake media table."""
+    """REAL multimodal decode (pure-stdlib BMP/WAV/reel codecs, actor pool):
+    decoded_ok is a genuine parse result and dec_width/dec_height come from
+    the bitmap header, cross-checkable against the metadata columns."""
     import ray.data as rd
 
     from dedupe_examples_ray.ops.multimodal import decode_media, synth_media_table
 
     ds = rd.from_arrow(synth_media_table(100))
     out = decode_media(ds).to_pandas()
-    return out[["media_id", "kind", "decoded_ok", "n_bytes"]].sort_values("media_id").reset_index(drop=True)
+    return (
+        out[["media_id", "kind", "decoded_ok", "n_bytes", "dec_width", "dec_height"]]
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_media_frames(sf_dir):
-    """Frame-sampling plumbing (actor pool, small batches, typed features)."""
+    """Real frame sampling: each row is a decoded BMP frame from the reel
+    container (actor pool, small batches, typed features)."""
     import ray.data as rd
 
     from dedupe_examples_ray.ops.multimodal import sample_frames, synth_media_table
@@ -627,6 +634,27 @@ def _q_media_frames(sf_dir):
     ds = rd.from_arrow(synth_media_table(60))
     out = sample_frames(ds, every_ms=2000).to_pandas()
     return out[["media_id", "frame_ts_ms"]].sort_values(["media_id", "frame_ts_ms"]).reset_index(drop=True)
+
+
+def _q_media_resize(sf_dir):
+    """Thumbnail pipeline: BMP decode -> nearest-neighbor resize -> re-encode;
+    output payload size is bounded by the target dims regardless of input."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.codecs import decode_bmp
+    from dedupe_examples_ray.ops.multimodal import resize_images, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(90)).filter(lambda r: r["kind"] == "image")
+    out = resize_images(ds, out_h=8, out_w=8).to_pandas()
+    out["thumb_h"] = [decode_bmp(p).shape[0] if ok else -1
+                      for p, ok in zip(out["payload"], out["decoded_ok"])]
+    out["thumb_w"] = [decode_bmp(p).shape[1] if ok else -1
+                      for p, ok in zip(out["payload"], out["decoded_ok"])]
+    return (
+        out[["media_id", "decoded_ok", "thumb_h", "thumb_w"]]
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
 
 
 def _q_ann_lsh_top5(sf_dir):
@@ -1231,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_consistency_documents": _q_simhash_consistency_documents,
         "embedding_consistency": _q_embedding_consistency,
         "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
         "er_dedupe_pages_canopy": _q_er_dedupe_pages_canopy,

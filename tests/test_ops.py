@@ -162,23 +162,77 @@ def test_rolling_hashes():
     assert len(rolling_hashes(["a"], 3)) == 1
 
 
-def test_multimodal_stub(ray_session):
+def test_multimodal_codecs_roundtrip():
+    """Pure-stdlib codecs: encode -> decode is exact."""
+    from dedupe_examples_ray.ops import codecs
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)  # odd width: row padding
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+
+    samples = (np.sin(np.arange(500) / 10) * 10000).astype(np.int16)
+    back, rate = codecs.decode_wav(codecs.encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(back, samples)
+
+    frames = [rng.integers(0, 256, (5, 5, 3), dtype=np.uint8) for _ in range(4)]
+    reel = codecs.encode_video(frames, fps=2)
+    got = list(codecs.iter_video_frames(reel))
+    assert [ts for _, ts, _ in got] == [0, 500, 1000, 1500]
+    assert all(np.array_equal(g, f) for (_, _, g), f in zip(got, frames))
+
+    # nearest-neighbor resize: constant image stays constant, dims right
+    flat = np.full((9, 13, 3), 77, np.uint8)
+    r = codecs.resize_nearest(flat, 4, 4)
+    assert r.shape == (4, 4, 3) and (r == 77).all()
+
+
+def test_multimodal_real_decode(ray_session):
     import ray.data as rd
+
+    from dedupe_examples_ray.ops.multimodal import resize_images
 
     tbl = synth_media_table(30)
     ds = rd.from_arrow(tbl)
-    out = decode_media(ds).to_pandas()
+    out = decode_media(ds).to_pandas()  # decoder="real" is the default now
     assert len(out) == 30
     assert "payload" not in out.columns  # payload dropped after decode
     assert out["decoded_ok"].all()
     assert all(len(f) == 16 for f in out["features"])
+    # decoded dimensions come from the BITMAP, and match the metadata columns
+    img = out[out["kind"] == "image"]
+    assert (img["dec_width"].to_numpy() == img["width"].to_numpy()).all()
+    assert (img["dec_height"].to_numpy() == img["height"].to_numpy()).all()
     # deterministic features
     out2 = decode_media(rd.from_arrow(tbl)).to_pandas()
-    assert np.allclose(np.stack(out["features"].map(np.asarray)), np.stack(out2["features"].map(np.asarray)))
+    assert np.allclose(np.stack(out["features"].map(np.asarray)),
+                       np.stack(out2["features"].map(np.asarray)))
+    # real frame sampling: one row per second of reel
     frames = sample_frames(ds.filter(lambda r: r["kind"] == "video")).to_pandas()
     assert (frames.groupby("media_id").size() >= 1).all()
-    with pytest.raises(NotImplementedError):
-        MediaDecoder(decoder="real")
+    assert (frames["frame_ts_ms"] % 200 == 0).all()  # 5 fps reel
+
+    # resize: output payloads decode to the target shape
+    from dedupe_examples_ray.ops import codecs
+
+    imgs = rd.from_arrow(tbl).filter(lambda r: r["kind"] == "image")
+    rs = resize_images(imgs, out_h=8, out_w=8).to_pandas()
+    assert rs["decoded_ok"].all()
+    assert all(codecs.decode_bmp(p).shape == (8, 8, 3) for p in rs["payload"])
+
+
+def test_multimodal_poison_payloads(ray_session):
+    """Garbage bytes must not kill the decode actor: decoded_ok=False rows."""
+    import ray.data as rd
+
+    tbl = synth_media_table(30, codec="bytes")  # random bytes, undecodable
+    out = decode_media(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 30
+    assert not out["decoded_ok"].any()
+    # stub mode still works for plumbing over arbitrary bytes
+    out_stub = decode_media(rd.from_arrow(tbl), decoder="stub").to_pandas()
+    assert out_stub["decoded_ok"].all()
+    with pytest.raises(ValueError):
+        MediaDecoder(decoder="nope")
 
 
 def test_ann_ivf_recall(ray_session):
