@@ -657,6 +657,51 @@ def _q_media_resize(sf_dir):
     )
 
 
+def _q_media_dedup(sf_dir):
+    """End-to-end multimodal near-dup: REAL BMP decode -> thumbnail features
+    -> embedding-cosine dedup.  Planted near-duplicate images (tiny pixel
+    perturbations of originals) must land in the same cluster; the output is
+    the per-pair verdict summary, deterministic by construction."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import codecs
+    from dedupe_examples_ray.ops.dedup import embedding_cosine_dedup
+    from dedupe_examples_ray.ops.multimodal import decode_media, synth_media_table
+
+    base = synth_media_table(90)
+    imgs = base.filter(pc.equal(base["kind"], "image"))
+    # plant near-duplicates: re-encode each original with a +1 pixel nudge
+    dup_ids, dup_payloads = [], []
+    for mid, payload in zip(imgs["media_id"].to_pylist()[:15],
+                            imgs["payload"].to_pylist()[:15]):
+        rgb = codecs.decode_bmp(payload)
+        nudged = np.clip(rgb.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+        dup_ids.append(f"{mid}_dup")
+        dup_payloads.append(codecs.encode_bmp(nudged))
+    dups = pa.table({
+        "media_id": pa.array(dup_ids, pa.string()),
+        "kind": pa.array(["image"] * len(dup_ids), pa.string()),
+        "payload": pa.array(dup_payloads, pa.binary()),
+        "mime": pa.array(["image/bmp"] * len(dup_ids), pa.string()),
+        "width": pa.nulls(len(dup_ids), pa.int32()),
+        "height": pa.nulls(len(dup_ids), pa.int32()),
+        "duration_ms": pa.nulls(len(dup_ids), pa.int32()),
+    })
+    ds = rd.from_arrow(pa.concat_tables([imgs, dups]))
+    feats = decode_media(ds).select_columns(["media_id", "features"])
+    assign = embedding_cosine_dedup(
+        feats, vec_col="features", id_col="media_id", tau=0.999, n_planes=6
+    ).to_pandas()
+    assign = assign.sort_values("media_id").reset_index(drop=True)
+    # every planted dup must share its original's keep_id
+    canon = dict(zip(assign["media_id"], assign["keep_id"]))
+    n_linked = sum(canon.get(f"{m}_dup") == canon.get(m) for m in
+                   [i for i in canon if not i.endswith("_dup")]
+                   if f"{m}_dup" in canon)
+    assign["n_planted_linked"] = n_linked
+    return assign
+
+
 def _q_ann_lsh_top5(sf_dir):
     """Bucketed ANN scale path (hyperplane signatures + multi-probe)."""
     from dedupe_examples_ray.ops import ann_lsh
@@ -1260,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_consistency": _q_embedding_consistency,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
+        "media_dedup": _q_media_dedup,
         "ann_lsh_top5": _q_ann_lsh_top5,
         "ann_ivf_top5": _q_ann_ivf_top5,
         "er_dedupe_pages_canopy": _q_er_dedupe_pages_canopy,
