@@ -92,7 +92,7 @@ def run_bench() -> dict:
 
     from dedupe_examples_ray.ops import ann_brute_force, exact_dedup, minhash_lsh_dedup
     from dedupe_examples_ray.pipelines import dedupe_documents, dedupe_pages
-    from dedupe_examples_ray.relational import grouped_sum, top_k
+    from dedupe_examples_ray.relational import grouped_sum, hash_join, top_k
 
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
     queries: dict[str, float] = {}
@@ -171,6 +171,23 @@ def run_bench() -> dict:
             10,
             tie_cols=["o_custkey"],
         ).to_pandas(),
+    )
+
+    li_j = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od_j = rd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    timed(
+        "join_revenue",
+        lambda: grouped_sum(
+            hash_join(li_j, od_j, on="l_orderkey", right_on="o_orderkey"),
+            ["o_orderpriority"],
+            {"l_extendedprice": "rev"},
+            count_col="n",
+        ).count(),
     )
 
     result = {

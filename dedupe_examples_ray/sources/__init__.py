@@ -1,7 +1,9 @@
 from .io import (  # noqa: F401
+    read_partitioned,
     read_table,
     read_tagged_sources,
     repair_ragged_lines,
     write_annotated_output,
     write_entity_map,
+    write_partitioned,
 )

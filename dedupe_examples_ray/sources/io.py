@@ -100,3 +100,86 @@ def write_annotated_output(records_ds, entity_ds, id_col: str, path: str | None 
     if path:
         out.write_parquet(path)
     return out
+
+
+def write_partitioned(ds, path: str, key_col: str, num_buckets: int = 64,
+                      skip_done: bool = True) -> dict:
+    """Resumable partitioned Parquet sink: one ``bucket=<i>`` directory per
+    ``stable_hash(key_col) % num_buckets``, each committed ATOMICALLY (data
+    written to a hidden tmp dir, renamed, then a ``_SUCCESS`` marker with the
+    bucket's row count).  A rerun with ``skip_done=True`` filters committed
+    buckets out BEFORE the shuffle, so already-finished partitions cost
+    neither write nor data movement — a failed 100-TB job resumes at the
+    granularity of one bucket, not one job (north_rule: resumable output).
+
+    Never one giant file: each bucket is its own directory/file, bounded by
+    rows/num_buckets.  Returns ``{"written": [...], "skipped": [...]}``.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..pairs import stable_hash
+
+    os.makedirs(path, exist_ok=True)
+    done = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    } if skip_done else set()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = stable_hash(
+            pc.cast(t[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        ) % num_buckets
+        t = t.append_column("__bkt", pa.array(b.astype(np.int64)))
+        if done:
+            t = t.filter(pa.array(~np.isin(b, np.fromiter(done, dtype=np.int64))))
+        return t
+
+    def commit_bucket(t: pa.Table) -> pa.Table:
+        b = int(t["__bkt"][0].as_py())
+        data = t.drop_columns(["__bkt"])
+        final = os.path.join(path, f"bucket={b}")
+        tmp = os.path.join(path, f".tmp-bucket={b}-{os.getpid()}")
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
+        if os.path.exists(final):  # stale uncommitted attempt
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(os.path.join(final, "_SUCCESS"), "w") as f:
+            f.write(str(data.num_rows))
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "rows": pa.array([data.num_rows], pa.int64())})
+
+    manifest = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(commit_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "written": sorted(int(b) for b in manifest.get("bucket", [])),
+        "skipped": sorted(done),
+    }
+
+
+def read_partitioned(path: str, columns: list[str] | None = None):
+    """Read back only COMMITTED buckets of a ``write_partitioned`` directory
+    (uncommitted tmp dirs and marker-less buckets are invisible)."""
+    import os
+
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(path, d, "part-0.parquet")
+        for d in os.listdir(path)
+        if d.startswith("bucket=") and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no committed buckets under {path}")
+    return rd.read_parquet(files, columns=columns)

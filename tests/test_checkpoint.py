@@ -68,3 +68,40 @@ def test_no_partial_data_on_failure(ray_session, tmp_path):
         run_stage("bad", boom, wd, "fp")
     assert not stage_complete(wd, "bad", "fp")
     assert not os.path.exists(os.path.join(wd, "bad", "data"))
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Per-bucket atomic commit: a rerun skips committed buckets (no write,
+    no shuffle of their rows) and repairs only the missing one."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources import read_partitioned, write_partitioned
+
+    out = str(tmp_path / "part_out")
+    t = pa.table({"k": [str(i) for i in range(500)], "v": list(range(500))})
+    ds = rd.from_arrow(t).repartition(5)
+
+    m1 = write_partitioned(ds, out, "k", num_buckets=8)
+    assert sorted(m1["written"]) == list(range(8)) and m1["skipped"] == []
+    back = read_partitioned(out).to_pandas()
+    assert sorted(back["v"]) == list(range(500))
+
+    # break one bucket: remove its _SUCCESS -> it becomes invisible and rerun
+    # rewrites ONLY it
+    victim = os.path.join(out, "bucket=3", "_SUCCESS")
+    os.remove(victim)
+    partial = read_partitioned(out).to_pandas()
+    assert len(partial) < 500
+
+    m2 = write_partitioned(ds, out, "k", num_buckets=8)
+    assert m2["written"] == [3]
+    assert m2["skipped"] == [0, 1, 2, 4, 5, 6, 7]
+    back2 = read_partitioned(out).to_pandas()
+    assert sorted(back2["v"]) == list(range(500))
+
+    # full rerun is a no-op
+    m3 = write_partitioned(ds, out, "k", num_buckets=8)
+    assert m3["written"] == [] and len(m3["skipped"]) == 8
