@@ -750,6 +750,17 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_moving_avg_orders(sf_dir):
+    """Per-customer trailing 3-order moving average (windowed AVG parity)."""
+    from dedupe_examples_ray.windows import moving_avg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = moving_avg(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                     "o_totalprice", window=3, round_digits=4)
+    return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
+
+
 def _q_top3_orders_per_cust(sf_dir):
     """Per-key top-n with combiner pruning (ROW_NUMBER ... QUALIFY parity)."""
     from dedupe_examples_ray.windows import grouped_top_n
@@ -1312,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_6h": _q_events_window_6h,
         "sessionize_events": _q_sessionize_events,
         "running_total_orders": _q_running_total_orders,
+        "moving_avg_orders": _q_moving_avg_orders,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1468,6 +1480,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, ROUND(SUM(o_totalprice) "
             "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
             "ROWS UNBOUNDED PRECEDING), 4) AS running_total FROM orders"
+        ),
+        "moving_avg_orders": (
+            "SELECT o_orderkey, o_custkey, ROUND(AVG(o_totalprice) "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg FROM orders"
         ),
         "top3_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM ("

@@ -153,6 +153,32 @@ def running_sum(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def moving_avg(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int,
+    out_col: str = "mavg",
+    round_digits: int | None = None,
+):
+    """Per-key trailing moving average (SQL ``AVG(val) OVER (PARTITION BY key
+    ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``).  Same
+    single-shuffle shape as ``running_sum``; the rolling mean inside the group
+    is a vectorized pandas kernel with ``min_periods=1`` (SQL frame semantics
+    at the head of each partition)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        m = df[val_col].rolling(window, min_periods=1).mean().to_numpy()
+        if round_digits is not None:
+            m = _round_half_away(m, round_digits)
+        df[out_col] = m
+        return df
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def grouped_top_n(
     ds,
     key_cols: list[str],

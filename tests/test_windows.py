@@ -445,3 +445,16 @@ def test_grouped_collect_string_agg(ray_session):
     t2 = pa.table({"g": [1, 1], "x": [10, 2]})
     got2 = grouped_collect(rd.from_arrow(t2), ["g"], "x").to_pandas()
     assert list(got2["items"]) == ["2,10"]
+
+
+def test_moving_avg(ray_session):
+    from dedupe_examples_ray.windows import moving_avg
+
+    t = pa.table({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "o": [1, 2, 3, 4, 5, 1, 2, 3],
+        "v": [10.0, 20.0, 30.0, 40.0, 50.0, 1.0, 2.0, 3.0],
+    })
+    out = moving_avg(rd.from_arrow(t).repartition(4), "k", ["o"], "v", window=3,
+                     round_digits=4).to_pandas().sort_values(["k", "o"])
+    assert list(out["mavg"]) == [10.0, 15.0, 20.0, 30.0, 40.0, 1.0, 1.5, 2.0]
