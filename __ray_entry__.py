@@ -750,6 +750,18 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_rank_orders_global(sf_dir):
+    """Exact global RANK() without a driver sort: histogram -> range
+    boundaries -> per-range offsets -> local sort+rank (two streaming passes,
+    one bucketed shuffle)."""
+    from dedupe_examples_ray.windows import global_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_rank(orders, by="o_totalprice", ascending=False, mode="rank",
+                      out_col="rnk")
+    return out.select_columns(["o_orderkey", "rnk"])
+
+
 def _q_moving_avg_orders(sf_dir):
     """Per-customer trailing 3-order moving average (windowed AVG parity)."""
     from dedupe_examples_ray.windows import moving_avg
@@ -1324,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "running_total_orders": _q_running_total_orders,
         "moving_avg_orders": _q_moving_avg_orders,
+        "rank_orders_global": _q_rank_orders_global,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1485,6 +1498,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, ROUND(AVG(o_totalprice) "
             "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg FROM orders"
+        ),
+        "rank_orders_global": (
+            "SELECT o_orderkey, RANK() OVER (ORDER BY o_totalprice DESC) AS rnk "
+            "FROM orders"
         ),
         "top3_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM ("

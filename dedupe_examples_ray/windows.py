@@ -282,3 +282,116 @@ def asof_join(
         return out
 
     return tagged.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def global_rank(
+    ds,
+    by: str,
+    ascending: bool = True,
+    tie_cols: list[str] | None = None,
+    out_col: str = "rnk",
+    mode: str = "rank",
+    num_ranges: int = 64,
+    bins: int = 4096,
+):
+    """Exact GLOBAL ``RANK()`` / ``ROW_NUMBER() OVER (ORDER BY by [,ties])``
+    without a driver-side sort — the classic two-pass distributed ranking:
+
+    1. one streaming pass builds a global histogram of ``by`` (numeric), whose
+       cumulative counts yield ``num_ranges`` range boundaries;
+    2. every row is assigned its range by ``searchsorted`` (equal keys always
+       land in the same range, so ties never straddle a boundary);
+    3. per-range row counts (tiny: ``num_ranges`` numbers) prefix-sum into
+       global offsets on the driver;
+    4. one bucketed groupby sorts each range locally and emits
+       ``offset + local rank``.
+
+    Per-task working set = one key range; the driver holds two
+    ``O(bins + num_ranges)`` arrays.  ``mode="rank"``: SQL RANK (ties share;
+    equal keys co-locate by construction).  ``mode="row_number"``: requires
+    ``tie_cols`` that make the order total, else ranks would be
+    partition-order-dependent.  NULL keys rank last (DuckDB ASC default),
+    tie-broken like any other equal-key group.
+    """
+    if mode not in ("rank", "row_number"):
+        raise ValueError(mode)
+    if mode == "row_number" and not tie_cols:
+        raise ValueError("row_number needs tie_cols for a total order")
+    ties = list(tie_cols or [])
+
+    # pass 1: global histogram -> range boundaries on the key
+    def minmax(t: pa.Table):
+        v = t[by].drop_null()
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"lo": [float(arr.min())], "hi": [float(arr.max())]})
+
+    mm = ds.select_columns([by]).map_batches(minmax, batch_format="pyarrow").to_pandas()
+    if len(mm) == 0:
+        return ds  # empty input
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    edges = np.linspace(lo, hi, bins + 1)[1:-1] if hi > lo else np.array([])
+
+    def hist(t: pa.Table):
+        v = t[by].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = np.bincount(np.searchsorted(edges, v, side="right"),
+                             minlength=bins).astype(np.int64)
+        return pa.table({"h": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+
+    hp = ds.select_columns([by]).map_batches(hist, batch_format="pyarrow").to_pandas()
+    counts = np.zeros(bins, dtype=np.int64)
+    for h in hp["h"].to_numpy():
+        counts += np.asarray(h, dtype=np.int64)
+    # choose range boundaries at ~equal cumulative mass over bin EDGES (ties
+    # inside one bin can't be split — they share a bin, hence a range)
+    cum = counts.cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    targets = np.linspace(0, total, num_ranges + 1)[1:-1]
+    cut_idx = np.unique(np.searchsorted(cum, targets))
+    cuts = edges[np.clip(cut_idx, 0, max(len(edges) - 1, 0))] if len(edges) else np.array([])
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[by].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = pc.is_valid(t[by]).to_numpy(zero_copy_only=False)
+        r = (np.searchsorted(cuts, np.nan_to_num(v, nan=0.0), side="right")
+             if len(cuts) else np.zeros(len(v), dtype=np.int64))
+        r = np.asarray(r, dtype=np.int64)
+        if not ascending:
+            r = len(cuts) - r  # reverse range order for DESC
+        r = np.where(valid, r, len(cuts) + 1)  # NULLS LAST
+        return t.append_column("__rng", pa.array(r))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    # pass 2a: per-range counts -> offsets (tiny driver table)
+    def rng_counts(t: pa.Table):
+        vc = pc.value_counts(t["__rng"])
+        return pa.table({"r": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
+
+    rc = (
+        assigned.select_columns(["__rng"])
+        .map_batches(rng_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("r")["n"].sum().sort_index()
+    )
+    offsets = {int(r): int(o) for r, o in zip(rc.index, rc.cumsum().shift(fill_value=0))}
+
+    # pass 2b: local sort + offset within each range
+    def rank_range(df: pd.DataFrame) -> pd.DataFrame:
+        r = int(df["__rng"].iloc[0])
+        df = df.sort_values([by] + ties, ascending=[ascending] + [True] * len(ties),
+                            kind="mergesort", na_position="last").reset_index(drop=True)
+        if mode == "row_number":
+            local = np.arange(1, len(df) + 1, dtype=np.int64)
+        else:
+            key = df[by]
+            starts = key.ne(key.shift()) & ~(key.isna() & key.isna().shift(fill_value=False))
+            starts.iloc[0] = True
+            local = np.where(starts, np.arange(len(df)) + 1, 0)
+            local = pd.Series(local).replace(0, np.nan).ffill().to_numpy(np.int64)
+        df[out_col] = local + offsets.get(r, 0)
+        return df.drop(columns=["__rng"])
+
+    return assigned.groupby("__rng").map_groups(rank_range, batch_format="pandas")

@@ -458,3 +458,35 @@ def test_moving_avg(ray_session):
     out = moving_avg(rd.from_arrow(t).repartition(4), "k", ["o"], "v", window=3,
                      round_digits=4).to_pandas().sort_values(["k", "o"])
     assert list(out["mavg"]) == [10.0, 15.0, 20.0, 30.0, 40.0, 1.0, 1.5, 2.0]
+
+
+def test_global_rank(ray_session):
+    """Distributed RANK/ROW_NUMBER == pandas reference, incl. ties and nulls."""
+    from dedupe_examples_ray.windows import global_rank
+
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 300, 4000).astype("float64")  # heavy ties
+    vals[rng.choice(4000, 40, replace=False)] = np.nan
+    ids = np.arange(4000)
+    ds = rd.from_arrow(pa.table({"id": ids, "v": vals})).repartition(11)
+
+    got = global_rank(ds, by="v", ascending=True, mode="rank",
+                      out_col="rnk").to_pandas().sort_values("id")
+    s = pd.Series(vals)
+    exp = s.rank(method="min", na_option="bottom").astype("int64")
+    # SQL RANK: nulls rank last and are EQUAL (share one rank)
+    assert np.array_equal(got.sort_values("id")["rnk"].to_numpy(), exp.to_numpy())
+
+    got_rn = global_rank(ds, by="v", ascending=False, mode="row_number",
+                         tie_cols=["id"], out_col="rn").to_pandas().sort_values("id")
+    exp_rn = (
+        pd.DataFrame({"id": ids, "v": vals})
+        .sort_values(["v", "id"], ascending=[False, True], na_position="last")
+        .assign(rn=np.arange(1, 4001))
+        .sort_values("id")["rn"]
+        .to_numpy()
+    )
+    assert np.array_equal(got_rn["rn"].to_numpy(), exp_rn)
+
+    with pytest.raises(ValueError):
+        global_rank(ds, by="v", mode="row_number")  # no tie_cols
