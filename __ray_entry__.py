@@ -750,6 +750,16 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_corr_lineitem(sf_dir):
+    """Grouped Pearson correlation via the distributed-moments combiner."""
+    from dedupe_examples_ray.relational import grouped_corr
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice",
+                        out_col="corr_qty_price", round_digits=4)
+
+
 def _q_rank_orders_global(sf_dir):
     """Exact global RANK() without a driver sort: histogram -> range
     boundaries -> per-range offsets -> local sort+rank (two streaming passes,
@@ -1337,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_orders": _q_running_total_orders,
         "moving_avg_orders": _q_moving_avg_orders,
         "rank_orders_global": _q_rank_orders_global,
+        "corr_lineitem": _q_corr_lineitem,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1502,6 +1513,10 @@ def oracle_sql() -> dict[str, str]:
         "rank_orders_global": (
             "SELECT o_orderkey, RANK() OVER (ORDER BY o_totalprice DESC) AS rnk "
             "FROM orders"
+        ),
+        "corr_lineitem": (
+            "SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 4) "
+            "AS corr_qty_price FROM lineitem GROUP BY l_returnflag"
         ),
         "top3_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM ("

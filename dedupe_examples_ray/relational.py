@@ -182,6 +182,51 @@ def grouped_stats(ds, keys: list[str], col: str, round_digits: int = 4,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_corr(ds, keys: list[str], x: str, y: str, out_col: str = "corr_xy",
+                 round_digits: int | None = 4):
+    """Grouped Pearson correlation (SQL ``corr(x, y) GROUP BY keys``) via the
+    distributed-moments combiner: each batch collapses to one row of raw
+    moments ``(n, sx, sy, sxx, syy, sxy)`` per key, the small shuffle sums
+    them, and the final map computes the closed form.  Rows where either
+    value is NULL are excluded pairwise (SQL corr semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [x, y]).to_pandas()
+        df = df.dropna(subset=[x, y])
+        xv, yv = df[x].astype(np.float64), df[y].astype(np.float64)
+        g = df.assign(
+            __n=1.0, __sx=xv, __sy=yv, __sxx=xv * xv, __syy=yv * yv, __sxy=xv * yv
+        ).groupby(keys, as_index=False, sort=False)[
+            ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    aggs = [Sum(c, alias_name=c) for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")]
+    merged = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy(zero_copy_only=False)
+        sx = t["__sx"].to_numpy(zero_copy_only=False)
+        sy = t["__sy"].to_numpy(zero_copy_only=False)
+        sxx = t["__sxx"].to_numpy(zero_copy_only=False)
+        syy = t["__syy"].to_numpy(zero_copy_only=False)
+        sxy = t["__sxy"].to_numpy(zero_copy_only=False)
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        denom = np.sqrt(np.maximum(var_x, 0.0) * np.maximum(var_y, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(denom > 0, (n * sxy - sx * sy) / denom, np.nan)
+        if round_digits is not None:
+            sign = np.sign(r)
+            r = sign * np.floor(np.abs(r) * 10.0 ** round_digits + 0.5) / 10.0 ** round_digits
+        out = t.select(keys).append_column(out_col, pa.array(r, pa.float64()))
+        return out
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
 def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
                      round_digits: int = 4):
     """Exact per-group quantiles (linear interpolation — ``quantile_cont``

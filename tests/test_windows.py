@@ -490,3 +490,32 @@ def test_global_rank(ray_session):
 
     with pytest.raises(ValueError):
         global_rank(ds, by="v", mode="row_number")  # no tie_cols
+
+
+def test_grouped_corr(ray_session):
+    from dedupe_examples_ray.relational import grouped_corr
+
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal(3000)
+    noise = rng.standard_normal(3000)
+    t = pa.table({
+        "g": (["a"] * 1500) + (["b"] * 1500),
+        "x": x,
+        # group a: strong positive corr; group b: ~independent
+        "y": np.concatenate([x[:1500] * 2 + noise[:1500] * 0.1, noise[1500:]]),
+    })
+    got = grouped_corr(rd.from_arrow(t).repartition(7), ["g"], "x", "y",
+                       round_digits=None).to_pandas().set_index("g")["corr_xy"]
+    df = t.to_pandas()
+    exp = df.groupby("g").apply(lambda d: d["x"].corr(d["y"]))
+    assert abs(got["a"] - exp["a"]) < 1e-9 and got["a"] > 0.99
+    assert abs(got["b"] - exp["b"]) < 1e-9
+
+    # nulls excluded pairwise; zero-variance group -> NaN
+    t2 = pa.table({"g": ["c"] * 4 + ["z"] * 3,
+                   "x": [1.0, 2.0, None, 4.0, 5.0, 5.0, 5.0],
+                   "y": [2.0, 4.0, 6.0, None, 1.0, 2.0, 3.0]})
+    got2 = grouped_corr(rd.from_arrow(t2), ["g"], "x", "y",
+                        round_digits=4).to_pandas().set_index("g")["corr_xy"]
+    assert got2["c"] == 1.0
+    assert np.isnan(got2["z"])
