@@ -750,6 +750,22 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_json_props_events(sf_dir):
+    """Vectorized JSON scalar extraction from the props column (one Arrow
+    regex kernel, no per-row json.loads) + grouped aggregate of the value."""
+    from dedupe_examples_ray.normalize import json_scalar_field
+    from dedupe_examples_ray.relational import grouped_sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = json_scalar_field(t["props"], "k", pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return grouped_sum(ev.map_batches(extract, batch_format="pyarrow"),
+                       ["event_type"], {"k": "sum_k"}, count_col="n")
+
+
 def _q_corr_lineitem(sf_dir):
     """Grouped Pearson correlation via the distributed-moments combiner."""
     from dedupe_examples_ray.relational import grouped_corr
@@ -1348,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_orders": _q_moving_avg_orders,
         "rank_orders_global": _q_rank_orders_global,
         "corr_lineitem": _q_corr_lineitem,
+        "json_props_events": _q_json_props_events,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1517,6 +1534,11 @@ def oracle_sql() -> dict[str, str]:
         "corr_lineitem": (
             "SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 4) "
             "AS corr_qty_price FROM lineitem GROUP BY l_returnflag"
+        ),
+        "json_props_events": (
+            "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n "
+            "FROM events GROUP BY event_type"
         ),
         "top3_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM ("

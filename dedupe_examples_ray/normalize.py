@@ -211,3 +211,35 @@ def derive_page_fields(batch: pa.Table, text_col: str = "text", url_col: str = "
             out = out.drop_columns([name])
         out = out.append_column(name, col)
     return out
+
+
+def json_scalar_field(arr, field: str, out_type: pa.DataType | None = None):
+    """Vectorized JSON scalar-field extraction (the per-event ``props`` column
+    pattern): pull ``"field": <scalar>`` out of a JSON-object string column
+    with ONE Arrow regex kernel — no per-row ``json.loads`` in the hot path.
+
+    Exact for machine-generated flat objects (no nesting, no escaped quotes
+    inside the target value — the shape event/telemetry props columns have).
+    Strings are returned unquoted; numbers/bools/null via ``out_type`` cast.
+    Missing field or non-object input -> null (json_extract semantics).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string())
+    # two single-kernel passes (Arrow extract_regex backfills non-matching
+    # named groups with "" inside one alternation, so they can't share one)
+    key = r'"' + field + r'"\s*:\s*'
+    s = pc.struct_field(
+        pc.extract_regex(arr, key + r'"(?P<s>(?:[^"\\]|\\.)*)"'), "s"
+    )
+    v = pc.struct_field(
+        pc.extract_regex(
+            arr, key + r"(?P<v>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|true|false|null)"
+        ),
+        "v",
+    )
+    out = pc.if_else(pc.is_valid(s), s, v)
+    out = pc.if_else(pc.equal(out, "null"), pa.nulls(len(arr), pa.string()), out)
+    if out_type is not None:
+        out = pc.cast(out, out_type)
+    return out

@@ -80,3 +80,19 @@ def test_fit_logistic_separable():
     # deterministic
     w2, b2 = fit_logistic(X, y, iters=500)
     assert np.allclose(w, w2) and b == b2
+
+
+def test_json_scalar_field():
+    import pyarrow as pa
+
+    from dedupe_examples_ray.normalize import json_scalar_field
+
+    a = pa.array(['{"k": 69}', '{"k": -3, "z": "x"}', '{"z": 1}', None,
+                  'garbage', '{"k": null}', '{"k": "he llo"}', '{"k": 2.5}',
+                  '{"k": true}', '{"k":"esc\\"aped"}'])
+    got = json_scalar_field(a, "k").to_pylist()
+    assert got == ["69", "-3", None, None, None, None, "he llo", "2.5",
+                   "true", 'esc\\"aped']
+    ints = json_scalar_field(pa.array(['{"k": 1}', '{"k": 7}']), "k",
+                             pa.int64()).to_pylist()
+    assert ints == [1, 7]
