@@ -750,6 +750,32 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_cc_order_chains(sf_dir):
+    """Connected components (the ER transitive-closure core, C3) against a
+    full SQL oracle: per-customer order chains (consecutive orders linked)
+    form bounded path components; DuckDB recomputes them with a recursive-CTE
+    min-label propagation.  Components must agree exactly (canonical label =
+    lexicographic min node)."""
+    import pandas as pd
+
+    from dedupe_examples_ray.cluster import connected_components
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        ks = df["o_orderkey"].astype(str).to_numpy()
+        if len(ks) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=str),
+                                 "id_b": pd.Series([], dtype=str)})
+        return pd.DataFrame({"id_a": ks[:-1], "id_b": ks[1:]})
+
+    edges = orders.groupby("o_custkey").map_groups(chain, batch_format="pandas")
+    cc = connected_components(edges).to_pandas()
+    cc["comp"] = cc.groupby("label")["node"].transform("min")
+    return cc[["node", "comp"]].sort_values("node").reset_index(drop=True)
+
+
 def _q_json_props_events(sf_dir):
     """Vectorized JSON scalar extraction from the props column (one Arrow
     regex kernel, no per-row json.loads) + grouped aggregate of the value."""
@@ -1365,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders_global": _q_rank_orders_global,
         "corr_lineitem": _q_corr_lineitem,
         "json_props_events": _q_json_props_events,
+        "cc_order_chains": _q_cc_order_chains,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1539,6 +1566,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') "
             "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n "
             "FROM events GROUP BY event_type"
+        ),
+        "cc_order_chains": (
+            "WITH RECURSIVE lagged AS ("
+            "  SELECT CAST(o_orderkey AS VARCHAR) AS b,"
+            "         CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey"
+            "              ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS a"
+            "  FROM orders"
+            "), edges AS (SELECT a, b FROM lagged WHERE a IS NOT NULL"
+            "), sym AS ("
+            "  SELECT a, b FROM edges UNION SELECT b, a FROM edges"
+            "), walk(node, comp) AS ("
+            "  SELECT a, a FROM sym"
+            "  UNION"
+            "  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node"
+            ") SELECT node, MIN(comp) AS comp FROM walk GROUP BY node"
         ),
         "top3_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank FROM ("
