@@ -750,6 +750,15 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_key_skew_events(sf_dir):
+    """Group-size distribution of a shuffle key (hot-key planning diagnostic):
+    combiner counts + exact global quantiles over the counts."""
+    from dedupe_examples_ray.relational import key_skew_report
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return key_skew_report(ev, "user_id")
+
+
 def _q_cc_order_chains(sf_dir):
     """Connected components (the ER transitive-closure core, C3) against a
     full SQL oracle: per-customer order chains (consecutive orders linked)
@@ -1392,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_lineitem": _q_corr_lineitem,
         "json_props_events": _q_json_props_events,
         "cc_order_chains": _q_cc_order_chains,
+        "key_skew_events": _q_key_skew_events,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1566,6 +1576,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') "
             "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n "
             "FROM events GROUP BY event_type"
+        ),
+        "key_skew_events": (
+            "WITH c AS (SELECT COUNT(*) AS c FROM events GROUP BY user_id) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+            "CAST(MAX(c) AS BIGINT) AS max_n, "
+            "ROUND(quantile_cont(c, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(c, 0.99), 4) AS p99, "
+            "ROUND(MAX(c) / (SUM(c) / COUNT(*)), 4) AS skew FROM c"
         ),
         "cc_order_chains": (
             "WITH RECURSIVE lagged AS ("

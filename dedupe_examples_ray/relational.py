@@ -36,11 +36,15 @@ def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | 
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select(keys + list(sum_cols)).to_pandas()
-        agg = {c: "sum" for c in sum_cols}
-        g = df.groupby(keys, as_index=False, sort=False).agg(agg)
-        if count_col:
-            cnt = df.groupby(keys, as_index=False, sort=False).size()
-            g[count_col] = cnt["size"].to_numpy()
+        if sum_cols:
+            agg = {c: "sum" for c in sum_cols}
+            g = df.groupby(keys, as_index=False, sort=False).agg(agg)
+            if count_col:
+                cnt = df.groupby(keys, as_index=False, sort=False).size()
+                g[count_col] = cnt["size"].to_numpy()
+        else:  # count-only grouping (SELECT keys, COUNT(*) ...)
+            g = df.groupby(keys, as_index=False, sort=False).size().rename(
+                columns={"size": count_col})
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -486,6 +490,38 @@ def hash_sample(ds, col: str, pct: float, mod: int = 100, method: str = "stable"
         return t.filter(pa.array(keep))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def key_skew_report(ds, key: str, round_digits: int = 4) -> pd.DataFrame:
+    """Shuffle-planning diagnostic: the group-size distribution of a key —
+    what you run BEFORE choosing bucket counts / salting thresholds for a
+    100-TB groupby on that key.  Composes two scale-safe primitives: the
+    combiner ``grouped_sum`` (per-key counts) and exact ``global_quantile``
+    over those counts (histogram refinement, nothing collected).
+
+    One row: ``n_keys, max_n, p50, p99, skew`` (= max / mean group size).
+    """
+    counts = grouped_sum(ds.select_columns([key]), [key], {}, count_col="__c")
+
+    def mm(t: pa.Table) -> pa.Table:
+        c = t["__c"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array([len(c)], pa.int64()),
+                         "mx": pa.array([int(c.max()) if len(c) else 0], pa.int64()),
+                         "sm": pa.array([int(c.sum()) if len(c) else 0], pa.int64())})
+
+    agg = counts.map_batches(mm, batch_format="pyarrow").to_pandas()
+    n_keys, max_n, total = int(agg["k"].sum()), int(agg["mx"].max()), int(agg["sm"].sum())
+    q = global_quantile(counts, "__c", {"p50": 0.5, "p99": 0.99},
+                        round_digits=round_digits)
+    skew = max_n / (total / n_keys) if n_keys else float("nan")
+    scale = 10.0 ** round_digits
+    return pd.DataFrame({
+        "n_keys": [np.int64(n_keys)],
+        "max_n": [np.int64(max_n)],
+        "p50": [float(q["p50"][0])],
+        "p99": [float(q["p99"][0])],
+        "skew": [np.floor(skew * scale + 0.5) / scale],
+    })
 
 
 def frequent_items(ds, col: str, capacity: int = 20) -> pd.DataFrame:

@@ -519,3 +519,14 @@ def test_grouped_corr(ray_session):
                         round_digits=4).to_pandas().set_index("g")["corr_xy"]
     assert got2["c"] == 1.0
     assert np.isnan(got2["z"])
+
+
+def test_key_skew_report(ray_session):
+    from dedupe_examples_ray.relational import key_skew_report
+
+    t = pa.table({"k": ["hot"] * 90 + [f"u{i}" for i in range(10)]})
+    got = key_skew_report(rd.from_arrow(t).repartition(6), "k")
+    assert got["n_keys"][0] == 11 and got["max_n"][0] == 90
+    assert got["p50"][0] == 1.0
+    # mean group = 100/11; skew = 90 / (100/11) = 9.9
+    assert abs(got["skew"][0] - 9.9) < 1e-9
