@@ -769,17 +769,22 @@ def _q_cc_order_chains(sf_dir):
 
     from dedupe_examples_ray.cluster import connected_components
 
+    from dedupe_examples_ray.windows import bucketed_by_key
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
 
     def chain(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
         ks = df["o_orderkey"].astype(str).to_numpy()
+        cust = df["o_custkey"].to_numpy()
         if len(ks) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype=str),
                                  "id_b": pd.Series([], dtype=str)})
-        return pd.DataFrame({"id_a": ks[:-1], "id_b": ks[1:]})
+        same = cust[1:] == cust[:-1]  # vectorized consecutive-pair mask
+        return pd.DataFrame({"id_a": ks[:-1][same], "id_b": ks[1:][same]})
 
-    edges = orders.groupby("o_custkey").map_groups(chain, batch_format="pandas")
+    edges = bucketed_by_key(orders, "o_custkey", chain)
     cc = connected_components(edges).to_pandas()
     cc["comp"] = cc.groupby("label")["node"].transform("min")
     return cc[["node", "comp"]].sort_values("node").reset_index(drop=True)

@@ -90,6 +90,36 @@ def tumbling_window(
     )
 
 
+def bucketed_by_key(ds, key_col: str, fn, num_buckets: int = 256):
+    """Run a vectorized multi-key pandas kernel over hash buckets of
+    ``key_col`` — the fast shape for per-key window ops.
+
+    ``groupby(key).map_groups(per_key)`` pays one Python call + frame build
+    PER KEY (15k customers -> 15k calls); bucketing into ``num_buckets`` hash
+    groups pays ~256 calls, and ``fn`` handles all of a bucket's keys at once
+    with pandas ``groupby(...)`` kernels (cumsum/rolling/shift are vectorized
+    across keys).  Same single shuffle, same per-task working-set bound
+    (rows/num_buckets, keys never split across buckets)."""
+    import pyarrow.compute as _pc
+
+    from .pairs import stable_hash
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = stable_hash(
+            _pc.cast(t[key_col], pa.string()).to_numpy(zero_copy_only=False)
+        ) % num_buckets
+        return t.append_column("__kb", pa.array(b.astype(np.int64)))
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["__kb"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def sessionize(
     ds,
     key_col: str = "user_id",
@@ -109,23 +139,26 @@ def sessionize(
     gap_us = int(gap_s * 1_000_000)
     proj = ds.select_columns([id_col, key_col, ts_col])
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort").reset_index(drop=True)
         # explicit unit: pandas may hold datetime64[us] or [ns] depending on source
         us = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        gaps = np.diff(us)
+        key = df[key_col].to_numpy()
         new = np.ones(len(us), dtype=np.int64)
         if len(us) > 1:
-            new[1:] = (gaps > gap_us).astype(np.int64)
+            same_key = key[1:] == key[:-1]
+            new[1:] = (~same_key | (np.diff(us) > gap_us)).astype(np.int64)
+        # per-key cumsum, vectorized across all keys of the bucket
+        sess = pd.Series(new).groupby(pd.Series(key), sort=False).cumsum().to_numpy()
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(),
-                key_col: df[key_col].to_numpy(),
-                out_col: np.cumsum(new),
+                key_col: key,
+                out_col: sess,
             }
         )
 
-    return proj.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(proj, key_col, per_bucket)
 
 
 def running_sum(
@@ -142,15 +175,15 @@ def running_sum(
     fixed by the sort, so results are bit-stable across partitionings.
     """
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        acc = df[val_col].to_numpy(dtype=np.float64).cumsum()
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort").reset_index(drop=True)
+        acc = df.groupby(key_col, sort=False)[val_col].cumsum().to_numpy(np.float64)
         if round_digits is not None:
             acc = _round_half_away(acc, round_digits)
         df[out_col] = acc
         return df
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def moving_avg(
@@ -168,15 +201,21 @@ def moving_avg(
     is a vectorized pandas kernel with ``min_periods=1`` (SQL frame semantics
     at the head of each partition)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        m = df[val_col].rolling(window, min_periods=1).mean().to_numpy()
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort").reset_index(drop=True)
+        m = (
+            df.groupby(key_col, sort=False)[val_col]
+            .rolling(window, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+            .to_numpy()
+        )
         if round_digits is not None:
             m = _round_half_away(m, round_digits)
         df[out_col] = m
         return df
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return bucketed_by_key(ds, key_col, per_bucket)
 
 
 def grouped_top_n(
