@@ -242,17 +242,20 @@ def grouped_top_n(
         s = df.sort_values(order, ascending=asc, kind="mergesort")
         return s.groupby(key_cols, sort=False).head(n)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        s = df.sort_values(order, ascending=asc, kind="mergesort").head(n)
+    def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(key_cols + order,
+                           ascending=[True] * len(key_cols) + asc,
+                           kind="mergesort")
+        s = s.groupby(key_cols, sort=False).head(n)
         if rank_col:
             s = s.reset_index(drop=True)
-            s[rank_col] = np.arange(1, len(s) + 1, dtype=np.int64)
+            s[rank_col] = (s.groupby(key_cols, sort=False).cumcount() + 1).astype(np.int64)
         return s
 
     pruned = ds.map_batches(local_prune, batch_format="pandas")
-    return pruned.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
-        final, batch_format="pandas"
-    )
+    # bucket on the first key (all rows of a composite key share it) and rank
+    # every key of the bucket vectorized — not one map_groups call per key
+    return bucketed_by_key(pruned, key_cols[0], final_bucket)
 
 
 def asof_join(
