@@ -750,6 +750,15 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_winsorize_orders(sf_dir):
+    """Quantile clipping (outlier capping) of order totals at p01/p99."""
+    from dedupe_examples_ray.relational import winsorize
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = winsorize(orders, "o_totalprice", 0.01, 0.99, out_col="price_w")
+    return out.select_columns(["o_orderkey", "price_w"])
+
+
 def _q_key_skew_events(sf_dir):
     """Group-size distribution of a shuffle key (hot-key planning diagnostic):
     combiner counts + exact global quantiles over the counts."""
@@ -1407,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_events": _q_json_props_events,
         "cc_order_chains": _q_cc_order_chains,
         "key_skew_events": _q_key_skew_events,
+        "winsorize_orders": _q_winsorize_orders,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -1581,6 +1591,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') "
             "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n "
             "FROM events GROUP BY event_type"
+        ),
+        "winsorize_orders": (
+            "SELECT o_orderkey, ROUND(LEAST(GREATEST(o_totalprice, "
+            "ROUND((SELECT quantile_cont(o_totalprice, 0.01) FROM orders), 4)), "
+            "ROUND((SELECT quantile_cont(o_totalprice, 0.99) FROM orders), 4)"
+            "), 4) AS price_w FROM orders"
         ),
         "key_skew_events": (
             "WITH c AS (SELECT COUNT(*) AS c FROM events GROUP BY user_id) "

@@ -524,6 +524,27 @@ def key_skew_report(ds, key: str, round_digits: int = 4) -> pd.DataFrame:
     })
 
 
+def winsorize(ds, col: str, p_lo: float = 0.01, p_hi: float = 0.99,
+              out_col: str | None = None, round_digits: int = 4):
+    """Quantile clipping (outlier capping for score/length columns before
+    training statistics): values below the ``p_lo`` or above the ``p_hi``
+    global quantile are clamped to it.  Two streaming passes: exact global
+    quantiles by histogram refinement (nothing collected), then a vectorized
+    clip — the quantiles travel as two scalars, not a broadcast table."""
+    q = global_quantile(ds, col, {"lo": p_lo, "hi": p_hi}, round_digits=round_digits)
+    lo, hi = float(q["lo"][0]), float(q["hi"][0])
+    out = out_col or f"{col}_w"
+    scale = 10.0 ** round_digits
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.clip(v, lo, hi)
+        w = np.floor(np.abs(w) * scale + 0.5) / scale * np.sign(w)  # ROUND parity
+        return t.append_column(out, pa.array(w, pa.float64(), from_pandas=True))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def frequent_items(ds, col: str, capacity: int = 20) -> pd.DataFrame:
     """Exact heavy hitters at stream scale: a mergeable Misra-Gries sketch
     finds the candidate set in one streaming pass (each batch collapses to

@@ -530,3 +530,15 @@ def test_key_skew_report(ray_session):
     assert got["p50"][0] == 1.0
     # mean group = 100/11; skew = 90 / (100/11) = 9.9
     assert abs(got["skew"][0] - 9.9) < 1e-9
+
+
+def test_winsorize(ray_session):
+    from dedupe_examples_ray.relational import winsorize
+
+    vals = np.concatenate([np.arange(1, 100, dtype=np.float64), [1e9, -1e9]])
+    ds = rd.from_arrow(pa.table({"id": np.arange(101), "x": vals})).repartition(5)
+    out = winsorize(ds, "x", 0.05, 0.95, out_col="xw").to_pandas()
+    assert out["xw"].max() < 1e9 and out["xw"].min() > -1e9
+    # interior values untouched
+    mid = out[(out["x"] > 10) & (out["x"] < 90)]
+    assert (mid["xw"] == mid["x"]).all()
