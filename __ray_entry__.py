@@ -750,6 +750,19 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_text_knn_documents(sf_dir):
+    """Content-similarity search over the text column (hashed-TF cosine
+    top-k, probes broadcast once, per-batch candidates): the probe document
+    itself must come back as its own best match with score ~1."""
+    from dedupe_examples_ray.ops.textstats import text_knn
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    probe = docs.take(1)[0]
+    out = text_knn(docs, [(str(probe["doc_id"]), probe["text"])], k=10)
+    out["score"] = out["score"].round(6)
+    return out.reset_index(drop=True)
+
+
 def _q_winsorize_orders(sf_dir):
     """Quantile clipping (outlier capping) of order totals at p01/p99."""
     from dedupe_examples_ray.relational import winsorize
@@ -1417,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_order_chains": _q_cc_order_chains,
         "key_skew_events": _q_key_skew_events,
         "winsorize_orders": _q_winsorize_orders,
+        "text_knn_documents": _q_text_knn_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,

@@ -305,3 +305,80 @@ def doc_fingerprint(ds, text_col: str = "text", window: int = 4):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hashed_tfidf_batch(texts: list, dim: int = 4096) -> "np.ndarray":
+    """(n_docs, dim) L2-normalized hashing-trick TF vectors — the classic
+    fixed-dimension text vectorizer that needs NO global vocabulary (each
+    batch is independent; the hash IS the feature index), so it composes with
+    any broadcast/ANN stage without a corpus pass."""
+    from ..pairs import stable_hash
+
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float64)
+    for i, tx in enumerate(texts):
+        toks = (tx or "").lower().split()
+        if not toks:
+            continue
+        idx = stable_hash(np.asarray(toks, dtype=object)) % dim
+        np.add.at(out[i], idx.astype(np.int64), 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(norms, 1e-12)
+
+
+class _TextTopK:
+    """Actor stage: per-batch cosine top-k of hashed-TF doc vectors against a
+    broadcast probe matrix (text twin of ann._BatchTopK)."""
+
+    def __init__(self, query_ref, id_col: str, text_col: str, k: int, dim: int):
+        import ray
+
+        self.qids, self.Q = ray.get(query_ref)  # (m, dim), rows L2-normalized
+        self.id_col, self.text_col, self.k, self.dim = id_col, text_col, k, dim
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "match_id": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        X = hashed_tfidf_batch(t[self.text_col].to_pylist(), self.dim)
+        sims = X @ self.Q.T  # (n, m)
+        k = min(self.k, n)
+        ids = np.asarray(t[self.id_col].to_pylist(), dtype=object)
+        out_q, out_m, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            top = np.argpartition(-sims[:, j], k - 1)[:k]
+            out_q.extend([str(qid)] * k)
+            out_m.extend(str(x) for x in ids[top])
+            out_s.extend(sims[top, j])
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         "match_id": pa.array(out_m, pa.string()),
+                         "score": pa.array(np.asarray(out_s, dtype=np.float64))})
+
+
+def text_knn(ds, queries: list[tuple], k: int = 10, id_col: str = "doc_id",
+             text_col: str = "text", dim: int = 4096):
+    """Content-similarity search over a text column: hashed-TF cosine top-k
+    per probe text.  Same scale shape as ``ann_brute_force`` — probes
+    broadcast once, per-batch top-k candidates, tiny driver merge."""
+    import pandas as pd
+    import ray
+
+    qids = [q[0] for q in queries]
+    Q = hashed_tfidf_batch([q[1] for q in queries], dim)
+    ref = ray.put((qids, Q))
+    cands = ds.map_batches(
+        _TextTopK,
+        fn_constructor_kwargs=dict(query_ref=ref, id_col=id_col,
+                                   text_col=text_col, k=k, dim=dim),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    if cands.empty:
+        return pd.DataFrame({"query_id": [], "match_id": [], "score": []})
+    cands = cands.sort_values(["query_id", "score", "match_id"],
+                              ascending=[True, False, True], kind="stable")
+    return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)

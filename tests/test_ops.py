@@ -286,3 +286,23 @@ def test_repetition_stats(ray_session):
     assert out.loc[2, "dup_word_frac"] == 0.0
     assert out.loc[3, "dup_word_frac"] == 0.0 and out.loc[3, "dup_line_frac"] == 0.0
     assert out.loc[4, "dup_line_frac"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+
+
+def test_text_knn(ray_session):
+    """Hashed-TF cosine knn: planted near-duplicate text ranks first after
+    the probe itself; disjoint-vocabulary docs score ~0."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.textstats import text_knn
+
+    rows = [{"doc_id": "probe", "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": "near", "text": "alpha beta gamma delta epsilon eta"},
+            {"doc_id": "far", "text": "one two three four five six"}]
+    rows += [{"doc_id": f"r{i}", "text": f"unrelated words only here {i}"}
+             for i in range(40)]
+    ds = rd.from_items(rows).repartition(4)
+    out = text_knn(ds, [("q", rows[0]["text"])], k=3)
+    assert list(out["match_id"][:2]) == ["probe", "near"]
+    assert out["score"].iloc[0] > 0.999 and out["score"].iloc[1] > 0.7
+    far = out[out["match_id"] == "far"]
+    assert far.empty or (far["score"] < 0.05).all()
