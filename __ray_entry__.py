@@ -750,6 +750,39 @@ def _q_running_total_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "running_total"])
 
 
+def _q_resumable_write_documents(sf_dir):
+    """Per-bucket resumable Parquet sink through the driver surface: first
+    write commits all buckets; a rerun (simulated failure: one bucket's
+    _SUCCESS removed) rewrites ONLY that bucket; read-back row count must
+    equal the input.  Output is the per-bucket manifest + resume evidence."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from dedupe_examples_ray.sources import read_partitioned, write_partitioned
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    n_in = docs.count()
+    out_dir = tempfile.mkdtemp(prefix="graft_resume_", dir="/tmp")
+    try:
+        m1 = write_partitioned(docs, out_dir, "doc_id", num_buckets=16)
+        os.remove(os.path.join(out_dir, "bucket=5", "_SUCCESS"))
+        m2 = write_partitioned(docs, out_dir, "doc_id", num_buckets=16)
+        n_back = read_partitioned(out_dir).count()
+        per_bucket = pd.DataFrame({
+            "bucket": list(range(16)),
+            "written_first": [b in m1["written"] for b in range(16)],
+            "rewritten_second": [b in m2["written"] for b in range(16)],
+        })
+        per_bucket["roundtrip_ok"] = bool(n_back == n_in)
+        per_bucket["n_rows_total"] = np.int64(n_back)
+        return per_bucket
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_text_knn_documents(sf_dir):
     """Content-similarity search over the text column (hashed-TF cosine
     top-k, probes broadcast once, per-batch candidates): the probe document
@@ -1431,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_events": _q_key_skew_events,
         "winsorize_orders": _q_winsorize_orders,
         "text_knn_documents": _q_text_knn_documents,
+        "resumable_write_documents": _q_resumable_write_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
