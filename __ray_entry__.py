@@ -796,6 +796,14 @@ def _q_text_knn_documents(sf_dir):
     return out.reset_index(drop=True)
 
 
+def _q_explode_part_types(sf_dir):
+    """Vectorized UNNEST(string_split) — one row per type word per part."""
+    from dedupe_examples_ray.relational import explode_split
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    return explode_split(part, ["p_partkey"], "p_type", " ", out_col="tok")
+
+
 def _q_winsorize_orders(sf_dir):
     """Quantile clipping (outlier capping) of order totals at p01/p99."""
     from dedupe_examples_ray.relational import winsorize
@@ -1463,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_order_chains": _q_cc_order_chains,
         "key_skew_events": _q_key_skew_events,
         "winsorize_orders": _q_winsorize_orders,
+        "explode_part_types": _q_explode_part_types,
         "text_knn_documents": _q_text_knn_documents,
         "resumable_write_documents": _q_resumable_write_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
@@ -1639,6 +1648,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') "
             "AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n "
             "FROM events GROUP BY event_type"
+        ),
+        "explode_part_types": (
+            "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS tok FROM part"
         ),
         "winsorize_orders": (
             "SELECT o_orderkey, ROUND(LEAST(GREATEST(o_totalprice, "

@@ -524,6 +524,24 @@ def key_skew_report(ds, key: str, round_digits: int = 4) -> pd.DataFrame:
     })
 
 
+def explode_split(ds, id_cols: list[str], col: str, pattern: str = " ",
+                  out_col: str = "tok"):
+    """``SELECT id_cols, unnest(string_split(col, pattern)) AS out_col`` —
+    the row-expanding flat map (token tables, tag lists).  Fully Arrow-
+    vectorized: one ``split_pattern`` + ``list_parent_indices`` + ``take``
+    per batch, zero Python per row; NULL inputs expand to zero rows (UNNEST
+    semantics).  Output row count is data-dependent — keep downstream
+    ``batch_size`` in mind when elements-per-row is large."""
+    def f(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t[col].combine_chunks(), pattern)
+        idx = pc.list_parent_indices(parts)
+        cols = {c: pc.take(t[c], idx) for c in id_cols}
+        cols[out_col] = pc.list_flatten(parts)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def winsorize(ds, col: str, p_lo: float = 0.01, p_hi: float = 0.99,
               out_col: str | None = None, round_digits: int = 4):
     """Quantile clipping (outlier capping for score/length columns before

@@ -542,3 +542,12 @@ def test_winsorize(ray_session):
     # interior values untouched
     mid = out[(out["x"] > 10) & (out["x"] < 90)]
     assert (mid["xw"] == mid["x"]).all()
+
+
+def test_explode_split(ray_session):
+    from dedupe_examples_ray.relational import explode_split
+
+    t = pa.table({"id": [1, 2, 3], "s": ["a b c", "x", None]})
+    out = explode_split(rd.from_arrow(t).repartition(2), ["id"], "s").to_pandas()
+    got = sorted(zip(out["id"], out["tok"]))
+    assert got == [(1, "a"), (1, "b"), (1, "c"), (2, "x")]  # NULL -> 0 rows
