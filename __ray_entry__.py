@@ -796,6 +796,45 @@ def _q_text_knn_documents(sf_dir):
     return out.reset_index(drop=True)
 
 
+def _q_top_tfidf_terms(sf_dir):
+    """Per-document top-3 TF-IDF terms — a pure composition of the engine's
+    distributed primitives: explode (UNNEST) -> combiner TF groupby ->
+    DISTINCT + DF groupby -> big-big hash_join on the token -> vectorized
+    score -> combiner-pruned grouped top-n.  No broadcast of the vocabulary,
+    no driver pass over tokens."""
+    from dedupe_examples_ray.relational import (explode_split, grouped_sum,
+                                                hash_join)
+    from dedupe_examples_ray.windows import grouped_top_n
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    low = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "text_low": pc.utf8_lower(t["text"])}),
+        batch_format="pyarrow",
+    )
+    toks = explode_split(low, ["doc_id"], "text_low", " ", out_col="tok")
+    tf = grouped_sum(toks, ["doc_id", "tok"], {}, count_col="tf").materialize()
+    # tf already IS the distinct (doc, tok) set -> DF is a count over it (no
+    # second explode over the corpus); materialize tf once since two
+    # consumers would otherwise re-run the explode+groupby DAG
+    docfreq = grouped_sum(tf, ["tok"], {}, count_col="df")
+    joined = hash_join(tf, docfreq, on="tok")
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(n_docs / dfv)
+        s = np.floor(s * 1e4 + 0.5) / 1e4  # ROUND(.,4) half-away parity
+        return t.append_column("tfidf", pa.array(s, pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = grouped_top_n(scored, ["doc_id"], by="tfidf", n=3,
+                        tie_cols=["tok"], rank_col="rank")
+    return top.select_columns(["doc_id", "tok", "tfidf", "rank"])
+
+
 def _q_explode_part_types(sf_dir):
     """Vectorized UNNEST(string_split) — one row per type word per part."""
     from dedupe_examples_ray.relational import explode_split
@@ -1472,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_events": _q_key_skew_events,
         "winsorize_orders": _q_winsorize_orders,
         "explode_part_types": _q_explode_part_types,
+        "top_tfidf_terms": _q_top_tfidf_terms,
         "text_knn_documents": _q_text_knn_documents,
         "resumable_write_documents": _q_resumable_write_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
@@ -1651,6 +1691,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "explode_part_types": (
             "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS tok FROM part"
+        ),
+        "top_tfidf_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) "
+            "AS tok FROM documents), "
+            "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), "
+            "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+            "s AS (SELECT tf.doc_id, tf.tok, "
+            "ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents) / df.df), 4) AS tfidf "
+            "FROM tf JOIN df USING (tok)) "
+            "SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rank FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, tok) AS rn FROM s) WHERE rn <= 3"
         ),
         "winsorize_orders": (
             "SELECT o_orderkey, ROUND(LEAST(GREATEST(o_totalprice, "
