@@ -95,3 +95,70 @@ def officer_settings():
         max_block_size=200,
         oversize_policy="salt",
     )
+
+
+_SUFFIXES = {
+    "st": "street", "str": "street", "ave": "avenue", "av": "avenue",
+    "blvd": "boulevard", "rd": "road", "dr": "drive", "ln": "lane",
+    "ct": "court", "pl": "place", "hwy": "highway", "pkwy": "parkway",
+    "sq": "square", "ter": "terrace", "cir": "circle",
+}
+_DIRS = {"n": "north", "s": "south", "e": "east", "w": "west",
+         "ne": "northeast", "nw": "northwest", "se": "southeast",
+         "sw": "southwest"}
+
+
+def _parse_address(addr: str) -> tuple[str, str, str]:
+    """'123 N Main St [Apt 4]' -> (house number, normalized street tokens,
+    unit) — the structured decomposition USAddress's CRF produces, done with
+    deterministic rules (good enough to score against; officers.py:108-118)."""
+    toks = (addr or "").lower().replace(".", "").replace(",", " ").split()
+    if not toks:
+        return "", "", ""
+    num = ""
+    if toks and toks[0].isdigit():
+        num, toks = toks[0], toks[1:]
+    unit = ""
+    for j, t in enumerate(toks):
+        if t in ("apt", "unit", "ste", "suite", "#") and j + 1 < len(toks):
+            unit = toks[j + 1]
+            toks = toks[:j]
+            break
+    norm = [_DIRS.get(t, _SUFFIXES.get(t, t)) for t in toks]
+    return num, " ".join(norm), unit
+
+
+def us_address_sim(a_list, b_list) -> np.ndarray:
+    """Batch comparator: weighted structured address similarity in [0, 1].
+
+    house number exact 0.45 (the discriminating field), street name JW 0.45,
+    unit 0.1 (missing on both sides = neutral).  Suffix/direction
+    abbreviations normalize before comparison ('St'=='Street', 'N'=='North').
+    Memoized per distinct raw value.
+    """
+    cache: dict = {}
+
+    def parse(v):
+        got = cache.get(v)
+        if got is None:
+            got = _parse_address(v)
+            cache[v] = got
+        return got
+
+    out = np.zeros(len(a_list), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        if not a or not b:
+            continue
+        if a == b:
+            out[i] = 1.0
+            continue
+        na, sa, ua = parse(a)
+        nb, sb, ub = parse(b)
+        s_num = 1.0 if (na and na == nb) else (0.5 if not na and not nb else 0.0)
+        s_street = jaro_winkler(sa, sb) if (sa and sb) else 0.0
+        s_unit = (1.0 if ua == ub else 0.0) if (ua or ub) else 0.5
+        out[i] = 0.45 * s_num + 0.45 * s_street + 0.1 * s_unit
+    return out
+
+
+register_comparator("us_address", us_address_sim)

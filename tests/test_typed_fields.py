@@ -162,3 +162,18 @@ def test_register_comparator_plugin():
     )["score"].to_pylist()
     # sigmoid(0.5*4 - 1) = sigmoid(1)
     assert out[0] == pytest.approx(1 / (1 + np.exp(-1.0)))
+
+
+def test_us_address_plugin():
+    import numpy as np
+
+    from dedupe_examples_ray.plugins import us_address_sim
+
+    a = ["123 N Main St", "123 north main street", "55 Oak Ave Apt 4", ""]
+    b = ["123 North Main Street", "456 Elm Rd", "55 Oak Avenue Apt 4", "1 A St"]
+    s = us_address_sim(a, b)
+    assert s[0] > 0.95          # abbreviation-normalized match
+    assert s[1] < 0.6           # different number + street
+    assert s[2] > 0.95          # unit matches through Apt normalization
+    assert s[3] == 0.0          # empty side
+    assert np.all((0.0 <= s) & (s <= 1.0))
