@@ -75,22 +75,28 @@ def western_name_sim(a_list, b_list) -> np.ndarray:
 register_comparator("western_name", western_name_sim)
 
 
-def officer_settings():
-    """Settings artifact using the shipped plugin comparator end-to-end
-    (officers.py:108-118 analog: plugin name variable + categorical flag)."""
+def officer_settings(with_address: bool = False):
+    """Settings artifact using the shipped plugin comparators end-to-end
+    (officers.py:108-118 analog: plugin name + address variables +
+    categorical flag)."""
     from .config import Field, Settings
 
+    fields = [
+        Field("name", "western_name"),
+        Field("unit", "categorical", has_missing=True),
+    ]
+    weights = {"name": 10.0, "unit": 1.0, "unit__missing": -0.25}
+    if with_address:
+        fields.append(Field("address", "us_address", has_missing=True))
+        weights.update({"address": 6.0, "address__missing": -0.5})
     return Settings(
-        fields=[
-            Field("name", "western_name"),
-            Field("unit", "categorical", has_missing=True),
-        ],
+        fields=fields,
         predicates=[
             {"kind": "first_token", "column": "name"},
             {"kind": "suffix", "column": "name", "n": 6},
         ],
-        weights={"name": 10.0, "unit": 1.0, "unit__missing": -0.25},
-        bias=-7.5,
+        weights=weights,
+        bias=-7.5 if not with_address else -14.0,
         threshold=0.5,
         max_block_size=200,
         oversize_policy="salt",

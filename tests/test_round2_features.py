@@ -223,6 +223,22 @@ def test_shipped_plugin_comparator_end_to_end(ray_session):
     assert out["o1"] == out["o2"]
     assert out["o3"] != out["o1"]
 
+    # with the us_address plugin: same name, abbreviation-variant address
+    # links; same name at a DIFFERENT house number does not
+    rows_a = [
+        {"rid": "a1", "name": "john smith", "unit": "n",
+         "address": "123 N Main St"},
+        {"rid": "a2", "name": "john smith", "unit": "n",
+         "address": "123 north main street"},
+        {"rid": "a3", "name": "john smith", "unit": "n",
+         "address": "999 Elm Rd"},
+    ]
+    out_a = {r["record_id"]: r["canon_id"] for r in dedupe_dataset(
+        rd.from_items(rows_a), officer_settings(with_address=True),
+        id_col="rid").take_all()}
+    assert out_a["a1"] == out_a["a2"]
+    assert out_a["a3"] != out_a["a1"]
+
 
 def test_score_progress_stream(ray_session):
     """M13: per-N-pairs scoring progress (reference prints every 10k pairs,
