@@ -363,17 +363,20 @@ def global_rank(
 
     # pass 1: global histogram -> range boundaries on the key
     def minmax(t: pa.Table):
-        v = t[by].drop_null()
-        if len(v) == 0:
+        if t.num_rows == 0:
             return pa.table({"lo": pa.array([], pa.float64()),
                              "hi": pa.array([], pa.float64())})
+        v = t[by].drop_null()
+        if len(v) == 0:  # non-empty batch, all-null key: rankable (NULLS LAST)
+            return pa.table({"lo": [np.nan], "hi": [np.nan]})
         arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table({"lo": [float(arr.min())], "hi": [float(arr.max())]})
 
     mm = ds.select_columns([by]).map_batches(minmax, batch_format="pyarrow").to_pandas()
     if len(mm) == 0:
         return ds  # empty input
-    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    lo = float(np.nan_to_num(mm["lo"].min(), nan=0.0))
+    hi = float(np.nan_to_num(mm["hi"].max(), nan=0.0))
     edges = np.linspace(lo, hi, bins + 1)[1:-1] if hi > lo else np.array([])
 
     def hist(t: pa.Table):
