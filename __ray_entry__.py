@@ -702,24 +702,50 @@ def _q_media_dedup(sf_dir):
     return assign
 
 
+def _ann_probe_and_recall(vecs, builder, k: int = 5):
+    """Shared self-verification harness for the approximate-ANN queries:
+    probe = a deterministically perturbed copy of corpus row 0 (so a true
+    ~0.999-cosine neighbor EXISTS — the raw synthetic embeddings have no
+    close pairs, top-5 sims ~0.35, which makes recall a property of the data
+    rather than the index).  Output carries recall@k vs exact brute force
+    and whether the planted source ranked first — both checkable invariants."""
+    from dedupe_examples_ray.ops import ann_brute_force
+
+    first = vecs.take(1)[0]
+    v = np.asarray(first["embedding"], dtype=np.float64)
+    probe_vec = v + 0.02 * np.roll(v, 1)  # deterministic small perturbation
+    probe = [(int(first["vec_id"]), probe_vec)]
+    out = builder(vecs, probe, k)
+    exact = ann_brute_force(vecs, probe, k=k)
+    hit = len(set(out["match_id"]) & set(exact["match_id"][:k]))
+    out = out.reset_index(drop=True)
+    out["recall_at_k"] = round(hit / k, 4)
+    out["found_planted"] = bool(
+        len(out) > 0 and out["match_id"].iloc[0] == first["vec_id"]
+        and exact["match_id"].iloc[0] == first["vec_id"]
+    )
+    return out
+
+
 def _q_ann_lsh_top5(sf_dir):
-    """Bucketed ANN scale path (hyperplane signatures + multi-probe)."""
+    """Bucketed ANN scale path (hyperplane signatures + 2-bit multi-probe),
+    self-verified: planted ~0.999-cosine neighbor must rank first and
+    recall@5 vs exact brute force is reported."""
     from dedupe_examples_ray.ops import ann_lsh
 
     vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q, rest = _split_probe(vecs, 1)
-    out = ann_lsh(rest, [(1, np.asarray(q, dtype=np.float64))], k=5, n_planes=8)
-    return out.reset_index(drop=True)
+    return _ann_probe_and_recall(
+        vecs, lambda ds, probe, k: ann_lsh(ds, probe, k=k, n_planes=8))
 
 
 def _q_ann_ivf_top5(sf_dir):
-    """IVF ANN (k-means coarse quantizer, bounded train sample, cell scan)."""
+    """IVF ANN (k-means coarse quantizer, bounded train sample, cell scan),
+    self-verified like ann_lsh_top5."""
     from dedupe_examples_ray.ops import ann_ivf
 
     vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q, rest = _split_probe(vecs, 2)
-    out = ann_ivf(rest, [(2, np.asarray(q, dtype=np.float64))], k=5, n_cells=8, n_probe=3)
-    return out.reset_index(drop=True)
+    return _ann_probe_and_recall(
+        vecs, lambda ds, probe, k: ann_ivf(ds, probe, k=k, n_cells=8, n_probe=3))
 
 
 def _q_events_window_6h(sf_dir):

@@ -169,12 +169,15 @@ def ann_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 5,
+    probe_bits: int = 2,
 ):
     """Bucketed ANN: scan only corpus rows whose hyperplane signature matches
-    a query signature (multi-probe: exact bucket + all 1-bit flips).
+    a query signature (multi-probe: exact bucket + all flips of up to
+    ``probe_bits`` signature bits — ``probe_bits=2`` scans
+    ``1 + n + n(n-1)/2`` of ``2**n`` buckets, ~14% at n=8).
 
     Approximate by construction — recall < 1 when true neighbors land in
-    distant buckets; raise n_planes for precision, probes for recall.
+    distant buckets; raise n_planes for precision, ``probe_bits`` for recall.
     """
     import ray
 
@@ -194,6 +197,9 @@ def ann_lsh(
         probe.add(int(s))
         for b in range(n_planes):
             probe.add(int(s) ^ (1 << b))
+            if probe_bits >= 2:
+                for b2 in range(b + 1, n_planes):
+                    probe.add(int(s) ^ (1 << b) ^ (1 << b2))
     probe_ref = ray.put(np.fromiter(probe, dtype=np.uint64))
 
     def bucket_filter(t: pa.Table) -> pa.Table:
