@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -139,6 +140,32 @@ def cmd_train(args):
           + (f", recall>={args.recall}" if args.recall else "") + f") -> {args.out}")
 
 
+def cmd_query(args):
+    """Run any registered pipeline from the driver surface by name."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(args.repo_root, "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    if args.list or args.name is None:
+        for n in sorted(qs):
+            print(n)
+        return
+    if args.name not in qs:
+        sys.exit(f"unknown query {args.name!r}; use --list")
+    res = qs[args.name](args.sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if args.output:
+        df.to_parquet(args.output)
+        print(f"{args.name}: {len(df)} rows -> {args.output}")
+    else:
+        print(df.head(args.head).to_string())
+        print(f"({len(df)} rows)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="dedupe_examples_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -177,6 +204,16 @@ def main(argv=None):
     g.add_argument("--threshold", type=float, default=None)
     common(g)
     g.set_defaults(fn=cmd_gazetteer)
+
+    q = sub.add_parser("query", help="run any registered pipeline by name")
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--repo-root", default=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    q.add_argument("--output", default=None, help="write result parquet here")
+    q.add_argument("--head", type=int, default=20)
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.set_defaults(fn=cmd_query)
 
     t = sub.add_parser("train", help="fit settings from labeled pairs (train())")
     t.add_argument("--base", required=True, help="base settings JSON")

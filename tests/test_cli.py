@@ -46,3 +46,15 @@ def test_cli_train(tmp_path):
           "--out", str(out)])
     art = json.loads(out.read_text())
     assert "fields" in art and "bias" in art
+
+
+def test_cli_query_subcommand(ray_session, capsys):
+    from dedupe_examples_ray.__main__ import main
+
+    main(["query", "--list"])
+    names = capsys.readouterr().out.split()
+    assert "heavy_hitters_events" in names and len(names) > 80
+
+    main(["query", "heavy_hitters_events", "--sf-dir", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert "rows)" in out
