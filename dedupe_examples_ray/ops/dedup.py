@@ -167,7 +167,6 @@ def batch_minhash_signatures(texts: list, shingle: str, k: int, num_perm: int) -
         _PERM_CACHE[num_perm] = _perm_params(num_perm)
     a, b = _PERM_CACHE[num_perm]
     n = len(texts)
-    M = np.uint64((1 << 61) - 1)
     sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if n == 0:
         return sigs
