@@ -264,6 +264,10 @@ def _key_hash_u64(keys) -> np.ndarray:
     from .pairs import stable_hash
 
     t = keys.type
+    if pa.types.is_null(t):
+        # an all-null block arrives typed pa.null(); every slot is masked by
+        # the caller's validity check, so any constant hash works
+        return np.zeros(len(keys), dtype=np.uint64)
     if pa.types.is_integer(t) or pa.types.is_temporal(t):
         vals = pc.cast(pc.fill_null(keys, 0), pa.int64(), safe=False).to_numpy(
             zero_copy_only=False)
