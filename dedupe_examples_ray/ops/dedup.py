@@ -537,14 +537,28 @@ def _simhash_bands_batch(t: pa.Table, id_col, text_col, bands) -> pa.Table:
 
 
 def simhash_dedup(
-    ds, text_col: str = "text", id_col: str = "doc_id", bands: int = 4, max_hamming: int = 3
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    num_buckets: int = 64,
 ):
     """Near-dup assignment via SimHash banding + hamming-distance verify.
 
     With 4 bands of 16 bits, any pair within hamming distance 3 shares at
     least one exact band (pigeonhole) — the standard near-dup web setup
     (Manku et al., WWW 2007).
+
+    Hot band keys (empty/boilerplate docs share simhash bands) are salted
+    into deterministic sub-buckets over ``max_bucket`` exactly like the
+    minhash path (``_bucket_pairs``) — the per-group verify is bounded at
+    O(max_bucket^2) instead of going quadratic in one task; use
+    ``simhash_bucket_metrics`` for the emitted/dropped estimate.
     """
+    from ..pairs import stable_hash
+
     buckets = ds.map_batches(
         _simhash_bands_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, bands=bands),
@@ -555,8 +569,25 @@ def simhash_dedup(
         h = (
             t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
             + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        ) % 64
+        ) % num_buckets
         return t.append_column("bucket", pa.array(h.astype(np.int64), pa.int64()))
+
+    def _hamming_pairs(ids: np.ndarray, sims: np.ndarray, frames: list) -> None:
+        n = len(ids)
+        if n < 2:
+            return
+        ia, ib = np.triu_indices(n, k=1)
+        x = sims[ia] ^ sims[ib]
+        # vectorized popcount via bit-twiddling on uint64
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        while v.any():
+            ham += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        keep = ham <= max_hamming
+        frames.append(
+            pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
+        )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -567,18 +598,14 @@ def simhash_dedup(
             n = len(ids)
             if n < 2:
                 continue
-            ia, ib = np.triu_indices(n, k=1)
-            x = sims[ia] ^ sims[ib]
-            # vectorized popcount via bit-twiddling on uint64
-            ham = np.zeros(len(x), dtype=np.int64)
-            v = x.copy()
-            while v.any():
-                ham += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
-            keep = ham <= max_hamming
-            frames.append(
-                pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
-            )
+            if n > max_bucket:  # salt the hot band key into sub-buckets
+                k = -(-n // max_bucket)
+                salt = stable_hash(ids) % k
+                for sv in range(k):
+                    m = salt == sv
+                    _hamming_pairs(ids[m], sims[m], frames)
+                continue
+            _hamming_pairs(ids, sims, frames)
         if not frames:
             return pd.DataFrame(
                 {
@@ -597,6 +624,19 @@ def simhash_dedup(
         .map_groups(emit, batch_format="pandas")
     )
     return _assignment(ds, id_col, dedup_pairs(pairs))
+
+
+def simhash_bucket_metrics(
+    ds, text_col="text", id_col="doc_id", bands=4, max_bucket=200, num_buckets=64
+) -> dict:
+    """Emitted/dropped candidate estimate for simhash banding — the same
+    report shape as ``lsh_bucket_metrics`` (no silent caps)."""
+    buckets = ds.map_batches(
+        _simhash_bands_batch,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, bands=bands),
+        batch_format="pyarrow",
+    )
+    return lsh_bucket_metrics(buckets, id_col, max_bucket=max_bucket, num_buckets=num_buckets)
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -630,6 +670,8 @@ def embedding_cosine_dedup(
     dim: int | None = None,
     tau: float = 0.95,
     n_planes: int = 12,
+    max_bucket: int = 2000,
+    num_buckets: int = 64,
 ):
     """Embedding near-dup: hyperplane buckets -> within-bucket cosine >= tau
     -> components -> (id, keep_id).
@@ -638,7 +680,16 @@ def embedding_cosine_dedup(
     one bucket row per doc — no duplication), so the within-bucket verify is a
     local numpy matmul over the group's vectors.  No driver materialization,
     no vector broadcast; the only wide op is the one bucketed groupby.
+
+    Hot hyperplane keys (near-dup-dense corpora concentrate into few of the
+    2^n_planes buckets) are salted into deterministic sub-buckets over
+    ``max_bucket``, bounding the per-group ``V @ V.T`` at
+    O(max_bucket^2 * dim); members of a real near-dup cluster still collide
+    within sub-buckets with high probability.  ``embedding_bucket_metrics``
+    reports the emitted/dropped estimate — no silent caps.
     """
+    from ..pairs import stable_hash
+
     if dim is None:
         first = ds.take(1)[0][vec_col]
         dim = len(first)
@@ -649,24 +700,37 @@ def embedding_cosine_dedup(
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = t["key"].to_numpy(zero_copy_only=False) % 64
+        b = t["key"].to_numpy(zero_copy_only=False) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    def _cosine_pairs(ids: np.ndarray, vecs: pd.Series, frames: list) -> None:
+        if len(ids) < 2:
+            return
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ V.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= tau
+        frames.append(
+            pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": S[ia, ib][keep]})
+        )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for _, sub in df.groupby("key", sort=False):
             u = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
             ids = u[id_col].to_numpy()
-            if len(ids) < 2:
+            n = len(ids)
+            if n < 2:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in u["vec"]])
-            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            S = V @ V.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = S[ia, ib] >= tau
-            frames.append(
-                pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "score": S[ia, ib][keep]})
-            )
+            if n > max_bucket:  # salt the hot hyperplane key into sub-buckets
+                k = -(-n // max_bucket)
+                salt = stable_hash(ids) % k
+                for sv in range(k):
+                    m = salt == sv
+                    _cosine_pairs(ids[m], u["vec"].iloc[np.flatnonzero(m)], frames)
+                continue
+            _cosine_pairs(ids, u["vec"], frames)
         if not frames:
             return pd.DataFrame(
                 {
@@ -685,3 +749,23 @@ def embedding_cosine_dedup(
         .map_groups(verify, batch_format="pandas")
     )
     return _assignment(ds, id_col, dedup_pairs(pairs))
+
+
+def embedding_bucket_metrics(
+    ds, vec_col="embedding", id_col="vec_id", dim=None, n_planes=12,
+    max_bucket=2000, num_buckets=64,
+) -> dict:
+    """Emitted/dropped candidate estimate for the hyperplane buckets — the
+    same report shape as ``lsh_bucket_metrics`` (no silent caps)."""
+    if dim is None:
+        first = ds.take(1)[0][vec_col]
+        dim = len(first)
+    buckets = ds.map_batches(
+        _hyperplane_buckets_batch,
+        fn_kwargs=dict(id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.append_column("band", pa.array(np.zeros(t.num_rows, np.int32), pa.int32())),
+        batch_format="pyarrow",
+    )
+    return lsh_bucket_metrics(buckets, id_col, max_bucket=max_bucket, num_buckets=num_buckets)
