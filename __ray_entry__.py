@@ -1102,7 +1102,11 @@ def _q_approx_distinct_users(sf_dir):
 
     ev = _read(sf_dir, "events", columns=["user_id"])
     hll = approx_ndistinct(ev, "user_id", precision=12)
-    n_exact = ev.groupby("user_id").count().count()
+    # exact side mirrors SQL COUNT(DISTINCT): the NULL group is not a value
+    nonnull = ev.map_batches(
+        lambda t: t.filter(t["user_id"].combine_chunks().is_valid()), batch_format="pyarrow"
+    )
+    n_exact = nonnull.groupby("user_id").count().count()
     ok = abs(hll["estimate"] - n_exact) / max(n_exact, 1) <= 3 * hll["error_bound"]
     return pd.DataFrame({"n_exact": [np.int64(n_exact)], "within_bound": [bool(ok)]})
 

@@ -55,14 +55,16 @@ def union_find(edges_a: list, edges_b: list) -> dict:
 # All rounds are bucketed: groupby(stable_hash(u) % B) gives B groups, and the
 # per-node star logic runs as vectorized pandas transforms inside each bucket
 # (per-node map_groups would pay one Python dispatch per graph node).
+# B defaults via scale.buckets_for from the edge count (verdict #6: a fixed 64
+# bounded per-task working set at N/64).
 _CC_BUCKETS = 64
 
 
-def _with_bucket(ds, col: str):
+def _with_bucket(ds, col: str, num_buckets: int = _CC_BUCKETS):
     from .pairs import stable_hash
 
     def add(t: pa.Table) -> pa.Table:
-        b = stable_hash(t[col].to_numpy(zero_copy_only=False)) % _CC_BUCKETS
+        b = stable_hash(t[col].to_numpy(zero_copy_only=False)) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     return ds.map_batches(add, batch_format="pyarrow")
@@ -100,15 +102,15 @@ def _both_directions(edges_ds):
     return edges_ds.map_batches(dup, batch_format="pyarrow")
 
 
-def _directed_large(edges_ds):
+def _directed_large(edges_ds, num_buckets: int = _CC_BUCKETS):
     return (
-        _with_bucket(_both_directions(edges_ds), "u")
+        _with_bucket(_both_directions(edges_ds), "u", num_buckets)
         .groupby("bucket")
         .map_groups(lambda df: _large_star_bucket(df.drop(columns=["bucket"])), batch_format="pandas")
     )
 
 
-def _directed_small(edges_ds):
+def _directed_small(edges_ds, num_buckets: int = _CC_BUCKETS):
     def to_small(t: pa.Table) -> pa.Table:
         u = pc.max_element_wise(t["u"], t["v"])
         v = pc.min_element_wise(t["u"], t["v"])
@@ -116,15 +118,15 @@ def _directed_small(edges_ds):
 
     directed = edges_ds.map_batches(to_small, batch_format="pyarrow")
     return (
-        _with_bucket(directed, "u")
+        _with_bucket(directed, "u", num_buckets)
         .groupby("bucket")
         .map_groups(lambda df: _small_star_bucket(df.drop(columns=["bucket"])), batch_format="pandas")
     )
 
 
-def _dedup_edges(ds):
+def _dedup_edges(ds, num_buckets: int = _CC_BUCKETS):
     return (
-        _with_bucket(ds, "u")
+        _with_bucket(ds, "u", num_buckets)
         .groupby("bucket")
         .map_groups(
             lambda df: df.drop_duplicates(subset=["u", "v"]).drop(columns=["bucket"]),
@@ -133,7 +135,8 @@ def _dedup_edges(ds):
     )
 
 
-def connected_components_distributed(edges_ds, max_rounds: int = 20):
+def connected_components_distributed(edges_ds, max_rounds: int = 20,
+                                     num_buckets: int | None = None):
     """Alternating star rounds until the edge multiset is stable.
 
     Returns a Dataset (node, label) covering every node that appears in an
@@ -141,11 +144,14 @@ def connected_components_distributed(edges_ds, max_rounds: int = 20):
     iteration is driven from the driver (Ray Data has no native loops) with
     per-round materialization — rounds needed ≈ O(log diameter).
     """
-    cur = _dedup_edges(edges_ds)
+    from .scale import resolve_buckets
+
+    B = resolve_buckets(num_buckets, edges_ds)
+    cur = _dedup_edges(edges_ds, B)
     prev_sig = None
     for _ in range(max_rounds):
-        cur = _dedup_edges(_directed_large(cur))
-        cur = _dedup_edges(_directed_small(cur))
+        cur = _dedup_edges(_directed_large(cur, B), B)
+        cur = _dedup_edges(_directed_small(cur, B), B)
         cur = cur.materialize()
         cnt = cur.count()
         # signature: count + sum of stable hashes of endpoints
@@ -177,10 +183,10 @@ def connected_components_distributed(edges_ds, max_rounds: int = 20):
     roots = cur.map_batches(
         lambda t: pa.table({"node": t["v"], "label": t["v"]}), batch_format="pyarrow"
     )
-    return _dedup_labels(labels.union(roots))
+    return _dedup_labels(labels.union(roots), B)
 
 
-def _dedup_labels(ds):
+def _dedup_labels(ds, num_buckets: int = _CC_BUCKETS):
     def min_label(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.sort_values("label", kind="stable")
@@ -188,7 +194,7 @@ def _dedup_labels(ds):
             .drop(columns=["bucket"])
         )
 
-    return _with_bucket(ds, "node").groupby("bucket").map_groups(min_label, batch_format="pandas")
+    return _with_bucket(ds, "node", num_buckets).groupby("bucket").map_groups(min_label, batch_format="pandas")
 
 
 def spanning_forest_batch(t: pa.Table) -> pa.Table:
@@ -255,7 +261,12 @@ def connected_components(edges_ds, driver_limit: int = 2_000_000, max_rounds: in
     renamed = edges_ds.map_batches(
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}), batch_format="pyarrow"
     )
-    return connected_components_distributed(renamed, max_rounds=max_rounds)
+    from .scale import buckets_for
+
+    # both directions of every edge travel each round
+    return connected_components_distributed(
+        renamed, max_rounds=max_rounds, num_buckets=buckets_for(2 * n_edges)
+    )
 
 
 # ----------------------------------------------------------------- confidence

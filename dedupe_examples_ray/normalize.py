@@ -238,8 +238,11 @@ def json_scalar_field(arr, field: str, out_type: pa.DataType | None = None):
         ),
         "v",
     )
+    # JSON null -> SQL NULL only on the UNQUOTED branch: a quoted string
+    # value that is literally "null" stays the string 'null'
+    # (json_extract_string semantics — advice item, round 2)
+    v = pc.if_else(pc.equal(v, "null"), pa.nulls(len(arr), pa.string()), v)
     out = pc.if_else(pc.is_valid(s), s, v)
-    out = pc.if_else(pc.equal(out, "null"), pa.nulls(len(arr), pa.string()), out)
     if out_type is not None:
         out = pc.cast(out, out_type)
     return out

@@ -175,7 +175,7 @@ def _latest_indices(t: pa.Table, key_col: str, sort_cols: list[str]) -> np.ndarr
 
 
 def keep_latest(ds, key_col: str, ts_col: str, tie_col: str | None = None,
-                num_buckets: int = 64):
+                num_buckets: int | None = None):
     """Latest-row-per-key dedup — web re-crawl semantics: keep, for every
     key (e.g. ``url``), the row with the greatest ``ts_col`` (``warc_ts``);
     ties broken by the greatest ``tie_col`` (pass one whenever (key, ts) is
@@ -195,6 +195,9 @@ def keep_latest(ds, key_col: str, ts_col: str, tie_col: str | None = None,
     identity (mysql_init_db.py:134-143); ``keep_latest`` is the time-aware
     variant a snapshot-stacked crawl table needs.
     """
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
     from ..pairs import stable_hash
 
     sort_cols = [key_col, ts_col] + ([tie_col] if tie_col else [])

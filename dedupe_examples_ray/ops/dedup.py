@@ -54,8 +54,12 @@ def _get_broadcast(ref):
 
 
 # --------------------------------------------------------------- exact dedup
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int | None = None):
     """(doc_id, keep_id): keep the min id per exact content hash."""
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
 
     def add_hash(t: pa.Table) -> pa.Table:
         # one vectorized 64-bit content hash call over the whole batch
@@ -71,7 +75,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     def add_bucket(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        b = t["h"].to_numpy(zero_copy_only=False) % 64
+        b = t["h"].to_numpy(zero_copy_only=False) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -236,7 +240,8 @@ def _minhash_bands_batch(t: pa.Table, id_col, text_col, shingle, k, num_perm, ba
     )
 
 
-def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: int = 64):
+def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200,
+                  num_buckets: int | None = None):
     """LSH buckets -> unique candidate (id_a, id_b) pairs.
 
     Bucketed shuffle (hash(band,key) % B -> B groups) with a vectorized
@@ -247,6 +252,9 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: in
     ``lsh_bucket_metrics`` reports the emitted/dropped estimate.
     """
     from ..pairs import dedup_pairs, stable_hash
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, bucket_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = (
@@ -288,9 +296,13 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: in
     return dedup_pairs(pairs)
 
 
-def lsh_bucket_metrics(bucket_ds, id_col: str, max_bucket: int = 200, num_buckets: int = 64) -> dict:
+def lsh_bucket_metrics(bucket_ds, id_col: str, max_bucket: int = 200,
+                      num_buckets: int | None = None) -> dict:
     """Emitted/dropped candidate estimates for the LSH bucket pair emission —
     the dedup-family analog of ``pairs.pair_metrics`` (no silent caps)."""
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, bucket_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = (
@@ -365,20 +377,48 @@ def _jaccard_verify_hydrated(t: pa.Table, shingle, k, threshold) -> pa.Table:
     return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "score": score}).filter(keep)
 
 
-def _assignment(ds, id_col: str, edges_ds):
+# Above this many clustered nodes the assignment label table stops being
+# broadcast (it is O(#clustered docs) — on near-dup-dense web corpora that is
+# a large corpus fraction) and routes through the big-big hash_join instead.
+ASSIGN_BROADCAST_BUDGET = 2_000_000
+
+
+def _assignment(ds, id_col: str, edges_ds, broadcast_row_budget: int | None = None):
     """edges -> components -> (doc_id, keep_id) with singleton completion.
 
-    The label side (clustered nodes only) is broadcast as a zero-copy Arrow
-    table and joined per whole block with ``pc.index_in`` — no Python dict
-    ships to workers and per-worker memory does not scale with actor count
-    (cluster.entity_map_from_table pattern)."""
+    Under ``broadcast_row_budget`` clustered nodes, the label side is
+    broadcast as a zero-copy Arrow table and joined per whole block with
+    ``pc.index_in`` — no Python dict ships to workers and per-worker memory
+    does not scale with actor count (cluster.entity_map_from_table pattern).
+    Over the budget (dup-dense corpora where clustered membership is a large
+    corpus fraction) it switches to ``relational.hash_join(..., how="left")``
+    + coalesce — fully distributed, nothing driver- or worker-resident scales
+    with the corpus.  Both paths produce identical assignments
+    (tests/test_scale_safety.py parity test)."""
     import ray
 
-    labels = connected_components(edges_ds)
     from ..scoring import dataset_arrow_types
 
-    lab_tbls = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
+    budget = ASSIGN_BROADCAST_BUDGET if broadcast_row_budget is None else broadcast_row_budget
+    labels = connected_components(edges_ds).materialize()
     id_type = dataset_arrow_types(ds)[id_col]
+    if labels.count() > budget:
+        from ..relational import hash_join
+
+        lab = labels.map_batches(
+            lambda t: pa.table(
+                {"node": pc_cast_arr(t["node"], id_type), "__lab": pc_cast_arr(t["label"], id_type)}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(ds.select_columns([id_col]), lab, on=id_col, right_on="node", how="left")
+
+        def fin(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t[id_col], "keep_id": pc.coalesce(t["__lab"], t[id_col])})
+
+        return joined.map_batches(fin, batch_format="pyarrow")
+
+    lab_tbls = list(labels.iter_batches(batch_size=None, batch_format="pyarrow"))
     if lab_tbls:
         lab = pa.concat_tables(lab_tbls).combine_chunks()
     else:
@@ -425,6 +465,8 @@ def minhash_lsh_dedup(
     — each verify task touches one corpus shard; NOTHING collects the corpus
     to the driver or broadcasts it.
     """
+    from ..scale import buckets_for, estimate_rows
+
     buckets = ds.map_batches(
         _minhash_bands_batch,
         fn_kwargs=dict(
@@ -432,7 +474,8 @@ def minhash_lsh_dedup(
         ),
         batch_format="pyarrow",
     )
-    pairs = _bucket_pairs(buckets, id_col)
+    est = estimate_rows(ds)
+    pairs = _bucket_pairs(buckets, id_col, num_buckets=buckets_for(est * bands) if est else None)
     if verify:
         from ..scoring import bucketed_hydrate, semi_hydrate
 
@@ -543,7 +586,7 @@ def simhash_dedup(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int = 200,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Near-dup assignment via SimHash banding + hamming-distance verify.
 
@@ -558,7 +601,11 @@ def simhash_dedup(
     ``simhash_bucket_metrics`` for the emitted/dropped estimate.
     """
     from ..pairs import stable_hash
+    from ..scale import buckets_for, estimate_rows
 
+    if num_buckets is None:
+        est = estimate_rows(ds)
+        num_buckets = buckets_for(est * bands if est else None)
     buckets = ds.map_batches(
         _simhash_bands_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, bands=bands),
@@ -627,7 +674,7 @@ def simhash_dedup(
 
 
 def simhash_bucket_metrics(
-    ds, text_col="text", id_col="doc_id", bands=4, max_bucket=200, num_buckets=64
+    ds, text_col="text", id_col="doc_id", bands=4, max_bucket=200, num_buckets=None
 ) -> dict:
     """Emitted/dropped candidate estimate for simhash banding — the same
     report shape as ``lsh_bucket_metrics`` (no silent caps)."""
@@ -671,7 +718,7 @@ def embedding_cosine_dedup(
     tau: float = 0.95,
     n_planes: int = 12,
     max_bucket: int = 2000,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Embedding near-dup: hyperplane buckets -> within-bucket cosine >= tau
     -> components -> (id, keep_id).
@@ -689,7 +736,9 @@ def embedding_cosine_dedup(
     reports the emitted/dropped estimate — no silent caps.
     """
     from ..pairs import stable_hash
+    from ..scale import resolve_buckets
 
+    num_buckets = resolve_buckets(num_buckets, ds)
     if dim is None:
         first = ds.take(1)[0][vec_col]
         dim = len(first)
@@ -753,7 +802,7 @@ def embedding_cosine_dedup(
 
 def embedding_bucket_metrics(
     ds, vec_col="embedding", id_col="vec_id", dim=None, n_planes=12,
-    max_bucket=2000, num_buckets=64,
+    max_bucket=2000, num_buckets=None,
 ) -> dict:
     """Emitted/dropped candidate estimate for the hyperplane buckets — the
     same report shape as ``lsh_bucket_metrics`` (no silent caps)."""

@@ -47,6 +47,30 @@ from .dedup import _get_broadcast, band_keys, batch_minhash_signatures
 _SNAP_PREFIX = "snap-"
 
 
+def _store_buckets(root: str, num_buckets, new_ds) -> int:
+    """Bucket count pinned to the STORE's layout: the first run writes
+    ``<root>/_NUM_BUCKETS`` (resolved via ``scale.resolve_buckets`` from the
+    first snapshot if not given) and every later snapshot reuses it — shard
+    alignment across generations requires one immutable count.  An explicit
+    ``num_buckets`` conflicting with an existing store raises."""
+    meta = os.path.join(root, "_NUM_BUCKETS")
+    if os.path.exists(meta):
+        stored = int(open(meta).read())
+        if num_buckets is not None and int(num_buckets) != stored:
+            raise ValueError(
+                f"store {root} is partitioned into {stored} buckets; "
+                f"num_buckets={num_buckets} would misalign its shards"
+            )
+        return stored
+    from ..scale import resolve_buckets
+
+    b = resolve_buckets(num_buckets, new_ds)
+    os.makedirs(root, exist_ok=True)
+    with open(meta, "w") as f:
+        f.write(str(b))
+    return b
+
+
 # ---------------------------------------------------------------- store IO
 def _gen_dir(root: str, snapshot_id: str) -> str:
     return os.path.join(root, f"{_SNAP_PREFIX}{snapshot_id}")
@@ -91,7 +115,7 @@ def incremental_exact_dedup(
     snapshot_id: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Dedup a NEW snapshot against the exact-hash store, then commit the
     snapshot's novel hashes as a new store generation.
@@ -103,6 +127,7 @@ def incremental_exact_dedup(
     already in the store; keep_id is the stored representative).
     """
     root = os.path.join(store_dir, "exact")
+    num_buckets = _store_buckets(root, num_buckets, new_ds)
 
     def add_hash(t: pa.Table) -> pa.Table:
         texts = np.asarray(t[text_col].to_pylist(), dtype=object)
@@ -182,7 +207,7 @@ def incremental_minhash_dedup(
     num_perm: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     max_bucket: int = 200,
 ):
     """Near-dup dedup of a NEW snapshot against the minhash store (and within
@@ -204,6 +229,7 @@ def incremental_minhash_dedup(
     in-flight; prior: only the touched sig shards, filtered to candidate
     ids) and tests signature-estimated Jaccard >= ``threshold``.
     """
+    num_buckets = _store_buckets(os.path.join(store_dir, "minhash"), num_buckets, new_ds)
     import ray
     import ray.data as rd
 

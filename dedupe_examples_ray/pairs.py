@@ -151,15 +151,20 @@ def candidate_pairs(
     policy: str = "salt",
     source_col: str | None = None,
     dedup: bool = True,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """blocking-map Dataset -> deduped candidate-pair Dataset.
 
     ``source_col``: when set (RecordLink mode, J3), pairs are emitted only
     across source 0 × source 1 inside each block.
     ``num_buckets``: shuffle partition count for both the pair-gen and the
-    pair-dedup exchanges; size to O(pair_bytes / target block size) at scale.
+    pair-dedup exchanges; defaults via ``scale.resolve_buckets`` from the
+    input's metadata row estimate (callers that know the pair volume should
+    pass it explicitly — size to O(pair_bytes / target block size)).
     """
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, blocks_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = stable_hash(t["block_key"].to_numpy(zero_copy_only=False)) % num_buckets
@@ -176,9 +181,12 @@ def candidate_pairs(
     return pairs
 
 
-def dedup_pairs(pairs_ds, num_buckets: int = 64):
+def dedup_pairs(pairs_ds, num_buckets: int | None = None):
     """Global DISTINCT on (id_a, id_b): bucketed shuffle + vectorized
     drop_duplicates per bucket (A4)."""
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, pairs_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
@@ -201,13 +209,16 @@ def _even_split(n: int, k: int) -> np.ndarray:
 
 
 def pair_metrics(blocks_ds, id_col: str, max_block_size: int = 200, policy: str = "salt",
-                 num_buckets: int = 64, source_col: str | None = None) -> dict:
+                 num_buckets: int | None = None, source_col: str | None = None) -> dict:
     """Emitted / capped / dropped pair counts (no silent caps — SURVEY.md §4).
 
     Cheap bucketed pass over the (block_key, id) projection only.
     ``source_col``: cross-source (RecordLink/Gazetteer) mode — full pairs are
     left×right per block and salting splits both sides with the same salt.
     """
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, blocks_ds)
     cols = ["block_key", id_col] + ([source_col] if source_col else [])
 
     def add_bucket(t: pa.Table) -> pa.Table:

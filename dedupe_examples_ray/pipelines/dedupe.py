@@ -203,9 +203,20 @@ def dedupe_dataset(
 
         import ray as _ray
 
-        # edges are materialized (parquet or object store) at this point, so
-        # the counter holds the final total; a checkpoint replay reads 0.
+        # edges are materialized (parquet or object store) at this point, but
+        # scorer batches report via fire-and-forget add.remote, so adds can
+        # still be in the actor's mailbox — poll until the total is stable
+        # before logging it as final (advice item, round 2; a checkpoint
+        # replay reads 0).
+        import time as _time
+
         _total = _ray.get(progress.total.remote())
+        for _ in range(40):
+            _time.sleep(0.05)
+            _again = _ray.get(progress.total.remote())
+            if _again == _total:
+                break
+            _total = _again
         logging.getLogger("dedupe_examples_ray.progress").info(
             "scoring complete: %d pairs scored", _total
         )

@@ -66,12 +66,15 @@ def greedy_one_to_one(scored_df):
     return pd.DataFrame(out, columns=list(scored_df.columns))
 
 
-def _best_per(links_ds, key: str, other: str, num_buckets: int = 64):
+def _best_per(links_ds, key: str, other: str, num_buckets: int | None = None):
     """Per-``key`` best link under the total order (score desc, other asc) —
     bucketed groupby + vectorized per-bucket idxmax."""
     import numpy as np
 
     from ..pairs import stable_hash
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, links_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = stable_hash(t[key].to_numpy(zero_copy_only=False)) % num_buckets
@@ -102,7 +105,10 @@ def one_to_one_links(links_ds, driver_limit: int = 2_000_000, max_rounds: int = 
     import ray
     import pyarrow.compute as pc_
 
+    from ..scale import buckets_for
+
     n = links_ds.count()
+    _B = buckets_for(n)
     if n <= driver_limit:
         tbls = list(links_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
         if not tbls:
@@ -123,7 +129,7 @@ def one_to_one_links(links_ds, driver_limit: int = 2_000_000, max_rounds: int = 
         from ..pairs import stable_hash
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            h = stable_hash(t["id_a"].to_numpy(zero_copy_only=False)) % 64
+            h = stable_hash(t["id_a"].to_numpy(zero_copy_only=False)) % _B
             return t.append_column("__bkt", pa.array(h.astype(np.int64), pa.int64()))
 
         def pick_mutual(df):

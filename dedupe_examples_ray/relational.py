@@ -63,12 +63,15 @@ def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | 
     return out
 
 
-def distinct(ds, cols: list[str], num_buckets: int = 64):
+def distinct(ds, cols: list[str], num_buckets: int | None = None):
     """``SELECT DISTINCT cols`` (reference A1, mysql_init_db.py:134-143).
 
     Per-batch drop_duplicates (combiner) -> bucketed shuffle on a row hash ->
     vectorized drop_duplicates per bucket; no per-row groups.
     """
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         u = df[cols].drop_duplicates()
@@ -280,7 +283,7 @@ def _key_hash_u64(keys) -> np.ndarray:
 
 
 def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
-              how: str = "inner", num_buckets: int = 64):
+              how: str = "inner", num_buckets: int | None = None):
     """Big-big shuffle join — neither side is broadcast, collected, or assumed
     to fit anywhere.  The 100-TB fact-x-fact path the broadcast joins above
     can't take (``dim_join`` requires the small side on the driver).
@@ -301,8 +304,10 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
     never match (SQL semantics); under ``"left"`` they are preserved with
     b-side nulls.
     """
+    from .scale import resolve_buckets
     from .scoring import dataset_arrow_types
 
+    num_buckets = resolve_buckets(num_buckets, ds_a, ds_b)
     right_on = right_on or on
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
@@ -391,7 +396,10 @@ def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
     m = 1 << p
 
     def sketch(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False)
+        # NULLs are not distinct values (SQL COUNT(DISTINCT col) semantics —
+        # advice item, round 2): drop before hashing
+        arr = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+        v = arr.drop_null().to_numpy(zero_copy_only=False)
         h = stable_hash(v).astype(np.uint64)
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
@@ -806,12 +814,15 @@ def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
 
 
 def _tagged_distinct_setop(ds_a, ds_b, cols: list[str], keep: str,
-                           num_buckets: int = 64):
+                           num_buckets: int | None = None):
     """Shared engine for EXCEPT/INTERSECT (DISTINCT semantics): tag each side,
     per-batch dedupe (combiner), one bucketed shuffle on a row hash, then a
     vectorized set decision per bucket.  Neither side is broadcast — both may
     be arbitrarily large.
     """
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds_a, ds_b)
 
     def local(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -841,17 +852,17 @@ def _tagged_distinct_setop(ds_a, ds_b, cols: list[str], keep: str,
     return tagged.groupby("bucket").map_groups(decide, batch_format="pyarrow")
 
 
-def except_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
+def except_distinct(ds_a, ds_b, cols: list[str], num_buckets: int | None = None):
     """``SELECT DISTINCT cols FROM a EXCEPT SELECT DISTINCT cols FROM b``."""
     return _tagged_distinct_setop(ds_a, ds_b, cols, keep="a_only", num_buckets=num_buckets)
 
 
-def intersect_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
+def intersect_distinct(ds_a, ds_b, cols: list[str], num_buckets: int | None = None):
     """``SELECT DISTINCT cols FROM a INTERSECT SELECT DISTINCT ... FROM b``."""
     return _tagged_distinct_setop(ds_a, ds_b, cols, keep="both", num_buckets=num_buckets)
 
 
-def union_distinct(ds_a, ds_b, cols: list[str], num_buckets: int = 64):
+def union_distinct(ds_a, ds_b, cols: list[str], num_buckets: int | None = None):
     """``SELECT cols FROM a UNION SELECT cols FROM b`` (distinct union) —
     completes the set-op family; one bucketed distinct over the concatenation."""
     return distinct(

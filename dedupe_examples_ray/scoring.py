@@ -480,7 +480,7 @@ def bucketed_hydrate(
     records_ds,
     id_col: str,
     cols: list[str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     pair_schema: list[tuple] | None = None,
 ):
     """Partition-aligned pair hydration — the 100-TB scale path.
@@ -498,7 +498,11 @@ def bucketed_hydrate(
     ``Dataset.schema()`` call forces execution mid-pipeline.
 
     Output: pair columns + ``{col}_a`` / ``{col}_b`` for each hydrated col.
+    ``num_buckets`` defaults via ``scale.resolve_buckets`` over both inputs.
     """
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, pairs_ds, records_ds)
     from .pairs import stable_hash
 
     rec_type = dataset_arrow_types(records_ds)
@@ -589,7 +593,8 @@ def dataset_arrow_types(ds) -> dict:
 
 
 def shard_records_to_store(
-    records_ds, id_col: str, cols: list[str], store_dir: str, num_buckets: int = 64
+    records_ds, id_col: str, cols: list[str], store_dir: str,
+    num_buckets: int | None = None
 ) -> str:
     """Write a bucket-partitioned Parquet record store: one hive partition
     per ``stable_hash(id) % num_buckets``.
@@ -599,9 +604,20 @@ def shard_records_to_store(
     shuffle uses, and each scorer group then reads exactly its own shard
     from storage — no record shuffle per run, no per-node copy of a global
     table, resumable by construction (north rule: partitioned output).
-    Size ``num_buckets`` to O(record_bytes / target shard size) at scale.
+    Size ``num_buckets`` to O(record_bytes / target shard size) at scale
+    (defaults via ``scale.resolve_buckets``); the chosen count is persisted in
+    ``<store_dir>/_NUM_BUCKETS`` so ``score_pairs_sharded`` aligns to the
+    store's layout, not to its own input estimate.
     """
+    import os
+
     from .pairs import stable_hash
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, records_ds)
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, "_NUM_BUCKETS"), "w") as f:
+        f.write(str(num_buckets))
 
     def add(t: pa.Table) -> pa.Table:
         b = stable_hash(t[id_col].to_numpy(zero_copy_only=False)) % num_buckets
@@ -667,7 +683,7 @@ def score_pairs_sharded(
     id_col: str,
     cols: list[str],
     idf: dict | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     keep_features: bool = False,
     progress=None,
 ):
@@ -681,6 +697,11 @@ def score_pairs_sharded(
     working set = one shard (records/num_buckets), independent of corpus and
     cluster size.
     """
+    if num_buckets is None:
+        import os
+
+        meta = os.path.join(store_dir, "_NUM_BUCKETS")
+        num_buckets = int(open(meta).read()) if os.path.exists(meta) else 64
     import ray
 
     from .pairs import stable_hash

@@ -71,14 +71,49 @@ def write_entity_map(entity_ds, path: str):
     return path
 
 
+# Above this many entity-map rows the annotation stops broadcasting (the
+# entity map has ONE ROW PER RECORD — at web scale it IS the corpus) and
+# routes through the big-big hash_join instead.
+ANNOTATE_BROADCAST_BUDGET = 2_000_000
+
+
 def write_annotated_output(records_ds, entity_ds, id_col: str, path: str | None = None,
-                           cluster_col: str = "cluster_id", score_col: str = "confidence_score"):
+                           cluster_col: str = "cluster_id", score_col: str = "confidence_score",
+                           broadcast_row_budget: int | None = None):
     """Original columns + Cluster ID + confidence (reference S10/J7).
 
-    The entity map (small relative to records) is broadcast and joined per
-    batch — no re-read of the raw input, no shuffle of the record table.
+    Under ``broadcast_row_budget`` entity rows the entity map is broadcast and
+    joined per batch — no re-read of the raw input, no shuffle of the record
+    table.  Over it (the entity map is one row per record, so it scales with
+    the corpus) the annotation switches to the distributed
+    ``relational.hash_join(..., how="left")``; both paths produce identical
+    annotated outputs (tests/test_scale_safety.py parity test).
     """
     import ray
+
+    budget = ANNOTATE_BROADCAST_BUDGET if broadcast_row_budget is None else broadcast_row_budget
+    entity_ds = entity_ds.materialize()
+    if entity_ds.count() > budget:
+        from ..relational import hash_join
+
+        em_ds = entity_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "__rid": pc.cast(t["record_id"], pa.string()),
+                    cluster_col: pc.cast(t["canon_id"], pa.string()),
+                    score_col: pc.cast(t["cluster_score"], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        keyed = records_ds.map_batches(
+            lambda t: t.append_column("__rid", pc.cast(t[id_col], pa.string())),
+            batch_format="pyarrow",
+        )
+        out = hash_join(keyed, em_ds, on="__rid", how="left").drop_columns(["__rid"])
+        if path:
+            out.write_parquet(path)
+        return out
 
     em = entity_ds.to_pandas()
     tbl = pa.table(
@@ -102,7 +137,7 @@ def write_annotated_output(records_ds, entity_ds, id_col: str, path: str | None 
     return out
 
 
-def write_partitioned(ds, path: str, key_col: str, num_buckets: int = 64,
+def write_partitioned(ds, path: str, key_col: str, num_buckets: int | None = None,
                       skip_done: bool = True) -> dict:
     """Resumable partitioned Parquet sink: one ``bucket=<i>`` directory per
     ``stable_hash(key_col) % num_buckets``, each committed ATOMICALLY (data
@@ -123,6 +158,24 @@ def write_partitioned(ds, path: str, key_col: str, num_buckets: int = 64,
     from ..pairs import stable_hash
 
     os.makedirs(path, exist_ok=True)
+    # Resume safety: the bucket count is pinned to the OUTPUT's layout — the
+    # first attempt records it, reruns reuse it (a different count would remap
+    # keys across the already-committed buckets).
+    meta = os.path.join(path, "_NUM_BUCKETS")
+    if os.path.exists(meta):
+        stored = int(open(meta).read())
+        if num_buckets is not None and int(num_buckets) != stored:
+            raise ValueError(
+                f"{path} is partitioned into {stored} buckets; "
+                f"num_buckets={num_buckets} would misalign resume"
+            )
+        num_buckets = stored
+    else:
+        from ..scale import resolve_buckets
+
+        num_buckets = resolve_buckets(num_buckets, ds)
+        with open(meta, "w") as f:
+            f.write(str(num_buckets))
     done = {
         int(d.split("=", 1)[1])
         for d in os.listdir(path)

@@ -140,16 +140,23 @@ def sessionize(
     proj = ds.select_columns([id_col, key_col, ts_col])
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort",
+                            na_position="last").reset_index(drop=True)
         # explicit unit: pandas may hold datetime64[us] or [ns] depending on source
         us = df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         key = df[key_col].to_numpy()
         new = np.ones(len(us), dtype=np.int64)
         if len(us) > 1:
-            same_key = key[1:] == key[:-1]
+            # null keys are ONE partition (SQL PARTITION BY semantics); the
+            # isna clause covers float NaN keys where NaN != NaN
+            isna = pd.isna(key)
+            same_key = (key[1:] == key[:-1]) | (isna[1:] & isna[:-1])
             new[1:] = (~same_key | (np.diff(us) > gap_us)).astype(np.int64)
-        # per-key cumsum, vectorized across all keys of the bucket
-        sess = pd.Series(new).groupby(pd.Series(key), sort=False).cumsum().to_numpy()
+        # per-key cumsum, vectorized across all keys of the bucket;
+        # dropna=False keeps the null-key partition accumulating
+        sess = (
+            pd.Series(new).groupby(pd.Series(key), sort=False, dropna=False).cumsum().to_numpy()
+        )
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(),
@@ -176,8 +183,11 @@ def running_sum(
     """
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col] + order_cols, kind="mergesort").reset_index(drop=True)
-        acc = df.groupby(key_col, sort=False)[val_col].cumsum().to_numpy(np.float64)
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        # dropna=False: a NULL key is one partition, not excluded (SQL
+        # PARTITION BY semantics — advice item, round 2)
+        acc = df.groupby(key_col, sort=False, dropna=False)[val_col].cumsum().to_numpy(np.float64)
         if round_digits is not None:
             acc = _round_half_away(acc, round_digits)
         df[out_col] = acc
@@ -202,9 +212,13 @@ def moving_avg(
     at the head of each partition)."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col] + order_cols, kind="mergesort").reset_index(drop=True)
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        # dropna=False: pandas groupby drops null-key rows by default, which
+        # shortens the rolling result vs the frame and crashes the assignment
+        # (and diverges from SQL PARTITION BY, where NULL is a partition)
         m = (
-            df.groupby(key_col, sort=False)[val_col]
+            df.groupby(key_col, sort=False, dropna=False)[val_col]
             .rolling(window, min_periods=1)
             .mean()
             .reset_index(drop=True)
@@ -240,16 +254,18 @@ def grouped_top_n(
 
     def local_prune(df: pd.DataFrame) -> pd.DataFrame:
         s = df.sort_values(order, ascending=asc, kind="mergesort")
-        return s.groupby(key_cols, sort=False).head(n)
+        return s.groupby(key_cols, sort=False, dropna=False).head(n)
 
     def final_bucket(df: pd.DataFrame) -> pd.DataFrame:
         s = df.sort_values(key_cols + order,
                            ascending=[True] * len(key_cols) + asc,
                            kind="mergesort")
-        s = s.groupby(key_cols, sort=False).head(n)
+        s = s.groupby(key_cols, sort=False, dropna=False).head(n)
         if rank_col:
             s = s.reset_index(drop=True)
-            s[rank_col] = (s.groupby(key_cols, sort=False).cumcount() + 1).astype(np.int64)
+            s[rank_col] = (
+                s.groupby(key_cols, sort=False, dropna=False).cumcount() + 1
+            ).astype(np.int64)
         return s
 
     pruned = ds.map_batches(local_prune, batch_format="pandas")

@@ -71,7 +71,8 @@ def test_incremental_exact_two_snapshots(ray_session, tmp_path):
         "b2": ("b1", "dup_snapshot"),
     }
     # generation layout: one immutable dir per snapshot
-    gens = sorted(os.listdir(os.path.join(store, "exact")))
+    gens = sorted(d for d in os.listdir(os.path.join(store, "exact"))
+                  if d.startswith("snap-"))
     assert gens == ["snap-A", "snap-B"]
 
 
@@ -84,7 +85,9 @@ def test_incremental_exact_rerun_is_idempotent(ray_session, tmp_path):
     again = _to_map(incremental_exact_dedup(snap, store, "A"))
     # rerun excludes its own generation: no self-collision, same result
     assert first == again == {"a0": ("a0", "unique"), "a1": ("a1", "unique")}
-    assert sorted(os.listdir(os.path.join(store, "exact"))) == ["snap-A"]
+    assert sorted(
+        d for d in os.listdir(os.path.join(store, "exact")) if d.startswith("snap-")
+    ) == ["snap-A"]
 
 
 # ----------------------------------------------------------------- minhash

@@ -96,3 +96,7 @@ def test_json_scalar_field():
     ints = json_scalar_field(pa.array(['{"k": 1}', '{"k": 7}']), "k",
                              pa.int64()).to_pylist()
     assert ints == [1, 7]
+    # round-2 advice: only the UNQUOTED null becomes SQL NULL; the quoted
+    # string "null" stays the string (json_extract_string semantics)
+    quoted = json_scalar_field(pa.array(['{"k": "null"}', '{"k": null}']), "k").to_pylist()
+    assert quoted == ["null", None]

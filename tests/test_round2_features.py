@@ -223,6 +223,25 @@ def test_shipped_plugin_comparator_end_to_end(ray_session):
     assert out["o1"] == out["o2"]
     assert out["o3"] != out["o1"]
 
+    # the categorical `unit` field is ACTIVE: same pair, agreeing vs
+    # disagreeing category, must score differently (reference officers.py:
+    # 115-117 Categorical(categories=["true","false"]))
+    from dedupe_examples_ray.scoring import PairScorer
+
+    scorer = PairScorer(officer_settings().to_json())
+
+    def one(unit_b):
+        t = pa.table(
+            {
+                "id_a": ["p"], "id_b": ["q"],
+                "name_a": ["john alan smith"], "name_b": ["jon alan smith"],
+                "unit_a": ["north"], "unit_b": [unit_b],
+            }
+        )
+        return float(scorer(t)["score"][0].as_py())
+
+    assert one("north") > one("south")
+
     # with the us_address plugin: same name, abbreviation-variant address
     # links; same name at a DIFFERENT house number does not
     rows_a = [

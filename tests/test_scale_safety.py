@@ -280,3 +280,97 @@ def test_embedding_hot_bucket_salted_not_quadratic(ray_session):
     hot = {r["vec_id"]: r["keep_id"] for r in out if r["vec_id"].startswith("h")}
     k = -(-n // cap)
     assert 1 <= len(set(hot.values())) <= k
+
+
+def test_assignment_broadcast_vs_join_parity(ray_session):
+    """Round-2 verdict #4: over the row budget, _assignment must route
+    through the distributed hash_join and produce assignments identical to
+    the broadcast path."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.dedup import _assignment
+
+    ids = rd.from_items([{"doc_id": f"d{i:03d}"} for i in range(60)]).materialize()
+    edges = rd.from_items(
+        [{"id_a": f"d{i:03d}", "id_b": f"d{i + 1:03d}"} for i in range(0, 40, 2)]
+    ).materialize()
+
+    bcast = (
+        _assignment(ids, "doc_id", edges, broadcast_row_budget=10**9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    joined = (
+        _assignment(ids, "doc_id", edges, broadcast_row_budget=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bcast, joined)
+    # sanity: pairs collapsed, singletons self-map
+    m = dict(zip(bcast["doc_id"], bcast["keep_id"]))
+    assert m["d001"] == "d000" and m["d059"] == "d059"
+
+
+def test_annotate_broadcast_vs_join_parity(ray_session):
+    """Same contract for write_annotated_output: the entity map is one row
+    per record, so over budget it must hash_join, identically."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources.io import write_annotated_output
+
+    recs = rd.from_items(
+        [{"rid": f"r{i:02d}", "name": f"n{i}", "city": f"c{i % 3}"} for i in range(30)]
+    ).materialize()
+    ent = rd.from_items(
+        [
+            {"record_id": f"r{i:02d}", "canon_id": f"r{i - i % 2:02d}", "cluster_score": 0.9}
+            for i in range(24)  # last 6 records unclustered -> null annotation
+        ]
+    ).materialize()
+
+    bcast = (
+        write_annotated_output(recs, ent, "rid", broadcast_row_budget=10**9)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    joined = (
+        write_annotated_output(recs, ent, "rid", broadcast_row_budget=1)
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bcast, joined)
+    assert list(bcast.columns) == ["rid", "name", "city", "cluster_id", "confidence_score"]
+    assert bcast["cluster_id"].isna().sum() == 6
+
+
+def test_buckets_for_scales_with_input():
+    """Round-2 verdict #6: shuffle bucket counts derive from input size
+    instead of a fixed 64."""
+    from dedupe_examples_ray.scale import DEFAULT_BUCKETS, MAX_BUCKETS, buckets_for
+
+    assert buckets_for(None) == DEFAULT_BUCKETS
+    assert buckets_for(1_000) == DEFAULT_BUCKETS  # floor
+    assert buckets_for(64_000_000) == 64
+    assert buckets_for(640_000_000) == 640
+    assert buckets_for(n_bytes=512 << 30) == 2048  # 512 GiB / 256 MiB
+    assert buckets_for(10**15) == MAX_BUCKETS  # capped
+    assert buckets_for(200_000_000, n_bytes=1 << 40) == 4096  # max of both
+
+
+def test_resolve_buckets_uses_dataset_metadata(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.scale import estimate_rows, resolve_buckets
+
+    ds = rd.range(10_000).materialize()
+    assert estimate_rows(ds) == 10_000
+    assert resolve_buckets(None, ds) == 64  # under floor
+    assert resolve_buckets(512, ds) == 512  # explicit override wins
+    assert resolve_buckets(None, n_rows=300_000_000) == 300
+    # mid-pipeline datasets must NOT be executed for the estimate
+    lazy = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    assert resolve_buckets(None, lazy) == 64

@@ -308,6 +308,15 @@ def test_approx_ndistinct_hll(ray_session):
     assert a["estimate"] == b["estimate"]  # deterministic hash -> stable sketch
     assert abs(a["estimate"] - 150) / 150 <= 3 * a["error_bound"]
 
+    # round-2 advice: NULLs are not distinct values (COUNT(DISTINCT)
+    # semantics) — a null-bearing column sketches identically to its
+    # null-free projection
+    with_nulls = rd.from_arrow(
+        pa.table({"uid": ([str(i % 150) for i in range(3000)] + [None] * 500)})
+    )
+    c = approx_ndistinct(with_nulls, "uid")
+    assert c["estimate"] == a["estimate"]
+
 
 def test_hash_join_inner_and_left(ray_session):
     """Big-big cogroup join matches a pandas merge, incl. null keys and
@@ -551,3 +560,56 @@ def test_explode_split(ray_session):
     out = explode_split(rd.from_arrow(t).repartition(2), ["id"], "s").to_pandas()
     got = sorted(zip(out["id"], out["tok"]))
     assert got == [(1, "a"), (1, "b"), (1, "c"), (2, "x")]  # NULL -> 0 rows
+
+
+def test_window_ops_null_partition_key(ray_session):
+    """Round-2 advice: NULL keys form ONE partition (SQL PARTITION BY),
+    instead of crashing (moving_avg) or yielding NULL accumulators
+    (running_sum / sessionize / grouped_top_n)."""
+    import pandas as pd
+
+    from dedupe_examples_ray.windows import (
+        grouped_top_n,
+        moving_avg,
+        running_sum,
+        sessionize,
+    )
+
+    t = pa.table(
+        {
+            "id": np.arange(6),
+            "k": ["a", None, "a", None, "b", None],
+            "x": [1.0, 10.0, 2.0, 20.0, 5.0, 30.0],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+
+    rs = running_sum(ds, "k", ["id"], "x").to_pandas().sort_values("id")
+    null_rows = rs[rs["k"].isna()].sort_values("id")
+    assert list(null_rows["running_total"]) == [10.0, 30.0, 60.0]
+
+    ma = moving_avg(ds, "k", ["id"], "x", window=2).to_pandas().sort_values("id")
+    null_ma = ma[ma["k"].isna()].sort_values("id")
+    assert list(null_ma["mavg"]) == [10.0, 15.0, 25.0]
+
+    tn = grouped_top_n(ds, ["k"], "x", 1).to_pandas()
+    assert len(tn) == 3  # a, b, and the NULL partition each contribute one
+    assert 30.0 in set(tn["x"])
+
+    ev = pa.table(
+        {
+            "event_id": [f"e{i}" for i in range(4)],
+            "user_id": [None, None, "u", None],
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2026-01-01 00:00", "2026-01-01 00:10", "2026-01-01 00:20",
+                     "2026-01-01 12:00"]
+                )
+            ),
+        }
+    )
+    se = sessionize(rd.from_arrow(ev), gap_s=1800).to_pandas()
+    by_id = se.set_index("event_id")["session_id"]
+    assert by_id["e0"] == 1 and by_id["e1"] == 1  # same null partition, small gap
+    assert by_id["e3"] == 2  # 11h+ gap starts session 2 within the null partition
+    assert by_id["e2"] == 1
