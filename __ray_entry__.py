@@ -956,6 +956,17 @@ def _q_rank_orders_global(sf_dir):
     return out.select_columns(["o_orderkey", "rnk"])
 
 
+def _q_dense_rank_orders(sf_dir):
+    """Exact global DENSE_RANK() via the same two-pass range partitioning;
+    offsets come from per-range DISTINCT-value counts (round-2 verdict #9)."""
+    from dedupe_examples_ray.windows import global_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_rank(orders, by="o_totalprice", ascending=False,
+                      mode="dense_rank", out_col="drnk")
+    return out.select_columns(["o_orderkey", "drnk"])
+
+
 def _q_moving_avg_orders(sf_dir):
     """Per-customer trailing 3-order moving average (windowed AVG parity)."""
     from dedupe_examples_ray.windows import moving_avg
@@ -1520,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_orders": _q_running_total_orders,
         "moving_avg_orders": _q_moving_avg_orders,
         "rank_orders_global": _q_rank_orders_global,
+        "dense_rank_orders": _q_dense_rank_orders,
         "corr_lineitem": _q_corr_lineitem,
         "json_props_events": _q_json_props_events,
         "cc_order_chains": _q_cc_order_chains,
@@ -1712,6 +1724,10 @@ def oracle_sql() -> dict[str, str]:
         "rank_orders_global": (
             "SELECT o_orderkey, RANK() OVER (ORDER BY o_totalprice DESC) AS rnk "
             "FROM orders"
+        ),
+        "dense_rank_orders": (
+            "SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY o_totalprice DESC) "
+            "AS drnk FROM orders"
         ),
         "corr_lineitem": (
             "SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 4) "

@@ -206,10 +206,14 @@ def spanning_forest_batch(t: pa.Table) -> pa.Table:
     edge multiset by the average within-block redundancy before the global
     CC, extending the driver fast path's reach by the same factor.
     """
+    ida = t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
+    idb = t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
+    id_type = ida.type if pa.types.is_integer(ida.type) else pa.string()
     if t.num_rows == 0:
-        return pa.table({"id_a": pa.nulls(0, pa.string()), "id_b": pa.nulls(0, pa.string())})
-    ida = pc.cast(t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"], pa.string())
-    idb = pc.cast(t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"], pa.string())
+        return pa.table({"id_a": pa.nulls(0, id_type), "id_b": pa.nulls(0, id_type)})
+    if not pa.types.is_integer(id_type):
+        ida = pc.cast(ida, pa.string())
+        idb = pc.cast(idb, pa.string())
     both = pa.concat_arrays([ida, idb])
     enc = pc.dictionary_encode(both)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -352,14 +356,43 @@ def driver_cluster_table(edges) -> pa.Table:
     if isinstance(edges, pd.DataFrame):
         edges = pa.Table.from_pandas(edges, preserve_index=False)
     m = edges.num_rows
+    raw_a = edges["id_a"].combine_chunks() if isinstance(edges["id_a"], pa.ChunkedArray) else edges["id_a"]
+    raw_b = edges["id_b"].combine_chunks() if isinstance(edges["id_b"], pa.ChunkedArray) else edges["id_b"]
+    if pa.types.is_integer(raw_a.type):
+        # surrogate-uid edges: pure-numpy path (no string materialization);
+        # label = MIN member uid (uniq is sorted, min-hooking root = min code)
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if m == 0:
+            return empty
+        both = np.concatenate(
+            [raw_a.to_numpy(zero_copy_only=False), raw_b.to_numpy(zero_copy_only=False)]
+        )
+        uniq, codes = np.unique(both, return_inverse=True)
+        codes = codes.astype(np.int64)
+        n = len(uniq)
+        root = numpy_connected_components(codes[:m], codes[m:], n)
+        s = edges["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = np.bincount(codes, minlength=n)
+        ssum = np.bincount(codes, weights=np.concatenate([s, s]), minlength=n)
+        conf = ssum / np.maximum(cnt, 1)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "label": pa.array(uniq[root], pa.int64()),
+                "score": pa.array(conf, pa.float64()),
+            }
+        )
     empty = pa.table(
         {"node": pa.array([], pa.string()), "label": pa.array([], pa.string()),
          "score": pa.array([], pa.float64())}
     )
     if m == 0:
         return empty
-    ida = pc.cast(edges["id_a"].combine_chunks() if isinstance(edges["id_a"], pa.ChunkedArray) else edges["id_a"], pa.string())
-    idb = pc.cast(edges["id_b"].combine_chunks() if isinstance(edges["id_b"], pa.ChunkedArray) else edges["id_b"], pa.string())
+    ida = pc.cast(raw_a, pa.string())
+    idb = pc.cast(raw_b, pa.string())
     both = pa.concat_arrays([ida, idb])
     enc = pc.dictionary_encode(both)
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -397,14 +430,27 @@ def driver_cluster_confidence(edges_df: pd.DataFrame) -> tuple[dict, dict]:
 
 
 def entity_map_from_table(records_ds, id_col: str, label_tbl: pa.Table):
-    """ids + broadcast (node,label,score) Arrow table -> entity map."""
+    """ids + broadcast (node,label,score) Arrow table -> entity map.
+
+    The record-id side is stringified, so a numeric label table (integer-id
+    corpora take ``driver_cluster_table``'s numpy branch; canon = numeric MIN
+    member) is stringified to match before the broadcast."""
     import ray
 
     ids = records_ds.select_columns([id_col]).map_batches(
         lambda t: pa.table({"record_id": pc.cast(t[id_col], pa.string())}),
         batch_format="pyarrow",
     )
-    ref = ray.put(label_tbl.combine_chunks())
+    label_tbl = label_tbl.combine_chunks()
+    if not pa.types.is_string(label_tbl["node"].type):
+        cols = {
+            "node": pc.cast(label_tbl["node"], pa.string()),
+            "label": pc.cast(label_tbl["label"], pa.string()),
+        }
+        if "score" in label_tbl.column_names:
+            cols["score"] = label_tbl["score"]
+        label_tbl = pa.table(cols)
+    ref = ray.put(label_tbl)
     return ids.map_batches(
         _annotate_from_table, fn_kwargs=dict(tbl_ref=ref), batch_format="pyarrow",
         batch_size=None,
@@ -513,3 +559,214 @@ def build_entity_map(
             conf, join_type="left_outer", num_partitions=num_partitions, on=("record_id",)
         )
     return joined
+
+
+# -------------------------------------------------- surrogate-uid entity map
+def uid_array(values) -> np.ndarray:
+    """int64 surrogate uid for an id array: ``stable_hash >> 1`` (63 bits —
+    int64-safe for pandas/parquet/DuckDB; collision odds ~n^2/2^64 stay
+    negligible and are CHECKED once per run by the pipeline)."""
+    from .pairs import stable_hash
+
+    return (stable_hash(values) >> np.uint64(1)).astype(np.int64)
+
+
+def add_uid_column(t: pa.Table, id_col: str, uid_col: str = "__uid") -> pa.Table:
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if uid_col in t.column_names:
+        t = t.drop_columns([uid_col])
+    return t.append_column(uid_col, pa.array(uid_array(ids), pa.int64()))
+
+
+def _min_by_key_bucketed(ds, key_col: str, val_col: str, num_buckets: int | None = None):
+    """Distributed ``SELECT key, MIN(val) GROUP BY key`` with a per-batch
+    combiner (only per-batch minima travel the shuffle)."""
+    from .pairs import stable_hash
+    from .scale import resolve_buckets
+
+    B = resolve_buckets(num_buckets, ds)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.groupby(key_col, sort=False, dropna=False)[val_col].min().reset_index()
+        u["__bkt"] = (stable_hash(u[key_col].to_numpy()) % B).astype(np.int64)
+        return u
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(key_col, sort=False, dropna=False)[val_col].min().reset_index()
+        )
+
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(local, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def build_entity_map_uid(
+    records_ds,
+    id_col: str,
+    labels,
+    confidence_ds=None,
+    broadcast_limit: int = 5_000_000,
+):
+    """Surrogate-uid labels -> (record_id, canon_id, cluster_score), output-
+    identical to ``build_entity_map`` on raw string ids (canon = MIN member
+    *string* id; singleton completion via COALESCE).
+
+    ``labels``: (node:int64 uid, label:int64[, score]) as a Dataset or a
+    driver-side Arrow table (the CC fast path).  The uid->string resolution
+    is two extra passes over the slim id projection — the payoff is that the
+    PAIR and EDGE shuffles upstream moved int64 ids instead of two full URL
+    strings per row (round-2 verdict #5).
+
+    Under ``broadcast_limit`` clustered nodes: broadcast the uid label table,
+    pull the (label, record_id) pairs of clustered rows (bounded by the same
+    limit), resolve canon strings on the driver, broadcast the tiny
+    (label, canon) map back.  Over the limit: three distributed hash_joins
+    (labels x confidence, ids x labels, result x canon map) — nothing
+    driver-resident scales with the corpus.
+    """
+    import ray
+
+    ids = records_ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"record_id": pc.cast(t[id_col], pa.string())}),
+        batch_format="pyarrow",
+    )
+
+    if isinstance(labels, pa.Table):
+        n_labels = labels.num_rows
+        labels_tbl, labels_ds = labels, None
+    else:
+        labels_ds = labels.materialize()
+        n_labels = labels_ds.count()
+        labels_tbl = None
+
+    if n_labels == 0:  # no clusters: everyone is their own canon
+        return ids.map_batches(
+            lambda t: pa.table(
+                {
+                    "record_id": t["record_id"],
+                    "canon_id": t["record_id"],
+                    "cluster_score": pa.nulls(t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    if n_labels <= broadcast_limit:
+        if labels_tbl is None:
+            lab = labels_ds.to_pandas()
+            if confidence_ds is not None:
+                lab = lab.merge(confidence_ds.to_pandas(), on="node", how="left")
+                lab = lab.rename(columns={"cluster_score": "score"})
+            cols = {
+                "node": pa.array(lab["node"].astype(np.int64), pa.int64()),
+                "label": pa.array(lab["label"].astype(np.int64), pa.int64()),
+            }
+            if "score" in lab.columns:
+                cols["score"] = pa.array(lab["score"], pa.float64(), from_pandas=True)
+            labels_tbl = pa.table(cols)
+        ref = ray.put(labels_tbl.combine_chunks())
+
+        def clustered(t: pa.Table) -> pa.Table:
+            m = _get_broadcast(ref)
+            uid = pa.array(uid_array(t["record_id"].to_numpy(zero_copy_only=False)), pa.int64())
+            idx = pc.index_in(uid, value_set=m["node"].combine_chunks())
+            hit = pc.is_valid(idx)
+            return pa.table(
+                {
+                    "label": pc.take(m["label"].combine_chunks(), idx.filter(hit)),
+                    "record_id": t["record_id"].filter(hit)
+                    if not isinstance(t["record_id"], pa.ChunkedArray)
+                    else t["record_id"].combine_chunks().filter(hit),
+                }
+            )
+
+        cl = ids.map_batches(clustered, batch_format="pyarrow", batch_size=None).to_pandas()
+        if cl.empty:  # id_source overlaps no clustered node (schema-safe)
+            cl = pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                               "record_id": pd.Series([], dtype=object)})
+        canon = cl.groupby("label", sort=False)["record_id"].min().reset_index()
+        canon_ref = ray.put(
+            pa.table(
+                {
+                    "label": pa.array(canon["label"].astype(np.int64), pa.int64()),
+                    "canon": pa.array(canon["record_id"].astype(str), pa.string()),
+                }
+            )
+        )
+
+        def annotate(t: pa.Table) -> pa.Table:
+            m = _get_broadcast(ref)
+            cm = _get_broadcast(canon_ref)
+            rid = t["record_id"].combine_chunks() if isinstance(t["record_id"], pa.ChunkedArray) else t["record_id"]
+            uid = pa.array(uid_array(rid.to_numpy(zero_copy_only=False)), pa.int64())
+            idx = pc.index_in(uid, value_set=m["node"].combine_chunks())
+            label = pc.take(m["label"].combine_chunks(), idx)
+            cidx = pc.index_in(label, value_set=cm["label"].combine_chunks())
+            canon_id = pc.coalesce(pc.take(cm["canon"].combine_chunks(), cidx), rid)
+            cols = {"record_id": rid, "canon_id": canon_id}
+            if "score" in m.column_names:
+                cols["cluster_score"] = pc.take(m["score"].combine_chunks(), idx)
+            return pa.table(cols)
+
+        return ids.map_batches(annotate, batch_format="pyarrow", batch_size=None)
+
+    # ---- over-budget: fully distributed (three hash_joins, zero broadcasts)
+    from .relational import hash_join
+
+    lab = labels_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+                **(
+                    {"cluster_score": t["score"]}
+                    if "score" in t.column_names
+                    else {}
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if confidence_ds is not None:
+        conf = confidence_ds.map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t["node"], pa.int64()), "cluster_score": t["cluster_score"]}
+            ),
+            batch_format="pyarrow",
+        )
+        lab = hash_join(lab, conf, on="node", how="left")
+
+    ids_uid = ids.map_batches(
+        lambda t: add_uid_column(t, "record_id"), batch_format="pyarrow"
+    )
+    j1 = hash_join(ids_uid, lab, on="__uid", right_on="node", how="left")
+    canon_ds = _min_by_key_bucketed(
+        j1.map_batches(
+            lambda t: t.select(["label", "record_id"]).filter(
+                pc.is_valid(t["label"].combine_chunks() if isinstance(t["label"], pa.ChunkedArray) else t["label"])
+            ),
+            batch_format="pyarrow",
+        ),
+        "label",
+        "record_id",
+    ).map_batches(
+        lambda df: df.rename(columns={"record_id": "canon"}), batch_format="pandas"
+    )
+    j2 = hash_join(
+        j1.drop_columns(["__uid"]), canon_ds, on="label", how="left"
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        cols = {
+            "record_id": t["record_id"],
+            "canon_id": pc.coalesce(t["canon"], t["record_id"]),
+        }
+        if "cluster_score" in t.column_names:
+            cols["cluster_score"] = t["cluster_score"]
+        return pa.table(cols)
+
+    return j2.map_batches(fin, batch_format="pyarrow")

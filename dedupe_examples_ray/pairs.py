@@ -37,8 +37,24 @@ _HASH_KEY = "dedupe_examples_ray" [:16].ljust(16, "0")
 
 
 def stable_hash(values) -> np.ndarray:
-    """Deterministic uint64 hash of an array of strings/objects (stable
-    across processes — unlike Python's seeded ``hash``)."""
+    """Deterministic uint64 hash of an array (stable across processes —
+    unlike Python's seeded ``hash``).
+
+    Integer/float inputs take a pure-numeric splitmix64 path (no object
+    boxing — the surrogate-uid shuffles hash uint64 columns in every bucketed
+    stage, so this is hot); everything else goes through pandas' siphash of
+    the object array."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iuf" and arr.dtype != np.dtype("O"):
+        x = arr.astype(np.uint64, copy=True) if arr.dtype.kind != "f" else arr.view(np.uint64).copy()
+        # splitmix64 finalizer — bijective on u64, well-mixed low bits
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
     return pd.util.hash_array(np.asarray(values, dtype=object), hash_key=_HASH_KEY)
 
 

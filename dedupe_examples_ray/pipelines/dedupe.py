@@ -57,6 +57,7 @@ def dedupe_dataset(
     input_token: str | None = None,
     hydration: str = "auto",
     progress_every: int | None = None,
+    surrogate_ids: bool | str = "auto",
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -70,8 +71,29 @@ def dedupe_dataset(
     ``scorer_blocks``: pairs are split into this many blocks (metadata-only
     repartition, no shuffle) so the scorer actor pool parallelizes even when
     the pair groupby emitted few blocks.
+    ``surrogate_ids``: carry an int64 ``stable_hash(id)`` surrogate through
+    the pair/score/edge/CC shuffles instead of two full id strings per row
+    (halves the bytes through THE wide shuffle for URL-keyed corpora; round-2
+    verdict #5).  "auto" = on for string id columns; surrogate uniqueness is
+    verified with one distinct-count pass and the pipeline falls back to raw
+    ids on a collision.  Real ids are resolved back at entity-map time with
+    canon = MIN member string id — output-identical to the raw-id path.
     """
     carry = sorted({f.column for f in settings.fields})
+
+    from ..cluster import add_uid_column, build_entity_map_uid
+    from ..scoring import dataset_arrow_types
+
+    import pyarrow as pa_
+
+    if surrogate_ids == "auto":
+        try:
+            id_t = dataset_arrow_types(records_ds)[id_col]
+            use_sur = pa_.types.is_string(id_t) or pa_.types.is_large_string(id_t)
+        except Exception:
+            use_sur = False
+    else:
+        use_sur = bool(surrogate_ids)
 
     # Pairs travel SLIM (ids only): blocking rows and both pair shuffles never
     # move record payloads.  Field values re-attach at scoring time — via a
@@ -98,9 +120,34 @@ def dedupe_dataset(
     if workdir is None:
         records_ds = records_ds.materialize()  # reused for blocks + hydration
 
+    if use_sur:
+        records_work = records_ds.map_batches(
+            add_uid_column, fn_kwargs=dict(id_col=id_col), batch_format="pyarrow"
+        )
+        # one-time surrogate collision check: a 63-bit hash of n unique ids
+        # collides with odds ~n^2/2^64; verify and fall back rather than trust
+        from ..relational import distinct
+
+        n_uid = distinct(records_work.select_columns(["__uid"]), ["__uid"]).count()
+        if n_uid != n_records:
+            import logging
+
+            logging.getLogger("dedupe_examples_ray").warning(
+                "surrogate uid collision detected (%d uids for %d records); "
+                "falling back to raw ids", n_uid, n_records,
+            )
+            use_sur = False
+    if use_sur:
+        work_id = "__uid"
+        fp += "-sur"
+        if workdir is None:
+            records_work = records_work.materialize()
+    else:
+        records_work, work_id = records_ds, id_col
+
     blocks = run_stage(
         "blocks",
-        lambda: fingerprint_dataset(records_ds, settings, id_col, []),
+        lambda: fingerprint_dataset(records_work, settings, work_id, []),
         workdir,
         fp,
     )
@@ -112,14 +159,14 @@ def dedupe_dataset(
         from ..pairs import pair_metrics
 
         pairs_metrics = pair_metrics(
-            blocks, id_col, max_block_size=settings.max_block_size,
+            blocks, work_id, max_block_size=settings.max_block_size,
             policy=settings.oversize_policy,
         )
     pairs = run_stage(
         "pairs",
         lambda: candidate_pairs(
             blocks,
-            id_col,
+            work_id,
             [],
             max_block_size=settings.max_block_size,
             policy=settings.oversize_policy,
@@ -144,7 +191,7 @@ def dedupe_dataset(
         if hydration == "broadcast":
             # broadcast built off-driver: one remote consolidation task,
             # workers map the combined object zero-copy (record_map_ref)
-            records = record_map_ref(records_ds, id_col, carry)
+            records = record_map_ref(records_work, work_id, carry)
             scores = score_pairs(
                 pairs, settings, idf=idf, concurrency=scorer_concurrency,
                 records=records, n_records_hint=n_records, progress=progress,
@@ -167,21 +214,21 @@ def dedupe_dataset(
             marker = os.path.join(store, "_COMPLETE")
             if not os.path.exists(marker):
                 shutil.rmtree(store, ignore_errors=True)
-                shard_records_to_store(records_ds, id_col, carry, store)
+                shard_records_to_store(records_work, work_id, carry, store)
                 with open(marker, "w") as f:
                     f.write("ok")
             scores = score_pairs_sharded(
-                pairs.select_columns(["id_a", "id_b"]), store, settings, id_col, carry,
+                pairs.select_columns(["id_a", "id_b"]), store, settings, work_id, carry,
                 idf=idf, progress=progress,
             )
         elif hydration == "cogroup":
             hydrated = bucketed_hydrate(
-                pairs.select_columns(["id_a", "id_b"]), records_ds, id_col, carry
+                pairs.select_columns(["id_a", "id_b"]), records_work, work_id, carry
             )
             scores = score_pairs(hydrated, settings, idf=idf,
                                  concurrency=scorer_concurrency, progress=progress)
         else:  # "join": generic hash-join hydration (kept for parity tests)
-            hydrated = hydrate_pairs(pairs, records_ds, id_col, carry)
+            hydrated = hydrate_pairs(pairs, records_work, work_id, carry)
             scores = score_pairs(hydrated, settings, idf=idf,
                                  concurrency=scorer_concurrency, progress=progress)
         return threshold_edges(scores, settings.threshold)
@@ -238,13 +285,14 @@ def dedupe_dataset(
         # before concat (concat_tables requires identical schemas).
         tbls = ray_.get(edges.select_columns(["id_a", "id_b", "score"]).to_arrow_refs())
         tbls = [t for t in tbls if t.num_rows > 0]
+        id_t = pa_.int64() if use_sur else pa_.string()
         edges_tbl = (
             pa_.concat_tables(tbls)
             if tbls
             else pa_.table(
                 {
-                    "id_a": pa_.array([], pa_.string()),
-                    "id_b": pa_.array([], pa_.string()),
+                    "id_a": pa_.array([], id_t),
+                    "id_b": pa_.array([], id_t),
                     "score": pa_.array([], pa_.float64()),
                 }
             )
@@ -261,7 +309,9 @@ def dedupe_dataset(
             )
         entity = run_stage(
             "entity_map",
-            lambda: entity_map_from_table(id_source, id_col, label_tbl),
+            lambda: build_entity_map_uid(id_source, id_col, label_tbl)
+            if use_sur
+            else entity_map_from_table(id_source, id_col, label_tbl),
             workdir,
             fp,
         )
@@ -280,7 +330,9 @@ def dedupe_dataset(
     confidence = member_confidence(edges)
     entity = run_stage(
         "entity_map",
-        lambda: build_entity_map(id_source, id_col, labels, confidence),
+        lambda: build_entity_map_uid(id_source, id_col, labels, confidence)
+        if use_sur
+        else build_entity_map(id_source, id_col, labels, confidence),
         workdir,
         fp,
     )

@@ -368,10 +368,14 @@ def global_rank(
     ``O(bins + num_ranges)`` arrays.  ``mode="rank"``: SQL RANK (ties share;
     equal keys co-locate by construction).  ``mode="row_number"``: requires
     ``tie_cols`` that make the order total, else ranks would be
-    partition-order-dependent.  NULL keys rank last (DuckDB ASC default),
-    tie-broken like any other equal-key group.
+    partition-order-dependent.  ``mode="dense_rank"``: SQL DENSE_RANK — the
+    per-range offsets come from per-range DISTINCT-value counts (a per-batch
+    distinct combiner feeds one extra tiny aggregate; since equal keys never
+    straddle a range boundary, per-range distinct counts are additive).
+    NULL keys rank last (DuckDB ASC default), tie-broken like any other
+    equal-key group; under dense_rank all NULLs share one dense value.
     """
-    if mode not in ("rank", "row_number"):
+    if mode not in ("rank", "row_number", "dense_rank"):
         raise ValueError(mode)
     if mode == "row_number" and not tie_cols:
         raise ValueError("row_number needs tie_cols for a total order")
@@ -431,12 +435,34 @@ def global_rank(
         vc = pc.value_counts(t["__rng"])
         return pa.table({"r": vc.field("values"), "n": vc.field("counts").cast(pa.int64())})
 
-    rc = (
-        assigned.select_columns(["__rng"])
-        .map_batches(rng_counts, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("r")["n"].sum().sort_index()
-    )
+    if mode == "dense_rank":
+        # per-range DISTINCT counts: per-batch distinct (range, value) pairs
+        # (combiner) -> one grouped nunique per range; equal values share a
+        # range, so the counts prefix-sum into exact dense offsets
+        def batch_distinct(t: pa.Table) -> pa.Table:
+            return t.group_by(["__rng", by]).aggregate([])
+
+        def per_range_nd(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"r": [int(df["__rng"].iloc[0])],
+                 "n": [int(df[by].nunique(dropna=False))]}
+            )
+
+        rc = (
+            assigned.select_columns(["__rng", by])
+            .map_batches(batch_distinct, batch_format="pyarrow")
+            .groupby("__rng")
+            .map_groups(per_range_nd, batch_format="pandas")
+            .to_pandas()
+            .groupby("r")["n"].sum().sort_index()
+        )
+    else:
+        rc = (
+            assigned.select_columns(["__rng"])
+            .map_batches(rng_counts, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("r")["n"].sum().sort_index()
+        )
     offsets = {int(r): int(o) for r, o in zip(rc.index, rc.cumsum().shift(fill_value=0))}
 
     # pass 2b: local sort + offset within each range
@@ -450,8 +476,11 @@ def global_rank(
             key = df[by]
             starts = key.ne(key.shift()) & ~(key.isna() & key.isna().shift(fill_value=False))
             starts.iloc[0] = True
-            local = np.where(starts, np.arange(len(df)) + 1, 0)
-            local = pd.Series(local).replace(0, np.nan).ffill().to_numpy(np.int64)
+            if mode == "dense_rank":
+                local = starts.cumsum().to_numpy(np.int64)
+            else:
+                local = np.where(starts, np.arange(len(df)) + 1, 0)
+                local = pd.Series(local).replace(0, np.nan).ffill().to_numpy(np.int64)
         df[out_col] = local + offsets.get(r, 0)
         return df.drop(columns=["__rng"])
 

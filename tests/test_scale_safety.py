@@ -374,3 +374,81 @@ def test_resolve_buckets_uses_dataset_metadata(ray_session):
     # mid-pipeline datasets must NOT be executed for the estimate
     lazy = ds.map_batches(lambda t: t, batch_format="pyarrow")
     assert resolve_buckets(None, lazy) == 64
+
+
+def _er_docs(n=40):
+    import ray.data as rd
+
+    rows = []
+    for i in range(n):
+        rows.append({"doc_id": f"doc{i:03d}", "text": f"unique text {i} " + f"tok{i} " * 20})
+    base = "shared corpus body text repeated often " + " ".join(f"w{k}" for k in range(30))
+    for j in range(6):  # near-dup cluster (long shared body -> links)
+        rows.append({"doc_id": f"zz{j:02d}", "text": base + f" tail{j}"})
+    return rd.from_items(rows)
+
+
+def test_surrogate_ids_entity_map_parity(ray_session):
+    """Round-2 verdict #5: int64 surrogate ids through pair/edge/CC shuffles
+    must produce the IDENTICAL entity map as the raw-string-id path — on the
+    driver CC fast path AND the distributed star-rounds path."""
+    from dedupe_examples_ray.pipelines.dedupe import dedupe_documents, document_settings
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.pipelines.dedupe import derive_document_fields
+
+    docs = _er_docs().materialize()
+
+    def run(**kw):
+        derived = docs.map_batches(derive_document_fields, batch_format="pyarrow")
+        out = dedupe_dataset(derived, document_settings(), id_col="doc_id", **kw)
+        return (
+            out.to_pandas()
+            .sort_values("record_id")
+            .reset_index(drop=True)[["record_id", "canon_id", "cluster_score"]]
+        )
+
+    raw = run(surrogate_ids=False)
+    sur = run(surrogate_ids=True)
+    pd.testing.assert_frame_equal(raw, sur)
+    assert (sur[sur["record_id"].str.startswith("zz")]["canon_id"] == "zz00").all()
+
+    raw_d = run(surrogate_ids=False, driver_cc_limit=0, driver_cc_bytes=0)
+    sur_d = run(surrogate_ids=True, driver_cc_limit=0, driver_cc_bytes=0)
+    pd.testing.assert_frame_equal(raw_d[["record_id", "canon_id"]], sur_d[["record_id", "canon_id"]])
+    pd.testing.assert_frame_equal(raw[["record_id", "canon_id"]], sur_d[["record_id", "canon_id"]])
+
+    # the non-broadcast hydration tiers hydrate by the int64 uid too
+    for hyd in ("cogroup", "sharded"):
+        sur_h = run(surrogate_ids=True, hydration=hyd)
+        pd.testing.assert_frame_equal(raw, sur_h)
+
+
+def test_build_entity_map_uid_join_tier_parity(ray_session):
+    """The over-broadcast-budget tier (three hash_joins) must emit the same
+    entity map as the broadcast tier."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import build_entity_map_uid, uid_array
+
+    ids = [f"r{i:03d}" for i in range(30)]
+    recs = rd.from_items([{"rid": r} for r in ids]).materialize()
+    # clusters: (r000 r001 r002), (r010 r011); others singleton
+    uid = {r: int(uid_array(np.array([r], dtype=object))[0]) for r in ids}
+    lab_rows = []
+    for grp in (["r000", "r001", "r002"], ["r010", "r011"]):
+        root = min(uid[g] for g in grp)
+        for g in grp:
+            lab_rows.append({"node": uid[g], "label": root, "score": 0.9})
+    labels = rd.from_items(lab_rows).materialize()
+
+    a = (
+        build_entity_map_uid(recs, "rid", labels, broadcast_limit=10**9)
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    b = (
+        build_entity_map_uid(recs, "rid", labels, broadcast_limit=1)
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    m = dict(zip(a["record_id"], a["canon_id"]))
+    assert m["r002"] == "r000" and m["r011"] == "r010" and m["r020"] == "r020"

@@ -613,3 +613,29 @@ def test_window_ops_null_partition_key(ray_session):
     assert by_id["e0"] == 1 and by_id["e1"] == 1  # same null partition, small gap
     assert by_id["e3"] == 2  # 11h+ gap starts session 2 within the null partition
     assert by_id["e2"] == 1
+
+
+def test_global_dense_rank(ray_session):
+    """DENSE_RANK parity incl. ties and NULLs (one shared dense value, last)."""
+    from dedupe_examples_ray.windows import global_rank
+
+    vals = [5.0, 5.0, 3.0, 3.0, 3.0, 9.0, None, None, 1.0]
+    t = pa.table({"id": np.arange(len(vals)), "x": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(3)
+    out = (
+        global_rank(ds, by="x", ascending=True, mode="dense_rank", out_col="d")
+        .to_pandas().set_index("id")["d"]
+    )
+    # expected dense ranks ASC NULLS LAST: 1->1, 3->2, 5->3, 9->4, NULL->5
+    exp = {0: 3, 1: 3, 2: 2, 3: 2, 4: 2, 5: 4, 6: 5, 7: 5, 8: 1}
+    assert out.to_dict() == exp
+
+    big = rd.from_arrow(
+        pa.table({"id": np.arange(5000), "x": (np.arange(5000) % 37).astype(np.float64)})
+    ).repartition(8)
+    got = global_rank(big, by="x", ascending=True, mode="dense_rank", out_col="d").to_pandas()
+    assert int(got["d"].max()) == 37
+    merged = got.groupby("x")["d"].nunique()
+    assert (merged == 1).all()  # equal keys share one dense value
+    # dense ranks are 1..37 with no gaps
+    assert sorted(got["d"].unique()) == list(range(1, 38))
