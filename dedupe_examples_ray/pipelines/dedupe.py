@@ -40,6 +40,14 @@ from ..scoring import (
     threshold_edges,
 )
 
+# "auto" surrogate-id cutover.  Measured on the bench corpus (32 CPUs, quiet
+# host): at 62k pages surrogates are a net +38% (fixed extra stages dominate a
+# latency-bound run); at 626k pages they are 1.58x FASTER (73.6s -> 46.5s —
+# pair/edge shuffle bytes dominate).  The crossover sits between those
+# points; 200k keeps small interactive runs on the cheap string path while
+# every bandwidth-bound corpus gets the int64 ids.
+SURROGATE_AUTO_MIN = 200_000
+
 
 def dedupe_dataset(
     records_ds,
@@ -74,10 +82,17 @@ def dedupe_dataset(
     ``surrogate_ids``: carry an int64 ``stable_hash(id)`` surrogate through
     the pair/score/edge/CC shuffles instead of two full id strings per row
     (halves the bytes through THE wide shuffle for URL-keyed corpora; round-2
-    verdict #5).  "auto" = on for string id columns; surrogate uniqueness is
-    verified with one distinct-count pass and the pipeline falls back to raw
-    ids on a collision.  Real ids are resolved back at entity-map time with
-    canon = MIN member string id — output-identical to the raw-id path.
+    verdict #5).  "auto" = on for string id columns once the corpus passes
+    ``SURROGATE_AUTO_MIN`` records — below that the surrogate's fixed extra
+    stages (collision check, uid materialization, canon resolution) cost more
+    latency than the string bytes they save (measured +38%% at 62k pages,
+    while byte savings only dominate once shuffles are bandwidth-bound).
+    Surrogate uniqueness is verified with one distinct-count pass and the
+    pipeline falls back to raw ids on a collision (63-bit space: expect
+    fallback around 10^9+ records — the documented extension there is a
+    second independent hash column, 126 bits).  Real ids are resolved back at
+    entity-map time with canon = MIN member string id — output-identical to
+    the raw-id path.
     """
     carry = sorted({f.column for f in settings.fields})
 
@@ -115,6 +130,8 @@ def dedupe_dataset(
     #   storage needed — pairs AND records shuffle on the same bucket key).
     # "auto" switches broadcast -> sharded at the record budget; the old
     # Dataset.join fallback (measured ~10x slower) is gone.
+    if surrogate_ids == "auto" and use_sur and n_records < SURROGATE_AUTO_MIN:
+        use_sur = False  # latency-bound regime: string ids are cheaper
     if hydration == "auto":
         hydration = "broadcast" if n_records <= broadcast_records_limit else "sharded"
     if workdir is None:
