@@ -967,6 +967,34 @@ def _q_dense_rank_orders(sf_dir):
     return out.select_columns(["o_orderkey", "drnk"])
 
 
+def _q_lag_lead_orders(sf_dir):
+    """Per-customer LAG/LEAD of order price (windowed shift parity)."""
+    from dedupe_examples_ray.windows import lag_lead
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = lag_lead(orders, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice")
+    return out.select_columns(["o_orderkey", "lag_1", "lead_1"])
+
+
+def _q_percent_rank_orders(sf_dir):
+    """Exact global PERCENT_RANK via the range-partitioned two-pass rank."""
+    from dedupe_examples_ray.windows import percent_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = percent_rank(orders, by="o_totalprice", round_digits=6)
+    return out.select_columns(["o_orderkey", "prnk"])
+
+
+def _q_ntile_orders(sf_dir):
+    """Exact global NTILE(8) over a total order (range-partitioned ROW_NUMBER)."""
+    from dedupe_examples_ray.windows import ntile
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ntile(orders, by="o_totalprice", n=8, tie_cols=["o_orderkey"])
+    return out.select_columns(["o_orderkey", "tile"])
+
+
 def _q_moving_avg_orders(sf_dir):
     """Per-customer trailing 3-order moving average (windowed AVG parity)."""
     from dedupe_examples_ray.windows import moving_avg
@@ -1532,6 +1560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_orders": _q_moving_avg_orders,
         "rank_orders_global": _q_rank_orders_global,
         "dense_rank_orders": _q_dense_rank_orders,
+        "lag_lead_orders": _q_lag_lead_orders,
+        "percent_rank_orders": _q_percent_rank_orders,
+        "ntile_orders": _q_ntile_orders,
         "corr_lineitem": _q_corr_lineitem,
         "json_props_events": _q_json_props_events,
         "cc_order_chains": _q_cc_order_chains,
@@ -1728,6 +1759,21 @@ def oracle_sql() -> dict[str, str]:
         "dense_rank_orders": (
             "SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY o_totalprice DESC) "
             "AS drnk FROM orders"
+        ),
+        "lag_lead_orders": (
+            "SELECT o_orderkey, "
+            "LAG(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS lag_1, "
+            "LEAD(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) AS lead_1 FROM orders"
+        ),
+        "percent_rank_orders": (
+            "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER "
+            "(ORDER BY o_totalprice), 6) AS prnk FROM orders"
+        ),
+        "ntile_orders": (
+            "SELECT o_orderkey, CAST(NTILE(8) OVER "
+            "(ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile FROM orders"
         ),
         "corr_lineitem": (
             "SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 4) "

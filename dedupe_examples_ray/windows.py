@@ -485,3 +485,84 @@ def global_rank(
         return df.drop(columns=["__rng"])
 
     return assigned.groupby("__rng").map_groups(rank_range, batch_format="pandas")
+
+
+def lag_lead(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    offsets: dict[str, int] | None = None,
+):
+    """Per-key ``LAG``/``LEAD`` (SQL ``LAG(val, n) OVER (PARTITION BY key
+    ORDER BY ...)``) — ``offsets`` maps output column -> shift (positive =
+    LAG/look-back, negative = LEAD/look-ahead); default ``{"lag_1": 1,
+    "lead_1": -1}``.  One bucketed shuffle; pandas grouped ``shift`` is
+    vectorized across all keys of a bucket.  NULL keys form one partition
+    (SQL semantics)."""
+    offsets = offsets or {"lag_1": 1, "lead_1": -1}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        g = df.groupby(key_col, sort=False, dropna=False)[val_col]
+        for out_col, k in offsets.items():
+            df[out_col] = g.shift(k)
+        return df
+
+    return bucketed_by_key(ds, key_col, per_bucket)
+
+
+def percent_rank(
+    ds,
+    by: str,
+    ascending: bool = True,
+    out_col: str = "prnk",
+    round_digits: int | None = 6,
+):
+    """Exact global ``PERCENT_RANK() OVER (ORDER BY by)`` =
+    ``(rank - 1) / (n - 1)`` — reuses the two-pass range-partitioned
+    ``global_rank`` (no driver sort, no extra shuffle beyond it; the total
+    row count is one streaming aggregate)."""
+    n = ds.count()
+    ranked = global_rank(ds, by=by, ascending=ascending, mode="rank", out_col="__r")
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = t["__r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (r - 1.0) / max(n - 1, 1)
+        if round_digits is not None:
+            p = _round_half_away(p, round_digits)
+        return t.drop_columns(["__r"]).append_column(out_col, pa.array(p, pa.float64()))
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+def ntile(
+    ds,
+    by: str,
+    n: int,
+    tie_cols: list[str] | None = None,
+    ascending: bool = True,
+    out_col: str = "tile",
+):
+    """Exact global ``NTILE(n) OVER (ORDER BY by [, ties])`` via the
+    range-partitioned ``ROW_NUMBER`` (requires ``tie_cols`` for a total
+    order, same as ``mode="row_number"``): SQL semantics — the first
+    ``total % n`` tiles get ``ceil(total/n)`` rows, the rest get
+    ``floor(total/n)``."""
+    total = ds.count()
+    ranked = global_rank(ds, by=by, ascending=ascending, mode="row_number",
+                         tie_cols=tie_cols, out_col="__rn")
+    big, rem = divmod(total, n) if n else (0, 0)
+
+    def fin(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        cutoff = (big + 1) * rem
+        tile = np.where(
+            rn < cutoff,
+            rn // max(big + 1, 1),
+            rem + (rn - cutoff) // max(big, 1),
+        ) + 1
+        return t.drop_columns(["__rn"]).append_column(out_col, pa.array(tile.astype(np.int64)))
+
+    return ranked.map_batches(fin, batch_format="pyarrow")

@@ -639,3 +639,47 @@ def test_global_dense_rank(ray_session):
     assert (merged == 1).all()  # equal keys share one dense value
     # dense ranks are 1..37 with no gaps
     assert sorted(got["d"].unique()) == list(range(1, 38))
+
+
+def test_lag_lead_and_null_keys(ray_session):
+    from dedupe_examples_ray.windows import lag_lead
+
+    t = pa.table(
+        {
+            "id": np.arange(6),
+            "k": ["a", "a", "a", None, None, "b"],
+            "o": [1, 2, 3, 1, 2, 1],
+            "v": [10.0, 20.0, 30.0, 5.0, 6.0, 7.0],
+        }
+    )
+    out = (
+        lag_lead(rd.from_arrow(t).repartition(2), "k", ["o"], "v")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert out["lag_1"].tolist()[:3] == [None, 10.0, 20.0] or (
+        pd.isna(out["lag_1"].iloc[0]) and out["lag_1"].tolist()[1:3] == [10.0, 20.0]
+    )
+    assert pd.isna(out["lead_1"].iloc[2])
+    # null keys are one partition
+    assert pd.isna(out["lag_1"].iloc[3]) and out["lag_1"].iloc[4] == 5.0
+    assert out["lead_1"].iloc[3] == 6.0
+
+
+def test_percent_rank_and_ntile(ray_session):
+    from dedupe_examples_ray.windows import ntile, percent_rank
+
+    vals = np.arange(100, dtype=np.float64)
+    rng = np.random.default_rng(9)
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"id": np.arange(100), "x": vals})).repartition(4)
+
+    pr = percent_rank(ds, by="x").to_pandas()
+    m = pr.set_index("x")["prnk"]
+    assert m[0.0] == 0.0 and m[99.0] == 1.0
+    assert abs(m[50.0] - 50 / 99) < 1e-6
+
+    nt = ntile(ds, by="x", n=7, tie_cols=["id"]).to_pandas()
+    sizes = nt.groupby("tile").size()
+    # 100 = 7*14 + 2 -> first 2 tiles get 15, rest 14
+    assert sizes.loc[1] == 15 and sizes.loc[2] == 15 and sizes.loc[7] == 14
+    assert nt.sort_values("x")["tile"].is_monotonic_increasing
