@@ -1248,6 +1248,34 @@ def _q_host_stats_pages(sf_dir):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_norm_url_customer(sf_dir):
+    """normalize_url (fragment strip, lowercase scheme://host, trailing ?//
+    cleanup) over urls deterministically synthesized from the customer table,
+    oracled against the equivalent DuckDB regexp chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.ops.corpus import normalize_url
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = k.astype(str)
+        tail = np.where(k % 3 == 0, "#Frag", np.where(k % 3 == 1, "?", "/"))
+        url = np.char.add(
+            np.char.add(np.char.add(np.char.add("HTTPS://Example", ks), ".COM/Path/"), ks),
+            tail,
+        )
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "url": pa.array(url.tolist(), pa.string())}
+        )
+
+    built = cust.map_batches(mk, batch_format="pyarrow")
+    out = normalize_url(built, "url", "url_norm")
+    return out.select_columns(["c_custkey", "url_norm"])
+
+
 def _q_host_stats_documents(sf_dir):
     """URL-host extraction + per-host text-size stats, DuckDB-oracled
     end-to-end: deterministic urls are built from the documents table
@@ -1560,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_orders": _q_moving_avg_orders,
         "rank_orders_global": _q_rank_orders_global,
         "dense_rank_orders": _q_dense_rank_orders,
+        "norm_url_customer": _q_norm_url_customer,
         "lag_lead_orders": _q_lag_lead_orders,
         "percent_rank_orders": _q_percent_rank_orders,
         "ntile_orders": _q_ntile_orders,
@@ -1774,6 +1803,20 @@ def oracle_sql() -> dict[str, str]:
         "ntile_orders": (
             "SELECT o_orderkey, CAST(NTILE(8) OVER "
             "(ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile FROM orders"
+        ),
+        "norm_url_customer": (
+            "WITH built AS (SELECT c_custkey, 'HTTPS://Example' || c_custkey "
+            "|| '.COM/Path/' || c_custkey || CASE WHEN c_custkey % 3 = 0 "
+            "THEN '#Frag' WHEN c_custkey % 3 = 1 THEN '?' ELSE '/' END AS url "
+            "FROM customer), "
+            "s1 AS (SELECT c_custkey, regexp_replace(url, '#.*', '') AS s FROM built), "
+            "s2 AS (SELECT c_custkey, CASE WHEN regexp_matches(s, "
+            "'^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*') THEN "
+            "lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 1)) "
+            "|| regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 2) "
+            "ELSE s END AS n FROM s1) "
+            "SELECT c_custkey, regexp_replace(regexp_replace(n, '\\?$', ''), "
+            "'(.)/$', '\\1') AS url_norm FROM s2"
         ),
         "corr_lineitem": (
             "SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 4) "
