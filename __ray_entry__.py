@@ -213,14 +213,38 @@ def _q_lineitem_pricing_summary(sf_dir):
     """TPC-H Q1-shaped pre-aggregated groupby (the combiner pattern)."""
     from dedupe_examples_ray.relational import grouped_sum
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-    return grouped_sum(
-        li,
+    # sum prices in exact integer cents: float64 accumulation order differs
+    # between engines by ~1e-4 at sf0.1 sums (~1e8), breaking the value hash
+    cents = li.map_batches(
+        lambda t: t.append_column(
+            "price_c",
+            pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_sum(
+        cents,
         ["l_returnflag", "l_linestatus"],
-        {"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        {"l_quantity": "sum_qty", "price_c": "price_c_sum"},
         count_col="n",
         round_digits=4,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"],
+                "sum_price": pc.round(pc.divide(pc.cast(t["price_c_sum"], pa.float64()), 100.0), 4),
+                "n": t["n"],
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -1688,7 +1712,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, "
-            "ROUND(SUM(l_extendedprice), 4) AS sum_price, COUNT(*) AS n "
+            "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) "
+            "/ 100.0, 4) AS sum_price, COUNT(*) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "distinct_part_attrs": (

@@ -185,3 +185,25 @@ def test_incremental_minhash_matches_batch_on_union(ray_session, tmp_path):
     }
     for doc in ("b0", "b1"):
         assert got_b[doc][0] == batch[doc], (doc, got_b[doc], batch[doc])
+
+
+def test_store_bucket_count_pinned_across_snapshots(ray_session, tmp_path):
+    """The store's bucket layout is immutable: snapshot 2 reuses snapshot 1's
+    count even if its own size would resolve differently, and an explicit
+    conflicting num_buckets raises instead of silently misaligning shards."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.incremental import incremental_exact_dedup
+
+    store = str(tmp_path / "store")
+    a = rd.from_items([{"doc_id": f"a{i}", "text": f"t{i}"} for i in range(10)])
+    incremental_exact_dedup(a, store, "A", num_buckets=16).take_all()
+    assert open(f"{store}/exact/_NUM_BUCKETS").read() == "16"
+
+    b = rd.from_items([{"doc_id": f"b{i}", "text": f"t{i}"} for i in range(10)])
+    out = incremental_exact_dedup(b, store, "B").take_all()  # None -> pinned 16
+    assert all(r["status"] == "dup_prior" for r in out)
+    assert open(f"{store}/exact/_NUM_BUCKETS").read() == "16"
+
+    with pytest.raises(ValueError, match="misalign"):
+        incremental_exact_dedup(b, store, "C", num_buckets=32)
