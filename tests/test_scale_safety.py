@@ -452,3 +452,66 @@ def test_build_entity_map_uid_join_tier_parity(ray_session):
     pd.testing.assert_frame_equal(a, b)
     m = dict(zip(a["record_id"], a["canon_id"]))
     assert m["r002"] == "r000" and m["r011"] == "r010" and m["r020"] == "r020"
+
+
+def test_surrogate_collision_check_falls_back(ray_session, caplog, monkeypatch):
+    """A uid distinct-count short of n_records (hash collision) must make the
+    pipeline warn and fall back to raw string ids — simulated by patching the
+    driver-side distinct() the check uses."""
+    import logging
+
+    import ray.data as rd
+
+    import dedupe_examples_ray.relational as rel
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.pipelines.dedupe import derive_document_fields, document_settings
+
+    real_distinct = rel.distinct
+
+    class _Short:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n - 1  # one colliding uid
+
+    def fake_distinct(ds, cols, num_buckets=None):
+        if cols == ["__uid"]:
+            return _Short(real_distinct(ds, cols).count())
+        return real_distinct(ds, cols, num_buckets)
+
+    monkeypatch.setattr(rel, "distinct", fake_distinct)
+
+    docs = _er_docs(15).materialize()
+    derived = docs.map_batches(derive_document_fields, batch_format="pyarrow")
+    with caplog.at_level(logging.WARNING, logger="dedupe_examples_ray"):
+        out = dedupe_dataset(
+            derived, document_settings(), id_col="doc_id", surrogate_ids=True
+        ).to_pandas()
+    assert len(out) == docs.count()
+    assert any("falling back to raw ids" in r.message for r in caplog.records)
+    # fallback path produced the normal raw-id result
+    zz = out[out["record_id"].str.startswith("zz")]
+    assert (zz["canon_id"] == "zz00").all()
+
+
+def test_surrogate_auto_threshold(ray_session):
+    """auto mode stays on raw string ids under SURROGATE_AUTO_MIN records."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.pipelines.dedupe import (
+        derive_document_fields,
+        document_settings,
+    )
+
+    docs = _er_docs(10).materialize()
+    derived = docs.map_batches(derive_document_fields, batch_format="pyarrow")
+    # auto under threshold: identical to surrogate_ids=False (and no __uid
+    # anywhere in the output schema)
+    auto = dedupe_dataset(derived, document_settings(), id_col="doc_id").to_pandas()
+    raw = dedupe_dataset(
+        derived, document_settings(), id_col="doc_id", surrogate_ids=False
+    ).to_pandas()
+    key = lambda d: d.sort_values("record_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(auto), key(raw))
