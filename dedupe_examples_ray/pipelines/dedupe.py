@@ -147,6 +147,16 @@ def dedupe_dataset(
 
         n_uid = distinct(records_work.select_columns(["__uid"]), ["__uid"]).count()
         if n_uid != n_records:
+            # rare path — distinguish a genuine hash collision from the far
+            # more likely malformed input (duplicate record ids), which would
+            # otherwise surface as an obscure non-unique-index error deep in
+            # the scorer on ANY id path
+            n_ids = distinct(records_ds.select_columns([id_col]), [id_col]).count()
+            if n_ids != n_records:
+                raise ValueError(
+                    f"records have {n_ids} distinct {id_col!r} values for "
+                    f"{n_records} rows — record ids must be unique"
+                )
             import logging
 
             logging.getLogger("dedupe_examples_ray").warning(

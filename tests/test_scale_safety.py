@@ -515,3 +515,20 @@ def test_surrogate_auto_threshold(ray_session):
     ).to_pandas()
     key = lambda d: d.sort_values("record_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(auto), key(raw))
+
+
+def test_duplicate_record_ids_raise_clearly(ray_session):
+    """Malformed input (duplicate record ids) gets a clear ValueError at the
+    surrogate uniqueness check, not an obscure non-unique-index crash deep in
+    the scorer."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.pipelines.dedupe import derive_document_fields, document_settings
+
+    rows = [{"doc_id": f"d{i:02d}", "text": f"text {i} " + f"w{i} " * 15} for i in range(10)]
+    rows.append(dict(rows[0]))  # duplicate id
+    docs = rd.from_items(rows).materialize()
+    derived = docs.map_batches(derive_document_fields, batch_format="pyarrow")
+    with pytest.raises(ValueError, match="must be unique"):
+        dedupe_dataset(derived, document_settings(), id_col="doc_id", surrogate_ids=True)
