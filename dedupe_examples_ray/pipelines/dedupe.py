@@ -134,13 +134,16 @@ def dedupe_dataset(
         use_sur = False  # latency-bound regime: string ids are cheaper
     if hydration == "auto":
         hydration = "broadcast" if n_records <= broadcast_records_limit else "sharded"
-    if workdir is None:
-        records_ds = records_ds.materialize()  # reused for blocks + hydration
 
     if use_sur:
+        # materialize the UID VIEW only (one corpus copy, one derivation run;
+        # the raw records_ds stays lazy — everything downstream, including the
+        # entity-map id source, reads records_work)
         records_work = records_ds.map_batches(
             add_uid_column, fn_kwargs=dict(id_col=id_col), batch_format="pyarrow"
         )
+        if workdir is None:
+            records_work = records_work.materialize()
         # one-time surrogate collision check: a 63-bit hash of n unique ids
         # collides with odds ~n^2/2^64; verify and fall back rather than trust
         from ..relational import distinct
@@ -167,9 +170,10 @@ def dedupe_dataset(
     if use_sur:
         work_id = "__uid"
         fp += "-sur"
-        if workdir is None:
-            records_work = records_work.materialize()
+        records_ds = records_work  # one materialized copy serves every reader
     else:
+        if workdir is None:
+            records_ds = records_ds.materialize()  # reused for blocks + hydration
         records_work, work_id = records_ds, id_col
 
     blocks = run_stage(
