@@ -1707,7 +1707,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY o_custkey ORDER BY total DESC, o_custkey LIMIT 10"
         ),
         "agg_sum_by_nation": (
-            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, ROUND(SUM(c_acctbal), 4) AS total_bal, "
+            "SELECT c_nationkey, ROUND(SUM(c_acctbal), 4) AS total_bal, "
             "COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey"
         ),
         "lineitem_pricing_summary": (

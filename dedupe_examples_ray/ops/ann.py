@@ -19,6 +19,31 @@ def _as_matrix(rows, dtype=np.float64) -> np.ndarray:
     return np.asarray([np.asarray(r, dtype=dtype) for r in rows], dtype=dtype)
 
 
+def _col_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) numpy without a Python round-trip.
+
+    Fixed-size-list and uniform-length list columns reshape the flat child
+    buffer directly; ragged columns fall back to the per-row path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        flat = col.values.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+        return flat.reshape(len(col), t.list_size)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+            # offsets may not start at 0 on a sliced array
+            return flat.reshape(len(col), int(widths[0])) if offsets[0] == 0 else (
+                col.values.to_numpy(zero_copy_only=False)
+                .astype(dtype, copy=False)[offsets[0]: offsets[-1]]
+                .reshape(len(col), int(widths[0]))
+            )
+    return _as_matrix(col.to_pylist(), dtype=dtype)
+
+
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
@@ -37,11 +62,11 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[self.id_col].to_pylist())
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
         k = min(self.k, len(ids))
         out_q, out_id, out_s = [], [], []
         if k > 0:  # empty blocks short-circuit to a typed empty result
-            V = _normalize(_as_matrix(t[self.vec_col].to_pylist()))
+            V = _normalize(_col_matrix(t[self.vec_col]))
             S = V @ self.Q.T  # (batch, n_queries)
             for qi in range(S.shape[1]):
                 col = S[:, qi]
@@ -58,6 +83,27 @@ class _BatchTopK:
         )
 
 
+_TOPK_CACHE: dict = {}
+_TOPK_CACHE_CAP = 8
+
+
+def _batch_topk_cached(t: pa.Table, *, query_ref, id_col, vec_col, k) -> pa.Table:
+    """Task-form _BatchTopK: plain map_batches tasks reuse the warm worker
+    pool (no actor cold-start per call); the normalized query matrix is built
+    once per worker per query set and memoized."""
+    key = (
+        query_ref.hex() if hasattr(query_ref, "hex") else id(query_ref),
+        id_col, vec_col, k,
+    )
+    fn = _TOPK_CACHE.get(key)
+    if fn is None:
+        fn = _BatchTopK(query_ref, id_col, vec_col, k)
+        if len(_TOPK_CACHE) >= _TOPK_CACHE_CAP:
+            _TOPK_CACHE.pop(next(iter(_TOPK_CACHE)))
+        _TOPK_CACHE[key] = fn
+    return fn(t)
+
+
 def ann_brute_force(ds, queries: list[tuple], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact cosine top-k for each (query_id, vector) in ``queries``.
 
@@ -71,10 +117,9 @@ def ann_brute_force(ds, queries: list[tuple], k: int = 10, id_col: str = "vec_id
     Q = _as_matrix([q[1] for q in queries])
     ref = ray.put((qids, Q))
     cands = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs=dict(query_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        _batch_topk_cached,
+        fn_kwargs=dict(query_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).to_pandas()
     if cands.empty:  # no-neighbors case (e.g. ann_lsh with no bucket hits)
         return pd.DataFrame({"query_id": [], "match_id": [], "score": []})
@@ -151,7 +196,7 @@ def ann_ivf(
             return t
         Cn_ = ray.get(cref)
         probe = ray.get(pref)
-        V = _normalize(_as_matrix(t[vec_col].to_pylist()))
+        V = _normalize(_col_matrix(t[vec_col]))
         cells = (V @ Cn_.T).argmax(axis=1)
         import pyarrow as pa_
 
@@ -206,7 +251,7 @@ def ann_lsh(
         if t.num_rows == 0:
             return t
         P = ray.get(probe_ref)
-        V = _as_matrix(t[vec_col].to_pylist())
+        V = _col_matrix(t[vec_col])
         keep = np.isin(sig(V), P)
         return t.filter(pa.array(keep))
 

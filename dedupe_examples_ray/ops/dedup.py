@@ -695,9 +695,11 @@ def _hyperplane_buckets_batch(
 
     ``carry_vec``: keep the embedding in the bucket row (one row per doc, so
     no duplication) — the within-bucket verify then needs no vector lookup."""
+    from .ann import _col_matrix
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
-    vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+    vecs = _col_matrix(t[vec_col]) if t.num_rows else np.empty((0, dim))
     if vecs.ndim == 1:
         vecs = vecs.reshape(0, dim)
     signs = (vecs @ planes) > 0

