@@ -1019,6 +1019,15 @@ def _q_ntile_orders(sf_dir):
     return out.select_columns(["o_orderkey", "tile"])
 
 
+def _q_cume_dist_orders(sf_dir):
+    """Exact global CUME_DIST via the range-partitioned two-pass rank."""
+    from dedupe_examples_ray.windows import cume_dist
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = cume_dist(orders, by="o_totalprice", round_digits=6)
+    return out.select_columns(["o_orderkey", "cd"])
+
+
 def _q_moving_avg_orders(sf_dir):
     """Per-customer trailing 3-order moving average (windowed AVG parity)."""
     from dedupe_examples_ray.windows import moving_avg
@@ -1616,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead_orders": _q_lag_lead_orders,
         "percent_rank_orders": _q_percent_rank_orders,
         "ntile_orders": _q_ntile_orders,
+        "cume_dist_orders": _q_cume_dist_orders,
         "corr_lineitem": _q_corr_lineitem,
         "json_props_events": _q_json_props_events,
         "cc_order_chains": _q_cc_order_chains,
@@ -1828,6 +1838,10 @@ def oracle_sql() -> dict[str, str]:
         "ntile_orders": (
             "SELECT o_orderkey, CAST(NTILE(8) OVER "
             "(ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile FROM orders"
+        ),
+        "cume_dist_orders": (
+            "SELECT o_orderkey, ROUND(CUME_DIST() OVER "
+            "(ORDER BY o_totalprice), 6) AS cd FROM orders"
         ),
         "norm_url_customer": (
             "WITH built AS (SELECT c_custkey, 'HTTPS://Example' || c_custkey "

@@ -327,8 +327,8 @@ def hashed_tfidf_batch(texts: list, dim: int = 4096) -> "np.ndarray":
 
 
 class _TextTopK:
-    """Actor stage: per-batch cosine top-k of hashed-TF doc vectors against a
-    broadcast probe matrix (text twin of ann._BatchTopK)."""
+    """Per-batch cosine top-k of hashed-TF doc vectors against a broadcast
+    probe matrix (text twin of ann._BatchTopK); run as a cached task."""
 
     def __init__(self, query_ref, id_col: str, text_col: str, k: int, dim: int):
         import ray

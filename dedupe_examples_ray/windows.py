@@ -372,10 +372,12 @@ def global_rank(
     per-range offsets come from per-range DISTINCT-value counts (a per-batch
     distinct combiner feeds one extra tiny aggregate; since equal keys never
     straddle a range boundary, per-range distinct counts are additive).
+    ``mode="cume_count"``: internal for :func:`cume_dist` — emits the last
+    tie-group position (rows with key <= current).
     NULL keys rank last (DuckDB ASC default), tie-broken like any other
     equal-key group; under dense_rank all NULLs share one dense value.
     """
-    if mode not in ("rank", "row_number", "dense_rank"):
+    if mode not in ("rank", "row_number", "dense_rank", "cume_count"):
         raise ValueError(mode)
     if mode == "row_number" and not tie_cols:
         raise ValueError("row_number needs tie_cols for a total order")
@@ -478,6 +480,14 @@ def global_rank(
             starts.iloc[0] = True
             if mode == "dense_rank":
                 local = starts.cumsum().to_numpy(np.int64)
+            elif mode == "cume_count":
+                # last 1-based position of each tie group (CUME_DIST numerator:
+                # rows with key <= this key within the range, + range offset)
+                gid = starts.cumsum().to_numpy()
+                local = (
+                    pd.Series(np.arange(1, len(df) + 1))
+                    .groupby(gid).transform("max").to_numpy(np.int64)
+                )
             else:
                 local = np.where(starts, np.arange(len(df)) + 1, 0)
                 local = pd.Series(local).replace(0, np.nan).ffill().to_numpy(np.int64)
@@ -533,6 +543,32 @@ def percent_rank(
         if round_digits is not None:
             p = _round_half_away(p, round_digits)
         return t.drop_columns(["__r"]).append_column(out_col, pa.array(p, pa.float64()))
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+def cume_dist(
+    ds,
+    by: str,
+    ascending: bool = True,
+    out_col: str = "cd",
+    round_digits: int | None = 6,
+):
+    """Exact global ``CUME_DIST() OVER (ORDER BY by)`` = (rows with key <=
+    current) / n — the numerator is the last tie-group position from the
+    two-pass range-partitioned ``global_rank`` (``mode="cume_count"``; ties
+    never straddle a range boundary, so offset + local last-position is
+    exact).  NULL keys rank last, sharing cume_dist = 1.0 (SQL NULLS LAST)."""
+    n = ds.count()
+    ranked = global_rank(ds, by=by, ascending=ascending, mode="cume_count",
+                         out_col="__c")
+
+    def fin(t: pa.Table) -> pa.Table:
+        c = t["__c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = c / max(n, 1)
+        if round_digits is not None:
+            p = _round_half_away(p, round_digits)
+        return t.drop_columns(["__c"]).append_column(out_col, pa.array(p, pa.float64()))
 
     return ranked.map_batches(fin, batch_format="pyarrow")
 

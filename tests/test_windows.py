@@ -683,3 +683,20 @@ def test_percent_rank_and_ntile(ray_session):
     # 100 = 7*14 + 2 -> first 2 tiles get 15, rest 14
     assert sizes.loc[1] == 15 and sizes.loc[2] == 15 and sizes.loc[7] == 14
     assert nt.sort_values("x")["tile"].is_monotonic_increasing
+
+def test_cume_dist(ray_session):
+    """CUME_DIST matches pandas rank(method='max')/n, ties and nulls included."""
+    from dedupe_examples_ray.windows import cume_dist
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 20, 300).astype(np.float64)  # heavy ties
+    x[::37] = np.nan  # NULLs rank last, cume = 1.0
+    ds = rd.from_arrow(
+        pa.table({"id": np.arange(300), "x": x})
+    ).repartition(5)
+    got = cume_dist(ds, by="x", round_digits=None).to_pandas().set_index("id")["cd"]
+    s = pd.Series(x)
+    # SQL NULLS LAST: count of rows with key <= current, nulls all tied at n
+    exp = s.rank(method="max", na_option="bottom") / len(s)
+    for i in range(300):
+        assert abs(got[i] - exp[i]) < 1e-9, (i, x[i], got[i], exp[i])
