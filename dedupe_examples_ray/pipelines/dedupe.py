@@ -116,6 +116,19 @@ def dedupe_dataset(
     # actor), else via partitioned hash-join hydration (J2).
     if n_records is None:
         n_records = (ids_ds if ids_ds is not None else records_ds).count()
+    if n_records == 0:
+        # zero-row corpus: every stage would stream empty blocks, but Ray
+        # drops empty blocks' schemas — return the canonical typed empty
+        # entity map instead so downstream select_columns/joins keep working
+        import ray.data as rd_
+
+        return rd_.from_arrow(
+            pa_.table({
+                "record_id": pa_.array([], pa_.string()),
+                "canon_id": pa_.array([], pa_.string()),
+                "cluster_score": pa_.array([], pa_.float64()),
+            })
+        )
     # Checkpoint identity = settings fingerprint + input identity (row count
     # plus an optional caller token, e.g. the source path) — a rerun against a
     # different/updated corpus must NOT replay stale stage Parquet.

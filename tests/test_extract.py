@@ -55,3 +55,46 @@ def test_extract_batch_arrow():
     out = extract_batch(t)
     assert out.column_names == ["url", "html", "text"]
     assert out["text"].to_pylist() == ["a", "B & C", ""]
+
+
+def test_hostile_inputs_no_crash_and_deterministic():
+    """Adversarial payloads: random bytes, unterminated comment/script, deep
+    nesting, angle-bracket bombs, invalid UTF-8 — extract_text must never
+    raise, must return str, and must be run-to-run deterministic."""
+    import random
+
+    rng = random.Random(7)
+    hostile = [
+        bytes(rng.getrandbits(8) for _ in range(4096)),      # random binary
+        b"<!-- never closed " + b"x" * 10000,                # unterminated comment
+        b"<script>var a='" + b"y" * 10000,                   # unterminated script
+        b"<div>" * 5000 + b"deep" + b"</div>" * 5000,        # deep nesting
+        b"<" * 20000,                                        # angle-bracket bomb
+        b">" * 20000,
+        b"\xff\xfe\x00\x01 not utf8 \xc3\x28",               # invalid UTF-8
+        b"<p>ok</p>" + b"\x00" * 100,                        # NULs
+        "<p>café &amp; crème</p>".encode(),        # entities + accents
+        b"",
+    ]
+    for payload in hostile:
+        a = extract_text(payload)
+        b = extract_text(payload)
+        assert isinstance(a, str) and a == b
+    # sanity on the well-formed one
+    assert extract_text(hostile[8]) == "cafe & creme"
+
+
+def test_extract_batch_hostile_through_ray(ray_session):
+    """The same payloads survive the Ray map_batches path with a stable schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.extract import extract_batch
+
+    payloads = [b"<p>hi</p>", b"<" * 5000, b"\xff\xfe", None, b""]
+    t = pa.table({"url": [f"u{i}" for i in range(len(payloads))],
+                  "html": pa.array(payloads, pa.binary())})
+    out = rd.from_arrow(t).map_batches(extract_batch, batch_format="pyarrow").to_pandas()
+    assert list(out.columns) == ["url", "html", "text"]
+    assert out["text"].iloc[0] == "hi"
+    assert (out["text"].notna()).all()

@@ -60,3 +60,44 @@ def test_f1_with_canopy_predicates(ray_session):
     entity = dedupe_pages(pages, settings=s).to_pandas()
     scores = evaluate_entity_map(entity, gold)
     assert scores["f1"] >= 0.99, scores
+
+
+def test_empty_corpus_through_dedupe_pages(ray_session):
+    """A zero-row pages dataset flows through block->pair->score->CC->entity
+    map and yields an empty entity map (no crash at any stage boundary)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.pipelines import dedupe_pages
+
+    t = pa.table({"url": pa.array([], pa.string()), "text": pa.array([], pa.string())})
+    out = dedupe_pages(rd.from_arrow(t))
+    assert out.count() == 0
+    # NB: Ray's to_pandas() drops columns on an empty dataset; the Dataset
+    # schema is the contract
+    assert set(f.name for f in out.schema().base_schema) == {
+        "record_id", "canon_id", "cluster_score"}
+
+
+def test_grouped_sum_empty_and_null_keys(ray_session):
+    """The bucketed grouped_sum merge handles a zero-row input and groups
+    NULL keys as their own group (SQL GROUP BY semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_sum
+
+    empty = pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})
+    out = grouped_sum(rd.from_arrow(empty), ["k"], {"v": "s"}, count_col="n").to_pandas()
+    assert len(out) == 0
+
+    t = pa.table({"k": ["a", None, "a", None, "b"],
+                  "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = (grouped_sum(rd.from_arrow(t).repartition(3), ["k"], {"v": "s"}, count_col="n")
+           .to_pandas().sort_values("k", na_position="last").reset_index(drop=True))
+    assert got.loc[got["k"] == "a", "s"].iloc[0] == 4.0
+    assert got.loc[got["k"] == "b", "n"].iloc[0] == 1
+    null_row = got[got["k"].isna()]
+    assert len(null_row) == 1 and null_row["s"].iloc[0] == 6.0 and null_row["n"].iloc[0] == 2
