@@ -630,10 +630,27 @@ def build_entity_map_uid(
     """
     import ray
 
-    ids = records_ds.select_columns([id_col]).map_batches(
-        lambda t: pa.table({"record_id": pc.cast(t[id_col], pa.string())}),
-        batch_format="pyarrow",
-    )
+    # reuse a carried __uid column (the surrogate pipeline's id source is the
+    # materialized uid view) instead of re-hashing every id string per pass
+    has_uid = "__uid" in records_ds.schema().names
+
+    def project_ids(t: pa.Table) -> pa.Table:
+        cols = {"record_id": pc.cast(t[id_col], pa.string())}
+        if has_uid:
+            cols["__uid"] = t["__uid"]
+        return pa.table(cols)
+
+    ids = records_ds.select_columns(
+        [id_col, "__uid"] if has_uid else [id_col]
+    ).map_batches(project_ids, batch_format="pyarrow")
+
+    def batch_uid(t: pa.Table) -> pa.Array:
+        if has_uid:
+            col = t["__uid"]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.array(
+            uid_array(t["record_id"].to_numpy(zero_copy_only=False)), pa.int64()
+        )
 
     if isinstance(labels, pa.Table):
         n_labels = labels.num_rows
@@ -672,7 +689,7 @@ def build_entity_map_uid(
 
         def clustered(t: pa.Table) -> pa.Table:
             m = _get_broadcast(ref)
-            uid = pa.array(uid_array(t["record_id"].to_numpy(zero_copy_only=False)), pa.int64())
+            uid = batch_uid(t)
             idx = pc.index_in(uid, value_set=m["node"].combine_chunks())
             hit = pc.is_valid(idx)
             return pa.table(
@@ -702,7 +719,7 @@ def build_entity_map_uid(
             m = _get_broadcast(ref)
             cm = _get_broadcast(canon_ref)
             rid = t["record_id"].combine_chunks() if isinstance(t["record_id"], pa.ChunkedArray) else t["record_id"]
-            uid = pa.array(uid_array(rid.to_numpy(zero_copy_only=False)), pa.int64())
+            uid = batch_uid(t)
             idx = pc.index_in(uid, value_set=m["node"].combine_chunks())
             label = pc.take(m["label"].combine_chunks(), idx)
             cidx = pc.index_in(label, value_set=cm["label"].combine_chunks())
@@ -740,7 +757,7 @@ def build_entity_map_uid(
         )
         lab = hash_join(lab, conf, on="node", how="left")
 
-    ids_uid = ids.map_batches(
+    ids_uid = ids if has_uid else ids.map_batches(
         lambda t: add_uid_column(t, "record_id"), batch_format="pyarrow"
     )
     j1 = hash_join(ids_uid, lab, on="__uid", right_on="node", how="left")

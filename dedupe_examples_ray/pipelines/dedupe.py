@@ -48,6 +48,28 @@ from ..scoring import (
 # every bandwidth-bound corpus gets the int64 ids.
 SURROGATE_AUTO_MIN = 200_000
 
+# Above this row count the surrogate collision check runs as a distributed
+# bucketed distinct; under it, one zero-copy pull of the int64 uid column
+# (8 bytes/row -> ~160 MB at the cap) + np.unique on the driver is ~10x
+# faster wall than the shuffle (measured 14 s -> <1 s at 626k rows).
+UID_CHECK_DRIVER_LIMIT = 20_000_000
+
+
+def count_distinct_uids(records_work, n_records: int) -> int:
+    """Distinct count of the ``__uid`` column (surrogate collision check)."""
+    if n_records <= UID_CHECK_DRIVER_LIMIT:
+        import numpy as np_
+        import ray as ray_
+
+        uid_tbls = ray_.get(records_work.select_columns(["__uid"]).to_arrow_refs())
+        arrs = [t["__uid"].to_numpy(zero_copy_only=False) for t in uid_tbls if t.num_rows]
+        if not arrs:
+            return 0
+        return len(np_.unique(np_.concatenate(arrs)))
+    from ..relational import distinct
+
+    return distinct(records_work.select_columns(["__uid"]), ["__uid"]).count()
+
 
 def dedupe_dataset(
     records_ds,
@@ -158,15 +180,15 @@ def dedupe_dataset(
         if workdir is None:
             records_work = records_work.materialize()
         # one-time surrogate collision check: a 63-bit hash of n unique ids
-        # collides with odds ~n^2/2^64; verify and fall back rather than trust
-        from ..relational import distinct
-
-        n_uid = distinct(records_work.select_columns(["__uid"]), ["__uid"]).count()
+        # collides with odds ~n^2/2^64; verify and fall back rather than trust.
+        n_uid = count_distinct_uids(records_work, n_records)
         if n_uid != n_records:
             # rare path — distinguish a genuine hash collision from the far
             # more likely malformed input (duplicate record ids), which would
             # otherwise surface as an obscure non-unique-index error deep in
             # the scorer on ANY id path
+            from ..relational import distinct
+
             n_ids = distinct(records_ds.select_columns([id_col]), [id_col]).count()
             if n_ids != n_records:
                 raise ValueError(

@@ -457,30 +457,20 @@ def test_build_entity_map_uid_join_tier_parity(ray_session):
 def test_surrogate_collision_check_falls_back(ray_session, caplog, monkeypatch):
     """A uid distinct-count short of n_records (hash collision) must make the
     pipeline warn and fall back to raw string ids — simulated by patching the
-    driver-side distinct() the check uses."""
+    collision-check counter."""
     import logging
 
     import ray.data as rd
 
-    import dedupe_examples_ray.relational as rel
+    import dedupe_examples_ray.pipelines.dedupe as dd
     from dedupe_examples_ray.pipelines import dedupe_dataset
     from dedupe_examples_ray.pipelines.dedupe import derive_document_fields, document_settings
 
-    real_distinct = rel.distinct
-
-    class _Short:
-        def __init__(self, n):
-            self._n = n
-
-        def count(self):
-            return self._n - 1  # one colliding uid
-
-    def fake_distinct(ds, cols, num_buckets=None):
-        if cols == ["__uid"]:
-            return _Short(real_distinct(ds, cols).count())
-        return real_distinct(ds, cols, num_buckets)
-
-    monkeypatch.setattr(rel, "distinct", fake_distinct)
+    real_count = dd.count_distinct_uids
+    monkeypatch.setattr(
+        dd, "count_distinct_uids",
+        lambda records_work, n_records: real_count(records_work, n_records) - 1,
+    )
 
     docs = _er_docs(15).materialize()
     derived = docs.map_batches(derive_document_fields, batch_format="pyarrow")
@@ -532,3 +522,22 @@ def test_duplicate_record_ids_raise_clearly(ray_session):
     derived = docs.map_batches(derive_document_fields, batch_format="pyarrow")
     with pytest.raises(ValueError, match="must be unique"):
         dedupe_dataset(derived, document_settings(), id_col="doc_id", surrogate_ids=True)
+
+
+def test_count_distinct_uids_tiers_agree(ray_session, monkeypatch):
+    """The driver np.unique path and the distributed distinct path return the
+    same uid count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import dedupe_examples_ray.pipelines.dedupe as dd
+    from dedupe_examples_ray.cluster import add_uid_column
+
+    t = pa.table({"doc_id": [f"d{i}" for i in range(500)] + ["d7", "d8"]})
+    ds = rd.from_arrow(t).map_batches(
+        add_uid_column, fn_kwargs=dict(id_col="doc_id"), batch_format="pyarrow"
+    ).materialize()
+    driver = dd.count_distinct_uids(ds, 502)
+    monkeypatch.setattr(dd, "UID_CHECK_DRIVER_LIMIT", 0)
+    distributed = dd.count_distinct_uids(ds, 502)
+    assert driver == distributed == 500
