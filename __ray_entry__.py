@@ -1001,6 +1001,17 @@ def _q_lag_lead_orders(sf_dir):
     return out.select_columns(["o_orderkey", "lag_1", "lead_1"])
 
 
+def _q_first_last_orders(sf_dir):
+    """Per-customer FIRST_VALUE/LAST_VALUE over the full partition."""
+    from dedupe_examples_ray.windows import first_last_value
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = first_last_value(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                           "o_totalprice")
+    return out.select_columns(["o_orderkey", "first_val", "last_val"])
+
+
 def _q_percent_rank_orders(sf_dir):
     """Exact global PERCENT_RANK via the range-partitioned two-pass rank."""
     from dedupe_examples_ray.windows import percent_rank
@@ -1623,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_orders": _q_dense_rank_orders,
         "norm_url_customer": _q_norm_url_customer,
         "lag_lead_orders": _q_lag_lead_orders,
+        "first_last_orders": _q_first_last_orders,
         "percent_rank_orders": _q_percent_rank_orders,
         "ntile_orders": _q_ntile_orders,
         "cume_dist_orders": _q_cume_dist_orders,
@@ -1830,6 +1842,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_orderdate, o_orderkey) AS lag_1, "
             "LEAD(o_totalprice) OVER (PARTITION BY o_custkey "
             "ORDER BY o_orderdate, o_orderkey) AS lead_1 FROM orders"
+        ),
+        "first_last_orders": (
+            "SELECT o_orderkey, "
+            "FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS first_val, "
+            "LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS last_val FROM orders"
         ),
         "percent_rank_orders": (
             "SELECT o_orderkey, ROUND(PERCENT_RANK() OVER "

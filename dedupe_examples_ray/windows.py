@@ -523,6 +523,39 @@ def lag_lead(
     return bucketed_by_key(ds, key_col, per_bucket)
 
 
+def first_last_value(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    first_col: str = "first_val",
+    last_col: str = "last_val",
+):
+    """Per-key ``FIRST_VALUE``/``LAST_VALUE`` over the full partition (SQL
+    ``FIRST_VALUE(val) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``).  One bucketed shuffle;
+    pandas grouped ``transform("first"/"last")`` is vectorized across all
+    keys of a bucket.  NULL keys form one partition (SQL semantics).
+
+    NB: pandas ``transform`` skips NaN values; SQL FIRST_VALUE does not — so
+    the first/last row's value is taken positionally via head/tail maps."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        g = df.groupby(key_col, sort=False, dropna=False)
+        # positional first/last (NaN-preserving, unlike transform("first"))
+        idx_first = g[val_col].head(1)
+        idx_last = g[val_col].tail(1)
+        gid = g.ngroup()
+        df[first_col] = idx_first.to_numpy()[gid.to_numpy()]
+        # tail(1) rows are in group order too: map gid -> that row's value
+        df[last_col] = idx_last.to_numpy()[gid.to_numpy()]
+        return df
+
+    return bucketed_by_key(ds, key_col, per_bucket)
+
+
 def percent_rank(
     ds,
     by: str,

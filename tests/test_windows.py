@@ -700,3 +700,24 @@ def test_cume_dist(ray_session):
     exp = s.rank(method="max", na_option="bottom") / len(s)
     for i in range(300):
         assert abs(got[i] - exp[i]) < 1e-9, (i, x[i], got[i], exp[i])
+
+def test_first_last_value(ray_session):
+    """FIRST_VALUE/LAST_VALUE over the full partition, incl. NULL partition
+    keys (one partition) and NULL values (positional, not NaN-skipping)."""
+    from dedupe_examples_ray.windows import first_last_value
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", None, None, "b"],
+        "o": [1, 2, 3, 1, 2, 1],
+        "v": [None, 20.0, 30.0, 5.0, 6.0, 7.0],
+    })
+    out = (first_last_value(rd.from_pandas(df).repartition(3), "k", ["o"], "v")
+           .to_pandas().sort_values(["k", "o"], na_position="last").reset_index(drop=True))
+    a = out[out["k"] == "a"]
+    # SQL FIRST_VALUE takes the first ROW's value even when it is NULL
+    assert a["first_val"].isna().all()
+    assert (a["last_val"] == 30.0).all()
+    nk = out[out["k"].isna()]
+    assert (nk["first_val"] == 5.0).all() and (nk["last_val"] == 6.0).all()
+    b = out[out["k"] == "b"]
+    assert (b["first_val"] == 7.0).all() and (b["last_val"] == 7.0).all()
