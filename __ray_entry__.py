@@ -103,6 +103,15 @@ def _q_exact_dedup_documents(sf_dir):
     return exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_paragraph_dedup_documents(sf_dir):
+    """CCNet/Gopher-style corpus-wide paragraph dedup: 10-word paragraphs,
+    first occurrence (by doc_id, para_idx) wins, survivors reassembled."""
+    from dedupe_examples_ray.ops import paragraph_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_minhash_dedup_documents(sf_dir):
     from dedupe_examples_ray.ops import minhash_lsh_dedup
 
@@ -1603,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first 50 dict entries, so every checked slot carries a DuckDB oracle
         "pages_extract_invariant": _q_pages_extract_invariant,
         "exact_dedup_documents": _q_exact_dedup_documents,
+        "paragraph_dedup_documents": _q_paragraph_dedup_documents,
         "ann_top10_vec0": _q_ann_top10_vec0,
         "norm_text80": _q_norm_text80,
         "concat_ws_customer": _q_concat_ws_customer,
@@ -1703,6 +1713,20 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": (
             "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
             "FROM documents ORDER BY doc_id"
+        ),
+        "paragraph_dedup_documents": (
+            "WITH s AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS w FROM documents), "
+            "paras0 AS ("
+            "  SELECT doc_id, CAST(ceil(len(w)/10.0) AS BIGINT) AS n_paras_total, "
+            "         list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)), "
+            "           p -> struct_pack(para_idx := p, "
+            "                            para := array_to_string(list_slice(w, p*10+1, p*10+10), ' '))) AS plist "
+            "  FROM s), "
+            "paras AS (SELECT doc_id, n_paras_total, UNNEST(plist, recursive := true) FROM paras0), "
+            "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras) "
+            "SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text, "
+            "       COUNT(*) AS n_paras_kept, MAX(n_paras_total) AS n_paras_total "
+            "FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
         ),
         "ann_top10_vec0": (
             "SELECT match_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, match_id) AS BIGINT) AS rank FROM ("

@@ -25,6 +25,7 @@ from .corpus import (  # noqa: F401
     keep_latest,
     ngram_decontaminate,
     normalize_url,
+    paragraph_dedup,
     sample_per_group,
     split_by_hash,
 )

@@ -328,3 +328,81 @@ def test_decontaminate_empty_eval_set(ray_session):
     train = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["some words here"]}))
     out = ngram_decontaminate(train, ev).to_pandas()
     assert not out["contaminated"].any()
+
+
+# ----------------------------------------------------------- paragraph_dedup
+def test_paragraph_dedup_hand_case(ray_session):
+    """First occurrence (by doc_id, para_idx) wins corpus-wide; survivors
+    reassemble in para_idx order; fully-duplicated docs vanish."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import paragraph_dedup
+
+    p1 = "a b c"                       # 3 words -> one short para
+    p2 = " ".join(f"w{i}" for i in range(10))
+    p3 = " ".join(f"x{i}" for i in range(10))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"{p2} {p1}",              # paras: p2, p1
+            f"{p3} {p2} extra tail",   # paras: p3, p2 (dup), "extra tail"
+            p1,                        # p1 (dup of doc 1's) -> doc vanishes
+            f"{p2} {p3}",              # both dups -> vanishes
+        ],
+    })
+    out = (paragraph_dedup(rd.from_pandas(df), words_per_para=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2]
+    assert out.loc[0, "text"] == f"{p2} {p1}"
+    assert out.loc[1, "text"] == f"{p3} extra tail"
+    assert list(out["n_paras_kept"]) == [2, 2]
+    assert list(out["n_paras_total"]) == [2, 3]
+
+
+def test_paragraph_dedup_within_doc_and_empty(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import paragraph_dedup
+
+    p = " ".join(f"t{i}" for i in range(10))
+    df = pd.DataFrame({
+        "doc_id": [7, 8, 9],
+        "text": [f"{p} {p} {p}", "", None],  # within-doc dups; "" and NULL
+    })
+    out = (paragraph_dedup(rd.from_pandas(df), words_per_para=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 7 keeps one copy; "" and NULL both reduce to the empty para:
+    # doc 8 wins it, doc 9 vanishes
+    assert list(out["doc_id"]) == [7, 8]
+    assert out.loc[0, "text"] == p
+    assert (out.loc[0, "n_paras_kept"], out.loc[0, "n_paras_total"]) == (1, 3)
+    assert out.loc[1, "text"] == ""
+
+
+def test_paragraph_dedup_matches_duckdb(ray_session):
+    import duckdb
+
+    from dedupe_examples_ray.ops import paragraph_dedup
+
+    docs = _docs(ray_session)
+    got = (paragraph_dedup(docs.select_columns(["doc_id", "text"]))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    exp = con.execute("""
+        WITH s AS (SELECT doc_id, string_split(COALESCE(text,''), ' ') AS w FROM documents),
+        paras0 AS (
+          SELECT doc_id, CAST(ceil(len(w)/10.0) AS BIGINT) AS n_paras_total,
+                 list_transform(range(0, CAST(ceil(len(w)/10.0) AS BIGINT)),
+                   p -> struct_pack(para_idx := p,
+                                    para := array_to_string(list_slice(w, p*10+1, p*10+10), ' '))) AS plist
+          FROM s),
+        paras AS (SELECT doc_id, n_paras_total, UNNEST(plist, recursive := true) FROM paras0),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras)
+        SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text,
+               COUNT(*) AS n_paras_kept, MAX(n_paras_total) AS n_paras_total
+        FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=True)
