@@ -1606,6 +1606,34 @@ def _q_chunk_documents(sf_dir):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def _q_mode_event_by_user(sf_dir):
+    """Per-user modal event type (ties -> smallest value), combiner-shaped."""
+    from dedupe_examples_ray.relational import grouped_mode
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type").to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+
+
+def _q_rollup_lineitem(sf_dir):
+    """GROUP BY ROLLUP(returnflag, linestatus) with grouping_id, one pass."""
+    from dedupe_examples_ray.relational import grouped_sum_rollup
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = grouped_sum_rollup(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    return out.to_pandas().sort_values(
+        ["grouping_id", "l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _q_nth_value_orders(sf_dir):
+    """NTH_VALUE(price, 3) over each customer's orders (full partition)."""
+    from dedupe_examples_ray.windows import nth_value
+
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = nth_value(od, "o_custkey", ["o_orderkey"], "o_totalprice", 3)
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -1613,6 +1641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_extract_invariant": _q_pages_extract_invariant,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "paragraph_dedup_documents": _q_paragraph_dedup_documents,
+        "mode_event_by_user": _q_mode_event_by_user,
+        "rollup_lineitem": _q_rollup_lineitem,
+        "nth_value_orders": _q_nth_value_orders,
         "ann_top10_vec0": _q_ann_top10_vec0,
         "norm_text80": _q_norm_text80,
         "concat_ws_customer": _q_concat_ws_customer,
@@ -1727,6 +1758,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text, "
             "       COUNT(*) AS n_paras_kept, MAX(n_paras_total) AS n_paras_total "
             "FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "mode_event_by_user": (
+            "SELECT user_id, event_type AS mode_val, cnt AS mode_count FROM ("
+            "  SELECT user_id, event_type, COUNT(*) AS cnt, "
+            "         ROW_NUMBER() OVER (PARTITION BY user_id "
+            "           ORDER BY COUNT(*) DESC, event_type ASC) AS rn "
+            "  FROM events GROUP BY user_id, event_type) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
+        "rollup_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "       CAST(SUM(l_quantity) AS DOUBLE) AS total, "
+            "       CAST(GROUPING(l_returnflag) + 2*GROUPING(l_linestatus) AS BIGINT) AS grouping_id "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY grouping_id, l_returnflag, l_linestatus"
+        ),
+        "nth_value_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "       NTH_VALUE(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+            "         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth_val "
+            "FROM orders ORDER BY o_orderkey"
         ),
         "ann_top10_vec0": (
             "SELECT match_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, match_id) AS BIGINT) AS rank FROM ("

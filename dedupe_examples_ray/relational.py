@@ -1031,3 +1031,111 @@ def pivot_sum(ds, keys: list[str], pivot_col: str, value_col: str,
         return pa.table(out)
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key: str, col: str, out_val: str = "mode_val",
+                 out_count: str = "mode_count", num_buckets: int | None = None):
+    """Per-key statistical mode: the most frequent ``col`` value per ``key``,
+    ties broken by smallest value (SQL: ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY COUNT(*) DESC, val ASC) = 1``).  Output ``(key, out_val,
+    out_count)``.
+
+    Combiner-shaped: per-batch ``(key, val) -> count`` partials (bounded by
+    the distinct-pair count, not the row count) -> ONE bucketed shuffle on
+    ``hash(key)`` -> vectorized merge + argmax per bucket.  NULL keys form
+    their own group; NULL values are counted like any other value and sort
+    last on ties (pandas and DuckDB both put NULLS LAST ascending)."""
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        g = df.groupby([key, col], sort=False, dropna=False).size().reset_index(name="__cnt")
+        g["__bkt"] = (
+            pd.util.hash_pandas_object(g[key], index=False).to_numpy() % num_buckets
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, col], sort=False, dropna=False, as_index=False)["__cnt"].sum()
+        g = g.sort_values([key, "__cnt", col], ascending=[True, False, True],
+                          kind="mergesort", na_position="last")
+        out = g.drop_duplicates(key, keep="first").rename(
+            columns={col: out_val, "__cnt": out_count})
+        out[out_count] = out[out_count].astype(np.int64)
+        return out[[key, out_val, out_count]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("__bkt").map_groups(final, batch_format="pandas")
+
+
+def grouped_sum_rollup(ds, keys: list[str], sum_col: str, out_col: str = "total",
+                       num_buckets: int | None = None):
+    """``SELECT keys, SUM(sum_col), grouping_id GROUP BY ROLLUP(keys)`` —
+    every rollup level in one pass: the per-batch combiner emits partials for
+    ALL levels (full detail, then each suffix of ``keys`` rolled up, down to
+    the grand total), so the input is still read once and the single bucketed
+    merge shuffle carries only pre-aggregated rows.
+
+    Rolled-up key columns are NULL; ``grouping_id`` disambiguates them from
+    real NULL key values (bit ``i`` set = ``keys[i]`` rolled up, the SQL
+    ``GROUPING()`` convention).  Sums are emitted as float64."""
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+    nk = len(keys)
+    if nk == 0:
+        raise ValueError("grouped_sum_rollup needs at least one key")
+    # explicit per-block Arrow schema: an all-rolled-up block would otherwise
+    # infer a null-typed key column and degrade NULL -> NaN downstream
+    in_schema = ds.schema()
+    arrow_schema = in_schema.base_schema if hasattr(in_schema, "base_schema") else in_schema
+    if isinstance(arrow_schema, pa.Schema):
+        key_types = {k: arrow_schema.field(k).type for k in keys}
+    else:  # PandasBlockSchema (from_pandas datasets): numpy dtypes
+        dtypes = dict(zip(arrow_schema.names, arrow_schema.types))
+        key_types = {
+            k: (pa.string() if dtypes[k] == np.dtype(object)
+                else pa.from_numpy_dtype(dtypes[k]))
+            for k in keys
+        }
+
+    def _to_arrow(df: pd.DataFrame, val_name: str, with_bkt: bool) -> pa.Table:
+        cols = {k: pa.array(df[k], type=key_types[k], from_pandas=True) for k in keys}
+        cols[val_name] = pa.array(df[val_name].to_numpy(np.float64), pa.float64())
+        cols["grouping_id"] = pa.array(df["grouping_id"].to_numpy(np.int64), pa.int64())
+        if with_bkt:
+            cols["__bkt"] = pa.array(df["__bkt"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [sum_col]).to_pandas()
+        df[sum_col] = df[sum_col].astype(np.float64)
+        parts = []
+        for lvl in range(nk + 1):  # lvl = number of trailing keys rolled up
+            ks = keys[: nk - lvl]
+            gid = ((1 << lvl) - 1) << (nk - lvl)
+            if ks:
+                g = df.groupby(ks, sort=False, dropna=False, as_index=False)[sum_col].sum()
+            else:
+                g = pd.DataFrame({sum_col: [df[sum_col].sum()]})
+            for k in keys[nk - lvl:]:
+                g[k] = None
+            g["grouping_id"] = np.int64(gid)
+            parts.append(g[keys + [sum_col, "grouping_id"]])
+        out = pd.concat(parts, ignore_index=True)
+        out["__bkt"] = (
+            pd.util.hash_pandas_object(out[keys + ["grouping_id"]], index=False).to_numpy()
+            % num_buckets
+        ).astype(np.int64)
+        return _to_arrow(out, sum_col, with_bkt=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + ["grouping_id"], sort=False, dropna=False,
+                       as_index=False)[sum_col].sum()
+        g = g.rename(columns={sum_col: out_col})[keys + [out_col, "grouping_id"]]
+        return _to_arrow(g, out_col, with_bkt=False).to_pandas()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("__bkt").map_groups(final, batch_format="pandas")

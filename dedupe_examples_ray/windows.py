@@ -635,3 +635,47 @@ def ntile(
         return t.drop_columns(["__rn"]).append_column(out_col, pa.array(tile.astype(np.int64)))
 
     return ranked.map_batches(fin, batch_format="pyarrow")
+
+
+def nth_value(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    n: int,
+    out_col: str = "nth_val",
+):
+    """Per-key ``NTH_VALUE(val, n)`` over the full partition (SQL
+    ``NTH_VALUE(val, n) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``): the value at 1-based
+    position ``n`` of the ordered partition, NULL when the partition has
+    fewer than ``n`` rows.  One bucketed shuffle; the nth row per group is
+    taken positionally from group offsets (vectorized across all keys of a
+    bucket, NaN-preserving like first_last_value).  NULL keys form one
+    partition (SQL semantics)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        g = df.groupby(key_col, sort=False, dropna=False)
+        gid = g.ngroup().to_numpy()
+        sizes = g.size().to_numpy()
+        starts = np.zeros(len(sizes), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        vals = df[val_col].to_numpy()
+        nth = np.empty(len(sizes), dtype=object)
+        nth[:] = None
+        ok = sizes >= n
+        nth[ok] = vals[(starts + n - 1)[ok]]
+        out = nth[gid]
+        if np.issubdtype(vals.dtype, np.number):
+            # numeric val -> float64 (short partitions yield NULL, so the
+            # SQL output type is nullable numeric; DuckDB's df() gives float64)
+            out = pd.array(out, dtype="float64").to_numpy(dtype=np.float64,
+                                                          na_value=np.nan)
+        df[out_col] = out
+        return df
+
+    return bucketed_by_key(ds, key_col, per_bucket)

@@ -1,0 +1,93 @@
+"""Round-3 additions: grouped_mode, grouped_sum_rollup, nth_value."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dedupe_examples_ray.relational import grouped_mode, grouped_sum_rollup
+from dedupe_examples_ray.windows import nth_value
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+# ---------------------------------------------------------------- grouped_mode
+def test_grouped_mode_ties_and_null_key(ray_session):
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", None, None],
+        "v": ["x", "y", "y", "q", "p", "z", "z"],
+    })
+    out = (grouped_mode(_ds(df), "k", "v").to_pandas()
+           .sort_values("k", na_position="last").reset_index(drop=True))
+    # a: y (count 2) beats x; b: tie p/q at 1 -> smallest value p; NULL key
+    # forms its own group with mode z
+    assert list(out["mode_val"]) == ["y", "p", "z"]
+    assert list(out["mode_count"]) == [2, 1, 2]
+    assert out["k"].isna().tolist() == [False, False, True]
+
+
+def test_grouped_mode_cross_block_counts(ray_session):
+    """Partial counts from different blocks must merge before the argmax."""
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": [1] * 6, "v": ["a", "b", "b", "a", "a", "b"]})
+    ds = rd.from_pandas(df).repartition(6)  # one row per block
+    out = grouped_mode(ds, "k", "v").to_pandas()
+    # global tie 3-3 -> smallest value wins
+    assert list(out["mode_val"]) == ["a"]
+    assert list(out["mode_count"]) == [3]
+
+
+# ---------------------------------------------------------- grouped_sum_rollup
+def test_rollup_levels_and_grouping_id(ray_session):
+    df = pd.DataFrame({
+        "a": ["x", "x", "y"],
+        "b": ["1", "2", "1"],
+        "v": [1.0, 2.0, 4.0],
+    })
+    out = grouped_sum_rollup(_ds(df), ["a", "b"], "v").to_pandas()
+    detail = out[out["grouping_id"] == 0].sort_values(["a", "b"])
+    assert list(detail["total"]) == [1.0, 2.0, 4.0]
+    mid = out[out["grouping_id"] == 2].sort_values("a")
+    assert list(mid["a"]) == ["x", "y"] and list(mid["total"]) == [3.0, 4.0]
+    assert mid["b"].isna().all()
+    grand = out[out["grouping_id"] == 3]
+    assert len(grand) == 1 and grand["total"].iloc[0] == 7.0
+    assert grand[["a", "b"]].isna().all().all()
+
+
+def test_rollup_distinguishes_real_null_key(ray_session):
+    """A real NULL in the last key stays at grouping_id 0, separate from the
+    rolled-up NULL row at grouping_id 2."""
+    df = pd.DataFrame({"a": ["x", "x"], "b": [None, "1"], "v": [5.0, 7.0]})
+    out = grouped_sum_rollup(_ds(df), ["a", "b"], "v").to_pandas()
+    detail_null = out[(out["grouping_id"] == 0) & out["b"].isna()]
+    rolled = out[(out["grouping_id"] == 2)]
+    assert list(detail_null["total"]) == [5.0]
+    assert list(rolled["total"]) == [12.0]
+
+
+# --------------------------------------------------------------------- nth_value
+def test_nth_value_short_partitions_null(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, None],
+        "o": [3, 1, 2, 1, 2, 1],
+        "v": [30.0, 10.0, 20.0, 1.0, 2.0, 9.0],
+    })
+    out = (nth_value(_ds(df), "k", ["o"], "v", 2).to_pandas()
+           .sort_values(["k", "o"], na_position="last").reset_index(drop=True))
+    # k=1 ordered by o -> [10,20,30], 2nd = 20 on every row
+    assert list(out.loc[out["k"] == 1, "nth_val"]) == [20.0, 20.0, 20.0]
+    assert list(out.loc[out["k"] == 2, "nth_val"]) == [2.0, 2.0]
+    # NULL-key partition has 1 row < 2 -> NULL
+    assert out.loc[out["k"].isna(), "nth_val"].isna().all()
+
+
+def test_nth_value_string_values(ray_session):
+    df = pd.DataFrame({"k": ["g", "g"], "o": [2, 1], "v": ["second", "first"]})
+    out = nth_value(_ds(df), "k", ["o"], "v", 2).to_pandas()
+    assert set(out["nth_val"]) == {"second"}
