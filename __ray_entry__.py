@@ -1634,6 +1634,26 @@ def _q_nth_value_orders(sf_dir):
     return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
 
 
+def _q_nunique_event_types(sf_dir):
+    """Exact per-user COUNT(DISTINCT event_type), pair-partitioned shuffle."""
+    from dedupe_examples_ray.relational import grouped_nunique
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_nunique(ev, "user_id", "event_type").to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+
+
+def _q_unpivot_lineitem(sf_dir):
+    """Wide -> long melt of the four lineitem measures (shuffle-free)."""
+    from dedupe_examples_ray.relational import unpivot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"] + cols)
+    out = unpivot(li, ["l_orderkey", "l_linenumber"], cols)
+    return out.to_pandas().sort_values(
+        ["l_orderkey", "l_linenumber", "name"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -1644,6 +1664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_by_user": _q_mode_event_by_user,
         "rollup_lineitem": _q_rollup_lineitem,
         "nth_value_orders": _q_nth_value_orders,
+        "nunique_event_types": _q_nunique_event_types,
+        "unpivot_lineitem": _q_unpivot_lineitem,
         "ann_top10_vec0": _q_ann_top10_vec0,
         "norm_text80": _q_norm_text80,
         "concat_ws_customer": _q_concat_ws_customer,
@@ -1779,6 +1801,17 @@ def oracle_sql() -> dict[str, str]:
             "       NTH_VALUE(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
             "         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth_val "
             "FROM orders ORDER BY o_orderkey"
+        ),
+        "nunique_event_types": (
+            "SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS ndistinct "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "unpivot_lineitem": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber, name"
         ),
         "ann_top10_vec0": (
             "SELECT match_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, match_id) AS BIGINT) AS rank FROM ("

@@ -1139,3 +1139,59 @@ def grouped_sum_rollup(ds, keys: list[str], sum_col: str, out_col: str = "total"
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby("__bkt").map_groups(final, batch_format="pandas")
+
+
+def grouped_nunique(ds, key: str, col: str, out_col: str = "ndistinct",
+                    num_buckets: int | None = None):
+    """Exact per-key ``COUNT(DISTINCT col)`` without ever co-locating a whole
+    key: the shuffle partitions on ``hash(key, col)`` PAIRS, so a hot key's
+    distinct values spread across buckets; each (key, col) pair lands in
+    exactly one bucket, making per-bucket partial counts sum exactly.
+
+    Three stages: per-batch pair dedup (combiner) -> bucketed pair dedup +
+    per-key partial count -> ``grouped_sum`` merge (its own bucketed
+    shuffle on the now-tiny per-key partials).  NULL ``col`` values are
+    excluded (SQL COUNT(DISTINCT) semantics); NULL keys form their own
+    group."""
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[[key, col]].dropna(subset=[col]).drop_duplicates()
+        u["__bkt"] = (
+            pd.util.hash_pandas_object(u[[key, col]], index=False).to_numpy() % num_buckets
+        ).astype(np.int64)
+        return u
+
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(subset=[key, col])
+        g = u.groupby(key, sort=False, dropna=False).size().reset_index(name="__cnt")
+        g["__cnt"] = g["__cnt"].astype(np.int64)
+        return g
+
+    pairs = ds.select_columns([key, col]).map_batches(local, batch_format="pandas")
+    partials = pairs.groupby("__bkt").map_groups(partial_count, batch_format="pandas")
+    return grouped_sum(partials, [key], {"__cnt": out_col})
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_col: str = "name", val_col: str = "value"):
+    """Wide -> long melt (SQL ``UNPIVOT`` / ``UNION ALL`` of per-column
+    selects): one output row per (input row, value column), with the column
+    name in ``var_col`` and its value cast to float64 in ``val_col``.
+
+    Stateless single-pass ``map_batches``; each value column contributes one
+    zero-copy column slice + a constant-string column, concatenated per
+    batch — no shuffle, no per-row Python."""
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_col] = pa.array(np.repeat(c, t.num_rows), pa.string())
+            cols[val_col] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        fn, batch_format="pyarrow")

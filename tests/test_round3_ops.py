@@ -5,7 +5,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from dedupe_examples_ray.relational import grouped_mode, grouped_sum_rollup
+from dedupe_examples_ray.relational import (
+    grouped_mode,
+    grouped_nunique,
+    grouped_sum_rollup,
+    unpivot,
+)
 from dedupe_examples_ray.windows import nth_value
 
 
@@ -91,3 +96,31 @@ def test_nth_value_string_values(ray_session):
     df = pd.DataFrame({"k": ["g", "g"], "o": [2, 1], "v": ["second", "first"]})
     out = nth_value(_ds(df), "k", ["o"], "v", 2).to_pandas()
     assert set(out["nth_val"]) == {"second"}
+
+
+# ------------------------------------------------------------- grouped_nunique
+def test_grouped_nunique_cross_block_and_nulls(ray_session):
+    """Distinct pairs split across blocks must not double-count; NULL values
+    are excluded, NULL keys form their own group."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, None, None],
+        "v": ["a", "a", "b", None, "a", "x", "x"],
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    out = (grouped_nunique(ds, "k", "v").to_pandas()
+           .sort_values("k", na_position="last").reset_index(drop=True))
+    assert list(out["ndistinct"]) == [2, 1, 1]
+    assert out["k"].isna().tolist() == [False, False, True]
+
+
+# ---------------------------------------------------------------------- unpivot
+def test_unpivot_shapes_and_values(ray_session):
+    df = pd.DataFrame({"id": [1, 2], "x": [1.5, 2.5], "y": [10.0, 20.0]})
+    out = (unpivot(_ds(df), ["id"], ["x", "y"]).to_pandas()
+           .sort_values(["id", "name"]).reset_index(drop=True))
+    assert len(out) == 4
+    assert list(out["name"]) == ["x", "y", "x", "y"]
+    assert list(out["value"]) == [1.5, 10.0, 2.5, 20.0]
+    assert out["value"].dtype == np.float64
