@@ -90,7 +90,12 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from dedupe_examples_ray.ops import ann_brute_force, exact_dedup, minhash_lsh_dedup
+    from dedupe_examples_ray.ops import (
+        ann_brute_force,
+        exact_dedup,
+        minhash_lsh_dedup,
+        paragraph_dedup,
+    )
     from dedupe_examples_ray.pipelines import dedupe_documents, dedupe_pages
     from dedupe_examples_ray.relational import grouped_sum, hash_join, top_k
 
@@ -143,6 +148,7 @@ def run_bench() -> dict:
     timed("er_documents", lambda: dedupe_documents(docs).count())
     timed("exact_dedup", lambda: exact_dedup(docs).count())
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())
+    timed("paragraph_dedup", lambda: paragraph_dedup(docs).count())
 
     vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     first = vecs.take(1)[0]["embedding"]

@@ -1152,7 +1152,8 @@ def grouped_nunique(ds, key: str, col: str, out_col: str = "ndistinct",
     per-key partial count -> ``grouped_sum`` merge (its own bucketed
     shuffle on the now-tiny per-key partials).  NULL ``col`` values are
     excluded (SQL COUNT(DISTINCT) semantics); NULL keys form their own
-    group."""
+    group.  NB: a key whose values are ALL NULL is omitted from the output
+    (SQL would emit it with count 0) — its rows never survive the combiner."""
     from .scale import resolve_buckets
 
     num_buckets = resolve_buckets(num_buckets, ds)

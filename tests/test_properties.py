@@ -109,3 +109,121 @@ def test_frequent_items_exact(ray_session, data):
     exp = s[s * (cap + 1) > len(vals)].sort_index()
     assert list(got["k"]) == list(exp.index)
     assert list(got["n"]) == list(exp.to_numpy())
+
+
+# ------------------------------------------------------- round-3 operators
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_grouped_mode_matches_pandas(ray_session, data):
+    from dedupe_examples_ray.relational import grouped_mode
+
+    n = data.draw(st.integers(1, 120))
+    df = pd.DataFrame({
+        "k": data.draw(st.lists(st.one_of(st.integers(0, 6), st.none()),
+                                min_size=n, max_size=n)),
+        "v": data.draw(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                                min_size=n, max_size=n)),
+    })
+    got = (grouped_mode(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().sort_values("k", na_position="last").reset_index(drop=True))
+    cnt = df.groupby(["k", "v"], dropna=False).size().reset_index(name="c")
+    cnt = cnt.sort_values(["k", "c", "v"], ascending=[True, False, True],
+                          na_position="last", kind="mergesort")
+    exp = (cnt.drop_duplicates("k").rename(columns={"v": "mode_val", "c": "mode_count"})
+           .sort_values("k", na_position="last").reset_index(drop=True))
+    assert list(got["mode_val"]) == list(exp["mode_val"])
+    assert list(got["mode_count"]) == list(exp["mode_count"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_grouped_nunique_matches_pandas(ray_session, data):
+    from dedupe_examples_ray.relational import grouped_nunique
+
+    n = data.draw(st.integers(1, 120))
+    df = pd.DataFrame({
+        "k": data.draw(st.lists(st.integers(0, 6), min_size=n, max_size=n)),
+        "v": data.draw(st.lists(st.one_of(st.sampled_from(list("abcdefgh")), st.none()),
+                                min_size=n, max_size=n)),
+    })
+    got = (grouped_nunique(rd.from_pandas(df).repartition(5), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.dropna(subset=["v"]).groupby("k")["v"].nunique()
+           .reset_index(name="ndistinct"))
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["ndistinct"]) == list(exp["ndistinct"])
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_rollup_matches_pandas(ray_session, data):
+    from dedupe_examples_ray.relational import grouped_sum_rollup
+
+    n = data.draw(st.integers(1, 100))
+    df = pd.DataFrame({
+        "a": data.draw(st.lists(st.sampled_from(["x", "y", "z"]), min_size=n, max_size=n)),
+        "b": data.draw(st.lists(st.sampled_from(["1", "2"]), min_size=n, max_size=n)),
+        "v": np.arange(n, dtype=np.float64),  # integer-valued: exact sums
+    })
+    got = grouped_sum_rollup(rd.from_pandas(df).repartition(4), ["a", "b"], "v").to_pandas()
+    # level 0: detail
+    d0 = got[got["grouping_id"] == 0].sort_values(["a", "b"]).reset_index(drop=True)
+    e0 = df.groupby(["a", "b"], as_index=False)["v"].sum().rename(columns={"v": "total"})
+    assert list(d0["total"]) == list(e0["total"])
+    # level 1: b rolled up
+    d1 = got[got["grouping_id"] == 2].sort_values("a").reset_index(drop=True)
+    e1 = df.groupby("a", as_index=False)["v"].sum()
+    assert list(d1["total"]) == list(e1["v"])
+    # grand total
+    d2 = got[got["grouping_id"] == 3]
+    assert len(d2) == 1 and d2["total"].iloc[0] == df["v"].sum()
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data(), n=st.integers(1, 4))
+def test_nth_value_matches_pandas(ray_session, data, n):
+    from dedupe_examples_ray.windows import nth_value
+
+    rows = data.draw(st.integers(1, 80))
+    df = pd.DataFrame({
+        "k": data.draw(st.lists(st.integers(0, 5), min_size=rows, max_size=rows)),
+        "v": np.arange(rows, dtype=np.float64) * 3,
+    })
+    df["o"] = np.arange(rows)  # unique order col -> deterministic
+    got = (nth_value(rd.from_pandas(df).repartition(4), "k", ["o"], "v", n)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    exp = df.sort_values(["k", "o"]).groupby("k")["v"].transform(
+        lambda s: s.iloc[n - 1] if len(s) >= n else np.nan)
+    exp = exp.reindex(df.sort_values("o").index)
+    g = got.set_index("o")["nth_val"]
+    for o, want in zip(df["o"], exp):
+        have = g.loc[o]
+        assert (pd.isna(have) and pd.isna(want)) or have == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_paragraph_dedup_matches_reference(ray_session, data):
+    from dedupe_examples_ray.ops import paragraph_dedup
+
+    k = 3
+    n_docs = data.draw(st.integers(1, 25))
+    texts = data.draw(st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3"]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=n_docs, max_size=n_docs))
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    got = (paragraph_dedup(rd.from_pandas(df).repartition(3), words_per_para=k)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # pure-python reference
+    seen, keep = set(), {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        words = text.split(" ")
+        paras = [" ".join(words[i:i + k]) for i in range(0, len(words), k)]
+        kept = [p for p in paras if p not in seen and not seen.add(p)]
+        if kept:
+            keep[did] = (" ".join(kept), len(kept), len(paras))
+    assert list(got["doc_id"]) == list(keep)
+    for _, r in got.iterrows():
+        text, nk, nt = keep[r["doc_id"]]
+        assert (r["text"], r["n_paras_kept"], r["n_paras_total"]) == (text, nk, nt)
