@@ -1154,6 +1154,41 @@ def _q_anti_join_customers(sf_dir):
     return hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="anti")
 
 
+def _q_bloom_semi_lineitem(sf_dir):
+    """Runtime-filter EXISTS: lineitems of URGENT orders — a Bloom filter
+    over the filtered order keys is broadcast and prunes the big probe side
+    BEFORE the exact semi hash_join, so the all-to-all shuffle moves only the
+    bloom-positive sliver of lineitem instead of all of it."""
+    from dedupe_examples_ray.relational import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    ords = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_orderkey"])
+
+    return bloom_semi_join(li, ords.map_batches(urgent, batch_format="pyarrow"),
+                           on="l_orderkey", right_on="o_orderkey", how="semi")
+
+
+def _q_bloom_anti_parts(sf_dir):
+    """Runtime-filter NOT EXISTS: parts never ordered in bulk (quantity>45) —
+    bloom-negative parts (definitely absent from the filtered lineitem keys)
+    are emitted with ZERO shuffle; only bloom-positive parts enter the exact
+    anti hash_join re-check."""
+    from dedupe_examples_ray.relational import bloom_semi_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def bulk(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 45)).select(["l_partkey"])
+
+    return bloom_semi_join(part, li.map_batches(bulk, batch_format="pyarrow"),
+                           on="p_partkey", right_on="l_partkey", how="anti")
+
+
 def _q_collect_suppliers_by_nation(sf_dir):
     """string_agg(col ORDER BY col) per group — the one-training-example-per-
     entity builder; one slim-projection groupby shuffle."""
@@ -1720,6 +1755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
+        "bloom_semi_lineitem": _q_bloom_semi_lineitem,
+        "bloom_anti_parts": _q_bloom_anti_parts,
         "collect_suppliers_by_nation": _q_collect_suppliers_by_nation,
         "ptype_except": _q_ptype_except,
         "ptype_union": _q_ptype_union,
@@ -2108,6 +2145,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT')"
+        ),
+        "bloom_semi_lineitem": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "bloom_anti_parts": (
+            "SELECT p_partkey, p_name FROM part "
+            "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey "
+            "AND l_quantity > 45)"
         ),
         "collect_suppliers_by_nation": (
             "SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names "

@@ -19,6 +19,8 @@ stages with explicit scale posture:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -409,6 +411,129 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
         ds_b.map_batches(pad("b"), batch_format="pyarrow")
     )
     return tagged.groupby("__bkt").map_groups(join_group, batch_format="pyarrow")
+
+
+_BLOOM_MAX_BITS = 1 << 27  # 16 MiB bitmap cap — stays broadcastable per node
+
+
+def _bloom_params(n_keys: int, fp_rate: float) -> tuple[int, int]:
+    """Classic sizing: m = -n ln p / ln^2 2 bits, k = (m/n) ln 2 hashes.
+    m is rounded up to a multiple of 64 (whole uint64 words) and capped at
+    ``_BLOOM_MAX_BITS`` — past the cap the realized fp rate degrades instead
+    of the bitmap growing unboundedly (the bitmap must broadcast)."""
+    n = max(1, n_keys)
+    m = int(math.ceil(-n * math.log(max(fp_rate, 1e-9)) / (math.log(2) ** 2)))
+    m = min(max(64, (m + 63) & ~63), _BLOOM_MAX_BITS)
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(keys, m: int, k: int) -> np.ndarray:
+    """(k, len) matrix of bit positions via double hashing h1 + i*h2 mod m.
+    h1 is the join-canonical key hash (`_key_hash_u64`), h2 a splitmix64
+    re-mix forced odd so the stride never collapses to 0."""
+    from .pairs import stable_hash
+
+    h1 = _key_hash_u64(keys)
+    h2 = stable_hash(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.uint64)
+
+
+def bloom_filter_build(ds, col: str, fp_rate: float = 0.01,
+                       n_keys: int | None = None) -> tuple[np.ndarray, int, int]:
+    """Build a Bloom filter over ``ds[col]`` without shuffling ``ds``.
+
+    Each batch emits its set bits SPARSELY — (word index, word value) pairs,
+    ≤ ``k×rows`` entries — and the driver OR-merges them into one dense
+    ``m/64``-word bitmap while streaming (constant driver memory: one bitmap
+    plus one batch of sparse words).  On a multi-node cluster the same
+    sparse rows could be tree-merged with one tiny groupby(word_idx) first;
+    at ≤16 MiB dense the driver stream is already cheap.  NULL keys are
+    never inserted (SQL: NULL matches nothing).
+
+    Returns ``(words: uint64[m/64], m, k)``.
+    """
+    if n_keys is None:
+        n_keys = ds.count()
+    m, k = _bloom_params(n_keys, fp_rate)
+
+    def sparse_bits(t: pa.Table) -> pa.Table:
+        keys = t[col].combine_chunks().drop_null()
+        if len(keys) == 0:
+            return pa.table({"widx": pa.array([], pa.int64()),
+                             "wval": pa.array([], pa.uint64())})
+        pos = _bloom_positions(keys, m, k).ravel()
+        widx = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        order = np.argsort(widx, kind="stable")
+        widx, bit = widx[order], bit[order]
+        uw, start = np.unique(widx, return_index=True)
+        wval = np.bitwise_or.reduceat(bit, start)
+        return pa.table({"widx": pa.array(uw), "wval": pa.array(wval)})
+
+    words = np.zeros(m // 64, dtype=np.uint64)
+    sp = ds.map_batches(sparse_bits, batch_format="pyarrow")
+    for b in sp.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            np.bitwise_or.at(words, b["widx"].to_numpy(zero_copy_only=False),
+                             b["wval"].to_numpy(zero_copy_only=False))
+    return words, m, k
+
+
+def _bloom_member_mask(keys, words: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Boolean membership per slot; NULL slots report False."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(keys, m, k)
+    hit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+           >> (pos & np.uint64(63))) & np.uint64(1)
+    member = hit.all(axis=0).astype(bool)
+    valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+    return member & valid
+
+
+def bloom_semi_join(ds_a, ds_b, on: str, right_on: str | None = None,
+                    how: str = "semi", fp_rate: float = 0.01,
+                    num_buckets: int | None = None):
+    """Runtime-filter existence join — the Bloom-pruned form of
+    ``hash_join(how="semi"/"anti")`` for the 100-TB case where the probe side
+    dwarfs the build side.
+
+    A Bloom filter over ``ds_b``'s keys is built once (no shuffle of either
+    side) and broadcast via ``ray.put``; every ``ds_a`` batch tests
+    membership locally.  Bloom-NEGATIVE rows are resolved with ZERO shuffle
+    (definitely-absent: dropped for semi, emitted for anti); only the
+    bloom-positive sliver — true matches plus ≤``fp_rate`` false positives —
+    enters the exact bucketed ``hash_join`` re-check, so the all-to-all
+    exchange moves ~``match_rate + fp_rate`` of the probe side instead of
+    all of it.  Output is exactly ``hash_join``'s (false positives are
+    removed by the re-check; NULL probe keys never match, so anti keeps
+    them via the zero-shuffle path).
+    """
+    import ray
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be semi/anti, got {how!r}")
+    right_on = right_on or on
+    words, m, k = bloom_filter_build(ds_b, right_on, fp_rate)
+    words_ref = ray.put(words)
+
+    def split(keep_positive: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = _bloom_member_mask(t[on].combine_chunks(),
+                                      ray.get(words_ref), m, k)
+            return t.filter(pa.array(mask if keep_positive else ~mask))
+
+        return fn
+
+    positive = ds_a.map_batches(split(True), batch_format="pyarrow")
+    checked = hash_join(positive, ds_b, on, right_on=right_on, how=how,
+                        num_buckets=num_buckets)
+    if how == "semi":
+        return checked
+    negative = ds_a.map_batches(split(False), batch_format="pyarrow")
+    return negative.union(checked)
 
 
 def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:

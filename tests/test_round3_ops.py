@@ -124,3 +124,65 @@ def test_unpivot_shapes_and_values(ray_session):
     assert list(out["name"]) == ["x", "y", "x", "y"]
     assert list(out["value"]) == [1.5, 10.0, 2.5, 20.0]
     assert out["value"].dtype == np.float64
+
+
+# ------------------------------------------------------------ bloom_semi_join
+def test_bloom_semi_anti_match_hash_join(ray_session):
+    """Bloom-pruned existence joins must be EXACTLY hash_join's output —
+    false positives removed by the re-check, null probe keys kept only by
+    anti, and the zero-shuffle negative path unioned back in."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"k": rng.integers(0, 400, 500).astype(float),
+                      "payload": np.arange(500)})
+    a.loc[::97, "k"] = None
+    b = pd.DataFrame({"bk": rng.integers(200, 600, 300).astype(float)})
+    ds_a = rd.from_pandas(a).repartition(6)
+    ds_b = rd.from_pandas(b).repartition(4)
+    for how in ("semi", "anti"):
+        got = (bloom_semi_join(ds_a, ds_b, on="k", right_on="bk", how=how,
+                               num_buckets=8)
+               .to_pandas().sort_values("payload").reset_index(drop=True))
+        exp = (hash_join(ds_a, ds_b, on="k", right_on="bk", how=how,
+                         num_buckets=8)
+               .to_pandas().sort_values("payload").reset_index(drop=True))
+        assert list(got["payload"]) == list(exp["payload"]), how
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import (
+        _bloom_member_mask,
+        bloom_filter_build,
+    )
+    import pyarrow as pa
+
+    keys = pd.DataFrame({"k": np.arange(1000, dtype=np.int64) * 3})
+    words, m, k = bloom_filter_build(rd.from_pandas(keys).repartition(5), "k")
+    # every inserted key must report member=True
+    mask = _bloom_member_mask(pa.array(keys["k"]), words, m, k)
+    assert mask.all()
+    # realized fp rate on disjoint probes stays near the 1% target
+    probes = pa.array(np.arange(1000, dtype=np.int64) * 3 + 1)
+    fp = _bloom_member_mask(probes, words, m, k).mean()
+    assert fp < 0.05
+    # nulls are never members
+    assert not _bloom_member_mask(pa.array([None, 3], type=pa.int64()),
+                                  words, m, k)[0]
+
+
+def test_bloom_empty_build_side(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import bloom_semi_join
+
+    a = pd.DataFrame({"k": [1, 2, None], "p": [0, 1, 2]})
+    b = pd.DataFrame({"bk": pd.array([], dtype="int64")})
+    ds_a, ds_b = rd.from_pandas(a), rd.from_pandas(b)
+    assert bloom_semi_join(ds_a, ds_b, "k", "bk", how="semi").count() == 0
+    anti = bloom_semi_join(ds_a, ds_b, "k", "bk", how="anti").to_pandas()
+    assert sorted(anti["p"]) == [0, 1, 2]
