@@ -550,6 +550,16 @@ def _q_token_df_documents(sf_dir):
     return compute_token_df(docs, "text")
 
 
+def _q_unigram_xentropy_documents(sf_dir):
+    """Unigram-LM cross-entropy quality signal: pass 1 estimates the LM over
+    the corpus (Zipf-compressed token shuffle), pass 2 broadcasts the
+    (token, logp) table and scores every doc with zero corpus shuffle."""
+    from dedupe_examples_ray.ops import unigram_xentropy
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_xentropy(docs)
+
+
 def _q_record_link_pages(sf_dir):
     """RecordLink demo on a deterministic two-source split (rows-only)."""
     import ray.data as rd
@@ -1718,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": _q_quality_documents,
         "repetition_documents": _q_repetition_documents,
         "token_df_documents": _q_token_df_documents,
+        "unigram_xentropy_documents": _q_unigram_xentropy_documents,
         "null_flag_lang": _q_null_flag_lang,
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
         "minhash_consistency_documents": _q_minhash_consistency_documents,
@@ -1923,6 +1934,18 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, t FROM ("
             "    SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS t"
             "    FROM documents)) WHERE t <> '' GROUP BY t"
+        ),
+        "unigram_xentropy_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, t FROM ("
+            "    SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS t"
+            "    FROM documents) WHERE t <> ''), "
+            "vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t), "
+            "tot AS (SELECT SUM(c) AS n FROM vocab) "
+            "SELECT doc_id, "
+            "ROUND(AVG(-log2(CAST(v.c AS DOUBLE) / tot.n)), 4) AS xent, "
+            "CAST(COUNT(*) AS BIGINT) AS n_tokens "
+            "FROM toks JOIN vocab v USING (t), tot GROUP BY doc_id"
         ),
         "er_exact_consistency_documents": (
             "SELECT CAST(doc_id AS BIGINT) AS grp, CAST(2 AS BIGINT) AS n_docs, "

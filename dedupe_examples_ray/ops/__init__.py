@@ -12,6 +12,8 @@ from .textstats import (  # noqa: F401
     token_count,
     doc_fingerprint,
     repetition_stats,
+    unigram_term_freq,
+    unigram_xentropy,
 )
 from .incremental import (  # noqa: F401
     incremental_exact_dedup,

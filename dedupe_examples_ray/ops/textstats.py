@@ -397,3 +397,172 @@ def text_knn(ds, queries: list[tuple], k: int = 10, id_col: str = "doc_id",
     cands = cands.sort_values(["query_id", "score", "match_id"],
                               ascending=[True, False, True], kind="stable")
     return cands.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+# ------------------------------------------------- unigram LM cross-entropy
+def _tokenize_flat(t: pa.Table, text_col: str):
+    """(parents, flat_tokens) for whitespace tokens with empties dropped —
+    the same regexp_split_to_array(text, '\\s+') convention the DuckDB
+    oracles use (blocking/corpus._df_partial)."""
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lists = pc.split_pattern_regex(pc.fill_null(pc.cast(arr, pa.string()), ""), r"\s+")
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    return parents[keep], flat[keep]
+
+
+def unigram_term_freq(ds, text_col: str = "text"):
+    """Corpus-wide unigram term frequencies (token, tf) — the LM estimation
+    pass.  Per-batch ``value_counts`` combiner collapses each batch to its
+    distinct tokens before the ONE bucketed shuffle (`grouped_sum`), so the
+    exchange moves Zipf-compressed partials, never token instances."""
+    import pandas as pd
+
+    from ..relational import grouped_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, flat = _tokenize_flat(t, text_col)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        counts = pd.Series(flat).value_counts()
+        return pa.table({"token": pa.array(counts.index.to_numpy(), pa.string()),
+                         "tf": pa.array(counts.to_numpy(), pa.int64())})
+
+    return grouped_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["token"], {"tf": "tf"})
+
+
+_VOCAB_CACHE: dict = {}
+_VOCAB_BROADCAST_BUDGET = 2_000_000  # tokens; larger vocabs take the join tier
+
+
+def _xent_batch(t: pa.Table, *, vocab_ref, text_col, id_col, round_digits):
+    """Score one batch against the broadcast (token -> logp) table.  The
+    pd.Index is built once per worker per vocab (keyed on ref.hex) — the
+    same memo pattern as _text_topk_cached."""
+    import pandas as pd
+    import ray
+
+    key = vocab_ref.hex()
+    cached = _VOCAB_CACHE.get(key)
+    if cached is None:
+        vt = ray.get(vocab_ref)
+        cached = (pd.Index(vt["token"].to_numpy(zero_copy_only=False)),
+                  vt["logp"].to_numpy(zero_copy_only=False))
+        if len(_VOCAB_CACHE) >= 4:
+            _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
+        _VOCAB_CACHE[key] = cached
+    idx, logp = cached
+    parents, flat = _tokenize_flat(t, text_col)
+    n = t.num_rows
+    if len(flat) == 0:
+        return pa.table({id_col: t[id_col].take(pa.array([], pa.int64())),
+                         "xent": pa.array([], pa.float64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    pos = idx.get_indexer(flat)
+    known = pos >= 0  # vocab is built from this corpus, so misses only occur
+    # when the caller passes a foreign vocab; unknown tokens are skipped
+    # (matches the oracle's inner join)
+    lp = logp[pos[known]]
+    par = parents[known]
+    cnt = np.bincount(par, minlength=n)
+    tot = np.bincount(par, weights=-lp, minlength=n)
+    nz = cnt > 0
+    xent = tot[nz] / cnt[nz]
+    if round_digits is not None:
+        xent = np.round(xent, round_digits)
+    return pa.table({
+        id_col: t[id_col].take(pa.array(np.flatnonzero(nz), pa.int64())),
+        "xent": pa.array(xent, pa.float64()),
+        "n_tokens": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+    })
+
+
+def unigram_xentropy(ds, text_col: str = "text", id_col: str = "doc_id",
+                     round_digits: int | None = 4, method: str = "auto"):
+    """Per-document unigram cross-entropy in bits — the classic
+    corpus-likelihood quality signal (CCNet-style LM filtering with the
+    corpus itself as the LM): ``xent = avg over token instances of
+    -log2(tf(token)/N)``.  Documents with zero tokens are omitted (SQL inner
+    join semantics).
+
+    Two-pass shape: pass 1 estimates the LM (``unigram_term_freq`` — one
+    Zipf-compressed shuffle); pass 2 scores every doc.
+
+    ``method="broadcast"`` ships the (token, logp) Arrow table once via
+    ``ray.put`` and scores with a per-worker ``pd.Index`` — zero shuffle of
+    the corpus.  ``method="join"`` is the 100-TB-vocab tier: the corpus
+    explodes to (doc instance, token), hash_joins the vocab on token, and a
+    ``grouped_sum`` by doc re-aggregates — three bucketed shuffles but no
+    node ever holds the vocab.  ``"auto"`` picks broadcast under
+    ``_VOCAB_BROADCAST_BUDGET`` tokens.  Both tiers emit identical tables
+    (parity-tested).
+    """
+    import ray
+
+    from ..relational import grouped_sum, hash_join
+
+    tf = unigram_term_freq(ds, text_col)
+
+    if method == "auto":
+        method = "broadcast" if tf.count() <= _VOCAB_BROADCAST_BUDGET else "join"
+
+    if method == "broadcast":
+        vt = tf.to_arrow_refs()
+        vocab = pa.concat_tables([ray.get(r) for r in vt])
+        tfv = vocab["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_total = tfv.sum()
+        logp = np.log2(tfv / n_total)
+        vocab_ref = ray.put(pa.table({"token": vocab["token"], "logp": pa.array(logp)}))
+        return ds.map_batches(
+            _xent_batch,
+            fn_kwargs=dict(vocab_ref=vocab_ref, text_col=text_col,
+                           id_col=id_col, round_digits=round_digits),
+            batch_format="pyarrow",
+        )
+
+    if method != "join":
+        raise ValueError(f"method must be auto/broadcast/join, got {method!r}")
+
+    # join tier: N is a scalar (one tiny aggregate), logp computed vocab-side
+    n_total = float(sum(
+        b["tf"].to_numpy(zero_copy_only=False).sum()
+        for b in tf.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ))
+
+    def to_logp(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"token": t["token"],
+                         "logp": pa.array(np.log2(tfv / n_total))})
+
+    vocab_ds = tf.map_batches(to_logp, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        parents, flat = _tokenize_flat(t, text_col)
+        return pa.table({id_col: t[id_col].take(pa.array(parents, pa.int64())),
+                         "token": pa.array(flat, pa.string())})
+
+    inst = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    joined = hash_join(inst, vocab_ds, on="token")
+    sums = grouped_sum(
+        joined.map_batches(
+            lambda t: pa.table({id_col: t[id_col],
+                                "neg_lp": pc.negate(t["logp"])}),
+            batch_format="pyarrow"),
+        [id_col], {"neg_lp": "tot"}, count_col="n_tokens")
+
+    def finish(t: pa.Table) -> pa.Table:
+        xent = (t["tot"].to_numpy(zero_copy_only=False)
+                / t["n_tokens"].to_numpy(zero_copy_only=False))
+        if round_digits is not None:
+            xent = np.round(xent, round_digits)
+        return pa.table({id_col: t[id_col], "xent": pa.array(xent, pa.float64()),
+                         "n_tokens": t["n_tokens"]})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

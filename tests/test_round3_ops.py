@@ -186,3 +186,44 @@ def test_bloom_empty_build_side(ray_session):
     assert bloom_semi_join(ds_a, ds_b, "k", "bk", how="semi").count() == 0
     anti = bloom_semi_join(ds_a, ds_b, "k", "bk", how="anti").to_pandas()
     assert sorted(anti["p"]) == [0, 1, 2]
+
+
+# ----------------------------------------------------------- unigram_xentropy
+def test_unigram_xentropy_hand_check(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import unigram_xentropy
+
+    # corpus: 4 'a', 2 'b', 2 'c' -> N=8; p(a)=.5, p(b)=p(c)=.25
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a a b", "a a b c", "c"]})
+    out = (unigram_xentropy(rd.from_pandas(df).repartition(2), round_digits=None)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import math
+    # doc1: avg(-log2 .5, -log2 .5, -log2 .25) = (1+1+2)/3
+    assert abs(out.loc[0, "xent"] - (1 + 1 + 2) / 3) < 1e-9
+    assert abs(out.loc[1, "xent"] - (1 + 1 + 2 + 2) / 4) < 1e-9
+    assert abs(out.loc[2, "xent"] - 2.0) < 1e-9
+    assert list(out["n_tokens"]) == [3, 4, 1]
+
+
+def test_unigram_xentropy_tiers_agree_and_skip_empty(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import unigram_xentropy
+
+    rng = np.random.default_rng(3)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps"])
+    texts = [" ".join(rng.choice(words, rng.integers(0, 12))) for _ in range(60)]
+    texts[7] = ""          # zero-token doc: omitted from output
+    texts[11] = "   "      # whitespace-only: also omitted
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+    b = (unigram_xentropy(ds, method="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    j = (unigram_xentropy(ds, method="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert 7 not in set(b["doc_id"]) and 11 not in set(b["doc_id"])
+    assert list(b["doc_id"]) == list(j["doc_id"])
+    assert list(b["n_tokens"]) == list(j["n_tokens"])
+    assert np.allclose(b["xent"], j["xent"], atol=1e-4)
