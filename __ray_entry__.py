@@ -140,6 +140,45 @@ def _q_embedding_dedup(sf_dir):
     return embedding_cosine_dedup(vecs).to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_kmeans_embeddings(sf_dir):
+    """Distributed Lloyd k-means over the embedding table (rows-only: no SQL
+    for an iterative algorithm).  Returns per-cluster size + centroid norm;
+    in-query invariant: sizes sum to the table's row count and every
+    cluster id in [0, k) appears at most once."""
+    import pandas as pd
+
+    from dedupe_examples_ray.ops import kmeans_distributed
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C, info = kmeans_distributed(vecs, k=8, iters=6)
+    n_rows = vecs.count()
+    sizes = info["cluster_sizes"]
+    assert sum(sizes) == n_rows, (sum(sizes), n_rows)
+    return pd.DataFrame({
+        "cluster_id": np.arange(len(C), dtype=np.int64),
+        "n_members": np.asarray(sizes, dtype=np.int64),
+        "centroid_norm": np.round(np.linalg.norm(C, axis=1), 6),
+    })
+
+
+def _q_semantic_dedup_embeddings(sf_dir):
+    """SemDeDup over the embedding table: k-means cells -> within-cell
+    cosine >= tau -> components -> (vec_id, keep_id).  In-query invariants:
+    total assignments == row count, keep_id <= vec_id (min-id canon), and
+    planted self-consistency (keep_id is itself kept)."""
+    from dedupe_examples_ray.ops import semantic_dedup
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = (semantic_dedup(vecs, k=8, tau=0.97, iters=5)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == vecs.count()
+    assert (out["keep_id"] <= out["vec_id"]).all()
+    keepers = set(out["keep_id"])
+    canon = out[out["vec_id"].isin(keepers)]
+    assert (canon["keep_id"] == canon["vec_id"]).all()
+    return out
+
+
 def _split_probe(vecs, probe_id: int):
     """Split one probe row out of an embeddings Dataset with vectorized Arrow
     masks (never a per-row Python filter)."""
@@ -1790,6 +1829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_documents": _q_simhash_dedup_documents,
         "ngram_dedup_documents": _q_ngram_dedup_documents,
         "embedding_dedup": _q_embedding_dedup,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "fingerprint_documents": _q_fingerprint_documents,
         "record_link_pages": _q_record_link_pages,
         "gazetteer_pages": _q_gazetteer_pages,

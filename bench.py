@@ -153,6 +153,8 @@ def run_bench() -> dict:
     vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     first = vecs.take(1)[0]["embedding"]
     timed("ann_top10", lambda: ann_brute_force(vecs, [(0, first)], k=10))
+    from dedupe_examples_ray.ops import semantic_dedup
+    timed("semantic_dedup", lambda: semantic_dedup(vecs, k=8, iters=5).count())
 
     li = rd.read_parquet(
         f"{SF_DIR}/lineitem.parquet",

@@ -6,6 +6,11 @@ from .dedup import (  # noqa: F401
     embedding_cosine_dedup,
 )
 from .ann import ann_brute_force, ann_ivf, ann_lsh  # noqa: F401
+from .embed_cluster import (  # noqa: F401
+    kmeans_assign,
+    kmeans_distributed,
+    semantic_dedup,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

@@ -1,0 +1,183 @@
+"""Distributed embedding clustering + SemDeDup-style semantic dedup.
+
+``kmeans_distributed`` is full-corpus Lloyd's over a Ray ``Dataset``: every
+iteration is ONE streaming ``map_batches`` pass emitting k partial
+(count, vector-sum) rows per batch, merged on the driver (k x dim doubles —
+tiny), with the centroid matrix broadcast once per iteration via ``ray.put``.
+No shuffle, no corpus materialization; per-iteration cost is one read of the
+dataset regardless of scale.  Compare ``ann.kmeans_fit``, the driver-side
+sample variant that seeds the IVF coarse quantizer.
+
+``semantic_dedup`` is the SemDeDup recipe (Abbas et al. 2023, "SemDeDup:
+Data-efficient learning at web-scale through semantic deduplication"):
+k-means the embedding space, then inside every cluster mark cosine-similar
+pairs and keep one representative per connected component.  Within-cluster
+verify is the same salted, pair-capped group kernel as
+``embedding_cosine_dedup`` — hot clusters are sub-bucketed at ``max_bucket``
+members so no group task is ever quadratic in the cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .ann import _col_matrix, _normalize, kmeans_fit
+
+_CENTROID_CACHE: dict = {}
+
+
+def _get_centroids(ref):
+    import ray
+
+    key = ref.hex()
+    C = _CENTROID_CACHE.get(key)
+    if C is None:
+        C = ray.get(ref)
+        if len(_CENTROID_CACHE) >= 8:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        _CENTROID_CACHE[key] = C
+    return C
+
+
+def _assign_ids(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_j ||x - c_j||^2 via the matmul expansion (never materializes
+    the (n, k, dim) difference tensor)."""
+    d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    return d.argmin(axis=1)
+
+
+def _partial_sums(t: pa.Table, *, cent_ref, vec_col: str) -> pa.Table:
+    C = _get_centroids(cent_ref)
+    k, dim = C.shape
+    if t.num_rows == 0:
+        return pa.table({"cid": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "vecsum": pa.array([], pa.list_(pa.float64()))})
+    X = _col_matrix(t[vec_col])
+    a = _assign_ids(X, C)
+    n = np.bincount(a, minlength=k)
+    sums = np.zeros((k, dim))
+    np.add.at(sums, a, X)
+    nz = np.flatnonzero(n)
+    return pa.table({
+        "cid": pa.array(nz.astype(np.int64)),
+        "n": pa.array(n[nz].astype(np.int64)),
+        "vecsum": pa.array(list(sums[nz])),
+    })
+
+
+def kmeans_distributed(ds, vec_col: str = "embedding", k: int = 16,
+                       iters: int = 10, tol: float = 1e-4, seed: int = 5,
+                       sample_size: int = 4096):
+    """Full-corpus Lloyd's k-means.  Returns ``(centroids, info)`` where
+    ``info`` carries per-iteration inertia-free diagnostics (max centroid
+    shift, cluster sizes from the final pass).
+
+    Seeding is ``ann.kmeans_fit`` (farthest-point) on the dataset's first
+    ``sample_size`` rows — deterministic for a fixed input.  Empty clusters
+    keep their previous centroid.
+    """
+    import ray
+
+    sample = _col_matrix(
+        pa.concat_tables(
+            [ray.get(r) for r in ds.limit(sample_size).to_arrow_refs()]
+        )[vec_col]
+    )
+    C = kmeans_fit(sample, k, seed=seed)
+    k = len(C)  # kmeans_fit clamps k to the sample size
+    shifts, sizes = [], np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(C)
+        part = ds.map_batches(_partial_sums, batch_format="pyarrow",
+                              fn_kwargs=dict(cent_ref=ref, vec_col=vec_col))
+        n = np.zeros(k, dtype=np.int64)
+        sums = np.zeros_like(C)
+        for b in part.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows == 0:
+                continue
+            cid = b["cid"].to_numpy(zero_copy_only=False)
+            n[cid] += b["n"].to_numpy(zero_copy_only=False)
+            sums[cid] += _col_matrix(b["vecsum"])
+        nz = n > 0
+        new_C = C.copy()
+        new_C[nz] = sums[nz] / n[nz, None]
+        shift = float(np.max(np.linalg.norm(new_C - C, axis=1))) if k else 0.0
+        shifts.append(round(shift, 6))
+        C, sizes = new_C, n
+        if shift < tol:
+            break
+    return C, {"iters_run": len(shifts), "shifts": shifts,
+               "cluster_sizes": sizes.tolist()}
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  out_col: str = "cluster_id"):
+    """Append the nearest-centroid id per row (broadcast matrix, one
+    streaming pass)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        a = _assign_ids(_col_matrix(t[vec_col]), _get_centroids(ref))
+        return t.append_column(out_col, pa.array(a.astype(np.int64)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                   k: int = 16, tau: float = 0.95, iters: int = 8,
+                   max_bucket: int = 2000, seed: int = 5):
+    """SemDeDup: k-means partition -> within-cluster cosine >= tau ->
+    connected components -> ``(id, keep_id)`` assignment (keep = min id per
+    component, every row keeps a keep_id — singletons map to themselves).
+
+    The k-means stage replaces ``embedding_cosine_dedup``'s random
+    hyperplanes with data-adapted cells, so near-dup pairs co-locate with
+    higher probability at equal candidate volume; the verify kernel and its
+    hot-cluster salting are shared logic (see that docstring for the cap
+    semantics).
+    """
+    from ..pairs import dedup_pairs, stable_hash
+    from .dedup import _assignment
+
+    C, _ = kmeans_distributed(ds, vec_col=vec_col, k=k, iters=iters, seed=seed)
+    tagged = kmeans_assign(ds.select_columns([id_col, vec_col]), C,
+                           vec_col=vec_col)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        u = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = u[id_col].to_numpy()
+        n = len(ids)
+        if n >= 2:
+            groups = [np.arange(n)]
+            if n > max_bucket:  # salt the hot cluster into sub-buckets
+                parts = -(-n // max_bucket)
+                salt = stable_hash(ids) % parts
+                groups = [np.flatnonzero(salt == sv) for sv in range(parts)]
+            for g in groups:
+                if len(g) < 2:
+                    continue
+                V = _normalize(_col_matrix(pa.array(list(u[vec_col].iloc[g]))))
+                S = V @ V.T
+                ia, ib = np.triu_indices(len(g), k=1)
+                keepm = S[ia, ib] >= tau
+                frames.append(pd.DataFrame({
+                    "id_a": ids[g[ia[keepm]]],
+                    "id_b": ids[g[ib[keepm]]],
+                    "score": S[ia, ib][keepm],
+                }))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=df[id_col].dtype),
+                                 "id_b": pd.Series([], dtype=df[id_col].dtype),
+                                 "score": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = tagged.groupby("cluster_id").map_groups(verify, batch_format="pandas")
+    return _assignment(ds.select_columns([id_col]), id_col, dedup_pairs(pairs))

@@ -227,3 +227,100 @@ def test_unigram_xentropy_tiers_agree_and_skip_empty(ray_session):
     assert list(b["doc_id"]) == list(j["doc_id"])
     assert list(b["n_tokens"]) == list(j["n_tokens"])
     assert np.allclose(b["xent"], j["xent"], atol=1e-4)
+
+
+# ------------------------------------------------- kmeans + semantic_dedup
+def _planted_embeddings(n_per=40, dim=8, n_clusters=3, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (n_clusters, dim))
+    rows, truth = [], []
+    for c in range(n_clusters):
+        rows.append(centers[c] + rng.normal(0, 0.3, (n_per, dim)))
+        truth += [c] * n_per
+    X = np.vstack(rows)
+    return pd.DataFrame({
+        "vec_id": np.arange(len(X), dtype=np.int64),
+        "embedding": list(X),
+    }), np.array(truth), centers
+
+
+def test_kmeans_distributed_recovers_planted_clusters(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import kmeans_assign, kmeans_distributed
+
+    df, truth, centers = _planted_embeddings()
+    ds = rd.from_pandas(df).repartition(5)
+    C, info = kmeans_distributed(ds, k=3, iters=12)
+    assert C.shape == (3, 8)
+    assert sorted(info["cluster_sizes"]) == [40, 40, 40]
+    # every learned centroid sits within 0.5 of a distinct true center
+    d = np.linalg.norm(C[:, None, :] - centers[None, :, :], axis=2)
+    assert (d.min(axis=1) < 0.5).all()
+    assert len(set(d.argmin(axis=1))) == 3
+    # assignment is consistent with ground truth (same partition)
+    out = kmeans_assign(ds, C).to_pandas().sort_values("vec_id")
+    got = out["cluster_id"].to_numpy()
+    for c in range(3):
+        assert len(np.unique(got[truth == c])) == 1
+
+
+def test_kmeans_iterations_improve_on_seed(ray_session):
+    """Distributed Lloyd must converge: shifts decrease and the final pass
+    reports shift < tol well before max iters on an easy dataset."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import kmeans_distributed
+
+    df, _, _ = _planted_embeddings(seed=23)
+    _, info = kmeans_distributed(rd.from_pandas(df).repartition(3),
+                                 k=3, iters=20, tol=1e-5)
+    assert info["iters_run"] < 20
+    assert info["shifts"][-1] < 1e-5
+
+
+def test_semantic_dedup_finds_planted_clones(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import semantic_dedup
+
+    # angularly spread base vectors (independent gaussians: pairwise cosine
+    # far from 1) so only the planted clones clear tau
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "vec_id": np.arange(90, dtype=np.int64),
+        "embedding": list(rng.normal(0, 1, (90, 8))),
+    })
+    # plant 10 near-duplicate pairs: vec_id 1000+i clones vec_id i
+    clones = pd.DataFrame({
+        "vec_id": 1000 + np.arange(10, dtype=np.int64),
+        "embedding": [np.asarray(v) * 1.0001 for v in df["embedding"][:10]],
+    })
+    full = pd.concat([df, clones], ignore_index=True)
+    out = (semantic_dedup(rd.from_pandas(full).repartition(4),
+                          k=3, tau=0.999, iters=8)
+           .to_pandas().set_index("vec_id")["keep_id"])
+    # each clone resolves to its original (min id in the component)
+    for i in range(10):
+        assert out.loc[1000 + i] == out.loc[i]
+    # non-cloned points survive as their own keep_id
+    lonely = [v for v in full["vec_id"] if v >= 10 and v < 1000]
+    assert (out.loc[lonely] == lonely).all()
+
+
+def test_semantic_dedup_salts_hot_cluster(ray_session):
+    """A cluster over max_bucket must still run (sub-bucketed, bounded
+    pairs) and exact clones that land in the same sub-bucket dedup."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import semantic_dedup
+
+    rng = np.random.default_rng(9)
+    n = 300
+    X = rng.normal(0, 0.2, (n, 6)) + 5.0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X)})
+    out = semantic_dedup(rd.from_pandas(df).repartition(3),
+                         k=2, tau=0.99999, iters=3, max_bucket=50).to_pandas()
+    assert len(out) == n  # every row got an assignment
+    assert set(out.columns) >= {"vec_id", "keep_id"}
