@@ -26,6 +26,7 @@ import pyarrow as pa
 from .ann import _col_matrix, _normalize, kmeans_fit
 
 _CENTROID_CACHE: dict = {}
+_DRIVER_KMEANS_BUDGET = 128 << 20  # bytes; larger projections iterate streaming
 
 
 def _get_centroids(ref):
@@ -78,9 +79,44 @@ def kmeans_distributed(ds, vec_col: str = "embedding", k: int = 16,
     Seeding is ``ann.kmeans_fit`` (farthest-point) on the dataset's first
     ``sample_size`` rows — deterministic for a fixed input.  Empty clusters
     keep their previous centroid.
+
+    The vector projection is materialized ONCE before iterating — an
+    iterative consumer re-executes the whole upstream plan (the parquet
+    read included) on every pass otherwise; the object store spills the
+    blocks at scale, so this amortizes I/O without a driver copy.
+
+    Tiered like the hydration paths: a projection under
+    ``_DRIVER_KMEANS_BUDGET`` bytes is pulled to the driver once and
+    iterated locally (a Ray pass costs ~0.5 s of scheduling per iteration —
+    pure overhead on small inputs); anything larger streams, one
+    ``map_batches`` pass per iteration, never holding the corpus anywhere.
+    Both tiers run the same update rule (parity-tested).
     """
     import ray
 
+    ds = ds.select_columns([vec_col]).materialize()
+    if (ds.size_bytes() or _DRIVER_KMEANS_BUDGET + 1) <= _DRIVER_KMEANS_BUDGET:
+        X = _col_matrix(
+            pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])[vec_col]
+        )
+        C = kmeans_fit(X[:sample_size], k, seed=seed)
+        k = len(C)
+        shifts, sizes = [], np.zeros(k, dtype=np.int64)
+        for _ in range(iters):
+            a = _assign_ids(X, C)
+            n = np.bincount(a, minlength=k)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            nz = n > 0
+            new_C = C.copy()
+            new_C[nz] = sums[nz] / n[nz, None]
+            shift = float(np.max(np.linalg.norm(new_C - C, axis=1))) if k else 0.0
+            shifts.append(round(shift, 6))
+            C, sizes = new_C, n
+            if shift < tol:
+                break
+        return C, {"iters_run": len(shifts), "shifts": shifts,
+                   "cluster_sizes": sizes.tolist()}
     sample = _col_matrix(
         pa.concat_tables(
             [ray.get(r) for r in ds.limit(sample_size).to_arrow_refs()]
@@ -146,9 +182,9 @@ def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     from ..pairs import dedup_pairs, stable_hash
     from .dedup import _assignment
 
-    C, _ = kmeans_distributed(ds, vec_col=vec_col, k=k, iters=iters, seed=seed)
-    tagged = kmeans_assign(ds.select_columns([id_col, vec_col]), C,
-                           vec_col=vec_col)
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    C, _ = kmeans_distributed(slim, vec_col=vec_col, k=k, iters=iters, seed=seed)
+    tagged = kmeans_assign(slim, C, vec_col=vec_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         frames = []

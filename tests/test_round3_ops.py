@@ -324,3 +324,20 @@ def test_semantic_dedup_salts_hot_cluster(ray_session):
                          k=2, tau=0.99999, iters=3, max_bucket=50).to_pandas()
     assert len(out) == n  # every row got an assignment
     assert set(out.columns) >= {"vec_id", "keep_id"}
+
+
+def test_kmeans_tiers_parity(ray_session, monkeypatch):
+    """Driver tier and streaming tier run the same update rule — forcing the
+    streaming path (budget=0) must give the same centroids and sizes."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import embed_cluster
+
+    df, _, _ = _planted_embeddings(seed=31)
+    ds = rd.from_pandas(df).repartition(4)
+    C_driver, i_driver = embed_cluster.kmeans_distributed(ds, k=3, iters=6)
+    monkeypatch.setattr(embed_cluster, "_DRIVER_KMEANS_BUDGET", 0)
+    C_stream, i_stream = embed_cluster.kmeans_distributed(ds, k=3, iters=6)
+    assert np.allclose(C_driver, C_stream, atol=1e-9)
+    assert i_driver["cluster_sizes"] == i_stream["cluster_sizes"]
+    assert i_driver["iters_run"] == i_stream["iters_run"]
