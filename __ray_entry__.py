@@ -1287,6 +1287,33 @@ def _q_approx_distinct_users(sf_dir):
     return pd.DataFrame({"n_exact": [np.int64(n_exact)], "within_bound": [bool(ok)]})
 
 
+def _q_approx_quantile_lineitem(sf_dir):
+    """Mergeable one-pass quantile sketch vs its published rank bound,
+    oracled approx_ndistinct-style: the output row is (count, ok, ok, ok)
+    and the DuckDB row (COUNT, TRUE, TRUE, TRUE) only hash-matches when the
+    sketch value sits inside the exact quantile band at q +/- 2*eps
+    (band computed with the exact distributed `global_quantile`)."""
+    import pandas as pd
+
+    from dedupe_examples_ray.relational import approx_quantile, global_quantile
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    sk = approx_quantile(li, "l_extendedprice",
+                         {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+                         round_digits=None)
+    eps = 2 * sk["rank_error_bound"]
+    band = global_quantile(
+        li, "l_extendedprice",
+        {"p50_lo": 0.5 - eps, "p50_hi": 0.5 + eps,
+         "p95_lo": 0.95 - eps, "p95_hi": 0.95 + eps,
+         "p99_lo": 0.99 - eps, "p99_hi": min(0.99 + eps, 1.0)},
+        round_digits=6)
+    row = {"n_rows": [np.int64(round(sk["n"]))]}
+    for p in ("p50", "p95", "p99"):
+        row[f"{p}_ok"] = [bool(band[f"{p}_lo"][0] <= sk[p] <= band[f"{p}_hi"][0])]
+    return pd.DataFrame(row)
+
+
 def _q_global_quantile_lineitem(sf_dir):
     """Exact GLOBAL quantile_cont via distributed selection (iterative
     histogram refinement) — no task or driver ever holds the column; the
@@ -1799,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats_orders": _q_grouped_stats_orders,
         "quantile_price_by_priority": _q_quantile_price_by_priority,
         "global_quantile_lineitem": _q_global_quantile_lineitem,
+        "approx_quantile_lineitem": _q_approx_quantile_lineitem,
         "approx_distinct_users": _q_approx_distinct_users,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
         "heavy_hitters_events": _q_heavy_hitters_events,
@@ -2177,6 +2205,10 @@ def oracle_sql() -> dict[str, str]:
         "quantile_price_by_priority": (
             "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
             "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY 1"
+        ),
+        "approx_quantile_lineitem": (
+            "SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n_rows, "
+            "TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok FROM lineitem"
         ),
         "global_quantile_lineitem": (
             "SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "

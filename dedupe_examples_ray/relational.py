@@ -923,6 +923,66 @@ def global_quantile(ds, col: str, qs: dict[str, float], round_digits: int = 4,
     return pd.DataFrame(out)
 
 
+def approx_quantile(ds, col: str, qs: dict[str, float],
+                    sample_per_batch: int = 1024,
+                    round_digits: int | None = 4) -> dict:
+    """Approximate quantiles from a mergeable weighted-order-statistic
+    sketch — the one-pass companion to ``global_quantile`` (exact, but
+    needs 2 + refinement passes over the data).
+
+    Per batch: sort the non-null values and keep ``S = sample_per_batch``
+    evenly spaced order statistics at midpoint ranks ``(i+0.5)/S``, each
+    weighted ``n_batch/S``.  Partials are (value, weight) rows — mergeable
+    by concatenation, so any tree shape works; the driver streams them and
+    takes weighted quantiles over the union.  Rank error is bounded by the
+    per-batch quantization: each batch contributes at most ``n_b/(2S)``
+    rank slack, so the merged estimate's rank error is ≤ ``N/(2S)`` —
+    ``rank_error_bound`` = ``1/(2S)`` as a fraction of N, 0.05 % at the
+    default.  Driver-side state is ``num_batches × S`` rows; at extreme
+    block counts, feed the partials through one ``grouped_sum``-style
+    pre-merge first (same math, documented tree shape).
+
+    Returns ``{name: value, ..., "n": N, "rank_error_bound": eps}``.
+    """
+
+    def sketch(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().drop_null()
+        arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = arr[~np.isnan(arr)]
+        n = len(arr)
+        if n == 0:
+            return pa.table({"val": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        arr.sort()
+        s = min(sample_per_batch, n)
+        idx = np.minimum((((np.arange(s) + 0.5) / s) * n).astype(np.int64), n - 1)
+        return pa.table({"val": pa.array(arr[idx]),
+                         "w": pa.array(np.full(s, n / s))})
+
+    vals, ws = [], []
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            vals.append(b["val"].to_numpy(zero_copy_only=False))
+            ws.append(b["w"].to_numpy(zero_copy_only=False))
+    out: dict = {"n": 0.0, "rank_error_bound": 1.0 / (2 * sample_per_batch)}
+    if not vals:
+        out.update({name: float("nan") for name in qs})
+        return out
+    v = np.concatenate(vals)
+    w = np.concatenate(ws)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out["n"] = float(total)
+    for name, q in qs.items():
+        i = int(np.searchsorted(cum, q * total, side="left"))
+        val = float(v[min(i, len(v) - 1)])
+        out[name] = round(val, round_digits) if round_digits is not None else val
+    return out
+
+
 def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
                          band_col: str = "band", lo_col: str = "lo",
                          hi_col: str = "hi", concurrency=None):

@@ -341,3 +341,42 @@ def test_kmeans_tiers_parity(ray_session, monkeypatch):
     assert np.allclose(C_driver, C_stream, atol=1e-9)
     assert i_driver["cluster_sizes"] == i_stream["cluster_sizes"]
     assert i_driver["iters_run"] == i_stream["iters_run"]
+
+
+# -------------------------------------------------------------- approx_quantile
+def test_approx_quantile_rank_bound(ray_session):
+    """Sketch estimates must sit within the published rank-error bound of
+    the exact empirical quantile, across skewed data and many blocks."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import approx_quantile
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([rng.lognormal(0, 2, 20000),
+                           rng.normal(1000, 1, 500)])  # heavy tail + spike
+    df = pd.DataFrame({"v": vals})
+    sk = approx_quantile(rd.from_pandas(df).repartition(16), "v",
+                         {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+                         sample_per_batch=256, round_digits=None)
+    eps = sk["rank_error_bound"]
+    assert eps == 1 / 512
+    srt = np.sort(vals)
+    n = len(srt)
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        lo = srt[max(0, int(np.floor((q - 2 * eps) * n)) - 1)]
+        hi = srt[min(n - 1, int(np.ceil((q + 2 * eps) * n)) + 1)]
+        assert lo <= sk[name] <= hi, (name, lo, sk[name], hi)
+    assert round(sk["n"]) == n
+
+
+def test_approx_quantile_nulls_and_empty(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import approx_quantile
+
+    df = pd.DataFrame({"v": [None, 5.0, None, 1.0, 3.0]})
+    sk = approx_quantile(rd.from_pandas(df), "v", {"med": 0.5})
+    assert round(sk["n"]) == 3 and 1.0 <= sk["med"] <= 5.0
+    empty = pd.DataFrame({"v": pd.array([], dtype="float64")})
+    sk0 = approx_quantile(rd.from_pandas(empty), "v", {"med": 0.5})
+    assert np.isnan(sk0["med"]) and sk0["n"] == 0.0
