@@ -1203,6 +1203,27 @@ def _q_anti_join_customers(sf_dir):
     return hash_join(cust, ords, on="c_custkey", right_on="o_custkey", how="anti")
 
 
+def _q_interval_join_orders(sf_dir):
+    """Big-big interval join (SQL BETWEEN theta join): orders priced inside
+    part-derived bands — value side range-partitioned by its own quantile
+    sketch, intervals replicated only to spanned ranges, one cogroup
+    shuffle, searchsorted emission inside each range task."""
+    from dedupe_examples_ray.relational import interval_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t["p_partkey"], pa.float64())
+        lo = pc.multiply(pk, 25.0)
+        return pa.table({"p_partkey": t["p_partkey"], "lo": lo,
+                         "hi": pc.add(lo, 30.0)})
+
+    j = interval_join(orders, part.map_batches(mk_iv, batch_format="pyarrow"),
+                      "o_totalprice", "lo", "hi")
+    return j.select_columns(["o_orderkey", "p_partkey", "o_totalprice"])
+
+
 def _q_bloom_semi_lineitem(sf_dir):
     """Runtime-filter EXISTS: lineitems of URGENT orders — a Bloom filter
     over the filtered order keys is broadcast and prunes the big probe side
@@ -1833,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
         "anti_join_customers": _q_anti_join_customers,
+        "interval_join_orders": _q_interval_join_orders,
         "bloom_semi_lineitem": _q_bloom_semi_lineitem,
         "bloom_anti_parts": _q_bloom_anti_parts,
         "collect_suppliers_by_nation": _q_collect_suppliers_by_nation,
@@ -2241,6 +2263,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_nationkey, c_acctbal FROM customer "
             "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT')"
+        ),
+        "interval_join_orders": (
+            "SELECT o_orderkey, p_partkey, o_totalprice "
+            "FROM orders, part WHERE o_totalprice "
+            "BETWEEN p_partkey*25.0 AND p_partkey*25.0+30.0"
         ),
         "bloom_semi_lineitem": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "

@@ -1029,6 +1029,120 @@ def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
                           **(dict(concurrency=concurrency) if concurrency else {}))
 
 
+def interval_join(ds_vals, ds_intervals, val_col: str, lo_col: str,
+                  hi_col: str, num_ranges: int = 256,
+                  closed: str = "both"):
+    """Big-big inner interval join: ``lo <= val <= hi`` (``closed="both"``,
+    SQL BETWEEN) or ``lo <= val < hi`` (``closed="left"``) with NEITHER side
+    broadcast — the shuffle form of ``range_join_broadcast`` for interval
+    tables that don't fit on the driver.
+
+    Shape: the value side is range-partitioned by its own quantiles
+    (``approx_quantile`` one-pass sketch → ``num_ranges`` equal-frequency
+    boundaries, broadcast as a few KB), so every range bucket holds ~N/R
+    value rows regardless of distribution.  Each interval row is replicated
+    ONLY to the buckets its [lo, hi] spans (equal-frequency boundaries make
+    the expected replication factor ~1 + selectivity·R); both sides cogroup
+    with ONE bucketed sort-shuffle and each group joins locally — values
+    sorted once, per-interval matches found with two ``np.searchsorted``
+    probes and emitted by vectorized repeat/arange (no Python pair loop).
+    A pathological interval spanning the whole domain replicates R times —
+    bounded by ``num_ranges``, never by the data.  NULL values and NULL
+    bounds never match.  Non-key column names must be disjoint.
+    """
+    import ray
+
+    from .scoring import dataset_arrow_types
+
+    if closed not in ("both", "left"):
+        raise ValueError(f"closed must be both/left, got {closed!r}")
+    v_types = dataset_arrow_types(ds_vals)
+    i_types = dataset_arrow_types(ds_intervals)
+    clash = set(v_types) & set(i_types)
+    if clash:
+        raise ValueError(f"column names must be disjoint: {sorted(clash)}")
+    qs = {f"b{i}": (i + 1) / num_ranges for i in range(num_ranges - 1)}
+    sk = approx_quantile(ds_vals, val_col, qs, round_digits=None)
+    bounds = np.unique(np.array([sk[f"b{i}"] for i in range(num_ranges - 1)],
+                                dtype=np.float64))
+    bounds = bounds[~np.isnan(bounds)]
+    bref = ray.put(bounds)
+
+    wire = {c: v_types[c] for c in v_types}
+    wire.update(i_types)
+    out_fields = list(wire.items())
+
+    def pad(t: pa.Table, side: int) -> pa.Table:
+        cols = {c: (t[c] if c in t.column_names else pa.nulls(t.num_rows, typ))
+                for c, typ in wire.items()}
+        cols["__side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_vals(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        va = t[val_col].combine_chunks()
+        t = t.filter(va.is_valid())
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pad(t, 0)
+        return out.append_column(
+            "__rng", pa.array(np.searchsorted(b, v, side="right").astype(np.int64)))
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        mask = pc.and_(t[lo_col].combine_chunks().is_valid(),
+                       t[hi_col].combine_chunks().is_valid())
+        t = t.filter(mask)
+        lo = t[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.searchsorted(b, lo, side="right")
+        last = np.searchsorted(b, hi, side="right")
+        span = np.maximum(last - first + 1, 0)
+        span = np.where(hi < lo, 0, span)
+        total = int(span.sum())
+        if total == 0:
+            out = pad(t.slice(0, 0), 1)
+            return out.append_column("__rng", pa.array([], pa.int64()))
+        row_idx = np.repeat(np.arange(len(lo)), span)
+        rng = (np.arange(total)
+               - np.repeat(np.cumsum(span) - span, span)
+               + np.repeat(first, span))
+        out = pad(t.take(pa.array(row_idx, pa.int64())), 1)
+        return out.append_column("__rng", pa.array(rng.astype(np.int64)))
+
+    empty = pa.table({c: pa.nulls(0, typ) for c, typ in out_fields})
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        tv = t.filter(pa.array(side == 0))
+        ti = t.filter(pa.array(side == 1))
+        if tv.num_rows == 0 or ti.num_rows == 0:
+            return empty
+        v = tv[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(v, kind="stable")
+        v = v[order]
+        lo = ti[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = ti[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.searchsorted(v, lo, side="left")
+        z = np.searchsorted(v, hi, side="right" if closed == "both" else "left")
+        cnt = np.maximum(z - a, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        i_rep = np.repeat(np.arange(len(lo)), cnt)
+        v_pos = (np.arange(total)
+                 - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                 + np.repeat(a, cnt))
+        tv_m = tv.take(pa.array(order[v_pos], pa.int64()))
+        ti_m = ti.take(pa.array(i_rep, pa.int64()))
+        cols = {c: tv_m[c] for c in v_types}
+        cols.update({c: ti_m[c] for c in i_types})
+        return pa.table(cols).select([c for c, _ in out_fields])
+
+    tagged = ds_vals.map_batches(tag_vals, batch_format="pyarrow").union(
+        ds_intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+    return tagged.groupby("__rng").map_groups(join_group, batch_format="pyarrow")
+
+
 def _tagged_distinct_setop(ds_a, ds_b, cols: list[str], keep: str,
                            num_buckets: int | None = None):
     """Shared engine for EXCEPT/INTERSECT (DISTINCT semantics): tag each side,

@@ -380,3 +380,48 @@ def test_approx_quantile_nulls_and_empty(ray_session):
     empty = pd.DataFrame({"v": pd.array([], dtype="float64")})
     sk0 = approx_quantile(rd.from_pandas(empty), "v", {"med": 0.5})
     assert np.isnan(sk0["med"]) and sk0["n"] == 0.0
+
+
+# --------------------------------------------------------------- interval_join
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import interval_join
+
+    rng = np.random.default_rng(21)
+    vals = pd.DataFrame({"v": rng.uniform(0, 100, 400),
+                         "vid": np.arange(400, dtype=np.int64)})
+    vals.loc[::53, "v"] = None
+    iv = pd.DataFrame({"lo": rng.uniform(0, 95, 60)})
+    iv["hi"] = iv["lo"] + rng.uniform(0, 10, 60)
+    iv["iid"] = np.arange(60, dtype=np.int64)
+    iv.loc[0, ["lo", "hi"]] = [-1.0, 101.0]   # spans everything
+    iv.loc[1, ["lo", "hi"]] = [50.0, 40.0]    # inverted: matches nothing
+    iv.loc[2, "hi"] = None                    # null bound: matches nothing
+    for closed in ("both", "left"):
+        got = interval_join(rd.from_pandas(vals).repartition(5),
+                            rd.from_pandas(iv).repartition(3),
+                            "v", "lo", "hi", num_ranges=16, closed=closed)
+        got = (got.to_pandas().sort_values(["vid", "iid"]).reset_index(drop=True)
+               if got.count() else pd.DataFrame(columns=["vid", "iid"]))
+        exp = vals.dropna(subset=["v"]).merge(iv.dropna(subset=["lo", "hi"]),
+                                              how="cross")
+        m = (exp["v"] >= exp["lo"]) & ((exp["v"] <= exp["hi"]) if closed == "both"
+                                       else (exp["v"] < exp["hi"]))
+        exp = exp[m].sort_values(["vid", "iid"]).reset_index(drop=True)
+        assert list(got["vid"]) == list(exp["vid"]), closed
+        assert list(got["iid"]) == list(exp["iid"]), closed
+
+
+def test_interval_join_empty_sides(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import interval_join
+
+    vals = pd.DataFrame({"v": [1.0, 2.0], "vid": [0, 1]})
+    iv0 = pd.DataFrame({"lo": pd.array([], dtype="float64"),
+                        "hi": pd.array([], dtype="float64"),
+                        "iid": pd.array([], dtype="int64")})
+    out = interval_join(rd.from_pandas(vals), rd.from_pandas(iv0),
+                        "v", "lo", "hi", num_ranges=4)
+    assert out.count() == 0
