@@ -350,6 +350,17 @@ def _q_filter_valid_events(sf_dir):
     return filter_batches(ev, pred)
 
 
+def _q_hopping_window_events(sf_dir):
+    """Sliding 12h windows hopping every 6h: each event replicated to its
+    width/hop = 2 windows, then the tumbling combiner shuffle."""
+    from dedupe_examples_ray.windows import hopping_window
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return hopping_window(ev, "ts", ["event_type"], {"value": "sum_value"},
+                          width_multiple=12, hop_multiple=6, unit="hour",
+                          count_col="n", round_digits=4)
+
+
 def _q_events_daily(sf_dir):
     from dedupe_examples_ray.relational import grouped_sum
 
@@ -1810,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_join_supplier": _q_dim_join_supplier,
         "filter_valid_events": _q_filter_valid_events,
         "events_daily": _q_events_daily,
+        "hopping_window_events": _q_hopping_window_events,
         "text_token_counts": _q_text_token_counts,
         "lang_id_documents": _q_lang_id_documents,
         "quality_documents": _q_quality_documents,
@@ -2006,6 +2018,14 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": (
             "SELECT event_type, date_trunc('day', ts) AS day, ROUND(SUM(value), 4) AS sum_value, "
             "COUNT(*) AS n FROM events GROUP BY event_type, date_trunc('day', ts)"
+        ),
+        "hopping_window_events": (
+            "SELECT event_type, "
+            "make_timestamp(CAST((FLOOR(epoch_us(ts)/21600000000) - g.i) "
+            "* 21600000000 AS BIGINT)) AS win, "
+            "ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n "
+            "FROM events, (SELECT unnest(range(0, 2)) AS i) g "
+            "GROUP BY event_type, win"
         ),
         "null_flag_lang": (
             "SELECT doc_id, CASE WHEN NULLIF(lang, '') IS NULL THEN 'true' ELSE 'false' END "

@@ -67,7 +67,8 @@ def tumbling_window(
         ts = t[ts_col]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        us = pc.cast(ts, pa.int64())
+        # normalize to us first: pandas-born columns arrive as timestamp[ns]
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         # integer floor-divide (epoch >= 0 here), exact at any timestamp
         win = pc.multiply(pc.divide(us, width_us), width_us)
         win_ts = pc.cast(win, pa.timestamp("us"))
@@ -81,6 +82,59 @@ def tumbling_window(
     out = grouped_sum(derived, keys + [window_col], sum_cols, count_col=count_col,
                       round_digits=round_digits)
     # Ray's sort-based aggregate can downcast timestamp keys; restore us unit
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index(window_col), window_col,
+            pc.cast(t[window_col], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hopping_window(
+    ds,
+    ts_col: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    width_multiple: int = 12,
+    hop_multiple: int = 6,
+    unit: str = "hour",
+    window_col: str = "win",
+    count_col: str | None = None,
+    round_digits: int | None = None,
+):
+    """Hopping (sliding) time-window aggregate: windows of ``width`` starting
+    every ``hop``; each event belongs to exactly ``width/hop`` windows and is
+    replicated to each before the same combiner shuffle ``tumbling_window``
+    uses.  ``width`` must be a multiple of ``hop`` (the overlap factor is the
+    replication factor — bounded and explicit, never data-dependent).
+    """
+    width_us = _UNIT_SECONDS[unit] * width_multiple * 1_000_000
+    hop_us = _UNIT_SECONDS[unit] * hop_multiple * 1_000_000
+    if width_us % hop_us:
+        raise ValueError("width must be a multiple of hop")
+    k = width_us // hop_us
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        # normalize to us first: pandas-born columns arrive as timestamp[ns]
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        base = pc.multiply(pc.divide(us, hop_us), hop_us)
+        parts = []
+        for i in range(k):
+            win = pc.subtract(base, i * hop_us)
+            cols = {key: t[key] for key in keys}
+            cols[window_col] = pc.cast(win, pa.timestamp("us"))
+            for c in sum_cols:
+                cols[c] = t[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    out = grouped_sum(derived, keys + [window_col], sum_cols, count_col=count_col,
+                      round_digits=round_digits)
     return out.map_batches(
         lambda t: t.set_column(
             t.column_names.index(window_col), window_col,

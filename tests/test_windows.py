@@ -721,3 +721,38 @@ def test_first_last_value(ray_session):
     assert (nk["first_val"] == 5.0).all() and (nk["last_val"] == 6.0).all()
     b = out[out["k"] == "b"]
     assert (b["first_val"] == 7.0).all() and (b["last_val"] == 7.0).all()
+
+
+def test_hopping_window_replication(ray_session):
+    """Each event lands in exactly width/hop windows; the window set covers
+    the event and only windows containing it."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.windows import hopping_window
+
+    ts = pd.to_datetime(["2024-01-01 05:00", "2024-01-01 13:30"])
+    df = pd.DataFrame({"k": ["a", "a"], "ts": ts, "v": [1.0, 10.0]})
+    out = (hopping_window(rd.from_pandas(df), "ts", ["k"], {"v": "total"},
+                          width_multiple=12, hop_multiple=6, count_col="n")
+           .to_pandas().sort_values("win").reset_index(drop=True))
+    # event at 05:00 -> windows starting 00:00 and 2023-12-31 18:00
+    # event at 13:30 -> windows starting 12:00 and 06:00
+    starts = pd.to_datetime(out["win"]).dt.strftime("%Y-%m-%d %H:%M").tolist()
+    assert starts == ["2023-12-31 18:00", "2024-01-01 00:00",
+                      "2024-01-01 06:00", "2024-01-01 12:00"]
+    assert list(out["total"]) == [1.0, 1.0, 10.0, 10.0]
+    assert list(out["n"]) == [1, 1, 1, 1]
+
+
+def test_hopping_window_rejects_bad_hop(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.windows import hopping_window
+
+    df = pd.DataFrame({"k": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "v": [1.0]})
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window(rd.from_pandas(df), "ts", ["k"], {"v": "t"},
+                       width_multiple=10, hop_multiple=4)
