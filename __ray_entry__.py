@@ -1768,6 +1768,17 @@ def _q_rollup_lineitem(sf_dir):
         ["grouping_id", "l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def _q_cube_lineitem(sf_dir):
+    """GROUP BY CUBE(returnflag, linestatus): all 4 grouping sets in the
+    same one-pass grouping-sets engine as ROLLUP."""
+    from dedupe_examples_ray.relational import grouped_sum_cube
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = grouped_sum_cube(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    return out.to_pandas().sort_values(
+        ["grouping_id", "l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
 def _q_nth_value_orders(sf_dir):
     """NTH_VALUE(price, 3) over each customer's orders (full partition)."""
     from dedupe_examples_ray.windows import nth_value
@@ -1806,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_documents": _q_paragraph_dedup_documents,
         "mode_event_by_user": _q_mode_event_by_user,
         "rollup_lineitem": _q_rollup_lineitem,
+        "cube_lineitem": _q_cube_lineitem,
         "nth_value_orders": _q_nth_value_orders,
         "nunique_event_types": _q_nunique_event_types,
         "unpivot_lineitem": _q_unpivot_lineitem,
@@ -1945,6 +1957,13 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(SUM(l_quantity) AS DOUBLE) AS total, "
             "       CAST(GROUPING(l_returnflag) + 2*GROUPING(l_linestatus) AS BIGINT) AS grouping_id "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY grouping_id, l_returnflag, l_linestatus"
+        ),
+        "cube_lineitem": (
+            "SELECT l_returnflag, l_linestatus, "
+            "       CAST(SUM(l_quantity) AS DOUBLE) AS total, "
+            "       CAST(GROUPING(l_returnflag) + 2*GROUPING(l_linestatus) AS BIGINT) AS grouping_id "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
             "ORDER BY grouping_id, l_returnflag, l_linestatus"
         ),
         "nth_value_orders": (

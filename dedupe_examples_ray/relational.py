@@ -1369,23 +1369,31 @@ def grouped_mode(ds, key: str, col: str, out_val: str = "mode_val",
     return partials.groupby("__bkt").map_groups(final, batch_format="pandas")
 
 
-def grouped_sum_rollup(ds, keys: list[str], sum_col: str, out_col: str = "total",
-                       num_buckets: int | None = None):
-    """``SELECT keys, SUM(sum_col), grouping_id GROUP BY ROLLUP(keys)`` —
-    every rollup level in one pass: the per-batch combiner emits partials for
-    ALL levels (full detail, then each suffix of ``keys`` rolled up, down to
-    the grand total), so the input is still read once and the single bucketed
-    merge shuffle carries only pre-aggregated rows.
+def grouped_sum_grouping_sets(ds, keys: list[str], sum_col: str,
+                              grouping_ids: list[int],
+                              out_col: str = "total",
+                              num_buckets: int | None = None):
+    """``SELECT keys, SUM(sum_col), grouping_id GROUP BY GROUPING SETS(...)``
+    — every requested level in one pass: the per-batch combiner emits
+    partials for ALL levels, so the input is still read once and the single
+    bucketed merge shuffle carries only pre-aggregated rows (level count is
+    the replication factor of the PARTIALS, never of the input).
 
-    Rolled-up key columns are NULL; ``grouping_id`` disambiguates them from
-    real NULL key values (bit ``i`` set = ``keys[i]`` rolled up, the SQL
-    ``GROUPING()`` convention).  Sums are emitted as float64."""
+    ``grouping_ids``: one bitmask per grouping set — bit ``i`` set means
+    ``keys[i]`` is rolled up (the SQL ``GROUPING()`` convention).  Rolled-up
+    key columns are NULL; ``grouping_id`` disambiguates them from real NULL
+    key values.  Sums are emitted as float64.  ``grouped_sum_rollup`` and
+    ``grouped_sum_cube`` are the standard enumerations of this engine."""
     from .scale import resolve_buckets
 
     num_buckets = resolve_buckets(num_buckets, ds)
     nk = len(keys)
     if nk == 0:
-        raise ValueError("grouped_sum_rollup needs at least one key")
+        raise ValueError("grouping sets need at least one key")
+    if not grouping_ids or len(set(grouping_ids)) != len(grouping_ids):
+        raise ValueError("grouping_ids must be non-empty and distinct")
+    if any(g < 0 or g >= (1 << nk) for g in grouping_ids):
+        raise ValueError("grouping_id out of range for the key list")
     # explicit per-block Arrow schema: an all-rolled-up block would otherwise
     # infer a null-typed key column and degrade NULL -> NaN downstream
     in_schema = ds.schema()
@@ -1412,15 +1420,15 @@ def grouped_sum_rollup(ds, keys: list[str], sum_col: str, out_col: str = "total"
         df = t.select(keys + [sum_col]).to_pandas()
         df[sum_col] = df[sum_col].astype(np.float64)
         parts = []
-        for lvl in range(nk + 1):  # lvl = number of trailing keys rolled up
-            ks = keys[: nk - lvl]
-            gid = ((1 << lvl) - 1) << (nk - lvl)
+        for gid in grouping_ids:
+            ks = [k for i, k in enumerate(keys) if not (gid >> i) & 1]
             if ks:
                 g = df.groupby(ks, sort=False, dropna=False, as_index=False)[sum_col].sum()
             else:
                 g = pd.DataFrame({sum_col: [df[sum_col].sum()]})
-            for k in keys[nk - lvl:]:
-                g[k] = None
+            for i, k in enumerate(keys):
+                if (gid >> i) & 1:
+                    g[k] = None
             g["grouping_id"] = np.int64(gid)
             parts.append(g[keys + [sum_col, "grouping_id"]])
         out = pd.concat(parts, ignore_index=True)
@@ -1438,6 +1446,25 @@ def grouped_sum_rollup(ds, keys: list[str], sum_col: str, out_col: str = "total"
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby("__bkt").map_groups(final, batch_format="pandas")
+
+
+def grouped_sum_rollup(ds, keys: list[str], sum_col: str, out_col: str = "total",
+                       num_buckets: int | None = None):
+    """``GROUP BY ROLLUP(keys)``: full detail, then each suffix of ``keys``
+    rolled up, down to the grand total.  NB: bit ``i`` of ``grouping_id``
+    refers to ``keys[i]``, so the rollup masks set TRAILING key bits."""
+    nk = len(keys)
+    gids = [((1 << lvl) - 1) << (nk - lvl) for lvl in range(nk + 1)]
+    return grouped_sum_grouping_sets(ds, keys, sum_col, gids,
+                                     out_col=out_col, num_buckets=num_buckets)
+
+
+def grouped_sum_cube(ds, keys: list[str], sum_col: str, out_col: str = "total",
+                     num_buckets: int | None = None):
+    """``GROUP BY CUBE(keys)``: all ``2**len(keys)`` grouping sets."""
+    return grouped_sum_grouping_sets(ds, keys, sum_col,
+                                     list(range(1 << len(keys))),
+                                     out_col=out_col, num_buckets=num_buckets)
 
 
 def grouped_nunique(ds, key: str, col: str, out_col: str = "ndistinct",

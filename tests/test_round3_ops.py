@@ -425,3 +425,33 @@ def test_interval_join_empty_sides(ray_session):
     out = interval_join(rd.from_pandas(vals), rd.from_pandas(iv0),
                         "v", "lo", "hi", num_ranges=4)
     assert out.count() == 0
+
+
+# ------------------------------------------------------- cube / grouping sets
+def test_cube_levels_match_pandas(ray_session):
+    from dedupe_examples_ray.relational import grouped_sum_cube
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["1", "2", "1"],
+                       "v": [1.0, 2.0, 4.0]})
+    out = grouped_sum_cube(_ds(df), ["a", "b"], "v").to_pandas()
+    assert sorted(out["grouping_id"].unique()) == [0, 1, 2, 3]
+    # gid=1: a rolled up, grouped by b alone
+    g1 = out[out["grouping_id"] == 1].sort_values("b")
+    assert list(g1["b"]) == ["1", "2"] and list(g1["total"]) == [5.0, 2.0]
+    assert g1["a"].isna().all()
+    # gid=3 grand total
+    assert out.loc[out["grouping_id"] == 3, "total"].iloc[0] == 7.0
+
+
+def test_grouping_sets_explicit_and_validation(ray_session):
+    import pytest
+
+    from dedupe_examples_ray.relational import grouped_sum_grouping_sets
+
+    df = pd.DataFrame({"a": ["x", "y"], "b": ["1", "1"], "v": [3.0, 4.0]})
+    out = grouped_sum_grouping_sets(_ds(df), ["a", "b"], "v", [1, 2]).to_pandas()
+    assert sorted(out["grouping_id"].unique()) == [1, 2]
+    with pytest.raises(ValueError):
+        grouped_sum_grouping_sets(_ds(df), ["a", "b"], "v", [0, 4])
+    with pytest.raises(ValueError):
+        grouped_sum_grouping_sets(_ds(df), ["a", "b"], "v", [1, 1])
