@@ -600,6 +600,16 @@ def _q_token_df_documents(sf_dir):
     return compute_token_df(docs, "text")
 
 
+def _q_cross_dup_fraction_documents(sf_dir):
+    """MassiveText-style cross-corpus duplicated-window fraction per doc
+    (8-token windows, stride 4; windows travel as u64 hashes, dup keys
+    resolved with a bucketed semi hash_join — never broadcast)."""
+    from dedupe_examples_ray.ops import cross_dup_fraction
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cross_dup_fraction(docs, window=8, stride=4)
+
+
 def _q_unigram_xentropy_documents(sf_dir):
     """Unigram-LM cross-entropy quality signal: pass 1 estimates the LM over
     the corpus (Zipf-compressed token shuffle), pass 2 broadcasts the
@@ -1840,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_documents": _q_repetition_documents,
         "token_df_documents": _q_token_df_documents,
         "unigram_xentropy_documents": _q_unigram_xentropy_documents,
+        "cross_dup_fraction_documents": _q_cross_dup_fraction_documents,
         "null_flag_lang": _q_null_flag_lang,
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
         "minhash_consistency_documents": _q_minhash_consistency_documents,
@@ -2064,6 +2075,19 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, t FROM ("
             "    SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS t"
             "    FROM documents)) WHERE t <> '' GROUP BY t"
+        ),
+        "cross_dup_fraction_documents": (
+            "WITH arrs AS ("
+            "  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),"
+            "         x -> x <> '') AS arr FROM documents), "
+            "wins AS ("
+            "  SELECT doc_id, array_to_string(arr[i : i + 7], ' ') AS win"
+            "  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 6, 4)) AS i FROM arrs)), "
+            "cnt AS (SELECT win, COUNT(*) AS c FROM wins GROUP BY win) "
+            "SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, "
+            "CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+            "ROUND(CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) "
+            "AS dup_frac FROM wins w JOIN cnt c USING (win) GROUP BY w.doc_id"
         ),
         "unigram_xentropy_documents": (
             "WITH toks AS ("

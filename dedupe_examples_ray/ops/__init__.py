@@ -27,6 +27,7 @@ from .incremental import (  # noqa: F401
 from .corpus import (  # noqa: F401
     add_url_host,
     clean_corpus,
+    cross_dup_fraction,
     clean_corpus_funnel,
     host_stats,
     keep_latest,

@@ -611,3 +611,80 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return kept.map_batches(add_doc_bucket, batch_format="pyarrow").groupby(
         "bucket").map_groups(assemble, batch_format="pandas")
+
+
+# --------------------------------------------- cross-document dup fraction
+def cross_dup_fraction(ds, text_col: str = "text", id_col: str = "doc_id",
+                       window: int = 8, stride: int = 4):
+    """Per-document CROSS-corpus duplicated-content fraction — the
+    MassiveText/Gopher "fraction of duplicated n-gram windows" quality
+    signal (``repetition_stats`` measures WITHIN-doc repetition; this
+    measures how much of a doc reappears anywhere in the corpus).
+
+    Windows are ``window`` consecutive whitespace tokens at offsets
+    0, stride, 2*stride, ... (full windows only; docs shorter than
+    ``window`` tokens emit none and are absent from the output, SQL inner
+    semantics).  A window is duplicated when its token sequence occurs
+    more than once corpus-wide (any doc, itself included).
+
+    Scale shape: windows travel as u64 polynomial hashes of the token
+    hashes (never strings).  Three bounded shuffles on pre-aggregated or
+    key-hashed rows: (1) window-hash counts via the ``grouped_sum``
+    combiner, (2) a semi ``hash_join`` of window rows against the
+    duplicated-hash keys (both sides bucket-cogrouped — the dup-hash table
+    is corpus-sized in the worst case, so it is NEVER broadcast or
+    collected), (3) per-doc counts via ``grouped_sum``.  Output:
+    ``(doc_id, n_windows, n_dup, dup_frac)``.
+    """
+    from ..pairs import stable_hash
+    from ..relational import grouped_sum, hash_join
+    from .textstats import _tokenize_flat
+
+    P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier (u64 wraparound)
+
+    def emit_windows(t: pa.Table) -> pa.Table:
+        parents, flat = _tokenize_flat(t, text_col)
+        n = t.num_rows
+        counts = np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, np.int64)
+        nw = np.where(counts >= window, (counts - window) // stride + 1, 0).astype(np.int64)
+        total = int(nw.sum())
+        if total == 0:
+            return pa.table({id_col: t[id_col].take(pa.array([], pa.int64())),
+                             "h": pa.array([], pa.uint64())})
+        th = stable_hash(flat)
+        starts = np.cumsum(counts) - counts
+        doc_idx = np.repeat(np.arange(n), nw)
+        within = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
+        ws = np.repeat(starts, nw) + within * stride
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(window):
+            h = h * P + th[ws + j]
+        return pa.table({id_col: t[id_col].take(pa.array(doc_idx, pa.int64())),
+                         "h": pa.array(h)})
+
+    wins = ds.select_columns([id_col, text_col]).map_batches(
+        emit_windows, batch_format="pyarrow")
+    counts = grouped_sum(wins.select_columns(["h"]), ["h"], {}, count_col="c")
+    dup_keys = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["c"], 1)).select(["h"]),
+        batch_format="pyarrow")
+    dup_wins = hash_join(wins, dup_keys, on="h", how="semi")
+    n_dup = grouped_sum(dup_wins.select_columns([id_col]), [id_col], {},
+                        count_col="n_dup")
+    n_tot = grouped_sum(wins.select_columns([id_col]), [id_col], {},
+                        count_col="n_windows")
+    joined = hash_join(n_tot, n_dup.map_batches(
+        lambda t: t.rename_columns([id_col + "__d", "n_dup"]),
+        batch_format="pyarrow"), on=id_col, right_on=id_col + "__d", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = pc.fill_null(t["n_dup"], 0)
+        frac = pc.round(pc.divide(pc.cast(nd, pa.float64()),
+                                  pc.cast(t["n_windows"], pa.float64())),
+                        ndigits=4)
+        return pa.table({id_col: t[id_col],
+                         "n_windows": pc.cast(t["n_windows"], pa.int64()),
+                         "n_dup": pc.cast(nd, pa.int64()),
+                         "dup_frac": frac})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -455,3 +455,38 @@ def test_grouping_sets_explicit_and_validation(ray_session):
         grouped_sum_grouping_sets(_ds(df), ["a", "b"], "v", [0, 4])
     with pytest.raises(ValueError):
         grouped_sum_grouping_sets(_ds(df), ["a", "b"], "v", [1, 1])
+
+
+# ------------------------------------------------------- cross_dup_fraction
+def test_cross_dup_fraction_hand_check(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import cross_dup_fraction
+
+    # W=3, S=1: doc1 "a b c d" -> windows [a b c], [b c d]
+    #           doc2 "b c d e" -> windows [b c d], [c d e]
+    #           doc3 "x y"     -> too short, omitted
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b c d", "b c d e", "x y"]})
+    out = (cross_dup_fraction(rd.from_pandas(df).repartition(3),
+                              window=3, stride=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_windows"]) == [2, 2]
+    assert list(out["n_dup"]) == [1, 1]
+    assert list(out["dup_frac"]) == [0.5, 0.5]
+
+
+def test_cross_dup_fraction_self_duplication_counts(ray_session):
+    """A window repeated WITHIN one doc is duplicated too (count > 1
+    corpus-wide includes the same doc)."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import cross_dup_fraction
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["p q r p q r"]})
+    out = cross_dup_fraction(rd.from_pandas(df), window=3, stride=3).to_pandas()
+    # windows: [p q r], [p q r] -> both duplicated
+    assert list(out["n_windows"]) == [2]
+    assert list(out["n_dup"]) == [2]
+    assert list(out["dup_frac"]) == [1.0]
