@@ -600,6 +600,24 @@ def _q_token_df_documents(sf_dir):
     return compute_token_df(docs, "text")
 
 
+def _q_entropy_event_types(sf_dir):
+    """Shannon entropy (bits) of each user's event-type distribution —
+    pair-count combiner -> grouped_sum merge -> per-key entropy pass."""
+    from dedupe_examples_ray.relational import grouped_entropy
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
+def _q_share_of_customer_orders(sf_dir):
+    """Each order's share of its customer's total spend — SUM OVER
+    (PARTITION BY) ratio via one combiner shuffle + broadcast totals."""
+    from dedupe_examples_ray.relational import share_within_group
+
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return share_within_group(od, "o_custkey", "o_totalprice")
+
+
 def _q_cross_dup_fraction_documents(sf_dir):
     """MassiveText-style cross-corpus duplicated-window fraction per doc
     (8-token windows, stride 4; windows travel as u64 hashes, dup keys
@@ -1851,6 +1869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df_documents": _q_token_df_documents,
         "unigram_xentropy_documents": _q_unigram_xentropy_documents,
         "cross_dup_fraction_documents": _q_cross_dup_fraction_documents,
+        "entropy_event_types": _q_entropy_event_types,
+        "share_of_customer_orders": _q_share_of_customer_orders,
         "null_flag_lang": _q_null_flag_lang,
         "er_exact_consistency_documents": _q_er_exact_consistency_documents,
         "minhash_consistency_documents": _q_minhash_consistency_documents,
@@ -2075,6 +2095,19 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, t FROM ("
             "    SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS t"
             "    FROM documents)) WHERE t <> '' GROUP BY t"
+        ),
+        "entropy_event_types": (
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY user_id, event_type), "
+            "t AS (SELECT user_id, SUM(c) AS tot FROM c GROUP BY user_id) "
+            "SELECT c.user_id, "
+            "ROUND(-SUM((c.c/t.tot) * log2(c.c/t.tot)), 4) AS entropy "
+            "FROM c JOIN t USING (user_id) GROUP BY c.user_id"
+        ),
+        "share_of_customer_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "ROUND(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_custkey), 6) "
+            "AS share FROM orders"
         ),
         "cross_dup_fraction_documents": (
             "WITH arrs AS ("

@@ -1467,6 +1467,83 @@ def grouped_sum_cube(ds, keys: list[str], sum_col: str, out_col: str = "total",
                                      out_col=out_col, num_buckets=num_buckets)
 
 
+def grouped_entropy(ds, key: str, col: str, out_col: str = "entropy",
+                    round_digits: int | None = 4,
+                    num_buckets: int | None = None):
+    """Shannon entropy (bits) of the ``col`` value distribution within each
+    ``key`` group: ``-Σ p·log2(p)`` over value frequencies — the
+    concentration/diversity signal (e.g. event-type diversity per user,
+    token diversity per host).
+
+    Shape: per-batch (key, col) pair counts (combiner) → ``grouped_sum``
+    merge on the pair → one bucketed pass per KEY computing the entropy
+    from its (already tiny) per-value counts.  NULL ``col`` values are
+    excluded; NULL keys form their own group."""
+    from .pairs import stable_hash
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        df = df.dropna(subset=[col])
+        g = df.groupby([key, col], sort=False, dropna=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = grouped_sum(ds.map_batches(pair_counts, batch_format="pyarrow"),
+                        [key, col], {"c": "c"})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = stable_hash(pc.cast(t[key], pa.string()).to_numpy(zero_copy_only=False))
+        return t.append_column("__kb", pa.array((b % num_buckets).astype(np.int64)))
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        def ent(c: pd.Series) -> float:
+            p = c.to_numpy(np.float64)
+            p = p / p.sum()
+            return float(-(p * np.log2(p)).sum())
+
+        g = df.groupby(key, sort=False, dropna=False)["c"].agg(ent).reset_index(name=out_col)
+        if round_digits is not None:
+            g[out_col] = np.round(g[out_col], round_digits)
+        return g
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__kb").map_groups(
+                lambda df: entropy(df.drop(columns="__kb")),
+                batch_format="pandas"))
+
+
+def share_within_group(ds, key: str, val_col: str, out_col: str = "share",
+                       round_digits: int | None = 6):
+    """``val / SUM(val) OVER (PARTITION BY key)`` — each row's share of its
+    group total.  Two streaming passes: ``grouped_sum`` collapses to one
+    row per key (combiner shuffle), the totals broadcast via ``ray.put``
+    (bounded by |keys|, never rows), and a zero-shuffle ``map_batches``
+    divides.  Rows with a NULL key get a NULL share."""
+    import ray
+
+    totals = grouped_sum(ds.select_columns([key, val_col]), [key],
+                         {val_col: "__tot"}).to_pandas()
+    t_keys = totals[key].to_numpy(dtype=object)
+    ref = ray.put((t_keys, totals["__tot"].to_numpy(np.float64)))
+
+    def div(t: pa.Table) -> pa.Table:
+        keys_arr, tots = ray.get(ref)
+        idx = pd.Index(keys_arr)
+        k = t[key].to_numpy(zero_copy_only=False)
+        pos = idx.get_indexer(pd.Index(k, dtype=object))
+        tot = np.where(pos >= 0, tots[np.maximum(pos, 0)], np.nan)
+        v = pc.cast(t[val_col], pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = np.where(tot != 0, v / tot, np.nan)
+        if round_digits is not None:
+            share = np.round(share, round_digits)
+        return t.append_column(out_col, pa.array(share, pa.float64()))
+
+    return ds.map_batches(div, batch_format="pyarrow")
+
+
 def grouped_nunique(ds, key: str, col: str, out_col: str = "ndistinct",
                     num_buckets: int | None = None):
     """Exact per-key ``COUNT(DISTINCT col)`` without ever co-locating a whole

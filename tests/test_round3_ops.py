@@ -490,3 +490,39 @@ def test_cross_dup_fraction_self_duplication_counts(ray_session):
     assert list(out["n_windows"]) == [2]
     assert list(out["n_dup"]) == [2]
     assert list(out["dup_frac"]) == [1.0]
+
+
+# -------------------------------------------- grouped_entropy / share_within
+def test_grouped_entropy_hand_check(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_entropy
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2, 3],
+        "e": ["a", "a", "b", "b", "a", None, "z"],
+    })
+    out = (grouped_entropy(rd.from_pandas(df).repartition(4), "u", "e")
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    # u=1: 50/50 -> 1 bit; u=2: single value after NULL drop -> 0; u=3: 0
+    assert list(out["u"]) == [1, 2, 3]
+    assert list(out["entropy"]) == [1.0, 0.0, 0.0]
+
+
+def test_share_within_group_sums_to_one(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import share_within_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 9, 200),
+                       "v": rng.uniform(1, 10, 200)})
+    out = share_within_group(rd.from_pandas(df).repartition(5), "k", "v",
+                             round_digits=None).to_pandas()
+    sums = out.groupby("k")["share"].sum()
+    assert np.allclose(sums, 1.0)
+    exp = df["v"] / df.groupby("k")["v"].transform("sum")
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)["share"]
+    exps = pd.concat([df["k"], df["v"], exp.rename("s")], axis=1).sort_values(
+        ["k", "v"]).reset_index(drop=True)["s"]
+    assert np.allclose(got, exps)
