@@ -526,3 +526,35 @@ def test_share_within_group_sums_to_one(ray_session):
     exps = pd.concat([df["k"], df["v"], exp.rename("s")], axis=1).sort_values(
         ["k", "v"]).reset_index(drop=True)["s"]
     assert np.allclose(got, exps)
+
+
+# ------------------------------------------------------------- hostile inputs
+def test_new_text_ops_survive_null_and_empty_text(ray_session):
+    """NULL text, empty text, whitespace-only text through the round-3 text
+    ops: no crash, sane outputs."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import (
+        cross_dup_fraction,
+        paragraph_dedup,
+        unigram_xentropy,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [None, "", "   ", "one two three four", "one two three four",
+                 "\tword\nword2  "],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    x = unigram_xentropy(ds).to_pandas()
+    assert set(x["doc_id"]) == {3, 4, 5}  # token-less docs omitted
+    c = cross_dup_fraction(ds, window=2, stride=1).to_pandas().set_index("doc_id")
+    assert set(c.index) == {3, 4, 5}
+    # docs 3/4 are identical -> every window duplicated; doc5's lone window isn't
+    assert c.loc[3, "dup_frac"] == 1.0 and c.loc[4, "dup_frac"] == 1.0
+    assert c.loc[5, "dup_frac"] == 0.0
+    d = paragraph_dedup(ds, words_per_para=2).to_pandas()
+    # doc4 (verbatim dup of doc3) and doc1 (second occurrence of the empty
+    # paragraph, first-seen at doc0) are dropped; no crash on NULL text
+    assert 4 not in set(d["doc_id"]) and 1 not in set(d["doc_id"])
+    assert 3 in set(d["doc_id"])
