@@ -600,6 +600,33 @@ def _q_token_df_documents(sf_dir):
     return compute_token_df(docs, "text")
 
 
+def _q_explode_embeddings(sf_dir):
+    """UNNEST of a real list<float> column WITH ORDINALITY."""
+    from dedupe_examples_ray.relational import explode_list
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        # float32 -> float64 is exact; rounding the DOUBLE on both engines
+        # avoids float32 re-quantization disagreements at the 1e-6 grid.
+        return t.set_column(t.column_names.index("component"), "component",
+                            pc.round(pc.cast(t["component"], pa.float64()),
+                                     ndigits=6))
+
+    return explode_list(vecs, ["vec_id"], "embedding", out_col="component",
+                        with_ordinality="pos").map_batches(
+        rnd, batch_format="pyarrow")
+
+
+def _q_sample_k_documents(sf_dir):
+    """Exact-k deterministic content-hash sample (min-k over
+    md5_number_lower, DuckDB-portable ordering)."""
+    from dedupe_examples_ray.relational import sample_exact_k
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return sample_exact_k(docs, "doc_id", 100, method="md5")
+
+
 def _q_entropy_event_types(sf_dir):
     """Shannon entropy (bits) of each user's event-type distribution —
     pair-count combiner -> grouped_sum merge -> per-key entropy pass."""
@@ -1869,6 +1896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df_documents": _q_token_df_documents,
         "unigram_xentropy_documents": _q_unigram_xentropy_documents,
         "cross_dup_fraction_documents": _q_cross_dup_fraction_documents,
+        "explode_embeddings": _q_explode_embeddings,
+        "sample_k_documents": _q_sample_k_documents,
         "entropy_event_types": _q_entropy_event_types,
         "share_of_customer_orders": _q_share_of_customer_orders,
         "null_flag_lang": _q_null_flag_lang,
@@ -2095,6 +2124,15 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT DISTINCT doc_id, t FROM ("
             "    SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS t"
             "    FROM documents)) WHERE t <> '' GROUP BY t"
+        ),
+        "explode_embeddings": (
+            "SELECT vec_id, ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS component, "
+            "CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS pos "
+            "FROM embeddings"
+        ),
+        "sample_k_documents": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"
         ),
         "entropy_event_types": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "

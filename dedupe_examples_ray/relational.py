@@ -661,6 +661,50 @@ def hash_sample(ds, col: str, pct: float, mod: int = 100, method: str = "stable"
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+def _portable_hash_u64(s: pa.Array, method: str) -> np.ndarray:
+    """uint64 of a string array: ``"stable"`` = vectorized production hash;
+    ``"md5"`` = DuckDB ``md5_number_lower`` semantics (lower 8 digest bytes,
+    little-endian) for cross-engine verification."""
+    from .pairs import stable_hash
+
+    if method == "md5":
+        import hashlib
+
+        md5 = hashlib.md5
+        return np.fromiter(
+            (int.from_bytes(md5(v.encode()).digest()[8:], "little")
+             if v is not None else 0
+             for v in s.to_pylist()),
+            dtype=np.uint64, count=len(s))
+    return stable_hash(pc.fill_null(s, "").to_numpy(zero_copy_only=False))
+
+
+def sample_exact_k(ds, col: str, k: int, method: str = "stable"):
+    """Uniform sample of EXACTLY ``k`` rows, deterministic in the VALUES of
+    ``col`` (min-k content hashing): keep the k rows with the smallest
+    ``H(cast(col as string))``.  The fixed-size companion to
+    ``hash_sample``'s fixed-rate split — same row set on every engine,
+    every partitioning, every re-run; late-arriving data perturbs the
+    sample only where its hashes displace the boundary.
+
+    Combiner shape: each batch prunes to its own k smallest (shuffle moves
+    ≤ k rows per batch), then one small sort+limit finishes.  ``method``
+    as in ``hash_sample`` (``"md5"`` = DuckDB-portable ordering).
+    """
+    def prune(t: pa.Table) -> pa.Table:
+        h = _portable_hash_u64(pc.cast(t[col], pa.string()).combine_chunks(), method)
+        t = t.append_column("__h", pa.array(h))
+        if t.num_rows <= k:
+            return t
+        keep = np.argpartition(h, k)[:k]
+        return t.take(pa.array(np.sort(keep), pa.int64()))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    out = pruned.sort(["__h", col]).limit(k)
+    return out.map_batches(lambda t: t.drop_columns(["__h"]),
+                           batch_format="pyarrow")
+
+
 def key_skew_report(ds, key: str, round_digits: int = 4) -> pd.DataFrame:
     """Shuffle-planning diagnostic: the group-size distribution of a key —
     what you run BEFORE choosing bucket counts / salting thresholds for a
@@ -706,6 +750,33 @@ def explode_split(ds, id_cols: list[str], col: str, pattern: str = " ",
         idx = pc.list_parent_indices(parts)
         cols = {c: pc.take(t[c], idx) for c in id_cols}
         cols[out_col] = pc.list_flatten(parts)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def explode_list(ds, id_cols: list[str], list_col: str, out_col: str = "elem",
+                 with_ordinality: str | None = None):
+    """``SELECT id_cols, unnest(list_col) AS out_col`` over a REAL Arrow
+    ``list<T>`` column (``explode_split`` is the string-split special case).
+    ``with_ordinality`` names an optional 1-based position column (SQL
+    ``WITH ORDINALITY``).  NULL / empty lists expand to zero rows.  Fully
+    Arrow-vectorized: ``list_parent_indices`` + ``list_flatten`` + ``take``
+    per batch."""
+    def f(t: pa.Table) -> pa.Table:
+        lst = t[list_col].combine_chunks()
+        idx = pc.list_parent_indices(lst)
+        cols = {c: pc.take(t[c], idx) for c in id_cols}
+        cols[out_col] = pc.list_flatten(lst)
+        if with_ordinality:
+            par = idx.to_numpy(zero_copy_only=False)
+            if len(par):
+                starts = np.flatnonzero(np.diff(par, prepend=par[0] - 1))
+                ords = np.arange(len(par)) - np.repeat(starts, np.diff(
+                    np.append(starts, len(par)))) + 1
+            else:
+                ords = np.array([], dtype=np.int64)
+            cols[with_ordinality] = pa.array(ords.astype(np.int64))
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -558,3 +558,53 @@ def test_new_text_ops_survive_null_and_empty_text(ray_session):
     # paragraph, first-seen at doc0) are dropped; no crash on NULL text
     assert 4 not in set(d["doc_id"]) and 1 not in set(d["doc_id"])
     assert 3 in set(d["doc_id"])
+
+
+# --------------------------------------------------------------- sample_exact_k
+def test_sample_exact_k_deterministic_and_partition_independent(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import sample_exact_k
+
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "payload": np.arange(500) * 2})
+    a = (sample_exact_k(rd.from_pandas(df).repartition(2), "id", 20)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    b = (sample_exact_k(rd.from_pandas(df).repartition(13), "id", 20)
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    assert len(a) == 20
+    assert list(a["id"]) == list(b["id"])  # partitioning-independent
+    # min-k property vs a local reference
+    from dedupe_examples_ray.pairs import stable_hash
+    h = stable_hash(df["id"].astype(str).to_numpy(dtype=object))
+    exp = set(df["id"].to_numpy()[np.argsort(h)[:20]])
+    assert set(a["id"]) == exp
+
+
+def test_explode_list_ordinality_null_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import explode_list
+
+    t = pa.table({
+        "id": [1, 2, 3, 4],
+        "v": pa.array([[1.5, 2.5], None, [], [7.0]],
+                      type=pa.list_(pa.float64())),
+    })
+    out = (explode_list(rd.from_arrow(t), ["id"], "v", out_col="x",
+                        with_ordinality="pos")
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert list(out["id"]) == [1, 1, 4]       # null/empty -> zero rows
+    assert list(out["x"]) == [1.5, 2.5, 7.0]
+    assert list(out["pos"]) == [1, 2, 1]      # 1-based, restarts per row
+
+
+def test_sample_exact_k_small_input(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import sample_exact_k
+
+    df = pd.DataFrame({"id": [1, 2, 3]})
+    out = sample_exact_k(rd.from_pandas(df), "id", 10).to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]
