@@ -32,6 +32,7 @@ from ..cluster import (
 from ..config import Field as Field_, Settings, default_page_settings
 from ..normalize import derive_page_fields
 from ..pairs import candidate_pairs
+from ..timing import stage_timer
 from ..scoring import (
     bucketed_hydrate,
     hydrate_pairs,
@@ -125,7 +126,8 @@ def dedupe_dataset(
 
     if surrogate_ids == "auto":
         try:
-            id_t = dataset_arrow_types(records_ds)[id_col]
+            with stage_timer("schema probe"):
+                id_t = dataset_arrow_types(records_ds)[id_col]
             use_sur = pa_.types.is_string(id_t) or pa_.types.is_large_string(id_t)
         except Exception:
             use_sur = False
@@ -137,7 +139,8 @@ def dedupe_dataset(
     # broadcast record map when it fits the budget (ray.put once, read per
     # actor), else via partitioned hash-join hydration (J2).
     if n_records is None:
-        n_records = (ids_ds if ids_ds is not None else records_ds).count()
+        with stage_timer("n_records count"):
+            n_records = (ids_ds if ids_ds is not None else records_ds).count()
     if n_records == 0:
         # zero-row corpus: every stage would stream empty blocks, but Ray
         # drops empty blocks' schemas — return the canonical typed empty
@@ -178,10 +181,12 @@ def dedupe_dataset(
             add_uid_column, fn_kwargs=dict(id_col=id_col), batch_format="pyarrow"
         )
         if workdir is None:
-            records_work = records_work.materialize()
+            with stage_timer("derive+uid materialize"):
+                records_work = records_work.materialize()
         # one-time surrogate collision check: a 63-bit hash of n unique ids
         # collides with odds ~n^2/2^64; verify and fall back rather than trust.
-        n_uid = count_distinct_uids(records_work, n_records)
+        with stage_timer("uid collision check"):
+            n_uid = count_distinct_uids(records_work, n_records)
         if n_uid != n_records:
             # rare path — distinguish a genuine hash collision from the far
             # more likely malformed input (duplicate record ids), which would
@@ -208,7 +213,8 @@ def dedupe_dataset(
         records_ds = records_work  # one materialized copy serves every reader
     else:
         if workdir is None:
-            records_ds = records_ds.materialize()  # reused for blocks + hydration
+            with stage_timer("derive materialize"):
+                records_ds = records_ds.materialize()  # reused for blocks + hydration
         records_work, work_id = records_ds, id_col
 
     blocks = run_stage(
@@ -305,7 +311,8 @@ def dedupe_dataset(
     # *small* output of blocking+scoring, bounded by the block-size cap.
     edges = run_stage("edges", scored_edges, workdir, fp)
     if workdir is None:
-        edges = edges.materialize()
+        with stage_timer("block->pair->score->edges"):
+            edges = edges.materialize()
         # records_ds is materialized above — cheaper id source than ids_ds,
         # which usually re-reads the raw input
         id_source = records_ds
@@ -349,7 +356,10 @@ def dedupe_dataset(
         # driver maps the result blocks from plasma (no re-batching copy).
         # Empty blocks can carry a degenerate column-less schema — drop them
         # before concat (concat_tables requires identical schemas).
-        tbls = ray_.get(edges.select_columns(["id_a", "id_b", "score"]).to_arrow_refs())
+        with stage_timer("edge pull to driver"):
+            tbls = ray_.get(
+                edges.select_columns(["id_a", "id_b", "score"]).to_arrow_refs()
+            )
         tbls = [t for t in tbls if t.num_rows > 0]
         id_t = pa_.int64() if use_sur else pa_.string()
         edges_tbl = (
@@ -363,7 +373,8 @@ def dedupe_dataset(
                 }
             )
         )
-        label_tbl = driver_cluster_table(edges_tbl)
+        with stage_timer("driver CC"):
+            label_tbl = driver_cluster_table(edges_tbl)
         if workdir is not None:
             import ray.data as rd
 
@@ -373,14 +384,15 @@ def dedupe_dataset(
                 workdir,
                 fp,
             )
-        entity = run_stage(
-            "entity_map",
-            lambda: build_entity_map_uid(id_source, id_col, label_tbl)
-            if use_sur
-            else entity_map_from_table(id_source, id_col, label_tbl),
-            workdir,
-            fp,
-        )
+        def _entity_stage():
+            with stage_timer("entity map build"):
+                return (
+                    build_entity_map_uid(id_source, id_col, label_tbl)
+                    if use_sur
+                    else entity_map_from_table(id_source, id_col, label_tbl)
+                )
+
+        entity = run_stage("entity_map", _entity_stage, workdir, fp)
         return entity
     # beyond the driver budget: contract edges first (per-block spanning
     # forests, no shuffle, same components) — usually brings the edge set
