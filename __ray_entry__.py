@@ -627,6 +627,31 @@ def _q_sample_k_documents(sf_dir):
     return sample_exact_k(docs, "doc_id", 100, method="md5")
 
 
+def _q_profile_documents(sf_dir):
+    """Per-column profile (counts, exact NDV, typed min/max) of documents."""
+    from dedupe_examples_ray.relational import profile_table
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source", "n_chars"])
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def _q_string_agg_nation(sf_dir):
+    """STRING_AGG(n_name ORDER BY n_name) per region."""
+    from dedupe_examples_ray.relational import grouped_string_agg
+
+    nat = _read(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    return grouped_string_agg(nat, "n_regionkey", "n_name")
+
+
+def _q_histogram_orders_price(sf_dir):
+    """24-bin equi-width histogram of o_totalprice on [0, 600000)."""
+    from dedupe_examples_ray.relational import histogram_fixed
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return histogram_fixed(orders, "o_totalprice", 0.0, 600_000.0, 24)
+
+
 def _q_entropy_event_types(sf_dir):
     """Shannon entropy (bits) of each user's event-type distribution —
     pair-count combiner -> grouped_sum merge -> per-key entropy pass."""
@@ -1898,6 +1923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dup_fraction_documents": _q_cross_dup_fraction_documents,
         "explode_embeddings": _q_explode_embeddings,
         "sample_k_documents": _q_sample_k_documents,
+        "profile_documents": _q_profile_documents,
+        "string_agg_nation": _q_string_agg_nation,
+        "histogram_orders_price": _q_histogram_orders_price,
         "entropy_event_types": _q_entropy_event_types,
         "share_of_customer_orders": _q_share_of_customer_orders,
         "null_flag_lang": _q_null_flag_lang,
@@ -2133,6 +2161,29 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_documents": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100"
+        ),
+        "profile_documents": (
+            "SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,"
+            " COUNT(*) - COUNT(doc_id) AS n_null,"
+            " COUNT(DISTINCT doc_id) AS n_distinct,"
+            " CAST(MIN(doc_id) AS VARCHAR) AS min_value,"
+            " CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM documents "
+            "UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),"
+            " COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents "
+            "UNION ALL SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),"
+            " COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents "
+            "UNION ALL SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),"
+            " COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),"
+            " CAST(MAX(n_chars) AS VARCHAR) FROM documents"
+        ),
+        "string_agg_nation": (
+            "SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS agg "
+            "FROM nation WHERE n_name IS NOT NULL GROUP BY n_regionkey"
+        ),
+        "histogram_orders_price": (
+            "SELECT CAST(LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)"
+            " / (600000.0 / 24)), 0), 23) AS BIGINT) AS bucket, COUNT(*) AS n "
+            "FROM orders WHERE o_totalprice IS NOT NULL GROUP BY bucket"
         ),
         "entropy_event_types": (
             "WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events "

@@ -1670,3 +1670,182 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
 
     return ds.select_columns(id_cols + value_cols).map_batches(
         fn, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, key: str, val: str, sep: str = ",",
+                       out_col: str = "agg", num_buckets: int | None = None):
+    """``STRING_AGG(val, sep ORDER BY val) GROUP BY key``.  Values cast to
+    string; NULL values are skipped (SQL STRING_AGG semantics — a key whose
+    values are ALL NULL is omitted, matching ``WHERE val IS NOT NULL``);
+    NULL keys form one group.  The ORDER BY makes the result deterministic
+    under any partitioning.
+
+    Shape: a concatenating aggregate cannot shrink in a combiner (every
+    byte appears in the output), so rows ship straight to a bucketed
+    key-hash shuffle and each key is assembled exactly once."""
+    from .pairs import stable_hash
+    from .scale import resolve_buckets
+
+    B = resolve_buckets(num_buckets, ds)
+
+    def local(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[val], pa.string())
+        keep = pc.is_valid(v)
+        k = t[key].filter(keep)
+        h = stable_hash(
+            pc.cast(k, pa.string()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pa.table({key: k, val: v.filter(keep),
+                         "__bkt": pa.array((h % B).astype(np.int64))})
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(val, kind="stable")
+        g = (df.groupby(key, sort=False, dropna=False)[val]
+               .agg(sep.join).reset_index(name=out_col))
+        return g
+
+    return (ds.select_columns([key, val])
+            .map_batches(local, batch_format="pyarrow")
+            .groupby("__bkt").map_groups(assemble, batch_format="pandas"))
+
+
+def histogram_fixed(ds, col: str, lo: float, hi: float, nbins: int,
+                    bucket_col: str = "bucket", count_col: str = "n"):
+    """Equi-width histogram of a numeric column: ``bucket = clamp(floor(
+    (x - lo) / ((hi - lo) / nbins)), 0, nbins - 1)`` with per-bucket counts.
+    Out-of-range values clamp into the edge buckets; NULL (and NaN) values
+    are excluded.  Only non-empty buckets appear (GROUP BY semantics).
+
+    Pure combiner: each batch collapses to ≤ nbins rows via ``bincount``, so
+    the shuffle moves O(nbins × batches) rows regardless of input size —
+    the profiling primitive that stays cheap at any scale."""
+    w = (float(hi) - float(lo)) / int(nbins)
+
+    def local(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64()).combine_chunks().drop_null().to_numpy()
+        x = x[~np.isnan(x)]
+        if not len(x):
+            return pa.table({bucket_col: pa.array([], pa.int64()),
+                             count_col: pa.array([], pa.int64())})
+        b = np.clip(np.floor((x - float(lo)) / w), 0, nbins - 1).astype(np.int64)
+        counts = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table({bucket_col: pa.array(nz, pa.int64()),
+                         count_col: pa.array(counts[nz], pa.int64())})
+
+    partials = ds.select_columns([col]).map_batches(local, batch_format="pyarrow")
+    return grouped_sum(partials, [bucket_col], {count_col: count_col})
+
+
+def profile_table(ds, columns: list[str], ndistinct: bool = True):
+    """Per-column data profile — the first query a pipeline owner runs on an
+    unfamiliar table: ``(col_name, n_rows, n_null, [n_distinct,] min_value,
+    max_value)`` with min/max rendered as strings (computed on the NATIVE
+    type first, so ``9 < 10`` even though ``"9" > "10"``).
+
+    One streaming pass computes counts and typed min/max per (batch, column)
+    — a combiner whose shuffle is k rows per batch.  ``ndistinct=True`` adds
+    an exact per-column COUNT(DISTINCT) via the pair-sharded
+    ``grouped_nunique`` machinery (the one genuinely wide part; switch it
+    off for a cheap profile).  All-NULL columns report NULL min/max."""
+    import ray.data as rd
+
+    cols = list(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        mins_i, maxs_i = [], []
+        mins_f, maxs_f = [], []
+        mins_s, maxs_s = [], []
+        for c in cols:
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            names.append(c)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            vi = va = vf = wf = vs = ws = None
+            if len(arr) - arr.null_count > 0:
+                typ = arr.type
+                if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+                    mm = pc.min_max(pc.cast(arr, pa.int64()))
+                    vi, va = mm["min"].as_py(), mm["max"].as_py()
+                elif pa.types.is_floating(typ):
+                    mm = pc.min_max(pc.cast(arr, pa.float64()))
+                    vf, wf = mm["min"].as_py(), mm["max"].as_py()
+                else:
+                    mm = pc.min_max(pc.cast(arr, pa.string()))
+                    vs, ws = mm["min"].as_py(), mm["max"].as_py()
+            mins_i.append(vi); maxs_i.append(va)
+            mins_f.append(vf); maxs_f.append(wf)
+            mins_s.append(vs); maxs_s.append(ws)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_i": pa.array(mins_i, pa.int64()),
+            "max_i": pa.array(maxs_i, pa.int64()),
+            "min_f": pa.array(mins_f, pa.float64()),
+            "max_f": pa.array(maxs_f, pa.float64()),
+            "min_s": pa.array(mins_s, pa.string()),
+            "max_s": pa.array(maxs_s, pa.string()),
+        })
+
+    import ray
+
+    # Arrow merge keeps nullable int64 minima exact (a pandas float64 round
+    # trip would corrupt values past 2^53 — e.g. surrogate uid columns)
+    tbls = [t for t in ray.get(
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ) if t.num_rows]
+    if not tbls:  # zero-row input (or all-empty blocks): profile of zeros
+        tbls = [partial(pa.table({c: pa.array([], pa.null()) for c in cols}))]
+    part = pa.concat_tables(tbls).combine_chunks()
+    m = pa.TableGroupBy(part, "col_name").aggregate([
+        ("n_rows", "sum"), ("n_null", "sum"),
+        ("min_i", "min"), ("max_i", "max"),
+        ("min_f", "min"), ("max_f", "max"),
+        ("min_s", "min"), ("max_s", "max"),
+    ])
+
+    def fmt(i: int, lo: bool) -> str | None:
+        sfx = "min" if lo else "max"
+        vi = m[f"{sfx}_i_{sfx}"][i].as_py()
+        if vi is not None:
+            return str(vi)
+        vf = m[f"{sfx}_f_{sfx}"][i].as_py()
+        if vf is not None:
+            return str(vf)
+        return m[f"{sfx}_s_{sfx}"][i].as_py()
+
+    out = pd.DataFrame({
+        "col_name": m["col_name"].to_pylist(),
+        "n_rows": np.asarray(m["n_rows_sum"].to_pylist(), np.int64),
+        "n_null": np.asarray(m["n_null_sum"].to_pylist(), np.int64),
+        "min_value": [fmt(i, True) for i in range(m.num_rows)],
+        "max_value": [fmt(i, False) for i in range(m.num_rows)],
+    })
+    if ndistinct:
+        def to_pairs(t: pa.Table) -> pa.Table:
+            parts = []
+            for c in cols:
+                v = pc.cast(t[c], pa.string()).combine_chunks()
+                u = v.drop_null().unique()
+                parts.append(pa.table({
+                    "col_name": pa.array(np.repeat(c, len(u)), pa.string()),
+                    "val": u,
+                }))
+            return pa.concat_tables(parts)
+
+        pairs = ds.select_columns(cols).map_batches(to_pairs, batch_format="pyarrow")
+        nd = grouped_nunique(pairs, "col_name", "val", out_col="n_distinct").to_pandas()
+        if "col_name" not in nd.columns:  # empty Dataset.to_pandas drops columns
+            nd = pd.DataFrame({"col_name": pd.Series([], dtype=object),
+                               "n_distinct": pd.Series([], dtype=np.int64)})
+        out = out.merge(nd, on="col_name", how="left")
+        out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+        out = out[["col_name", "n_rows", "n_null", "n_distinct",
+                   "min_value", "max_value"]]
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -560,6 +560,80 @@ def test_new_text_ops_survive_null_and_empty_text(ray_session):
     assert 3 in set(d["doc_id"])
 
 
+# ------------------------------------------------------------- profiling ops
+def test_profile_table_types_nulls_and_bigint_precision(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import profile_table
+
+    big = (1 << 60) + 7
+    t = pa.table({
+        "i": pa.array([big, 3, None, 5], pa.int64()),
+        "f": pa.array([1.5, None, -2.25, 0.0], pa.float64()),
+        "s": pa.array(["b", "a", None, "c"], pa.string()),
+        "allnull": pa.array([None] * 4, pa.string()),
+    })
+    out = (profile_table(rd.from_arrow(t).repartition(3),
+                         ["i", "f", "s", "allnull"])
+           .to_pandas().set_index("col_name"))
+    assert int(out.loc["i", "n_rows"]) == 4 and int(out.loc["i", "n_null"]) == 1
+    assert out.loc["i", "min_value"] == "3"
+    assert out.loc["i", "max_value"] == str(big)  # exact past 2^53
+    assert out.loc["f", "min_value"] == "-2.25"
+    assert out.loc["s", "min_value"] == "a" and out.loc["s", "max_value"] == "c"
+    assert out.loc["allnull", "min_value"] is None or pd.isna(
+        out.loc["allnull", "min_value"])
+    assert int(out.loc["allnull", "n_distinct"]) == 0
+    assert int(out.loc["s", "n_distinct"]) == 3
+    assert int(out.loc["i", "n_distinct"]) == 3
+
+
+def test_profile_table_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import profile_table
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                    "v": pa.array([], pa.float64())}))
+    out = profile_table(empty, ["k", "v"]).to_pandas().set_index("col_name")
+    assert list(out["n_rows"]) == [0, 0]
+    assert list(out["n_distinct"]) == [0, 0]
+    assert out["min_value"].isna().all()
+
+
+def test_grouped_string_agg_null_semantics_and_order(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_string_agg
+
+    df = pd.DataFrame({
+        "k": ["x", "x", None, None, "y", "z"],
+        "v": ["b", "a", "q", "p", None, "only"],
+    })
+    out = (grouped_string_agg(rd.from_pandas(df).repartition(3), "k", "v")
+           .to_pandas())
+    m = {(None if pd.isna(k) else k): v for k, v in zip(out["k"], out["agg"])}
+    assert m["x"] == "a,b"          # ORDER BY v
+    assert m[None] == "p,q"         # NULL keys form one group
+    assert "y" not in m             # all-NULL values -> group omitted
+    assert m["z"] == "only"
+
+
+def test_histogram_fixed_clamp_and_null(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import histogram_fixed
+
+    df = pd.DataFrame({"x": [-5.0, 0.0, 9.99, 10.0, 25.0, 99.0, 150.0, None]})
+    out = (histogram_fixed(rd.from_pandas(df).repartition(2), "x",
+                           0.0, 100.0, 10)
+           .to_pandas().set_index("bucket")["n"].to_dict())
+    # -5 clamps to 0; 150 clamps to 9; NULL dropped
+    assert out == {0: 3, 1: 1, 2: 1, 9: 2}
+
+
 # --------------------------------------------------------------- sample_exact_k
 def test_sample_exact_k_deterministic_and_partition_independent(ray_session):
     import ray.data as rd
