@@ -1888,6 +1888,86 @@ def _q_unpivot_lineitem(sf_dir):
         ["l_orderkey", "l_linenumber", "name"]).reset_index(drop=True)
 
 
+def _q_regr_price_qty(sf_dir):
+    """Grouped simple linear regression (regr_slope/intercept/r2 + covar_samp)
+    of extendedprice on quantity per returnflag — one distributed-moments
+    combiner pass, O(#keys) rows through the shuffle."""
+    from dedupe_examples_ray.relational import grouped_regression
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_regression(li, ["l_returnflag"], x="l_quantity",
+                             y="l_extendedprice", round_digits=4)
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_mad_order_price(sf_dir):
+    """Per-priority median absolute deviation of order totals (robust spread
+    statistic; two dependent order statistics inside one group task)."""
+    from dedupe_examples_ray.relational import grouped_mad
+
+    od = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_mad(od, ["o_orderpriority"], "o_totalprice")
+    return out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_quantile_disc_lineitem(sf_dir):
+    """Discrete per-group percentiles (percentile_disc: an actual data value,
+    not an interpolation — what you want for 'a real representative row')."""
+    from dedupe_examples_ray.relational import grouped_quantile
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantile(li, ["l_returnflag"], "l_extendedprice",
+                           {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+                           method="disc")
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_tpch_q3_topk(sf_dir):
+    """TPC-H Q3-shaped capstone: customer ⋈ orders ⋈ lineitem with predicate
+    pushdown below both shuffles, revenue in exact integer ten-thousandths
+    (engines disagree on float64 accumulation order), combiner groupby, top-10.
+    The reference delegates exactly this shape to the database server
+    (pgsql_big_dedupe_example.py's payoff joins); here both joins are the
+    engine's own — customer⋈orders via semi hash_join (only distinct building
+    custkeys travel), orders⋈lineitem big-big cogroup."""
+    import datetime as _dt
+
+    from dedupe_examples_ray.relational import grouped_sum, hash_join, top_k
+
+    cutoff = _dt.datetime(1998, 6, 30)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    bld = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow")
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    od = od.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    # orders of building customers: semi join — only DISTINCT custkeys shuffle
+    od = hash_join(od, bld, on="o_custkey", right_on="c_custkey", how="semi")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_e4(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        v = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        e4 = pc.cast(pc.floor(pc.add(pc.multiply(v, 10000.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e4": e4})
+
+    li = li.map_batches(rev_e4, batch_format="pyarrow")
+    j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+    g = grouped_sum(j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                    {"rev_e4": "rev_e4_sum"})
+    top = top_k(g, "rev_e4_sum", 10, tie_cols=["l_orderkey"])
+    df = top.to_pandas()
+    df["revenue"] = (df.pop("rev_e4_sum") / 10000.0).round(4)
+    return df.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -1984,6 +2064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "zscore_events": _q_zscore_events,
         "pivot_user_events": _q_pivot_user_events,
+        "regr_price_qty": _q_regr_price_qty,
+        "mad_order_price": _q_mad_order_price,
+        "quantile_disc_lineitem": _q_quantile_disc_lineitem,
+        "tpch_q3_topk": _q_tpch_q3_topk,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_dedupe_documents": _q_er_dedupe_documents,
         "er_dedupe_pages": _q_er_dedupe_pages,
@@ -2561,6 +2645,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "regr_price_qty": (
+            "SELECT l_returnflag, "
+            "  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+            "  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, "
+            "  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2, "
+            "  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar, "
+            "  COUNT(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "mad_order_price": (
+            "SELECT o_orderpriority, ROUND(mad(o_totalprice), 4) AS mad "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "quantile_disc_lineitem": (
+            "SELECT l_returnflag, "
+            "  ROUND(quantile_disc(l_extendedprice, 0.25), 4) AS p25, "
+            "  ROUND(quantile_disc(l_extendedprice, 0.50), 4) AS p50, "
+            "  ROUND(quantile_disc(l_extendedprice, 0.90), 4) AS p90 "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "tpch_q3_topk": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "  ROUND(SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "                 AS BIGINT))/10000.0, 4) AS revenue "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "  AND l_orderkey = o_orderkey "
+            "  AND o_orderdate < TIMESTAMP '1998-06-30' "
+            "  AND l_shipdate > TIMESTAMP '1998-06-30' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "                  AS BIGINT)) DESC, l_orderkey "
+            "LIMIT 10"
         ),
     }
 

@@ -269,20 +269,30 @@ def grouped_corr(ds, keys: list[str], x: str, y: str, out_col: str = "corr_xy",
 
 
 def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
-                     round_digits: int = 4):
-    """Exact per-group quantiles (linear interpolation — ``quantile_cont``
-    semantics).  One shuffle on the keys; the whole group's values sort inside
-    one task, so this is the exact path for bounded groups — for groups that
-    exceed task memory at 100 TB, switch to a mergeable sketch (KLL/t-digest)
-    with the same output schema.
+                     round_digits: int = 4, method: str = "linear"):
+    """Exact per-group quantiles.  ``method="linear"`` is interpolated
+    (``quantile_cont`` semantics); ``method="disc"`` is the discrete
+    percentile (``quantile_disc`` / ``percentile_disc``: the first actual
+    value whose cumulative rank reaches q, i.e. ``sorted[ceil(q*n)-1]``).
+    One shuffle on the keys; the whole group's values sort inside one task,
+    so this is the exact path for bounded groups — for groups that exceed
+    task memory at 100 TB, switch to a mergeable sketch (KLL/t-digest) with
+    the same output schema (``approx_quantile`` below is that path for the
+    ungrouped case).
     """
+    if method not in ("linear", "disc"):
+        raise ValueError(f"method must be 'linear' or 'disc', got {method!r}")
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(df[col].to_numpy(dtype=np.float64))
         scale = 10.0 ** round_digits
         out = {k: [df[k].iloc[0]] for k in keys}
         for name, q in qs.items():
-            val = float(np.percentile(v, q * 100.0, method="linear"))
+            if method == "disc":
+                idx = max(0, int(np.ceil(q * len(v))) - 1)
+                val = float(v[idx])
+            else:
+                val = float(np.percentile(v, q * 100.0, method="linear"))
             out[name] = [np.floor(val * scale + 0.5) / scale]
         return pd.DataFrame(out)
 
@@ -290,6 +300,94 @@ def grouped_quantile(ds, keys: list[str], col: str, qs: dict[str, float],
     return proj.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
         per_group, batch_format="pandas"
     )
+
+
+def grouped_mad(ds, keys: list[str], col: str, out_col: str = "mad",
+                round_digits: int = 4):
+    """Per-group median absolute deviation — ``mad(col) GROUP BY keys``
+    (median of ``|x - median(x)|``, both medians interpolated, no scaling
+    constant — DuckDB/R semantics).  Needs the full group in one task (two
+    dependent order statistics can't combine); same bounded-group contract as
+    ``grouped_quantile``.  NULLs are excluded (SQL aggregate semantics)."""
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        scale = 10.0 ** round_digits
+        out = {k: [df[k].iloc[0]] for k in keys}
+        if len(v) == 0:
+            out[out_col] = [np.nan]
+        else:
+            med = float(np.percentile(v, 50.0, method="linear"))
+            mad = float(np.percentile(np.abs(v - med), 50.0, method="linear"))
+            out[out_col] = [np.floor(mad * scale + 0.5) / scale]
+        return pd.DataFrame(out)
+
+    proj = ds.select_columns(keys + [col])
+    return proj.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
+def grouped_regression(ds, keys: list[str], x: str, y: str,
+                       round_digits: int = 4):
+    """Grouped simple linear regression of ``y`` on ``x`` — SQL
+    ``regr_slope(y,x) / regr_intercept(y,x) / regr_r2(y,x) / covar_samp(x,y)
+    GROUP BY keys`` in one pass.  Same distributed-moments combiner as
+    ``grouped_corr``: each batch collapses to one raw-moment row per key
+    before the shuffle, so only O(#keys) rows travel.  Pairwise non-null
+    (rows where either value is NULL are excluded).  Postgres/DuckDB edge
+    semantics: slope/intercept NULL when the group's x-variance is 0; r2
+    NULL when x-variance is 0, exactly 1 when y-variance is 0; covar_samp
+    NULL when n < 2."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [x, y]).to_pandas()
+        df = df.dropna(subset=[x, y])
+        xv, yv = df[x].astype(np.float64), df[y].astype(np.float64)
+        g = df.assign(
+            __n=1.0, __sx=xv, __sy=yv, __sxx=xv * xv, __syy=yv * yv, __sxy=xv * yv
+        ).groupby(keys, as_index=False, sort=False)[
+            ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    aggs = [Sum(c, alias_name=c) for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")]
+    merged = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(*aggs)
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["__n"].to_numpy(zero_copy_only=False)
+        sx = t["__sx"].to_numpy(zero_copy_only=False)
+        sy = t["__sy"].to_numpy(zero_copy_only=False)
+        sxx = t["__sxx"].to_numpy(zero_copy_only=False)
+        syy = t["__syy"].to_numpy(zero_copy_only=False)
+        sxy = t["__sxy"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # centered second moments (Postgres regr_* closed forms)
+            Sxx = sxx - sx * sx / np.maximum(n, 1.0)
+            Syy = syy - sy * sy / np.maximum(n, 1.0)
+            Sxy = sxy - sx * sy / np.maximum(n, 1.0)
+            slope = np.where(Sxx > 0, Sxy / Sxx, np.nan)
+            intercept = np.where(Sxx > 0, (sy - slope * sx) / np.maximum(n, 1.0), np.nan)
+            r2 = np.where(Sxx > 0, np.where(Syy > 0, (Sxy * Sxy) / (Sxx * Syy), 1.0), np.nan)
+            covar = np.where(n >= 2, Sxy / np.maximum(n - 1.0, 1.0), np.nan)
+
+        def rnd(v):
+            scale = 10.0 ** round_digits
+            sign = np.sign(v)
+            return sign * np.floor(np.abs(v) * scale + 0.5) / scale
+
+        cols = {k: t[k] for k in keys}
+        cols["slope"] = pa.array(rnd(slope), pa.float64())
+        cols["intercept"] = pa.array(rnd(intercept), pa.float64())
+        cols["r2"] = pa.array(rnd(r2), pa.float64())
+        cols["covar"] = pa.array(rnd(covar), pa.float64())
+        cols["n"] = pa.array(n.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(final, batch_format="pyarrow")
 
 
 def _key_hash_u64(keys) -> np.ndarray:

@@ -682,3 +682,69 @@ def test_sample_exact_k_small_input(ray_session):
     df = pd.DataFrame({"id": [1, 2, 3]})
     out = sample_exact_k(rd.from_pandas(df), "id", 10).to_pandas()
     assert sorted(out["id"]) == [1, 2, 3]
+
+
+def test_grouped_regression_matches_numpy(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_regression
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(1, 50, 4000)
+    df = pd.DataFrame({
+        "g": np.where(np.arange(4000) % 2 == 0, "a", "b"),
+        "x": x,
+        "y": 3.5 * x + 10.0 + rng.standard_normal(4000) * 5.0,
+    })
+    out = (grouped_regression(rd.from_pandas(df).repartition(9), ["g"],
+                              "x", "y", round_digits=6)
+           .to_pandas().set_index("g"))
+    for g, d in df.groupby("g"):
+        slope, intercept = np.polyfit(d["x"], d["y"], 1)
+        r = np.corrcoef(d["x"], d["y"])[0, 1]
+        cov = np.cov(d["x"], d["y"], ddof=1)[0, 1]
+        assert out.loc[g, "slope"] == pytest.approx(slope, abs=1e-5)
+        assert out.loc[g, "intercept"] == pytest.approx(intercept, abs=1e-4)
+        assert out.loc[g, "r2"] == pytest.approx(r * r, abs=1e-6)
+        assert out.loc[g, "covar"] == pytest.approx(cov, abs=1e-4)
+        assert out.loc[g, "n"] == len(d)
+
+
+def test_grouped_regression_edge_semantics(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_regression
+
+    df = pd.DataFrame({
+        # zero x-variance -> slope/intercept/r2 NULL (Postgres semantics)
+        "g": ["zx"] * 3 + ["zy"] * 3 + ["nn"] * 4,
+        "x": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0, 1.0, 2.0, None, 4.0],
+        # zero y-variance -> r2 == 1; pairwise-null rows excluded
+        "y": [1.0, 2.0, 3.0, 7.0, 7.0, 7.0, 2.0, None, 6.0, 8.0],
+    })
+    out = (grouped_regression(rd.from_pandas(df), ["g"], "x", "y")
+           .to_pandas().set_index("g"))
+    assert np.isnan(out.loc["zx", "slope"]) and np.isnan(out.loc["zx", "r2"])
+    assert out.loc["zy", "r2"] == 1.0 and out.loc["zy", "slope"] == 0.0
+    assert out.loc["nn", "n"] == 2  # only the two pairwise-complete rows
+
+
+def test_grouped_mad_and_disc_quantile(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_mad, grouped_quantile
+
+    v = [1.0, 2.0, 3.5, 7.0, 100.0, 4.0]
+    df = pd.DataFrame({"k": ["a"] * 6, "v": v})
+    mad = grouped_mad(rd.from_pandas(df), ["k"], "v").to_pandas()
+    # median=3.75, |v-med| sorted -> median 2.25 (verified vs DuckDB mad())
+    assert mad["mad"].tolist() == [2.25]
+
+    out = grouped_quantile(rd.from_pandas(df), ["k"], "v",
+                           {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+                           method="disc").to_pandas()
+    # discrete percentile returns actual data values: sorted[ceil(q*n)-1]
+    assert out.p25.tolist() == [2.0]
+    assert out.p50.tolist() == [3.5]
+    assert out.p90.tolist() == [100.0]
