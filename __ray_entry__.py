@@ -680,6 +680,18 @@ def _q_cross_dup_fraction_documents(sf_dir):
     return cross_dup_fraction(docs, window=8, stride=4)
 
 
+def _q_remove_dup_spans_documents(sf_dir):
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022, windowed
+    form): every 10-token sequence seen more than once corpus-wide keeps only
+    its first occurrence; later occurrences are cut from their documents.
+    Windows travel as u64 hashes; removals rejoin via big-big hash_join."""
+    from dedupe_examples_ray.ops import remove_dup_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_dup_spans(docs, window=10)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_unigram_xentropy_documents(sf_dir):
     """Unigram-LM cross-entropy quality signal: pass 1 estimates the LM over
     the corpus (Zipf-compressed token shuffle), pass 2 broadcasts the
@@ -2064,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "zscore_events": _q_zscore_events,
         "pivot_user_events": _q_pivot_user_events,
+        "remove_dup_spans_documents": _q_remove_dup_spans_documents,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2645,6 +2658,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "remove_dup_spans_documents": (
+            "WITH tok AS ("
+            "  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), "
+            "                             x -> x <> '') AS w FROM documents), "
+            "winstr AS ("
+            "  SELECT doc_id, UNNEST(list_transform(range(0, greatest(len(w)-9, 0)), "
+            "    p -> struct_pack(pos := p, "
+            "                     win := array_to_string(list_slice(w, p+1, p+10), ' '))), "
+            "    recursive := true) FROM tok), "
+            "ranked AS ("
+            "  SELECT doc_id, pos, "
+            "         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn "
+            "  FROM winstr), "
+            "removed AS (SELECT doc_id, pos FROM ranked WHERE rn > 1), "
+            "toks AS ("
+            "  SELECT doc_id, UNNEST(list_transform(range(0, len(w)), "
+            "    i -> struct_pack(tpos := i, token := w[CAST(i+1 AS INT)])), "
+            "    recursive := true) FROM tok), "
+            "kept AS ("
+            "  SELECT k.doc_id, k.tpos, k.token FROM toks k "
+            "  WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.doc_id = k.doc_id "
+            "                    AND k.tpos >= r.pos AND k.tpos < r.pos + 10)), "
+            "agg AS ("
+            "  SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS text, "
+            "         COUNT(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, COALESCE(a.text, '') AS text, "
+            "       CAST(len(t.w) AS BIGINT) AS n_tokens_total, "
+            "       CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed "
+            "FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"
         ),
         "regr_price_qty": (
             "SELECT l_returnflag, "

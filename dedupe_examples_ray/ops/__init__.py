@@ -28,6 +28,7 @@ from .corpus import (  # noqa: F401
     add_url_host,
     clean_corpus,
     cross_dup_fraction,
+    remove_dup_spans,
     clean_corpus_funnel,
     host_stats,
     keep_latest,

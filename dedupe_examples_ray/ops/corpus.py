@@ -688,3 +688,128 @@ def cross_dup_fraction(ds, text_col: str = "text", id_col: str = "doc_id",
                          "dup_frac": frac})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                     window: int = 10):
+    """Corpus-wide duplicated-span REMOVAL — the windowed form of ExactSubstr
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every ``window``-token sequence that occurs
+    more than once corpus-wide keeps its FIRST occurrence (min (doc_id,
+    position)) and every other occurrence's tokens are cut from their
+    documents.  The paper builds a corpus suffix array; this is the bounded
+    map/shuffle approximation over fixed-width stride-1 windows — spans
+    shorter than ``window`` tokens are not detected, longer ones are covered
+    by their overlapping windows.
+
+    Tokens are ``\\s+`` splits with empties dropped (the corpus-wide
+    convention); output text is the kept tokens re-joined with single
+    spaces — token-sequence semantics, original whitespace not preserved
+    (same contract as the paper's token-level cuts).
+
+    Scale shape: windows travel as u64 polynomial hashes with (doc, pos)
+    coordinates — never strings.  One bucketed shuffle on the window hash
+    ranks occurrences and emits removals (all-but-first per duplicated
+    hash); removals aggregate per doc through a key-hash shuffle
+    (``grouped_string_agg``) and rejoin the corpus with a big-big left
+    ``hash_join`` — nothing is broadcast or collected.  The final cut is
+    vectorized for the common untouched row; only rows that actually lose a
+    span pay a Python reassembly.
+
+    Output: ``(doc_id, text, n_tokens_total, n_tokens_removed)`` for every
+    input row (untouched docs pass through with 0 removed).
+    """
+    from ..pairs import stable_hash
+    from ..relational import grouped_string_agg, hash_join
+    from ..scale import resolve_buckets
+    from .textstats import _tokenize_flat
+
+    P = np.uint64(0x100000001B3)
+
+    def emit_windows(t: pa.Table) -> pa.Table:
+        parents, flat = _tokenize_flat(t, text_col)
+        n = t.num_rows
+        counts = np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, np.int64)
+        nw = np.maximum(counts - window + 1, 0).astype(np.int64)
+        total = int(nw.sum())
+        if total == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        th = stable_hash(flat)
+        starts = np.cumsum(counts) - counts
+        doc_idx = np.repeat(np.arange(n), nw)
+        pos = np.arange(total) - np.repeat(np.cumsum(nw) - nw, nw)
+        ws = np.repeat(starts, nw) + pos
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(window):
+            h = h * P + th[ws + j]
+        return pa.table({id_col: t[id_col].take(pa.array(doc_idx, pa.int64())),
+                         "pos": pa.array(pos, pa.int64()),
+                         "h": pa.array(h)})
+
+    wins = ds.select_columns([id_col, text_col]).map_batches(
+        emit_windows, batch_format="pyarrow")
+    B = resolve_buckets(None, ds)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        bkt = (t["h"].combine_chunks().to_numpy(zero_copy_only=False) % B).astype(np.int64)
+        return t.append_column("__bkt", pa.array(bkt))
+
+    def removals(df: pd.DataFrame) -> pd.DataFrame:
+        # all-but-first occurrence of every duplicated window hash; the
+        # (doc_id, pos) sort pins "first" deterministically
+        df = df.sort_values(["h", id_col, "pos"], kind="stable")
+        dup = df.duplicated(subset="h", keep="first")
+        out = df.loc[dup, [id_col, "pos"]]
+        return out if len(out) else pd.DataFrame(
+            {id_col: pd.Series([], dtype=df[id_col].dtype),
+             "pos": pd.Series([], dtype="int64")})
+
+    rem = wins.map_batches(bucket, batch_format="pyarrow").groupby(
+        "__bkt").map_groups(removals, batch_format="pandas")
+    rem_per_doc = grouped_string_agg(rem, id_col, "pos", sep=",",
+                                     out_col="__starts")
+    # a corpus with no duplicated window yields ZERO removal groups, leaving
+    # rem_per_doc schema-less; union a typed empty table so the left join
+    # below always sees the right side's columns
+    import ray.data as rd
+
+    from ..scoring import dataset_arrow_types
+
+    id_type = dataset_arrow_types(ds.select_columns([id_col]))[id_col]
+    typed_empty = rd.from_arrow(pa.table({
+        id_col + "__r": pa.array([], id_type),
+        "__starts": pa.array([], pa.string()),
+    }))
+    rhs = rem_per_doc.map_batches(
+        lambda t: t.rename_columns([id_col + "__r", "__starts"]),
+        batch_format="pyarrow").union(typed_empty)
+    joined = hash_join(ds.select_columns([id_col, text_col]), rhs,
+                       on=id_col, right_on=id_col + "__r", how="left")
+
+    def cut(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        starts_col = t["__starts"].to_pylist()
+        texts = txt.to_pylist()
+        out_txt: list[str] = []
+        n_tot = np.empty(len(texts), dtype=np.int64)
+        n_rem = np.zeros(len(texts), dtype=np.int64)
+        for i, (s, x) in enumerate(zip(starts_col, texts)):
+            toks = [w for w in x.split() if w != ""]
+            n_tot[i] = len(toks)
+            if not s:  # untouched row: token-normalized passthrough
+                out_txt.append(" ".join(toks))
+                continue
+            mask = np.zeros(len(toks), dtype=bool)
+            for p in s.split(","):
+                q = int(p)
+                mask[q:q + window] = True
+            n_rem[i] = int(mask.sum())
+            out_txt.append(" ".join(w for w, m in zip(toks, mask) if not m))
+        return pa.table({id_col: t[id_col],
+                         text_col: pa.array(out_txt, pa.string()),
+                         "n_tokens_total": pa.array(n_tot),
+                         "n_tokens_removed": pa.array(n_rem)})
+
+    return joined.map_batches(cut, batch_format="pyarrow")

@@ -748,3 +748,52 @@ def test_grouped_mad_and_disc_quantile(ray_session):
     assert out.p25.tolist() == [2.0]
     assert out.p50.tolist() == [3.5]
     assert out.p90.tolist() == [100.0]
+
+
+def test_remove_dup_spans_planted(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import remove_dup_spans
+
+    run = "alpha bravo charlie delta echo"          # the 5-token span
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            run + " foxtrot golf",                  # first occurrence: kept
+            "intro words " + run + " outro",        # later occurrence: cut
+            "too short here",                       # < window: untouched
+            run + " " + run,                        # within-doc repeat: 2nd cut
+        ],
+    })
+    out = (remove_dup_spans(rd.from_pandas(docs), window=5)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "text"] == run + " foxtrot golf"
+    assert out.loc[1, "n_tokens_removed"] == 0
+    # doc 2 loses exactly the 5 planted tokens, keeps its own framing
+    assert out.loc[2, "text"] == "intro words outro"
+    assert out.loc[2, "n_tokens_removed"] == 5
+    assert out.loc[3, "text"] == "too short here"
+    assert out.loc[3, "n_tokens_removed"] == 0
+    # doc 4 holds two MORE copies of a span whose first corpus-wide
+    # occurrence is doc 1 — both are cut, leaving nothing
+    assert out.loc[4, "n_tokens_total"] == 10
+    assert out.loc[4, "n_tokens_removed"] == 10
+    assert out.loc[4, "text"] == ""
+
+
+def test_remove_dup_spans_hostile(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import remove_dup_spans
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [None, "", "   leading   and   trailing   spaces   "],
+    })
+    out = (remove_dup_spans(rd.from_pandas(docs), window=3)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "text"] == "" and out.loc[1, "n_tokens_total"] == 0
+    assert out.loc[2, "text"] == ""
+    # whitespace-normalized passthrough, empties dropped
+    assert out.loc[3, "text"] == "leading and trailing spaces"
+    assert out.loc[3, "n_tokens_removed"] == 0
