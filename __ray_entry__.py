@@ -692,6 +692,19 @@ def _q_remove_dup_spans_documents(sf_dir):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_source_overlap_documents(sf_dir):
+    """Cross-source 8-gram containment matrix (corpus-leakage audit): for
+    every ordered source pair, the fraction of a's distinct 8-token windows
+    that also occur in b.  Hashed windows, per-batch distinct combiner, one
+    global distinct, bucketed self-merge — never a broadcast."""
+    from dedupe_examples_ray.ops import source_ngram_overlap
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    out = source_ngram_overlap(docs, ngram=8)
+    return out.to_pandas().sort_values(
+        ["source_a", "source_b"]).reset_index(drop=True)
+
+
 def _q_unigram_xentropy_documents(sf_dir):
     """Unigram-LM cross-entropy quality signal: pass 1 estimates the LM over
     the corpus (Zipf-compressed token shuffle), pass 2 broadcasts the
@@ -2077,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _q_zscore_events,
         "pivot_user_events": _q_pivot_user_events,
         "remove_dup_spans_documents": _q_remove_dup_spans_documents,
+        "source_overlap_documents": _q_source_overlap_documents,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2658,6 +2672,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "source_overlap_documents": (
+            "WITH tok AS ("
+            "  SELECT source, list_filter(regexp_split_to_array(COALESCE(text,''), '\\s+'), "
+            "                             x -> x <> '') AS w FROM documents), "
+            "wins AS ("
+            "  SELECT DISTINCT source, "
+            "         array_to_string(list_slice(w, CAST(p+1 AS INT), CAST(p+8 AS INT)), ' ') AS win "
+            "  FROM (SELECT source, w, UNNEST(range(0, greatest(len(w)-7, 0))) AS p FROM tok)), "
+            "counts AS (SELECT source, COUNT(*) AS n_grams FROM wins GROUP BY source), "
+            "shared AS ("
+            "  SELECT a.source AS source_a, b.source AS source_b, "
+            "         CAST(COUNT(*) AS BIGINT) AS shared "
+            "  FROM wins a JOIN wins b ON a.win = b.win AND a.source <> b.source "
+            "  GROUP BY a.source, b.source) "
+            "SELECT s.source_a, s.source_b, s.shared, CAST(c.n_grams AS BIGINT) AS n_a, "
+            "       ROUND(s.shared / CAST(c.n_grams AS DOUBLE), 6) AS containment "
+            "FROM shared s JOIN counts c ON c.source = s.source_a "
+            "ORDER BY s.source_a, s.source_b"
         ),
         "remove_dup_spans_documents": (
             "WITH tok AS ("

@@ -29,6 +29,7 @@ from .corpus import (  # noqa: F401
     clean_corpus,
     cross_dup_fraction,
     remove_dup_spans,
+    source_ngram_overlap,
     clean_corpus_funnel,
     host_stats,
     keep_latest,

@@ -813,3 +813,95 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
                          "n_tokens_removed": pa.array(n_rem)})
 
     return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def source_ngram_overlap(ds, group_col: str = "source", text_col: str = "text",
+                         ngram: int = 8, round_digits: int = 6):
+    """Cross-source n-gram CONTAINMENT matrix — for every ordered source pair
+    (a, b), the fraction of a's distinct ``ngram``-token windows that also
+    occur in b (the decontamination / corpus-leakage audit: 'how much of
+    source a is inside source b?').  Zero-overlap pairs are omitted (inner
+    semantics).
+
+    Scale shape: windows travel as u64 hashes with a per-batch distinct
+    combiner, then ONE global (source, hash) distinct; pair hits come from a
+    bucketed self-merge on the hash (vectorized pandas merge per bucket), so
+    the exchange is bounded by distinct grams x the number of sources sharing
+    each gram — the output is inherently O(#sources^2) and assumes a moderate
+    source count (feeds, crawls, datasets), not unbounded cardinality.
+
+    Output: ``(source_a, source_b, shared, n_a, containment)``.
+    """
+    from ..relational import distinct, grouped_sum, hash_join
+    from ..scale import resolve_buckets
+    from .textstats import _tokenize_flat
+
+    P = np.uint64(0x100000001B3)
+
+    def emit(t: pa.Table) -> pa.Table:
+        from ..pairs import stable_hash
+
+        parents, flat = _tokenize_flat(t, text_col)
+        n = t.num_rows
+        counts = np.bincount(parents, minlength=n) if len(parents) else np.zeros(n, np.int64)
+        nw = np.maximum(counts - ngram + 1, 0).astype(np.int64)
+        total = int(nw.sum())
+        if total == 0:
+            return pa.table({group_col: pa.array([], t.schema.field(group_col).type),
+                             "h": pa.array([], pa.uint64())})
+        th = stable_hash(flat)
+        starts = np.cumsum(counts) - counts
+        src_idx = np.repeat(np.arange(n), nw)
+        ws = np.repeat(starts, nw) + (np.arange(total) -
+                                      np.repeat(np.cumsum(nw) - nw, nw))
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(ngram):
+            h = h * P + th[ws + j]
+        out = pa.table({group_col: t[group_col].take(pa.array(src_idx, pa.int64())),
+                        "h": pa.array(h)})
+        # per-batch distinct combiner: shrink before the shuffle
+        df = out.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    grams = distinct(ds.select_columns([group_col, text_col]).map_batches(
+        emit, batch_format="pyarrow"), [group_col, "h"])
+    n_per_src = grouped_sum(grams.select_columns([group_col]), [group_col], {},
+                            count_col="n_a")
+    B = resolve_buckets(None, grams)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        bkt = (t["h"].combine_chunks().to_numpy(zero_copy_only=False) % B).astype(np.int64)
+        return t.append_column("__bkt", pa.array(bkt))
+
+    def pair_hits(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="h", suffixes=("_a", "_b"))
+        m = m[m[group_col + "_a"] != m[group_col + "_b"]]
+        g = m.groupby([group_col + "_a", group_col + "_b"], sort=False,
+                      as_index=False).size().rename(
+            columns={group_col + "_a": "source_a", group_col + "_b": "source_b",
+                     "size": "shared"})
+        if not len(g):
+            return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                                 "source_b": pd.Series([], dtype=object),
+                                 "shared": pd.Series([], dtype="int64")})
+        g["shared"] = g["shared"].astype("int64")
+        return g
+
+    hits = grams.map_batches(bucket, batch_format="pyarrow").groupby(
+        "__bkt").map_groups(
+        lambda df: pair_hits(df.drop(columns="__bkt")), batch_format="pandas")
+    shared = grouped_sum(hits, ["source_a", "source_b"], {"shared": "shared"})
+    joined = hash_join(shared, n_per_src.map_batches(
+        lambda t: t.rename_columns(["__src", "n_a"]), batch_format="pyarrow"),
+        on="source_a", right_on="__src")
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.divide(pc.cast(t["shared"], pa.float64()),
+                               pc.cast(t["n_a"], pa.float64())),
+                     ndigits=round_digits)
+        return pa.table({"source_a": t["source_a"], "source_b": t["source_b"],
+                         "shared": pc.cast(t["shared"], pa.int64()),
+                         "n_a": pc.cast(t["n_a"], pa.int64()),
+                         "containment": c})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

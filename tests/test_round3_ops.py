@@ -797,3 +797,33 @@ def test_remove_dup_spans_hostile(ray_session):
     # whitespace-normalized passthrough, empties dropped
     assert out.loc[3, "text"] == "leading and trailing spaces"
     assert out.loc[3, "n_tokens_removed"] == 0
+
+
+def test_source_ngram_overlap_planted(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import source_ngram_overlap
+
+    span = "one two three four"                     # a shared 4-gram
+    docs = pd.DataFrame({
+        "source": ["A", "A", "B", "C"],
+        "text": [
+            span + " tailA more words",
+            "unrelated content entirely here",
+            "prefixB " + span + " tailB",
+            "nothing in common with anyone",
+        ],
+    })
+    out = (source_ngram_overlap(rd.from_pandas(docs), ngram=4)
+           .to_pandas().set_index(["source_a", "source_b"]).sort_index())
+    # A and B share exactly the one planted window, both directions
+    assert out.loc[("A", "B"), "shared"] == 1
+    assert out.loc[("B", "A"), "shared"] == 1
+    # containment is shared / n_a (ordered, asymmetric denominators)
+    assert out.loc[("A", "B"), "containment"] == pytest.approx(
+        1.0 / out.loc[("A", "B"), "n_a"])
+    assert out.loc[("B", "A"), "containment"] == pytest.approx(
+        1.0 / out.loc[("B", "A"), "n_a"])
+    # C overlaps nobody -> absent (inner semantics)
+    assert "C" not in out.index.get_level_values(0)
