@@ -692,6 +692,17 @@ def _q_remove_dup_spans_documents(sf_dir):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_robust_zscore_events(sf_dir):
+    """Per-type robust z-score (median/MAD) of event values — the
+    outlier-resistant normalization; stats broadcast once, stateless
+    annotate."""
+    from dedupe_examples_ray.relational import grouped_robust_zscore
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = grouped_robust_zscore(ev, ["event_type"], "value")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def _q_source_overlap_documents(sf_dir):
     """Cross-source 8-gram containment matrix (corpus-leakage audit): for
     every ordered source pair, the fraction of a's distinct 8-token windows
@@ -2091,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_events": _q_pivot_user_events,
         "remove_dup_spans_documents": _q_remove_dup_spans_documents,
         "source_overlap_documents": _q_source_overlap_documents,
+        "robust_zscore_events": _q_robust_zscore_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2672,6 +2684,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "robust_zscore_events": (
+            "WITH stats AS (SELECT event_type, median(value) AS med, mad(value) AS m "
+            "               FROM events GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value, "
+            "       ROUND((e.value - s.med) / NULLIF(s.m, 0), 6) AS rz "
+            "FROM events e JOIN stats s USING (event_type) ORDER BY e.event_id"
         ),
         "source_overlap_documents": (
             "WITH tok AS ("

@@ -1501,6 +1501,52 @@ def pivot_sum(ds, keys: list[str], pivot_col: str, value_col: str,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_robust_zscore(ds, keys: list[str], col: str, out_col: str = "rz",
+                          round_digits: int = 6):
+    """Per-group ROBUST z-score: ``(x - median(x)) / mad(x)`` — the
+    outlier-resistant variant of :func:`grouped_zscore` (one extreme value
+    shifts a mean/stddev z-score for the whole group; the median/MAD pair is
+    insensitive to up to half the group being junk, which is what web-scale
+    quality filtering needs).
+
+    Pass 1 computes (median, MAD) per key with one bounded-group shuffle
+    (order statistics don't combine — same contract as ``grouped_quantile``);
+    the stats table (one row per key) is collected and broadcast once via
+    ``ray.put``.  Pass 2 is the same stateless annotate as ``grouped_zscore``
+    (shared ``_zscore_batch``, per-worker cached lookup).  A zero-MAD group
+    yields NULL (SQL ``NULLIF(mad, 0)``); NULL values keep a NULL score."""
+    import ray
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        out = {k: [df[k].iloc[0]] for k in keys}
+        if len(v) == 0:
+            out["_mu"], out["_sd"] = [np.nan], [np.nan]
+        else:
+            med = float(np.percentile(v, 50.0, method="linear"))
+            out["_mu"] = [med]
+            out["_sd"] = [float(np.percentile(np.abs(v - med), 50.0,
+                                              method="linear"))]
+        return pd.DataFrame(out)
+
+    stats = (ds.select_columns(keys + [col])
+             .groupby(keys if len(keys) > 1 else keys[0])
+             .map_groups(per_group, batch_format="pandas")
+             .to_pandas())
+    # MAD == 0 -> NULL via the shared batch kernel's non-finite guard
+    # (copy first: Dataset.to_pandas() frames are Arrow-backed read-only)
+    sd = stats["_sd"].to_numpy(np.float64).copy()
+    sd[sd == 0.0] = np.nan
+    stats = stats.assign(_sd=sd)
+    stats_ref = ray.put(stats)
+    return ds.map_batches(
+        _zscore_batch, batch_format="pyarrow",
+        fn_kwargs=dict(keys=keys, col=col, out_col=out_col,
+                       round_digits=round_digits, stats_ref=stats_ref),
+    )
+
+
 def grouped_mode(ds, key: str, col: str, out_val: str = "mode_val",
                  out_count: str = "mode_count", num_buckets: int | None = None):
     """Per-key statistical mode: the most frequent ``col`` value per ``key``,

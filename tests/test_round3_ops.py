@@ -827,3 +827,21 @@ def test_source_ngram_overlap_planted(ray_session):
         1.0 / out.loc[("B", "A"), "n_a"])
     # C overlaps nobody -> absent (inner semantics)
     assert "C" not in out.index.get_level_values(0)
+
+
+def test_grouped_robust_zscore(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_robust_zscore
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["z"] * 3,
+        "v": [1.0, 2.0, 3.0, 4.0, 1000.0,    # the outlier barely moves med/MAD
+              5.0, 5.0, 5.0],                # zero MAD -> NULL scores
+    })
+    out = (grouped_robust_zscore(rd.from_pandas(df), ["k"], "v")
+           .to_pandas())
+    a = out[out["k"] == "a"].sort_values("v")["rz"].to_numpy()
+    # group a: median 3, MAD = median(|v-3|) = median([2,1,0,1,997]) = 1
+    assert np.allclose(a, [-2.0, -1.0, 0.0, 1.0, 997.0])
+    assert out[out["k"] == "z"]["rz"].isna().all()
