@@ -692,6 +692,25 @@ def _q_remove_dup_spans_documents(sf_dir):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_geomean_part_price(sf_dir):
+    """Per-brand geometric-mean retail price (log-sum combiner)."""
+    from dedupe_examples_ray.relational import grouped_geomean
+
+    pt = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+    out = grouped_geomean(pt, ["p_brand"], "p_retailprice")
+    return out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+
+
+def _q_skew_kurt_lineitem(sf_dir):
+    """Per-returnflag sample skewness / excess kurtosis of extended price
+    (bias-corrected G1/G2; two-pass central moments for stability)."""
+    from dedupe_examples_ray.relational import grouped_skew_kurt
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_skew_kurt(li, ["l_returnflag"], "l_extendedprice")
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q_robust_zscore_events(sf_dir):
     """Per-type robust z-score (median/MAD) of event values — the
     outlier-resistant normalization; stats broadcast once, stateless
@@ -2103,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans_documents": _q_remove_dup_spans_documents,
         "source_overlap_documents": _q_source_overlap_documents,
         "robust_zscore_events": _q_robust_zscore_events,
+        "geomean_part_price": _q_geomean_part_price,
+        "skew_kurt_lineitem": _q_skew_kurt_lineitem,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2684,6 +2705,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "geomean_part_price": (
+            "SELECT p_brand, ROUND(exp(avg(ln(p_retailprice))), 4) AS geomean, "
+            "       COUNT(p_retailprice) AS n "
+            "FROM part GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "skew_kurt_lineitem": (
+            "SELECT l_returnflag, "
+            "  ROUND(skewness(l_extendedprice), 4) AS skewness, "
+            "  ROUND(kurtosis(l_extendedprice), 4) AS kurtosis, "
+            "  COUNT(l_extendedprice) AS n "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "robust_zscore_events": (
             "WITH stats AS (SELECT event_type, median(value) AS med, mad(value) AS m "

@@ -1501,6 +1501,135 @@ def pivot_sum(ds, keys: list[str], pivot_col: str, value_col: str,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_geomean(ds, keys: list[str], col: str, out_col: str = "geomean",
+                    round_digits: int = 4):
+    """Grouped geometric mean — ``exp(AVG(ln(col)))`` semantics, one log-sum
+    combiner pass (log domain makes the product order-independent and
+    overflow-free).  Defined for strictly positive values; NULLs are excluded
+    (SQL aggregate semantics) and non-positive values yield a NULL group
+    result (``ln`` is undefined there — mirror any rows you need around
+    that).  Output: keys + ``out_col`` + ``n``."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [col]).to_pandas()
+        df = df.dropna(subset=[col])
+        x = df[col].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            df["_lg"] = np.where(x > 0, np.log(np.maximum(x, 1e-300)), np.nan)
+        df["_bad"] = (x <= 0).astype(np.int64)
+        df["_n"] = 1
+        g = df.groupby(keys, as_index=False, sort=False)[["_lg", "_bad", "_n"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+              .groupby(keys if len(keys) > 1 else keys[0])
+              .aggregate(Sum("_lg", alias_name="_lg"),
+                         Max("_bad", alias_name="_bad"),
+                         Sum("_n", alias_name="_n")))
+
+    def final(t: pa.Table) -> pa.Table:
+        lg = t["_lg"].to_numpy(zero_copy_only=False)
+        bad = t["_bad"].to_numpy(zero_copy_only=False)
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            gm = np.where((bad > 0) | (n == 0), np.nan, np.exp(lg / np.maximum(n, 1.0)))
+        scale = 10.0 ** round_digits
+        gm = np.where(np.isnan(gm), np.nan, np.floor(gm * scale + 0.5) / scale)
+        cols = {k: t[k] for k in keys}
+        cols[out_col] = pa.array(gm, pa.float64())
+        cols["n"] = pa.array(n.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
+def grouped_skew_kurt(ds, keys: list[str], col: str, round_digits: int = 4):
+    """Grouped sample skewness and excess kurtosis — SQL
+    ``skewness(col) / kurtosis(col) GROUP BY keys`` (the bias-corrected G1 /
+    G2 estimators DuckDB and Postgres use).
+
+    TWO passes for numerical stability: raw third/fourth moments cancel
+    catastrophically when ``|mean| >> stddev``, so pass 1 combiner-aggregates
+    per-key means (one small shuffle, stats broadcast once — dimension-like
+    keys assumption, as :func:`grouped_zscore`), and pass 2 accumulates
+    CENTRAL moment partials ``Σ(x-μ)^k`` per batch before a second small
+    shuffle.  Postgres/DuckDB edge semantics: skewness NULL when n < 3 or
+    variance is 0; kurtosis NULL when n < 4 or variance is 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def mean_partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + [col]).to_pandas()
+        df = df.dropna(subset=[col])
+        df["_x"] = df[col].astype(np.float64)
+        df["_n"] = 1
+        g = df.groupby(keys, as_index=False, sort=False)[["_x", "_n"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    means = (ds.map_batches(mean_partial, batch_format="pyarrow", batch_size=65536)
+             .groupby(keys if len(keys) > 1 else keys[0])
+             .aggregate(Sum("_x", alias_name="_x"), Sum("_n", alias_name="_n"))
+             .to_pandas())
+    means["_mu"] = means["_x"].to_numpy(np.float64) / np.maximum(
+        means["_n"].to_numpy(np.float64), 1.0)
+    mu_ref = ray.put(means[keys + ["_mu"]])
+
+    def central_partial(t: pa.Table, *, mu_ref) -> pa.Table:
+        k = mu_ref.hex() if hasattr(mu_ref, "hex") else id(mu_ref)
+        mu_df = _STATS_CACHE.get(k)
+        if mu_df is None:
+            mu_df = ray.get(mu_ref) if hasattr(mu_ref, "hex") else mu_ref
+            _STATS_CACHE[k] = mu_df
+        df = t.select(keys + [col]).to_pandas()
+        df = df.dropna(subset=[col])
+        m = df.merge(mu_df, on=keys, how="left", sort=False)
+        d = m[col].to_numpy(np.float64) - m["_mu"].to_numpy(np.float64)
+        m["_d2"] = d * d
+        m["_d3"] = m["_d2"] * d
+        m["_d4"] = m["_d2"] * m["_d2"]
+        m["_n"] = 1
+        g = m.groupby(keys, as_index=False, sort=False)[
+            ["_d2", "_d3", "_d4", "_n"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (ds.map_batches(central_partial, batch_format="pyarrow",
+                             batch_size=65536, fn_kwargs=dict(mu_ref=mu_ref))
+              .groupby(keys if len(keys) > 1 else keys[0])
+              .aggregate(Sum("_d2", alias_name="_d2"),
+                         Sum("_d3", alias_name="_d3"),
+                         Sum("_d4", alias_name="_d4"),
+                         Sum("_n", alias_name="_n")))
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m2 = t["_d2"].to_numpy(zero_copy_only=False) / np.maximum(n, 1.0)
+        m3 = t["_d3"].to_numpy(zero_copy_only=False) / np.maximum(n, 1.0)
+        m4 = t["_d4"].to_numpy(zero_copy_only=False) / np.maximum(n, 1.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g1 = m3 / m2 ** 1.5
+            G1 = np.where((n >= 3) & (m2 > 0),
+                          g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0), np.nan)
+            g2 = m4 / (m2 * m2) - 3.0
+            G2 = np.where((n >= 4) & (m2 > 0),
+                          ((n + 1.0) * g2 + 6.0) * (n - 1.0)
+                          / ((n - 2.0) * (n - 3.0)), np.nan)
+
+        def rnd(v):
+            scale = 10.0 ** round_digits
+            sign = np.sign(v)
+            return np.where(np.isnan(v), np.nan,
+                            sign * np.floor(np.abs(v) * scale + 0.5) / scale)
+
+        cols = {k: t[k] for k in keys}
+        cols["skewness"] = pa.array(rnd(G1), pa.float64())
+        cols["kurtosis"] = pa.array(rnd(G2), pa.float64())
+        cols["n"] = pa.array(n.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
 def grouped_robust_zscore(ds, keys: list[str], col: str, out_col: str = "rz",
                           round_digits: int = 6):
     """Per-group ROBUST z-score: ``(x - median(x)) / mad(x)`` — the

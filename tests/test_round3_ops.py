@@ -845,3 +845,41 @@ def test_grouped_robust_zscore(ray_session):
     # group a: median 3, MAD = median(|v-3|) = median([2,1,0,1,997]) = 1
     assert np.allclose(a, [-2.0, -1.0, 0.0, 1.0, 997.0])
     assert out[out["k"] == "z"]["rz"].isna().all()
+
+
+def test_grouped_skew_kurt_and_geomean(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_geomean, grouped_skew_kurt
+
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(3.0, 0.7, 2000)
+    df = pd.DataFrame({
+        "k": ["big"] * 2000 + ["tiny2"] * 2 + ["const"] * 5,
+        "v": np.concatenate([v, [1.0, 2.0], [7.0] * 5]),
+    })
+    out = (grouped_skew_kurt(rd.from_pandas(df).repartition(7), ["k"], "v",
+                             round_digits=6)
+           .to_pandas().set_index("k"))
+    n = len(v); mu = v.mean()
+    m2 = ((v-mu)**2).mean(); m3 = ((v-mu)**3).mean(); m4 = ((v-mu)**4).mean()
+    G1 = (m3 / m2**1.5) * np.sqrt(n*(n-1)) / (n-2)
+    G2 = ((n+1)*(m4/m2**2 - 3) + 6) * (n-1) / ((n-2)*(n-3))
+    assert out.loc["big", "skewness"] == pytest.approx(G1, abs=1e-5)
+    assert out.loc["big", "kurtosis"] == pytest.approx(G2, abs=1e-5)
+    # SQL edges: n<3 -> skew NULL; zero variance -> both NULL
+    assert np.isnan(out.loc["tiny2", "skewness"])
+    assert np.isnan(out.loc["const", "skewness"])
+    assert np.isnan(out.loc["const", "kurtosis"])
+
+    gm = (grouped_geomean(rd.from_pandas(df), ["k"], "v", round_digits=6)
+          .to_pandas().set_index("k"))
+    assert gm.loc["big", "geomean"] == pytest.approx(
+        np.exp(np.log(v).mean()), rel=1e-6)
+    assert gm.loc["tiny2", "geomean"] == pytest.approx(np.sqrt(2.0), abs=1e-6)
+
+    # non-positive values make the geometric mean undefined -> NULL group
+    neg = pd.DataFrame({"k": ["n"] * 3, "v": [1.0, -2.0, 3.0]})
+    gneg = grouped_geomean(rd.from_pandas(neg), ["k"], "v").to_pandas()
+    assert gneg["geomean"].isna().all()
