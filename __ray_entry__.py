@@ -692,6 +692,37 @@ def _q_remove_dup_spans_documents(sf_dir):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_er_gold_f1(sf_dir):
+    """THE north-rule criterion as a runnable query: flagship dedupe on the
+    deterministic synthesized gold corpus (reference csv_example_input_with_
+    true_ids.csv shape), evaluated with the reference's pairwise arithmetic
+    (csv_evaluation.py:6-17).  One row: precision/recall/F1 + the >=0.99
+    contract flag.  sf_dir is ignored — the corpus is seed-pinned so the
+    result is identical everywhere."""
+    import pandas as pd
+
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(150, seed=42)
+    pages = full.drop_columns(["true_id"]).materialize()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    entity = dedupe_pages(pages, scorer_concurrency=2).to_pandas()
+    s = evaluate_entity_map(entity, gold)
+    if not (s["f1"] >= 0.99 and s["precision"] >= 0.99 and s["recall"] >= 0.99):
+        raise AssertionError(f"gold F1 contract violated: {s}")
+    return pd.DataFrame([{
+        "n_records": len(gold),
+        "n_true_pairs": s["true_pairs"],
+        "n_found_pairs": s["found_pairs"],
+        "precision": round(s["precision"], 6),
+        "recall": round(s["recall"], 6),
+        "f1": round(s["f1"], 6),
+        "meets_099_bar": True,
+    }])
+
+
 def _q_geomean_part_price(sf_dir):
     """Per-brand geometric-mean retail price (log-sum combiner)."""
     from dedupe_examples_ray.relational import grouped_geomean
@@ -2129,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
+        "er_gold_f1": _q_er_gold_f1,
         "er_dedupe_documents": _q_er_dedupe_documents,
         "er_dedupe_pages": _q_er_dedupe_pages,
         "minhash_dedup_documents": _q_minhash_dedup_documents,
