@@ -692,6 +692,29 @@ def _q_remove_dup_spans_documents(sf_dir):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_weighted_avg_discount(sf_dir):
+    """Quantity-weighted average discount per returnflag — the SUM(w*x)/SUM(w)
+    composition over the grouped_sum combiner (no new shuffle shape)."""
+    from dedupe_examples_ray.relational import grouped_sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+    wd = li.map_batches(
+        lambda t: t.append_column(
+            "wd", pc.multiply(t["l_discount"], t["l_quantity"])),
+        batch_format="pyarrow")
+    g = grouped_sum(wd, ["l_returnflag"], {"wd": "swd", "l_quantity": "sw"},
+                    count_col="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = pc.round(pc.divide(t["swd"], t["sw"]), ndigits=6)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "wavg_discount": w, "n": t["n"]})
+
+    out = g.map_batches(finish, batch_format="pyarrow")
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q_er_gold_f1(sf_dir):
     """THE north-rule criterion as a runnable query: flagship dedupe on the
     deterministic synthesized gold corpus (reference csv_example_input_with_
@@ -2155,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_zscore_events": _q_robust_zscore_events,
         "geomean_part_price": _q_geomean_part_price,
         "skew_kurt_lineitem": _q_skew_kurt_lineitem,
+        "weighted_avg_discount": _q_weighted_avg_discount,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2737,6 +2761,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "weighted_avg_discount": (
+            "SELECT l_returnflag, "
+            "  ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wavg_discount, "
+            "  COUNT(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
         ),
         "geomean_part_price": (
             "SELECT p_brand, ROUND(exp(avg(ln(p_retailprice))), 4) AS geomean, "
