@@ -692,6 +692,19 @@ def _q_remove_dup_spans_documents(sf_dir):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_trailing_hour_events(sf_dir):
+    """Per-user trailing-1-hour sum/count of event values — SQL RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW, with exact tie-peer
+    semantics; one bucketed key shuffle + searchsorted frames."""
+    from dedupe_examples_ray.windows import trailing_interval_agg
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = trailing_interval_agg(ev, "user_id", "ts", "value", 3600.0)
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df[["event_id", "user_id", "ts", "value", "trail_sum", "trail_n"]]
+
+
 def _q_weighted_avg_discount(sf_dir):
     """Quantity-weighted average discount per returnflag — the SUM(w*x)/SUM(w)
     composition over the grouped_sum combiner (no new shuffle shape)."""
@@ -2179,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geomean_part_price": _q_geomean_part_price,
         "skew_kurt_lineitem": _q_skew_kurt_lineitem,
         "weighted_avg_discount": _q_weighted_avg_discount,
+        "trailing_hour_events": _q_trailing_hour_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2761,6 +2775,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+149)//150)) AS i "
             "      FROM documents WHERE length(text) > 0) "
             "ORDER BY doc_id, chunk_id"
+        ),
+        "trailing_hour_events": (
+            "SELECT event_id, user_id, ts, value, "
+            "  ROUND(SUM(value) OVER w, 6) AS trail_sum, "
+            "  COUNT(*) OVER w AS trail_n "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "ORDER BY event_id"
         ),
         "weighted_avg_discount": (
             "SELECT l_returnflag, "

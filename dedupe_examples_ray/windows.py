@@ -733,3 +733,60 @@ def nth_value(
         return df
 
     return bucketed_by_key(ds, key_col, per_bucket)
+
+
+def trailing_interval_agg(ds, key_col: str, ts_col: str, val_col: str,
+                          interval_s: float, round_digits: int = 6):
+    """Trailing time-interval window aggregate — SQL ``SUM(val) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL x PRECEDING AND
+    CURRENT ROW)`` plus the matching ``COUNT(*)``: per row, the sum/count of
+    the same key's rows whose timestamp lies in ``[ts - interval, ts]``.
+    RANGE peer semantics: rows sharing the current row's exact timestamp are
+    ALL in frame, whichever side of it they sort on.
+
+    One bucketed key-hash shuffle (``bucketed_by_key``); inside a bucket the
+    kernel sorts once, builds two cumulative sums, and resolves each key
+    segment's frame bounds with two ``searchsorted`` calls — O(n log n) per
+    bucket, no per-row Python.  NULL keys form one partition; NULL
+    timestamps sort first and are mutual peers; NULL values are excluded
+    from the sum (an all-NULL frame sums to NULL) but counted by
+    ``trail_n`` (SQL ``COUNT(*)``).
+
+    Appends ``trail_sum`` and ``trail_n``.
+    """
+    interval_us = int(round(interval_s * 1_000_000))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="stable",
+                            na_position="first").reset_index(drop=True)
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        tsv = pd.to_datetime(df[ts_col]).to_numpy(dtype="datetime64[us]")
+        ts = tsv.astype(np.int64)
+        # NaT -> a huge negative sentinel; keep subtraction overflow-free
+        ts = np.where(np.isnat(tsv), np.int64(-(2 ** 62)), ts)
+        v = pd.to_numeric(df[val_col], errors="coerce").to_numpy(np.float64)
+        valid = ~np.isnan(v)
+        cv = np.cumsum(np.where(valid, v, 0.0))
+        cn = np.cumsum(valid.astype(np.int64))
+        n = len(df)
+        lb = np.empty(n, np.int64)
+        ub = np.empty(n, np.int64)
+        change = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if n else np.array([], np.int64)
+        bounds = np.r_[change, n]
+        for gi in range(len(change)):
+            s, e = bounds[gi], bounds[gi + 1]
+            seg = ts[s:e]
+            lb[s:e] = s + np.searchsorted(seg, seg - interval_us, side="left")
+            ub[s:e] = s + np.searchsorted(seg, seg, side="right")
+        tsum = cv[ub - 1] - np.where(lb > 0, cv[lb - 1], 0.0)
+        nn = cn[ub - 1] - np.where(lb > 0, cn[lb - 1], 0)
+        scale = 10.0 ** round_digits
+        tsum = np.where(nn > 0,
+                        np.sign(tsum) * np.floor(np.abs(tsum) * scale + 0.5) / scale,
+                        np.nan)
+        out = df.copy()
+        out["trail_sum"] = tsum
+        out["trail_n"] = (ub - lb).astype(np.int64)
+        return out
+
+    return bucketed_by_key(ds, key_col, fn)
