@@ -705,6 +705,30 @@ def _q_trailing_hour_events(sf_dir):
     return df[["event_id", "user_id", "ts", "value", "trail_sum", "trail_n"]]
 
 
+def _q_funnel_events(sf_dir):
+    """Ordered view→click→purchase funnel over the event stream: distinct
+    users completing each prefix as a timestamp-ordered subsequence
+    (greedy earliest-match; one bucketed key shuffle, k groupby-min
+    passes per bucket, O(k x buckets) rows to the merge)."""
+    from dedupe_examples_ray.windows import funnel_steps
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ev, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+
+
+def _q_transitions_events(sf_dir):
+    """Per-user consecutive event-type transition counts (Markov transition
+    matrix in long form) — LAG OVER (PARTITION BY user ORDER BY ts, id)
+    with per-bucket partial counting so only O(alphabet² x buckets) rows
+    reach the merge."""
+    from dedupe_examples_ray.windows import transition_counts
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def _q_weighted_avg_discount(sf_dir):
     """Quantity-weighted average discount per returnflag — the SUM(w*x)/SUM(w)
     composition over the grouped_sum combiner (no new shuffle shape)."""
@@ -2193,6 +2217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_kurt_lineitem": _q_skew_kurt_lineitem,
         "weighted_avg_discount": _q_weighted_avg_discount,
         "trailing_hour_events": _q_trailing_hour_events,
+        "funnel_events": _q_funnel_events,
+        "transitions_events": _q_transitions_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
@@ -2784,6 +2810,35 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "ORDER BY event_id"
+        ),
+        "funnel_events": (
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "            WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "       JOIN s1 USING (user_id) "
+            "       WHERE e.event_type = 'click' AND e.ts >= s1.t "
+            "       GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "       JOIN s2 USING (user_id) "
+            "       WHERE e.event_type = 'purchase' AND e.ts >= s2.t "
+            "       GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, "
+            "         COUNT(*) AS n_keys FROM s1 "
+            "  UNION ALL "
+            "  SELECT 2, 'click', COUNT(*) FROM s2 "
+            "  UNION ALL "
+            "  SELECT 3, 'purchase', COUNT(*) FROM s3) "
+            "ORDER BY step"
+        ),
+        "transitions_events": (
+            "SELECT prev_type, event_type, COUNT(*) AS n FROM ("
+            "  SELECT event_type, LAG(event_type) OVER "
+            "    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "  FROM events) "
+            "WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, event_type "
+            "ORDER BY prev_type, event_type"
         ),
         "weighted_avg_discount": (
             "SELECT l_returnflag, "

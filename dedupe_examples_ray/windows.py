@@ -790,3 +790,88 @@ def trailing_interval_agg(ds, key_col: str, ts_col: str, val_col: str,
         return out
 
     return bucketed_by_key(ds, key_col, fn)
+
+
+def funnel_steps(ds, key_col: str, ts_col: str, type_col: str,
+                 steps: list[str]):
+    """Ordered-funnel analysis over an event stream: for each prefix of
+    ``steps``, how many distinct keys (users) performed those event types
+    as a subsequence in timestamp order.  Greedy earliest-match semantics
+    (exact for subsequence existence): step k matches the key's earliest
+    event of type ``steps[k]`` at-or-after its step-(k-1) match time, so a
+    later step may share the earlier step's timestamp.  NULL keys are not
+    counted (SQL join-on-key semantics).  The reference has no analog; this
+    is event-stream analytics for the training-data engine.
+
+    Distribution: one bucketed key-hash shuffle (``bucketed_by_key``); each
+    bucket resolves all its keys' funnels with ``len(steps)`` vectorized
+    groupby-min passes and emits ``len(steps)`` partial-count rows, so only
+    O(k x num_buckets) rows exist after the shuffle — merged on the driver
+    (bounded, tiny).
+
+    Returns one row per step: ``(step:int64, event_type:string,
+    n_keys:int64)``, cumulative-funnel counts (non-increasing in step).
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[type_col].isin(steps) & df[key_col].notna()]
+        counts = []
+        cur = None  # per-key earliest completion ts of the previous step
+        for s in steps:
+            m = df[df[type_col] == s]
+            if cur is not None:
+                prev = m[key_col].map(cur)
+                m = m[m[ts_col] >= prev]  # NaN prev -> False -> key dropped
+            cur = m.groupby(key_col)[ts_col].min()
+            counts.append(len(cur))
+        return pd.DataFrame({"step": np.arange(1, k + 1, dtype=np.int64),
+                             "event_type": steps,
+                             "n_keys": np.asarray(counts, np.int64)})
+
+    proj = ds.select_columns([key_col, ts_col, type_col])
+    partials = bucketed_by_key(proj, key_col, per_bucket)
+    out = partials.to_pandas()  # O(k x buckets) rows by construction
+    out = (out.groupby(["step", "event_type"], as_index=False)["n_keys"]
+           .sum().sort_values("step").reset_index(drop=True))
+    return out
+
+
+def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
+                      id_col: str):
+    """Per-key consecutive event-type transition counts — the Markov-chain
+    transition matrix of an event stream in long form: ``(prev_type,
+    event_type, n)`` where ``n`` counts adjacent pairs in each key's history
+    ordered by ``(ts, id)`` (the id breaks timestamp ties deterministically).
+    Each key's first event has no predecessor and emits nothing — SQL
+    ``LAG(type) OVER (PARTITION BY key ORDER BY ts, id)`` with the NULL-lag
+    rows filtered.
+
+    Distribution: one bucketed key-hash shuffle; inside a bucket the kernel
+    sorts once and shifts within key segments (vectorized), then collapses
+    to per-bucket partial counts — O(#distinct transitions) rows per bucket
+    travel to the final merge, never the events themselves.
+    """
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col], kind="stable",
+                            na_position="first").reset_index(drop=True)
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        prev = df[type_col].shift(1)
+        same = np.r_[False, codes[1:] == codes[:-1]]
+        m = pd.DataFrame({"prev_type": prev[same],
+                          "event_type": df[type_col][same]})
+        out = (m.groupby(["prev_type", "event_type"], as_index=False,
+                         dropna=False).size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    proj = ds.select_columns([key_col, ts_col, type_col, id_col])
+    partials = bucketed_by_key(proj, key_col, per_bucket)
+    out = partials.to_pandas()  # O(|type-alphabet|^2 x buckets) rows
+    out = (out.groupby(["prev_type", "event_type"], as_index=False,
+                       dropna=False)["n"].sum()
+           .sort_values(["prev_type", "event_type"]).reset_index(drop=True))
+    return out

@@ -756,3 +756,65 @@ def test_hopping_window_rejects_bad_hop(ray_session):
     with pytest.raises(ValueError):
         hopping_window(rd.from_pandas(df), "ts", ["k"], {"v": "t"},
                        width_multiple=10, hop_multiple=4)
+
+
+def test_trailing_interval_agg_semantics(ray_session):
+    from dedupe_examples_ray.windows import trailing_interval_agg
+
+    # user 1: events at t=0, 50, 120 (window 100s); t=120 frame = [20,120]
+    # -> excludes t=0.  Tie peers: user 2 has two events at t=10, both in
+    # each other's frame.  NULL value excluded from sum, counted by n.
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "ts": pa.array(np.array([0, 50, 120, 10, 10, 200]) * 1_000_000,
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, None], pa.float64()),
+    })
+    out = (trailing_interval_agg(rd.from_arrow(tbl), "user_id", "ts",
+                                 "value", 100.0)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["trail_sum"].tolist()[:5] == [1.0, 3.0, 6.0, 24.0, 24.0]
+    assert np.isnan(out["trail_sum"].iloc[5])  # all-NULL frame
+    assert out["trail_n"].tolist() == [1, 2, 2, 2, 2, 1]
+
+
+def test_funnel_steps_subsequence(ray_session):
+    from dedupe_examples_ray.windows import funnel_steps
+
+    # u1 completes A->B->C; u2 has B before A (B doesn't count until after
+    # A) and no C; u3 ties: A and B at the same ts count (>=); u4 only A.
+    rows = [
+        (1, "A", 0), (1, "B", 10), (1, "C", 20),
+        (2, "B", 0), (2, "A", 10),
+        (3, "A", 5), (3, "B", 5),
+        (4, "A", 1),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array(np.array([r[2] for r in rows]) * 1_000_000,
+                       pa.timestamp("us")),
+    })
+    out = funnel_steps(rd.from_arrow(tbl), "user_id", "ts", "event_type",
+                       ["A", "B", "C"])
+    assert out["n_keys"].tolist() == [4, 2, 1]
+    assert out["event_type"].tolist() == ["A", "B", "C"]
+
+
+def test_transition_counts_tie_order_and_partials(ray_session):
+    from dedupe_examples_ray.windows import transition_counts
+
+    # u1: A->B->B; u2: single event (no transitions); ties broken by id.
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+        "event_type": pa.array(["A", "B", "B", "A", "C"]),
+        # event 5 shares ts with event 3: id order makes B->B then B->C
+        "ts": pa.array(np.array([0, 10, 20, 0, 20]) * 1_000_000,
+                       pa.timestamp("us")),
+    })
+    out = transition_counts(rd.from_arrow(tbl), "user_id", "ts",
+                            "event_type", "event_id")
+    got = {(r.prev_type, r.event_type): r.n for r in out.itertuples()}
+    assert got == {("A", "B"): 1, ("B", "B"): 1, ("B", "C"): 1}
