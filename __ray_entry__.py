@@ -705,6 +705,17 @@ def _q_trailing_hour_events(sf_dir):
     return df[["event_id", "user_id", "ts", "value", "trail_sum", "trail_n"]]
 
 
+def _q_normalized_dedup_documents(sf_dir):
+    """Canonical-version selection: dedup documents on a whitespace/case
+    normalized content key, keep the longest original per key (tie: min
+    doc_id).  Only (id, key hash, length) travel the shuffle."""
+    from dedupe_examples_ray.ops import normalized_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = normalized_dedup(docs, "text", "doc_id", keep="longest")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_funnel_events(sf_dir):
     """Ordered view→click→purchase funnel over the event stream: distinct
     users completing each prefix as a timestamp-ordered subsequence
@@ -2218,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg_discount": _q_weighted_avg_discount,
         "trailing_hour_events": _q_trailing_hour_events,
         "funnel_events": _q_funnel_events,
+        "normalized_dedup_documents": _q_normalized_dedup_documents,
         "transitions_events": _q_transitions_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
@@ -2810,6 +2822,18 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "ORDER BY event_id"
+        ),
+        "normalized_dedup_documents": (
+            "SELECT doc_id, n_dups FROM ("
+            "  SELECT doc_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY "
+            "      trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) "
+            "      ORDER BY length(coalesce(text, '')) DESC, doc_id) AS rn, "
+            "    COUNT(*) OVER (PARTITION BY "
+            "      trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+            "    ) AS n_dups "
+            "  FROM documents) "
+            "WHERE rn = 1 ORDER BY doc_id"
         ),
         "funnel_events": (
             "WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events "

@@ -1,5 +1,6 @@
 from .dedup import (  # noqa: F401
     exact_dedup,
+    normalized_dedup,
     minhash_lsh_dedup,
     simhash_dedup,
     ngram_jaccard_dedup,

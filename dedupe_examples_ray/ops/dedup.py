@@ -88,6 +88,65 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                     keep: str = "longest", num_buckets: int | None = None):
+    """Canonical-version selection: dedup on a *normalized* content key
+    (lowercased, leading/trailing whitespace trimmed, internal whitespace
+    runs collapsed to one space) and keep ONE original row per key by
+    policy — ``keep="longest"`` retains the longest original text (tie →
+    min id; the common webtext policy: formatting variants collapse and the
+    most complete version survives), ``keep="first"`` retains the min id.
+
+    Distribution mirrors ``exact_dedup``: the Arrow batch kernel hashes the
+    normalized key to 63 bits so only ``(id, key hash, original length)``
+    travel through one bucketed shuffle — never the normalized strings.
+
+    Returns survivors only: ``(id_col, n_dups)`` where ``n_dups`` is the
+    key's group size (1 = the row was unique).
+    """
+    from ..scale import resolve_buckets
+
+    if keep not in ("longest", "first"):
+        raise ValueError(f"keep must be 'longest' or 'first', got {keep!r}")
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        ln = pc.utf8_length(s)
+        # trim only ' ' (every run of RE2 \s is already one space) so the
+        # kernel matches SQL trim() exactly — utf8_trim_whitespace would
+        # also strip non-ASCII whitespace that \s+ left alone
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(s), r"\s+", " "), " "
+        )
+        texts = np.asarray(norm.to_pylist(), dtype=object)
+        hs = (pd.util.hash_array(texts).astype(np.uint64) >> np.uint64(1)).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "h": pa.array(hs, pa.int64()),
+            "len": pc.cast(ln, pa.int64()),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["h"].to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if keep == "longest":
+            df = df.sort_values(["h", "len", id_col], kind="stable",
+                                ascending=[True, False, True])
+        else:
+            df = df.sort_values(["h", id_col], kind="stable")
+        g = df.groupby("h", sort=False)
+        out = g.head(1).copy()
+        out["n_dups"] = g.size().to_numpy()
+        return out[[id_col, "n_dups"]]
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pick, batch_format="pandas"))
+
+
 # ------------------------------------------------------------------- minhash
 def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
     """Stable 64-bit hashes for a string array (vectorized via pandas)."""

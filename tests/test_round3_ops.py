@@ -883,3 +883,28 @@ def test_grouped_skew_kurt_and_geomean(ray_session):
     neg = pd.DataFrame({"k": ["n"] * 3, "v": [1.0, -2.0, 3.0]})
     gneg = grouped_geomean(rd.from_pandas(neg), ["k"], "v").to_pandas()
     assert gneg["geomean"].isna().all()
+
+
+def test_normalized_dedup_keep_longest(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import normalized_dedup
+
+    # ids 1-3 are case/whitespace variants of one key; 2 is longest.
+    # ids 4-5 tie on length -> min id wins.  6 is unique; 7 is NULL text.
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "text": pa.array(["Hello  World", "  hello world \n", "HELLO\tWORLD",
+                          "aaa bbb", "AAA BBB", "unique doc", None]),
+    })
+    out = (normalized_dedup(rd.from_arrow(tbl), "text", "doc_id",
+                            keep="longest")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out.doc_id, out.n_dups))
+    assert got == {2: 3, 4: 2, 6: 1, 7: 1}
+
+    first = (normalized_dedup(rd.from_arrow(tbl), "text", "doc_id",
+                              keep="first")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dict(zip(first.doc_id, first.n_dups)) == {1: 3, 4: 2, 6: 1, 7: 1}
