@@ -705,6 +705,16 @@ def _q_trailing_hour_events(sf_dir):
     return df[["event_id", "user_id", "ts", "value", "trail_sum", "trail_n"]]
 
 
+def _q_cohort_retention_events(sf_dir):
+    """Weekly-cohort retention: distinct users per (first-event week,
+    whole-week offset) — exact per-bucket distinct triples, per-bucket
+    partial counts, tiny merge."""
+    from dedupe_examples_ray.windows import cohort_retention
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts")
+
+
 def _q_normalized_dedup_documents(sf_dir):
     """Canonical-version selection: dedup documents on a whitespace/case
     normalized content key, keep the longest original per key (tie: min
@@ -2230,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_hour_events": _q_trailing_hour_events,
         "funnel_events": _q_funnel_events,
         "normalized_dedup_documents": _q_normalized_dedup_documents,
+        "cohort_retention_events": _q_cohort_retention_events,
         "transitions_events": _q_transitions_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
@@ -2822,6 +2833,19 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "ORDER BY event_id"
+        ),
+        "cohort_retention_events": (
+            "WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events "
+            "           WHERE ts IS NOT NULL GROUP BY user_id), "
+            "a AS (SELECT DISTINCT e.user_id, "
+            "        date_trunc('week', f.t0) AS cohort_week, "
+            "        CAST(floor((epoch(e.ts) - epoch(f.t0)) / 604800.0) "
+            "             AS BIGINT) AS week_offset "
+            "      FROM events e JOIN f USING (user_id) "
+            "      WHERE e.ts IS NOT NULL) "
+            "SELECT cohort_week, week_offset, COUNT(*) AS n_keys "
+            "FROM a GROUP BY cohort_week, week_offset "
+            "ORDER BY cohort_week, week_offset"
         ),
         "normalized_dedup_documents": (
             "SELECT doc_id, n_dups FROM ("

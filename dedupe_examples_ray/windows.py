@@ -875,3 +875,52 @@ def transition_counts(ds, key_col: str, ts_col: str, type_col: str,
                        dropna=False)["n"].sum()
            .sort_values(["prev_type", "event_type"]).reset_index(drop=True))
     return out
+
+
+def cohort_retention(ds, key_col: str, ts_col: str,
+                     period_s: float = 604800.0):
+    """Cohort retention over an event stream: keys are grouped into weekly
+    cohorts by their FIRST event (cohort = Monday-start week of the first
+    event, SQL ``date_trunc('week', min(ts))``), and each cohort reports how
+    many distinct keys were active at each whole-period offset from that
+    first event (``floor((epoch(ts) - epoch(first_ts)) / period)``).
+
+    Distribution: one bucketed key-hash shuffle; a key's whole history lands
+    in one bucket, so per-key first-event and the distinct
+    (cohort, offset, key) triples are exact within the bucket, and each
+    bucket emits only per-(cohort, offset) partial counts — distinct keys
+    cannot repeat across buckets, so summing partials is exact.  NULL keys
+    and NULL timestamps are excluded (SQL join/aggregate semantics).
+
+    Returns ``(cohort_week:timestamp, week_offset:int64, n_keys:int64)``.
+    """
+    period_us = int(round(period_s * 1_000_000))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[key_col].notna() & df[ts_col].notna()]
+        ts = pd.to_datetime(df[ts_col]).to_numpy(dtype="datetime64[us]")
+        tsi = ts.astype(np.int64)
+        d = pd.DataFrame({key_col: df[key_col].to_numpy(), "__ts": tsi})
+        t0 = d.groupby(key_col, sort=False)["__ts"].transform("min")
+        t0d = pd.Series(t0.to_numpy().astype("datetime64[us]"))
+        cohort = (t0d - pd.to_timedelta(t0d.dt.weekday, unit="D")).dt.normalize()
+        off = (d["__ts"].to_numpy() - t0.to_numpy()) // period_us
+        trip = pd.DataFrame({
+            "cohort_week": cohort.to_numpy(),
+            "week_offset": off.astype(np.int64),
+            "__k": d[key_col].to_numpy(),
+        }).drop_duplicates()
+        out = (trip.groupby(["cohort_week", "week_offset"], as_index=False)
+               .size().rename(columns={"size": "n_keys"}))
+        out["n_keys"] = out["n_keys"].astype(np.int64)
+        return out
+
+    proj = ds.select_columns([key_col, ts_col])
+    partials = bucketed_by_key(proj, key_col, per_bucket)
+    out = partials.to_pandas()  # O(cohorts x offsets x buckets) rows
+    out = (out.groupby(["cohort_week", "week_offset"], as_index=False)
+           ["n_keys"].sum()
+           .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True))
+    # pandas timedelta arithmetic upcasts to ns; pin the SQL-facing dtype
+    out["cohort_week"] = out["cohort_week"].astype("datetime64[us]")
+    return out

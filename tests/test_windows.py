@@ -818,3 +818,28 @@ def test_transition_counts_tie_order_and_partials(ray_session):
                             "event_type", "event_id")
     got = {(r.prev_type, r.event_type): r.n for r in out.itertuples()}
     assert got == {("A", "B"): 1, ("B", "B"): 1, ("B", "C"): 1}
+
+
+def test_cohort_retention_epoch_offsets(ray_session):
+    from dedupe_examples_ray.windows import cohort_retention
+
+    # 2024-01-03 is a Wednesday -> cohort week = Monday 2024-01-01.
+    # u1: first event Wed 12:00; second event 6 days later (offset 0,
+    # epoch math: <7*86400s), third 8 days later (offset 1).
+    # u2: first event same Wednesday -> same cohort, only offset 0.
+    base = pd.Timestamp("2024-01-03 12:00:00")
+    rows = [
+        (1, base), (1, base + pd.Timedelta(days=6)),
+        (1, base + pd.Timedelta(days=8)),
+        (2, base + pd.Timedelta(hours=1)),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+                       pa.timestamp("us")),
+    })
+    out = cohort_retention(rd.from_arrow(tbl), "user_id", "ts")
+    assert out["cohort_week"].nunique() == 1
+    assert pd.Timestamp(out["cohort_week"].iloc[0]) == pd.Timestamp("2024-01-01")
+    got = dict(zip(out.week_offset, out.n_keys))
+    assert got == {0: 2, 1: 1}
