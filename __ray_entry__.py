@@ -804,6 +804,53 @@ def _q_er_gold_f1(sf_dir):
     }])
 
 
+def _q_blocking_quality(sf_dir):
+    """Blocking-stage quality metrics on the gold corpus — the standard ER
+    blocking evaluation: reduction ratio (fraction of the n-choose-2 pair
+    space the blocker prunes) and pair completeness (fraction of gold
+    duplicate pairs the candidate set retains).  Completeness 1.0 is the
+    in-query contract — the F1>=0.99 north rule is unreachable if blocking
+    drops a gold pair.  sf_dir ignored (seed-pinned corpus); the pair set
+    is pulled to the driver only because it IS the metric's subject at
+    eval scale."""
+    import pandas as pd
+
+    from dedupe_examples_ray.blocking.fingerprint import fingerprint_dataset
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import pairs_from_clusters
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.pairs import candidate_pairs
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(150, seed=42).materialize()
+    n = full.count()
+    settings = default_page_settings()
+    derived = full.drop_columns(["true_id"]).map_batches(
+        derive_page_fields, batch_format="pyarrow")
+    blocks = fingerprint_dataset(derived, settings, "url", [])
+    pairs = candidate_pairs(
+        blocks, "url", [], max_block_size=settings.max_block_size,
+        policy=settings.oversize_policy)
+    cand = pairs.to_pandas()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    gold_pairs = pairs_from_clusters(gold["url"].to_numpy(),
+                                     gold["true_id"].to_numpy())
+    cand_set = {frozenset((a, b)) for a, b in zip(cand["id_a"], cand["id_b"])}
+    completeness = len(gold_pairs & cand_set) / len(gold_pairs)
+    possible = n * (n - 1) // 2
+    if completeness < 1.0:
+        raise AssertionError(
+            f"blocking dropped gold pairs: completeness={completeness}")
+    return pd.DataFrame([{
+        "n_records": n,
+        "n_possible_pairs": possible,
+        "n_candidate_pairs": len(cand_set),
+        "n_gold_pairs": len(gold_pairs),
+        "reduction_ratio": round(1.0 - len(cand_set) / possible, 6),
+        "pair_completeness": round(completeness, 6),
+    }])
+
+
 def _q_geomean_part_price(sf_dir):
     """Per-brand geometric-mean retail price (log-sum combiner)."""
     from dedupe_examples_ray.relational import grouped_geomean
@@ -2248,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_gold_f1": _q_er_gold_f1,
+        "blocking_quality": _q_blocking_quality,
         "er_dedupe_documents": _q_er_dedupe_documents,
         "er_dedupe_pages": _q_er_dedupe_pages,
         "minhash_dedup_documents": _q_minhash_dedup_documents,
