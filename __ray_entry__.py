@@ -804,6 +804,34 @@ def _q_er_gold_f1(sf_dir):
     }])
 
 
+def _q_grouped_approx_ndv_events(sf_dir):
+    """Per-event-type approximate distinct users (per-key mergeable HLL,
+    sparse register partials) cross-checked against the exact pair-shuffle
+    count — oracled approx_ndistinct-style: the row only hash-matches
+    DuckDB's (COUNT(DISTINCT), TRUE) when the sketch lands within 3 sigma
+    of exact."""
+    import pandas as pd
+
+    from dedupe_examples_ray.relational import (
+        grouped_approx_ndistinct,
+        grouped_nunique,
+    )
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    est = grouped_approx_ndistinct(ev, "event_type", "user_id").to_pandas()
+    exact = grouped_nunique(ev, "event_type", "user_id",
+                            out_col="n_exact").to_pandas()
+    df = est.merge(exact, on="event_type")
+    rel_err = (df["approx_ndv"] - df["n_exact"]).abs() / df["n_exact"]
+    df["within_bound"] = rel_err <= 3.0 * df["error_bound"]
+    if not bool(df["within_bound"].all()):
+        raise AssertionError(f"HLL outside 3-sigma: {df.to_dict('records')}")
+    out = df[["event_type", "n_exact", "within_bound"]].sort_values(
+        "event_type").reset_index(drop=True)
+    out["n_exact"] = out["n_exact"].astype("int64")
+    return out
+
+
 def _q_blocking_quality(sf_dir):
     """Blocking-stage quality metrics on the gold corpus — the standard ER
     blocking evaluation: reduction ratio (fraction of the n-choose-2 pair
@@ -2288,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "normalized_dedup_documents": _q_normalized_dedup_documents,
         "cohort_retention_events": _q_cohort_retention_events,
+        "grouped_approx_ndv_events": _q_grouped_approx_ndv_events,
         "transitions_events": _q_transitions_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
@@ -2881,6 +2910,12 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
             "             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "ORDER BY event_id"
+        ),
+        "grouped_approx_ndv_events": (
+            "SELECT event_type, "
+            "  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, "
+            "  TRUE AS within_bound "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "cohort_retention_events": (
             "WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events "

@@ -634,6 +634,36 @@ def bloom_semi_join(ds_a, ds_b, on: str, right_on: str | None = None,
     return negative.union(checked)
 
 
+def _hll_parts(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) for uint64 hashes — the shared HLL kernel:
+    index = top ``p`` bits, rank = leading zeros of the remaining bits + 1
+    (sentinel low bits keep the shifted word nonzero)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    lz = np.zeros(len(h), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    cur = rest.copy()
+    alive = np.ones(len(h), dtype=bool)
+    for _ in range(64 - p):
+        top = (cur & mask) != 0
+        alive &= ~top
+        if not alive.any():
+            break
+        lz[alive] += 1
+        cur = cur << np.uint64(1)
+    return idx, (lz + 1).astype(np.uint8)
+
+
+def _hll_estimate(regs: np.ndarray, m: int) -> float:
+    """Standard HLL estimator with linear-counting small-range correction."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
 def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
     """Approximate COUNT(DISTINCT col) with a mergeable HyperLogLog sketch —
     the 100-TB cardinality path (exact distinct needs an all-to-all shuffle;
@@ -656,21 +686,7 @@ def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
         arr = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
         v = arr.drop_null().to_numpy(zero_copy_only=False)
         h = stable_hash(v).astype(np.uint64)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
-        # rank = leading zeros of the remaining 64-p bits, + 1
-        lz = np.zeros(len(h), dtype=np.uint8)
-        mask = np.uint64(1) << np.uint64(63)
-        cur = rest.copy()
-        alive = np.ones(len(h), dtype=bool)
-        for _ in range(64 - p):
-            top = (cur & mask) != 0
-            alive &= ~top
-            if not alive.any():
-                break
-            lz[alive] += 1
-            cur = cur << np.uint64(1)
-        rank = lz + 1
+        idx, rank = _hll_parts(h, p)
         regs = np.zeros(m, dtype=np.uint8)
         np.maximum.at(regs, idx, rank)
         return pa.table({"regs": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
@@ -680,16 +696,60 @@ def approx_ndistinct(ds, col: str, precision: int = 12) -> dict:
     if "regs" in part.columns:  # an empty dataset yields zero partial rows
         for r in part["regs"].to_numpy():
             regs = np.maximum(regs, np.asarray(r, dtype=np.uint8))
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros > 0:  # linear-counting small-range correction
-        est = m * np.log(m / zeros)
     return {
-        "estimate": float(est),
+        "estimate": _hll_estimate(regs, m),
         "registers": m,
         "error_bound": 1.04 / np.sqrt(m),
     }
+
+
+def grouped_approx_ndistinct(ds, key: str, col: str, precision: int = 12,
+                             out_col: str = "approx_ndv"):
+    """Per-key approximate ``COUNT(DISTINCT col)`` — one mergeable
+    HyperLogLog per key: the 100-TB path when the per-key distinct sets are
+    too wide for :func:`grouped_nunique`'s exact pair shuffle (the sketch
+    shuffle is bounded by ``2**precision`` rows per key per batch however
+    many distinct values exist).
+
+    Each batch emits SPARSE register partials — one ``(key, idx, rank)``
+    row per register the batch actually touches, pre-combined to the
+    per-(key, idx) max — so partials stay O(min(batch distinct, 2^p)) per
+    key instead of dense 2^p-byte register blobs.  One groupby shuffle on
+    the key; the per-key merge densifies once (``np.maximum.at``) and
+    applies the standard estimator (Flajolet et al. 2007) with
+    linear-counting correction, identical to :func:`approx_ndistinct`.
+    NULL values are excluded (SQL semantics); NULL keys form one group;
+    all-NULL keys are omitted (their rows never survive the combiner).
+
+    Returns ``(key, out_col: double, error_bound: double)``; typical
+    relative error ~1.04/sqrt(2^p) (~1.6% at the default p=12).
+    """
+    from .pairs import stable_hash
+
+    p = int(precision)
+    m = 1 << p
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[col])
+        h = stable_hash(df[col].to_numpy()).astype(np.uint64)
+        idx, rank = _hll_parts(h, p)
+        part = pd.DataFrame({key: df[key].to_numpy(),
+                             "__idx": idx,
+                             "__rank": rank.astype(np.int64)})
+        return part.groupby([key, "__idx"], sort=False, dropna=False,
+                            as_index=False)["__rank"].max()
+
+    def est(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, df["__idx"].to_numpy(),
+                      df["__rank"].to_numpy().astype(np.uint8))
+        return pd.DataFrame({key: [df[key].iloc[0]],
+                             out_col: [_hll_estimate(regs, m)],
+                             "error_bound": [1.04 / np.sqrt(m)]})
+
+    partials = ds.select_columns([key, col]).map_batches(
+        sketch, batch_format="pandas")
+    return partials.groupby(key).map_groups(est, batch_format="pandas")
 
 
 def grouped_collect(ds, keys: list[str], col: str, out_col: str = "items",

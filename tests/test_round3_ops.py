@@ -908,3 +908,27 @@ def test_normalized_dedup_keep_longest(ray_session):
                               keep="first")
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert dict(zip(first.doc_id, first.n_dups)) == {1: 3, 4: 2, 6: 1, 7: 1}
+
+
+def test_grouped_approx_ndistinct_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_approx_ndistinct
+
+    rng = np.random.default_rng(7)
+    # key "a": 1000 distinct over 3000 rows; "b": 37 distinct; NULL values
+    # excluded; key "c" all-NULL values -> omitted.
+    ka = rng.integers(0, 1000, 3000)
+    kb = rng.integers(0, 37, 500)
+    keys = ["a"] * 3000 + ["b"] * 500 + ["c"] * 5
+    vals = np.r_[ka, kb].astype("float64").tolist() + [None] * 5
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    # many small blocks so partials genuinely merge across batches
+    out = (grouped_approx_ndistinct(rd.from_arrow(tbl).repartition(8), "k", "v")
+           .to_pandas().set_index("k"))
+    assert set(out.index) == {"a", "b"}
+    for k, exact in (("a", len(np.unique(ka))), ("b", len(np.unique(kb)))):
+        est = out.loc[k, "approx_ndv"]
+        assert abs(est - exact) / exact <= 3 * out.loc[k, "error_bound"], (k, est, exact)
