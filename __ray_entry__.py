@@ -1818,6 +1818,40 @@ def _q_host_stats_documents(sf_dir):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q_full_join_event_counts(sf_dir):
+    """FULL OUTER big-big join: per-user click counts x per-user purchase
+    counts — users who only click, only purchase, or both all survive with
+    nulls on the absent side (hash_join how="full"; one bucketed
+    sort-shuffle, pyarrow full-outer kernel per bucket)."""
+    from dedupe_examples_ray.relational import grouped_sum, hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def only(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(["user_id"])
+        return fn
+
+    clicks = grouped_sum(ev.map_batches(only("click"), batch_format="pyarrow"),
+                         ["user_id"], {}, count_col="n_click")
+    purch = grouped_sum(ev.map_batches(only("purchase"), batch_format="pyarrow"),
+                        ["user_id"], {}, count_col="n_purchase")
+    return hash_join(clicks, purch, on="user_id", how="full")
+
+
+def _q_right_join_customer_orders(sf_dir):
+    """RIGHT OUTER big-big join: per-customer order counts RIGHT JOIN the
+    customer table — every customer survives, order-less ones with a null
+    count (hash_join how="right"; output key is COALESCE(a,b) = c_custkey)."""
+    from dedupe_examples_ray.relational import grouped_sum, hash_join
+
+    ords = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    counts = grouped_sum(ords, ["o_custkey"], {}, count_col="n_orders")
+    return hash_join(counts, cust, on="o_custkey", right_on="c_custkey",
+                     how="right")
+
+
 def _q_latest_event_per_user(sf_dir):
     """Latest-row-per-key dedup (keep_latest) on the events table: each
     user's most recent event, ties on ts broken by greatest event_id —
@@ -2284,6 +2318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantile_lineitem": _q_approx_quantile_lineitem,
         "approx_distinct_users": _q_approx_distinct_users,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
+        "full_join_event_counts": _q_full_join_event_counts,
+        "right_join_customer_orders": _q_right_join_customer_orders,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
@@ -2770,6 +2806,23 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
             "COUNT(*) AS n_items FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "full_join_event_counts": (
+            "SELECT COALESCE(a.user_id, b.user_id) AS user_id, "
+            "a.n_click, b.n_purchase FROM "
+            "(SELECT user_id, COUNT(*) AS n_click FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id) a "
+            "FULL OUTER JOIN "
+            "(SELECT user_id, COUNT(*) AS n_purchase FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id) b "
+            "ON a.user_id = b.user_id"
+        ),
+        "right_join_customer_orders": (
+            "SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, "
+            "o.n_orders, c.c_acctbal FROM "
+            "(SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey) o "
+            "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
         "heavy_hitters_events": (
             "SELECT event_type, COUNT(*) AS n FROM events "

@@ -429,20 +429,23 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
     bucket uniformly.
 
     ``how``: ``"inner"``, ``"left"`` (LEFT OUTER, a-side preserved),
-    ``"semi"`` (a-rows whose key EXISTS in b — only DISTINCT b keys travel),
-    or ``"anti"`` (a-rows whose key does NOT exist in b; NOT-EXISTS
-    semantics, so a-side null keys are kept).  Non-key column names must be
-    disjoint between the two sides (rename before joining).  Null join keys
-    never match (SQL semantics); under ``"left"`` they are preserved with
-    b-side nulls.
+    ``"right"`` (RIGHT OUTER, b-side preserved), ``"full"`` (FULL OUTER,
+    both sides preserved), ``"semi"`` (a-rows whose key EXISTS in b — only
+    DISTINCT b keys travel), or ``"anti"`` (a-rows whose key does NOT exist
+    in b; NOT-EXISTS semantics, so a-side null keys are kept).  Non-key
+    column names must be disjoint between the two sides (rename before
+    joining).  Null join keys never match (SQL semantics); outer modes
+    preserve them with nulls on the other side.  The output key column is
+    ``COALESCE(a.key, b.key)`` under ``right``/``full`` (pyarrow
+    ``coalesce_keys``), matching ``USING``-style SQL.
     """
     from .scale import resolve_buckets
     from .scoring import dataset_arrow_types
 
     num_buckets = resolve_buckets(num_buckets, ds_a, ds_b)
     right_on = right_on or on
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner/left/semi/anti, got {how!r}")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError(f"how must be inner/left/right/full/semi/anti, got {how!r}")
     existence = how in ("semi", "anti")
     a_types = dataset_arrow_types(ds_a)
     b_types = dataset_arrow_types(ds_b)
@@ -474,7 +477,11 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
             b = np.where(pc.is_valid(keys).to_numpy(zero_copy_only=False), b, 0)
             cols["__bkt"] = pa.array(b.astype(np.int64))
             out = pa.table(cols)
-            if side == "b" or how in ("inner", "semi"):
+            # null keys never match; keep them only on a side the mode
+            # preserves (a: left/full/anti, b: right/full)
+            keep_nulls = (side == "a" and how in ("left", "full", "anti")) or (
+                side == "b" and how in ("right", "full"))
+            if not keep_nulls:
                 out = out.filter(keys.is_valid())
             return out
 
@@ -482,11 +489,17 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
 
     empty = pa.table({c: pa.nulls(0, typ) for c, typ in out_fields})
 
+    def pad_to_out(t: pa.Table) -> pa.Table:
+        for c, typ in out_fields:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(t.num_rows, typ))
+        return t.select([c for c, _ in out_fields])
+
     def join_group(t: pa.Table) -> pa.Table:
         side = t["__side"].to_numpy(zero_copy_only=False)
         ta = t.filter(pa.array(side == 0)).select([on] + [c for c in a_cols if c != on])
         tb = t.filter(pa.array(side == 1)).select([on] + b_cols)
-        if ta.num_rows == 0:
+        if ta.num_rows == 0 and how not in ("right", "full"):
             return empty
         if existence:
             mask = pc.fill_null(
@@ -494,14 +507,17 @@ def hash_join(ds_a, ds_b, on: str, right_on: str | None = None,
                 False,
             )
             joined = ta.filter(mask if how == "semi" else pc.invert(mask))
+        elif ta.num_rows == 0:
+            # right/full with no a-rows in this bucket: every b-row survives
+            # with a-side nulls (pyarrow join kernel skipped — nothing to match)
+            return pad_to_out(tb)
         elif tb.num_rows == 0:
-            if how == "inner":
+            if how in ("inner", "right"):
                 return empty
-            joined = ta
-            for c in b_cols:
-                joined = joined.append_column(c, pa.nulls(ta.num_rows, wire[c]))
+            joined = pad_to_out(ta)
         else:
-            jt = "inner" if how == "inner" else "left outer"
+            jt = {"inner": "inner", "left": "left outer",
+                  "right": "right outer", "full": "full outer"}[how]
             joined = ta.join(tb, keys=[on], join_type=jt)
         return joined.select([c for c, _ in out_fields])
 

@@ -65,6 +65,44 @@ def test_hash_join_matches_pandas(ray_session, data, how):
 
 
 @settings(max_examples=6, deadline=None)
+@given(data=st.data(), how=st.sampled_from(["right", "full"]))
+def test_hash_join_outer_matches_pandas(ray_session, data, how):
+    """RIGHT/FULL OUTER vs a null-safe pandas oracle.  pandas merge matches
+    NaN keys to each other (non-SQL), so the oracle splits null-key rows out,
+    merges the non-null cores, and appends the null-key rows unmatched —
+    exactly the SQL contract hash_join implements."""
+    from dedupe_examples_ray.relational import hash_join
+
+    a, b = _frames(data.draw)
+    # re-introduce null keys on the b side (dropped by _frames' oracle trick)
+    if len(b) >= 2:
+        b = b.copy()
+        b.iloc[0, b.columns.get_loc("k2")] = pd.NA
+    ds_a = rd.from_pandas(a) if len(a) else rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "av": pa.array([], pa.int64())}))
+    ds_b = rd.from_pandas(b) if len(b) else rd.from_arrow(
+        pa.table({"k2": pa.array([], pa.int64()), "bv": pa.array([], pa.int64())}))
+    got = hash_join(ds_a, ds_b, on="k", right_on="k2", how=how,
+                    num_buckets=8).to_pandas()
+    if len(got) == 0:
+        got = pd.DataFrame({"k": [], "av": [], "bv": []})
+
+    br = b.rename(columns={"k2": "k"})
+    an, bn = a[a["k"].isna()], br[br["k"].isna()]
+    core = a.dropna(subset=["k"]).merge(
+        br.dropna(subset=["k"]), on="k",
+        how="outer" if how == "full" else "right")
+    parts = [core, bn.assign(av=np.nan)]
+    if how == "full":
+        parts.append(an.assign(bv=np.nan))
+    exp = pd.concat(parts, ignore_index=True)
+    cols = ["k", "av", "bv"]
+    g = got[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    e = exp[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
+@settings(max_examples=6, deadline=None)
 @given(vals=st.lists(st.one_of(st.floats(-1e6, 1e6), st.none()),
                      min_size=1, max_size=300))
 def test_global_rank_matches_pandas(ray_session, vals):
