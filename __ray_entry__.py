@@ -1852,6 +1852,63 @@ def _q_right_join_customer_orders(sf_dir):
                      how="right")
 
 
+def _q_strip_boilerplate_documents(sf_dir):
+    """Per-host boilerplate-segment removal (CCNet/RefinedWeb frequent-line
+    cleaner) over the documents table, word-level segments (the table's text
+    is single-line; the operator is delimiter-agnostic — the pages query runs
+    it on real newlines).  Drop every word occurring in >= 20 distinct docs
+    of the same source; oracled segment-by-segment against DuckDB."""
+    from dedupe_examples_ray.ops import strip_boilerplate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return strip_boilerplate(docs, text_col="text", id_col="doc_id",
+                             host_col="source", min_docs=20, delim=" ")
+
+
+def _q_strip_boilerplate_pages(sf_dir):
+    """The intended use: newline-delimited boilerplate stripping over the
+    synthetic web corpus, host taken from the url — nav/footer lines shared
+    by >= 2 pages of one host vanish; exercises the big-big join tier.
+    Invariants checked in-query: one output row per input page, removals
+    occurred, and no surviving (host, line) still breaches the threshold."""
+    from dedupe_examples_ray.ops import add_url_host, boilerplate_keys, strip_boilerplate
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    pages = synth_pages_dataset(n, seed=42).drop_columns(["true_id"])
+    pages = add_url_host(pages, url_col="url", out_col="host")
+
+    def to_domain(t: pa.Table) -> pa.Table:
+        # mirrors carry mN./cdn. subdomain prefixes — group by the
+        # registrable domain (last two labels) so per-site lines collapse
+        dom = pc.replace_substring_regex(t["host"], r"^.*?([^.]+\.[^.]+)$", r"\1")
+        return t.set_column(t.schema.get_field_index("host"), "host", dom)
+
+    pages = pages.map_batches(to_domain, batch_format="pyarrow")
+    n_in = pages.count()
+    out = strip_boilerplate(pages.select_columns(["url", "host", "text"]),
+                            text_col="text", id_col="url", host_col="host",
+                            min_docs=2, delim="\n", mode="join")
+    df = out.to_pandas()
+    assert len(df) == n_in, f"row preservation: {len(df)} != {n_in}"
+    assert int(df["n_removed"].sum()) > 0, "nothing stripped"
+    # fixed point: re-running discovery on the cleaned corpus finds nothing
+    import ray.data as rd
+
+    hosts = pages.select_columns(["url", "host"]).to_pandas()
+    cleaned = rd.from_pandas(df.merge(hosts, on="url", how="left"))
+    residual = boilerplate_keys(cleaned, text_col="text", host_col="host",
+                                id_col="url", min_docs=2, delim="\n").count()
+    assert residual == 0, f"{residual} boilerplate lines survived"
+    import pandas as pd
+    return pd.DataFrame({
+        "n_pages": [len(df)],
+        "n_lines_removed": [int(df["n_removed"].sum())],
+        "n_pages_touched": [int((df["n_removed"] > 0).sum())],
+        "n_pages_emptied": [int(df["text"].isna().sum())],
+    })
+
+
 def _q_latest_event_per_user(sf_dir):
     """Latest-row-per-key dedup (keep_latest) on the events table: each
     user's most recent event, ties on ts broken by greatest event_id —
@@ -2320,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": _q_join_revenue_by_priority,
         "full_join_event_counts": _q_full_join_event_counts,
         "right_join_customer_orders": _q_right_join_customer_orders,
+        "strip_boilerplate_documents": _q_strip_boilerplate_documents,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
@@ -2385,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_pages": _q_host_stats_pages,
         "keep_latest_pages": _q_keep_latest_pages,
         "incremental_minhash_documents": _q_incremental_minhash_documents,
+        "strip_boilerplate_pages": _q_strip_boilerplate_pages,
     }
 
 
@@ -2823,6 +2882,27 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
             "GROUP BY o_custkey) o "
             "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "strip_boilerplate_documents": (
+            "WITH segs AS ("
+            "  SELECT doc_id, source, u.seg AS seg, u.ln AS ln FROM ("
+            "    SELECT doc_id, source, UNNEST(list_apply(string_split(text, ' '), "
+            "           (s, i) -> struct_pack(seg := s, ln := i))) AS u"
+            "    FROM documents WHERE text IS NOT NULL)), "
+            "boiler AS ("
+            "  SELECT source, seg FROM segs WHERE trim(seg) <> ''"
+            "  GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= 20), "
+            "flagged AS ("
+            "  SELECT s.doc_id, s.seg, s.ln, b.seg IS NOT NULL AS is_b"
+            "  FROM segs s LEFT JOIN boiler b"
+            "    ON s.source = b.source AND s.seg = b.seg), "
+            "agg AS ("
+            "  SELECT doc_id,"
+            "         string_agg(seg, ' ' ORDER BY ln) FILTER (WHERE NOT is_b) AS text,"
+            "         COUNT(*) FILTER (WHERE is_b) AS n_removed"
+            "  FROM flagged GROUP BY doc_id) "
+            "SELECT d.doc_id, a.text, COALESCE(a.n_removed, 0) AS n_removed "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "heavy_hitters_events": (
             "SELECT event_type, COUNT(*) AS n FROM events "

@@ -27,7 +27,9 @@ from .incremental import (  # noqa: F401
 )
 from .corpus import (  # noqa: F401
     add_url_host,
+    boilerplate_keys,
     clean_corpus,
+    strip_boilerplate,
     cross_dup_fraction,
     remove_dup_spans,
     source_ngram_overlap,

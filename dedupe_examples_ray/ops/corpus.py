@@ -905,3 +905,245 @@ def source_ngram_overlap(ds, group_col: str = "source", text_col: str = "text",
                          "containment": c})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------- boilerplate-line removal
+_STRIP_BROADCAST_BUDGET = 4_000_000  # boilerplate keys broadcast under this
+
+
+def _mix_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive combine of two uint64 hash arrays into one, splitmix64
+    finalized — the (host, segment) composite key both boilerplate passes
+    share.  Wrapping uint64 arithmetic is intentional."""
+    x = (a * np.uint64(0xBF58476D1CE4E5B9)) ^ b
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _segment_batch(t: pa.Table, text_col: str, host_col: str, delim: str):
+    """Shared explode for both boilerplate passes: split each doc's text on
+    ``delim`` and return ``(flat_segments, parent_idx, composite_key,
+    maskable, text_null, host_strs)`` — ``maskable`` marks segments eligible
+    for boilerplate treatment (non-whitespace, non-null host; whitespace-only
+    segments and null-host docs pass through untouched, matching the SQL
+    oracle where NULL join keys never match)."""
+    from ..pairs import stable_hash
+
+    text = _col(t, text_col)
+    text_null = pc.is_null(text).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(pc.cast(text, pa.string()), "")
+    host = _col(t, host_col)
+    hvalid = pc.is_valid(host).to_numpy(zero_copy_only=False)
+    hosts = pc.fill_null(pc.cast(host, pa.string()), "")
+    splits = pc.split_pattern(filled, delim)
+    counts = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(splits)
+    parent = np.repeat(np.arange(len(counts)), counts)
+    nonws = pc.not_equal(pc.utf8_trim_whitespace(flat), "").to_numpy(
+        zero_copy_only=False)
+    seg_h = stable_hash(flat.to_numpy(zero_copy_only=False))
+    host_h = stable_hash(hosts.to_numpy(zero_copy_only=False))
+    key = _mix_u64(host_h[parent], seg_h) if len(parent) else np.zeros(0, np.uint64)
+    maskable = nonws & hvalid[parent]
+    return flat, parent, key, maskable, text_null, counts
+
+
+def boilerplate_keys(ds, text_col: str = "text", host_col: str = "source",
+                     id_col: str = "doc_id", min_docs: int = 2,
+                     delim: str = "\n", num_buckets: int | None = None):
+    """Pass 1 of :func:`strip_boilerplate`: the set of (host, segment)
+    composite u64 keys whose segment occurs in >= ``min_docs`` DISTINCT
+    documents of the same host (CCNet / RefinedWeb frequent-line discovery).
+
+    Combiner-shaped: each batch collapses to per-(host, segment) distinct-doc
+    partial counts (a document lives in exactly one batch, so partials sum
+    exactly), then ONE bucketed shuffle over O(#distinct segments) count rows
+    — never the corpus.  Output: ``(bkey uint64)`` — only frequent segments,
+    small by construction."""
+    from ..scale import resolve_buckets
+
+    B = resolve_buckets(num_buckets, ds)
+    empty = pa.table({"bkey": pa.array([], pa.uint64()),
+                      "cnt": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parent, key, maskable, _nulls, _counts = _segment_batch(
+            t, text_col, host_col, delim)
+        if not maskable.any():
+            return empty
+        key, pidx = key[maskable], parent[maskable]
+        order = np.lexsort((key, pidx))
+        k2, p2 = key[order], pidx[order]
+        first = np.ones(len(k2), bool)
+        first[1:] = (k2[1:] != k2[:-1]) | (p2[1:] != p2[:-1])
+        uk, cnt = np.unique(k2[first], return_counts=True)
+        return pa.table({"bkey": pa.array(uk, pa.uint64()),
+                         "cnt": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array((uk % np.uint64(B)).astype(np.int64))})
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bkey", sort=False)["cnt"].sum()
+        g = g[g >= min_docs]
+        return pd.DataFrame({"bkey": g.index.to_numpy(np.uint64)})
+
+    partials = ds.select_columns([text_col, host_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(reduce_bucket,
+                                                 batch_format="pandas")
+
+
+def strip_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
+                      host_col: str = "source", min_docs: int = 2,
+                      delim: str = "\n", mode: str = "auto",
+                      broadcast_row_budget: int | None = None,
+                      num_buckets: int | None = None):
+    """Per-host boilerplate-segment removal (the CCNet/RefinedWeb cleaner):
+    drop every segment (line, with ``delim="\\n"``) that occurs in >=
+    ``min_docs`` DISTINCT documents of the same host, preserving original
+    segment order; whitespace-only segments and null-host documents are
+    never stripped (SQL NULL-key semantics).  Output: ``(id_col, text_col,
+    n_removed)`` — one row per input document; text is NULL when the input
+    text was NULL or every segment was stripped (SQL ``string_agg`` over an
+    empty set).
+
+    Tiers (identical outputs, test-verified):
+
+    - ``broadcast`` (boilerplate key set <= ``broadcast_row_budget``): the
+      sorted u64 key array is ``ray.put`` once and membership is a
+      vectorized ``searchsorted`` per batch — docs stream, nothing shuffles.
+    - ``join`` (unbounded key set): explode -> ``hash_join`` LEFT on the
+      composite key (big-big, bucketed) -> bucketed per-doc reassembly via
+      one ``binary_join`` kernel per group.  Segment text moves through two
+      shuffles — the op's inherent cost when the frequent-set itself is
+      too large for worker heaps.
+
+    ``mode="auto"`` picks by counting the (materialized, small) key set.
+    """
+    import ray
+
+    from ..relational import hash_join
+    from ..scale import resolve_buckets
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"mode must be auto/broadcast/join, got {mode!r}")
+    budget = _STRIP_BROADCAST_BUDGET if broadcast_row_budget is None else broadcast_row_budget
+    B = resolve_buckets(num_buckets, ds)
+    keys_ds = boilerplate_keys(ds, text_col=text_col, host_col=host_col,
+                               id_col=id_col, min_docs=min_docs, delim=delim,
+                               num_buckets=B).materialize()
+    n_keys = keys_ds.count()  # keys_ds is materialized: count is free
+    if mode == "auto":
+        mode = "broadcast" if n_keys <= budget else "join"
+    if n_keys == 0:
+        # nothing is boilerplate: broadcast of the empty set is a pure
+        # passthrough (and the join tier can't infer a schema from an
+        # empty mapped dataset)
+        mode = "broadcast"
+
+    if mode == "broadcast":
+        parts = [b["bkey"].to_numpy(zero_copy_only=False)
+                 for b in keys_ds.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        ref = ray.put(np.sort(np.concatenate(parts))
+                      if parts else np.zeros(0, np.uint64))
+
+        def strip_batch(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            flat, parent, key, maskable, text_null, counts = _segment_batch(
+                t, text_col, host_col, delim)
+            n = t.num_rows
+            if len(key) and len(ks):
+                pos = np.searchsorted(ks, key)
+                pos_c = np.minimum(pos, len(ks) - 1)
+                is_b = (pos < len(ks)) & (ks[pos_c] == key) & maskable
+            else:
+                is_b = np.zeros(len(key), bool)
+            keep = ~is_b
+            kept_counts = np.bincount(parent[keep], minlength=n).astype(np.int64)
+            joined = _ragged_join(flat.filter(pa.array(keep)), kept_counts, delim)
+            null_out = text_null | (kept_counts == 0)
+            out_text = pc.if_else(pa.array(null_out),
+                                  pa.nulls(n, pa.string()), joined)
+            n_removed = np.bincount(parent[is_b], minlength=n).astype(np.int64)
+            return pa.table({id_col: _col(t, id_col), text_col: out_text,
+                             "n_removed": pa.array(n_removed)})
+
+        return ds.map_batches(strip_batch, batch_format="pyarrow")
+
+    # join tier: every segment row survives a LEFT join against the key set,
+    # flagged, then reassembles per doc inside its hash bucket
+    def explode_full(t: pa.Table) -> pa.Table:
+        from ..pairs import stable_hash
+
+        flat, parent, key, maskable, text_null, counts = _segment_batch(
+            t, text_col, host_col, delim)
+        ids = _col(t, id_col).take(pa.array(parent, pa.int64()))
+        ln = (np.arange(len(parent), dtype=np.int64) -
+              np.repeat(np.cumsum(counts) - counts, counts)) if len(parent) else np.zeros(0, np.int64)
+        # non-maskable rows get a per-row filler key: never a systematic
+        # match, and (unlike a constant) spreads them across join buckets
+        # instead of piling every whitespace segment into one hot group
+        id_h = stable_hash(ids.to_numpy(zero_copy_only=False)) if len(parent) \
+            else np.zeros(0, np.uint64)
+        filler = _mix_u64(id_h, ln.astype(np.uint64))
+        return pa.table({
+            id_col: ids,
+            "__ln": pa.array(ln),
+            "__seg": flat,
+            "bkey": pa.array(np.where(maskable, key, filler), pa.uint64()),
+            "__maskable": pa.array(maskable),
+            "__src_null": pa.array(text_null[parent] if len(parent) else
+                                   np.zeros(0, bool)),
+        })
+
+    exploded = ds.select_columns(
+        list(dict.fromkeys([id_col, text_col, host_col]))).map_batches(
+        explode_full, batch_format="pyarrow")
+    marked = keys_ds.map_batches(
+        lambda t: t.append_column("__isb", pa.array(np.ones(t.num_rows, bool))),
+        batch_format="pyarrow")
+    flagged = hash_join(exploded, marked, on="bkey", how="left", num_buckets=B)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        from ..pairs import stable_hash
+
+        h = stable_hash(_col(t, id_col).to_numpy(zero_copy_only=False))
+        return t.append_column("__dbkt", pa.array(
+            (h % np.uint64(B)).astype(np.int64)))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 text_col: pd.Series([], dtype=object),
+                                 "n_removed": pd.Series([], dtype=np.int64)})
+        df = df.sort_values([id_col, "__ln"], kind="mergesort")
+        codes, uniq = pd.factorize(df[id_col].to_numpy())
+        isb = df["__isb"].to_numpy()
+        rm = (np.where(pd.isna(isb), False, isb).astype(bool) &
+              df["__maskable"].to_numpy(bool))
+        n_docs = len(uniq)
+        n_removed = np.bincount(codes, weights=rm, minlength=n_docs).astype(np.int64)
+        keep = ~rm
+        kept_counts = np.bincount(codes[keep], minlength=n_docs).astype(np.int64)
+        joined = _ragged_join(
+            pa.array(df["__seg"].to_numpy()[keep], pa.string()), kept_counts, delim)
+        firsts = np.zeros(n_docs, np.int64)
+        counts_all = np.bincount(codes, minlength=n_docs)
+        np.cumsum(counts_all[:-1], out=firsts[1:])
+        # df is (id, ln)-sorted, so codes are grouped runs: firsts indexes
+        # each doc's first row directly
+        src_null = df["__src_null"].to_numpy(bool)[firsts]
+        null_out = src_null | (kept_counts == 0)
+        text = joined.to_pandas()
+        text[null_out] = None
+        return pd.DataFrame({id_col: uniq, text_col: text.to_numpy(),
+                             "n_removed": n_removed})
+
+    return flagged.map_batches(add_doc_bucket, batch_format="pyarrow").groupby(
+        "__dbkt").map_groups(assemble, batch_format="pandas")

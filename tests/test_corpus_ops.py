@@ -406,3 +406,94 @@ def test_paragraph_dedup_matches_duckdb(ray_session):
     """).df()
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=True)
+
+
+# ------------------------------------------------------- strip_boilerplate
+def _boiler_ds():
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "source": ["a", "a", "a", "b", None, "a", "b"],
+        "text": ["nav\nhello world\nfooter", "nav\nbye\nfooter",
+                 "nav\nonly me", "nav\nsame host b", None,
+                 "nav\nfooter", ""],
+    }))
+
+
+def test_strip_boilerplate_semantics(ray_session):
+    from dedupe_examples_ray.ops import strip_boilerplate
+
+    out = (strip_boilerplate(_boiler_ds(), min_docs=2, delim="\n",
+                             mode="broadcast")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # host a: "nav" (4 docs) and "footer" (3 docs) are boilerplate
+    assert out.loc[0, "text"] == "hello world" and out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "text"] == "bye"
+    assert out.loc[2, "text"] == "only me" and out.loc[2, "n_removed"] == 1
+    # host b has only one doc with "nav": below threshold, untouched
+    assert out.loc[3, "text"] == "nav\nsame host b" and out.loc[3, "n_removed"] == 0
+    # null host: never stripped; null text: stays null
+    assert out.loc[4, "text"] is None and out.loc[4, "n_removed"] == 0
+    # all segments boilerplate -> NULL text (string_agg over empty set)
+    assert out.loc[5, "text"] is None and out.loc[5, "n_removed"] == 2
+    # empty string doc: single whitespace-only segment, kept verbatim
+    assert out.loc[6, "text"] == "" and out.loc[6, "n_removed"] == 0
+
+
+def test_strip_boilerplate_tier_parity(ray_session):
+    """broadcast and join tiers must produce identical output (the
+    hydration-tier parity contract from test_scale_safety)."""
+    from dedupe_examples_ray.ops import strip_boilerplate
+
+    outs = {}
+    for mode in ("broadcast", "join"):
+        outs[mode] = (strip_boilerplate(_boiler_ds(), min_docs=2, delim="\n",
+                                        mode=mode)
+                      .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+
+
+def test_strip_boilerplate_empty_keyset_and_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import strip_boilerplate
+
+    # threshold higher than any count: pure passthrough in BOTH modes
+    for mode in ("broadcast", "join"):
+        out = (strip_boilerplate(_boiler_ds(), min_docs=99, delim="\n",
+                                 mode=mode)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert (out["n_removed"] == 0).all()
+        assert out.loc[0, "text"] == "nav\nhello world\nfooter"
+    # empty input dataset
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert strip_boilerplate(empty, min_docs=2).count() == 0
+
+
+def test_strip_boilerplate_within_doc_repeats(ray_session):
+    """A line repeated inside ONE doc counts once for discovery (DISTINCT
+    docs) but every occurrence is stripped once flagged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import strip_boilerplate
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "source": ["a", "a"],
+        "text": ["x\nx\nkeep me", "x\nother"],
+    }))
+    out = (strip_boilerplate(ds, min_docs=2, delim="\n", mode="broadcast")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text"] == "keep me" and out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "text"] == "other" and out.loc[1, "n_removed"] == 1
+    # but min_docs=3 would NOT fire: within-doc repeats don't inflate counts
+    out3 = (strip_boilerplate(ds, min_docs=3, delim="\n", mode="broadcast")
+            .to_pandas())
+    assert (out3["n_removed"] == 0).all()
