@@ -1865,6 +1865,49 @@ def _q_strip_boilerplate_documents(sf_dir):
                              host_col="source", min_docs=20, delim=" ")
 
 
+def _q_pack_sequences_documents(sf_dir):
+    """Offset-binning sequence packing: lay the corpus out in doc_id order as
+    one global token stream and shard at 1024-token boundaries — exact global
+    prefix sum via the two-pass range pattern; oracled against a SQL window
+    cumsum."""
+    from dedupe_examples_ray.ops import pack_sequences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(docs, id_col="doc_id", text_col="text", budget=1024)
+
+
+def _q_pack_greedy_documents(sf_dir):
+    """FFD bin packing into 1024-token shards, per hash partition.  In-query
+    invariants: every doc assigned exactly once; no multi-doc shard over
+    budget; per partition at most one shard under half-full (the FFD
+    guarantee); oversized docs are singletons."""
+    import pandas as pd
+
+    from dedupe_examples_ray.ops import pack_sequences_greedy
+
+    budget = 1024
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_in = docs.count()
+    out = pack_sequences_greedy(docs, id_col="doc_id", text_col="text",
+                                budget=budget, num_partitions=8).to_pandas()
+    assert len(out) == n_in and out["doc_id"].nunique() == n_in
+    g = out.groupby("shard").agg(tok=("n_tokens", "sum"), n=("doc_id", "count"))
+    multi = g[g["n"] > 1]
+    assert (multi["tok"] <= budget).all(), "multi-doc shard over budget"
+    over = g[(g["tok"] > budget)]
+    assert (over["n"] == 1).all(), "oversized shard is not a singleton"
+    g = g.reset_index()
+    g["part"] = g["shard"].to_numpy() >> 32
+    half_empty = g[g["tok"] * 2 < budget].groupby("part").size()
+    assert (half_empty <= 1).all(), "FFD half-full property violated"
+    return pd.DataFrame({
+        "n_docs": [int(len(out))],
+        "n_shards": [int(len(g))],
+        "total_tokens": [int(out["n_tokens"].sum())],
+        "max_multi_shard_tokens": [int(multi["tok"].max()) if len(multi) else 0],
+    })
+
+
 def _q_strip_boilerplate_pages(sf_dir):
     """The intended use: newline-delimited boilerplate stripping over the
     synthetic web corpus, host taken from the url — nav/footer lines shared
@@ -2378,6 +2421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_event_counts": _q_full_join_event_counts,
         "right_join_customer_orders": _q_right_join_customer_orders,
         "strip_boilerplate_documents": _q_strip_boilerplate_documents,
+        "pack_sequences_documents": _q_pack_sequences_documents,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
@@ -2444,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_latest_pages": _q_keep_latest_pages,
         "incremental_minhash_documents": _q_incremental_minhash_documents,
         "strip_boilerplate_pages": _q_strip_boilerplate_pages,
+        "pack_greedy_documents": _q_pack_greedy_documents,
     }
 
 
@@ -2882,6 +2927,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_custkey, COUNT(*) AS n_orders FROM orders "
             "GROUP BY o_custkey) o "
             "RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "pack_sequences_documents": (
+            "WITH tk AS ("
+            "  SELECT doc_id, CASE WHEN text IS NULL THEN 0 "
+            "         ELSE len(string_split(text, ' ')) END AS n_tokens "
+            "  FROM documents), "
+            "o AS ("
+            "  SELECT doc_id, n_tokens, "
+            "    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "      AS BIGINT) AS start_offset FROM tk) "
+            "SELECT doc_id, n_tokens, start_offset, "
+            "       start_offset // 1024 AS shard FROM o"
         ),
         "strip_boilerplate_documents": (
             "WITH segs AS ("

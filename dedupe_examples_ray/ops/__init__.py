@@ -25,6 +25,10 @@ from .incremental import (  # noqa: F401
     incremental_exact_dedup,
     incremental_minhash_dedup,
 )
+from .packing import (  # noqa: F401
+    pack_sequences,
+    pack_sequences_greedy,
+)
 from .corpus import (  # noqa: F401
     add_url_host,
     boilerplate_keys,

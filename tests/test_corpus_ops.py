@@ -497,3 +497,58 @@ def test_strip_boilerplate_within_doc_repeats(ray_session):
     out3 = (strip_boilerplate(ds, min_docs=3, delim="\n", mode="broadcast")
             .to_pandas())
     assert (out3["n_removed"] == 0).all()
+
+
+# --------------------------------------------------------- sequence packing
+def test_pack_sequences_matches_cumsum(ray_session):
+    """Offset binning == pandas ordered cumsum on a shuffled, skewed input."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n, budget = 500, 100
+    toks = rng.integers(0, 250, n)  # includes zero-token and oversized docs
+    ids = rng.permutation(n)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "nt": pa.array(toks, pa.int64())})).repartition(7)
+    got = (pack_sequences(ds, id_col="doc_id", token_col="nt", budget=budget,
+                          num_ranges=9)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    order = np.argsort(ids)
+    exp_start = np.concatenate(([0], np.cumsum(toks[order][:-1])))
+    assert np.array_equal(got["start_offset"].to_numpy(), exp_start)
+    assert np.array_equal(got["shard"].to_numpy(), exp_start // budget)
+    assert np.array_equal(got["n_tokens"].to_numpy(), toks[order])
+
+
+def test_pack_greedy_invariants(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import pack_sequences_greedy
+
+    rng = np.random.default_rng(11)
+    n, budget = 400, 128
+    toks = rng.integers(1, 200, n)  # some docs exceed the budget
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "nt": pa.array(toks, pa.int64())})).repartition(5)
+    out = pack_sequences_greedy(ds, id_col="doc_id", token_col="nt",
+                                budget=budget, num_partitions=4).to_pandas()
+    assert len(out) == n and out["doc_id"].nunique() == n
+    assert int(out["n_tokens"].sum()) == int(toks.sum())
+    g = out.groupby("shard").agg(tok=("n_tokens", "sum"), n=("doc_id", "count"))
+    assert (g[g["n"] > 1]["tok"] <= budget).all()
+    assert (g[g["tok"] > budget]["n"] == 1).all()
+    g = g.reset_index()
+    g["part"] = g["shard"].to_numpy() >> 32
+    assert (g[g["tok"] * 2 < budget].groupby("part").size() <= 1).all()
+    # determinism: same input -> same assignment
+    out2 = pack_sequences_greedy(ds, id_col="doc_id", token_col="nt",
+                                 budget=budget, num_partitions=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
