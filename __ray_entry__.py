@@ -1908,6 +1908,35 @@ def _q_pack_greedy_documents(sf_dir):
     })
 
 
+def _q_pca_embeddings(sf_dir):
+    """Distributed exact PCA over the embeddings table: moment-combiner fit
+    (driver sees O(dim^2) doubles, never a row) + broadcast projection.
+    In-query invariants: orthonormal basis, descending spectrum, per-component
+    projected variance == eigenvalues, ratios sum <= 1."""
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_examples_ray.ops import pca_fit, pca_transform
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 8
+    m = pca_fit(emb, vec_col="embedding", n_components=k)
+    W, ev = m["components"], m["explained_variance"]
+    assert np.allclose(W @ W.T, np.eye(k), atol=1e-9), "basis not orthonormal"
+    assert (np.diff(ev) <= 1e-12).all(), "spectrum not descending"
+    assert 0.0 < float(m["explained_variance_ratio"].sum()) <= 1.0 + 1e-9
+    out = pca_transform(emb, m, out_col="pca").to_pandas()
+    P = np.stack(out["pca"].to_numpy())
+    assert np.allclose(P.var(0, ddof=1), ev, rtol=1e-6), \
+        "projected variance != eigenvalues"
+    return pd.DataFrame({
+        "n_rows": [int(m["n_rows"])],
+        "n_components": [k],
+        "explained_ratio": [round(float(m["explained_variance_ratio"].sum()), 6)],
+        "top_eigenvalue": [round(float(ev[0]), 6)],
+    })
+
+
 def _q_strip_boilerplate_pages(sf_dir):
     """The intended use: newline-delimited boilerplate stripping over the
     synthetic web corpus, host taken from the url — nav/footer lines shared
@@ -2489,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_minhash_documents": _q_incremental_minhash_documents,
         "strip_boilerplate_pages": _q_strip_boilerplate_pages,
         "pack_greedy_documents": _q_pack_greedy_documents,
+        "pca_embeddings": _q_pca_embeddings,
     }
 
 

@@ -10,6 +10,8 @@ from .ann import ann_brute_force, ann_ivf, ann_lsh  # noqa: F401
 from .embed_cluster import (  # noqa: F401
     kmeans_assign,
     kmeans_distributed,
+    pca_fit,
+    pca_transform,
     semantic_dedup,
 )
 from .textstats import (  # noqa: F401

@@ -217,3 +217,97 @@ def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
     pairs = tagged.groupby("cluster_id").map_groups(verify, batch_format="pandas")
     return _assignment(ds.select_columns([id_col]), id_col, dedup_pairs(pairs))
+
+
+# ------------------------------------------------------------------ PCA
+def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8,
+            combine_buckets: int = 32):
+    """Distributed exact PCA over an embedding column — the covariance-moment
+    combiner: every batch collapses to ONE partial row ``(n, sum_x,
+    flattened X^T X)`` (O(dim^2) doubles, independent of batch size), partials
+    pre-combine in ``combine_buckets`` grouped tasks, and the driver
+    eigendecomposes the (dim, dim) covariance — it never sees a row.
+
+    Exact (not randomized/streaming-approximate): the moments determine the
+    covariance exactly, so the result equals single-machine PCA on the
+    concatenated data (pytest-verified against ``numpy.linalg.eigh``).
+
+    Sign convention: each component's largest-|loading| coordinate is made
+    positive (deterministic across runs/partitionings).
+
+    Returns a dict: ``components`` (n_components, dim) row-orthonormal,
+    ``mean`` (dim,), ``explained_variance`` (descending, sample covariance
+    eigenvalues), ``explained_variance_ratio``, ``n_rows``.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64())),
+                             "bkt": pa.array([], pa.int64())})
+        import zlib
+
+        X = _col_matrix(t[vec_col])
+        # content-derived bucket: equal-sized batches must still spread
+        # across the combine tasks
+        bkt = zlib.crc32(X[0].tobytes()) % combine_buckets
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "sx": pa.array([X.sum(0)]),
+            "xtx": pa.array([(X.T @ X).ravel()]),
+            "bkt": pa.array([bkt], pa.int64()),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["n"].sum())
+        sx = np.sum(np.stack(df["sx"].to_numpy()), axis=0)
+        xtx = np.sum(np.stack(df["xtx"].to_numpy()), axis=0)
+        return pd.DataFrame({"n": [n], "sx": [sx], "xtx": [xtx]})
+
+    parts = (ds.select_columns([vec_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("bkt").map_groups(combine, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0 or int(parts["n"].sum()) < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    n = int(parts["n"].sum())
+    sx = np.sum(np.stack(parts["sx"].to_numpy()), axis=0)
+    xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0)
+    dim = len(sx)
+    mean = sx / n
+    cov = (xtx.reshape(dim, dim) - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T               # (n_components, dim)
+    ev = np.maximum(evals[order], 0.0)
+    # deterministic sign: largest-|loading| coordinate positive
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    total_var = max(float(np.trace(cov.reshape(dim, dim))), 1e-300)
+    return {"components": comps, "mean": mean, "explained_variance": ev,
+            "explained_variance_ratio": ev / total_var, "n_rows": n}
+
+
+def pca_transform(ds, model: dict, vec_col: str = "embedding",
+                  out_col: str = "pca", keep_vec: bool = False):
+    """Project the embedding column onto a fitted PCA basis: ``(x - mean) @
+    components.T`` per batch, the (n_components, dim) basis broadcast once
+    via ``ray.put`` and matmul'd per batch — no shuffle."""
+    import ray
+
+    ref = ray.put((np.asarray(model["mean"], np.float64),
+                   np.asarray(model["components"], np.float64)))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean, W = _get_centroids(ref)  # same tiny per-worker cache
+        if t.num_rows == 0:
+            out = pa.array([], pa.list_(pa.float64()))
+        else:
+            X = _col_matrix(t[vec_col])
+            out = pa.array(list((X - mean) @ W.T))
+        t = t.append_column(out_col, out)
+        return t if keep_vec else t.drop_columns([vec_col])
+
+    return ds.map_batches(project, batch_format="pyarrow")

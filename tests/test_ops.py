@@ -306,3 +306,47 @@ def test_text_knn(ray_session):
     assert out["score"].iloc[0] > 0.999 and out["score"].iloc[1] > 0.7
     far = out[out["match_id"] == "far"]
     assert far.empty or (far["score"] < 0.05).all()
+
+
+def test_pca_matches_exact(ray_session):
+    """Distributed moment-combiner PCA == numpy PCA on the gathered matrix
+    (up to the deterministic sign convention), regardless of partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import pca_fit, pca_transform
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 300, 16, 5
+    # anisotropic data so the spectrum is well-separated
+    basis = np.linalg.qr(rng.normal(size=(dim, dim)))[0]
+    scales = np.linspace(6, 0.1, dim)
+    X = rng.normal(size=(n, dim)) * scales @ basis.T + rng.normal(size=dim)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(X.astype(np.float64)))})).repartition(7)
+
+    m = pca_fit(ds, n_components=k)
+    assert m["n_rows"] == n
+    # exact reference
+    mean = X.mean(0)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    W = evecs[:, order].T
+    flip = np.sign(W[np.arange(k), np.abs(W).argmax(1)])
+    W = W * flip[:, None]
+    assert np.allclose(m["mean"], mean, atol=1e-9)
+    assert np.allclose(m["explained_variance"], evals[order], atol=1e-9)
+    assert np.allclose(m["components"], W, atol=1e-7)
+    # orthonormal rows, descending variance
+    assert np.allclose(m["components"] @ m["components"].T, np.eye(k), atol=1e-9)
+    assert (np.diff(m["explained_variance"]) <= 1e-12).all()
+
+    out = (pca_transform(ds, m, out_col="pca").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    P = np.stack(out["pca"].to_numpy())
+    assert np.allclose(P, (X - mean) @ W.T, atol=1e-7)
+    # projection preserves component-wise variance == eigenvalues
+    assert np.allclose(P.var(0, ddof=1), evals[order], atol=1e-7)
