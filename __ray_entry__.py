@@ -1908,6 +1908,54 @@ def _q_pack_greedy_documents(sf_dir):
     })
 
 
+def _q_quality_filter_train(sf_dir):
+    """Train the hashed-BoW logistic quality filter end-to-end: documents
+    table, spam labels planted deterministically (doc_id parity injects a
+    spam-token suffix), 75/25 hash split, exact distributed gradient descent.
+    In-query invariants: loss strictly improves, holdout accuracy >= 0.9."""
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_examples_ray.ops import logreg_fit, logreg_predict
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        spam = (ids % 2 == 1)
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        suffixed = pc.binary_join_element_wise(
+            text, pa.scalar("buy cheap winner click free pills"), " ")
+        out = pc.if_else(pa.array(spam), suffixed, text)
+        # fold on ids>>1 so both parities (= both labels) land in each fold
+        return pa.table({"doc_id": t["doc_id"], "text": out,
+                         "label": pa.array(spam.astype(np.int64)),
+                         "fold": pa.array(((ids >> 1) % 4 == 0).astype(np.int64))})
+
+    labeled = docs.map_batches(plant, batch_format="pyarrow")
+
+    def keep_fold(v):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["fold"], v))
+        return fn
+
+    train = labeled.map_batches(keep_fold(0), batch_format="pyarrow")
+    test = labeled.map_batches(keep_fold(1), batch_format="pyarrow")
+    m = logreg_fit(train, text_col="text", label_col="label",
+                   dim=2048, iters=100, lr=0.3)
+    assert m["losses"][-1] < m["losses"][0], "training loss did not improve"
+    out = logreg_predict(test, m, text_col="text").to_pandas()
+    acc = float(((out["p_positive"] > 0.5).astype(int) == out["label"]).mean())
+    assert acc >= 0.9, f"holdout accuracy {acc}"
+    return pd.DataFrame({
+        "n_train": [int(m["n_rows"])],
+        "n_test": [int(len(out))],
+        "final_loss": [float(m["losses"][-1])],
+        "holdout_acc_floor": [0.9],
+        "acc_above_floor": [bool(acc >= 0.9)],
+    })
+
+
 def _q_pca_embeddings(sf_dir):
     """Distributed exact PCA over the embeddings table: moment-combiner fit
     (driver sees O(dim^2) doubles, never a row) + broadcast projection.
@@ -2519,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate_pages": _q_strip_boilerplate_pages,
         "pack_greedy_documents": _q_pack_greedy_documents,
         "pca_embeddings": _q_pca_embeddings,
+        "quality_filter_train": _q_quality_filter_train,
     }
 
 

@@ -27,6 +27,10 @@ from .incremental import (  # noqa: F401
     incremental_exact_dedup,
     incremental_minhash_dedup,
 )
+from .classifier import (  # noqa: F401
+    logreg_fit,
+    logreg_predict,
+)
 from .packing import (  # noqa: F401
     pack_sequences,
     pack_sequences_greedy,

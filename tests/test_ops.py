@@ -350,3 +350,58 @@ def test_pca_matches_exact(ray_session):
     assert np.allclose(P, (X - mean) @ W.T, atol=1e-7)
     # projection preserves component-wise variance == eigenvalues
     assert np.allclose(P.var(0, ddof=1), evals[order], atol=1e-7)
+
+
+def _spam_corpus(n=400, seed=13):
+    """Deterministic spam/clean corpus: clean docs draw from one vocabulary,
+    spam docs mix in a distinct token set — a separable but noisy signal."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    clean_vocab = [f"word{i}" for i in range(50)]
+    spam_vocab = ["buy", "cheap", "winner", "click", "free", "pills"]
+    texts, labels = [], []
+    for i in range(n):
+        spam = i % 2 == 1
+        toks = list(rng.choice(clean_vocab, size=30))
+        if spam:
+            toks += list(rng.choice(spam_vocab, size=8))
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+        labels.append(int(spam))
+    return pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                     "text": pa.array(texts, pa.string()),
+                     "label": pa.array(labels, pa.int64())})
+
+
+def test_logreg_learns_spam_filter(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import logreg_fit, logreg_predict
+
+    t = _spam_corpus()
+    train = rd.from_arrow(t.slice(0, 300)).repartition(4)
+    test = rd.from_arrow(t.slice(300))
+    m = logreg_fit(train, text_col="text", label_col="label",
+                   dim=1024, iters=120, lr=0.3)
+    assert m["tier"] == "driver"
+    assert m["losses"][-1] < m["losses"][0] * 0.2, "loss did not drop"
+    out = logreg_predict(test, m, text_col="text").to_pandas()
+    acc = ((out["p_positive"] > 0.5).astype(int) == out["label"]).mean()
+    assert acc >= 0.95, f"holdout accuracy {acc}"
+
+
+def test_logreg_tier_parity(ray_session):
+    """driver and streaming tiers run the same exact-gradient update: same
+    weights to float tolerance regardless of partitioning."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import logreg_fit
+
+    t = _spam_corpus(n=120, seed=5)
+    ds = rd.from_arrow(t).repartition(5)
+    md = logreg_fit(ds, dim=256, iters=5, force_tier="driver")
+    ms = logreg_fit(ds, dim=256, iters=5, force_tier="stream")
+    assert np.allclose(md["w"], ms["w"], atol=1e-10)
+    assert abs(md["b"] - ms["b"]) < 1e-10
+    assert np.allclose(md["losses"], ms["losses"], atol=1e-6)
