@@ -1908,6 +1908,19 @@ def _q_pack_greedy_documents(sf_dir):
     })
 
 
+def _q_mix_sources_documents(sf_dir):
+    """Dataset mixing: downsample three sources to a 3:1:1 token-budget ratio
+    with integer-exact rates and md5-deterministic row selection — the
+    Pile-style mixture step, reproduced bit-exactly by the DuckDB oracle."""
+    from dedupe_examples_ray.ops import mix_sources
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mix_sources(docs, source_col="source",
+                      weights={"src0": 3, "src1": 1, "src2": 1},
+                      key_col="doc_id", method="md5")
+    return out
+
+
 def _q_quality_filter_train(sf_dir):
     """Train the hashed-BoW logistic quality filter end-to-end: documents
     table, spam labels planted deterministically (doc_id parity injects a
@@ -2499,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "right_join_customer_orders": _q_right_join_customer_orders,
         "strip_boilerplate_documents": _q_strip_boilerplate_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
+        "mix_sources_documents": _q_mix_sources_documents,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
@@ -3019,6 +3033,18 @@ def oracle_sql() -> dict[str, str]:
             "      AS BIGINT) AS start_offset FROM tk) "
             "SELECT doc_id, n_tokens, start_offset, "
             "       start_offset // 1024 AS shard FROM o"
+        ),
+        "mix_sources_documents": (
+            "WITH n AS ("
+            "  SELECT source, COUNT(*) AS ns FROM documents "
+            "  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source), "
+            "w(source, ws) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)), "
+            "j AS (SELECT n.source, ns, ws FROM n JOIN w ON n.source = w.source), "
+            "c AS (SELECT MIN(ns // ws) AS c FROM j), "
+            "thr AS (SELECT source, ((c.c * ws) * 10000) // ns AS t FROM j, c) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN thr ON d.source = thr.source "
+            "WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000 < thr.t"
         ),
         "strip_boilerplate_documents": (
             "WITH segs AS ("

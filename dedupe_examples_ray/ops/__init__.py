@@ -46,6 +46,7 @@ from .corpus import (  # noqa: F401
     clean_corpus_funnel,
     host_stats,
     keep_latest,
+    mix_sources,
     ngram_decontaminate,
     normalize_url,
     paragraph_dedup,

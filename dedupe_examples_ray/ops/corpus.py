@@ -1147,3 +1147,63 @@ def strip_boilerplate(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return flagged.map_batches(add_doc_bucket, batch_format="pyarrow").groupby(
         "__dbkt").map_groups(assemble, batch_format="pandas")
+
+
+# ------------------------------------------------------------ source mixing
+def mix_sources(ds, source_col: str = "source",
+                weights: dict[str, int] | None = None,
+                key_col: str = "doc_id", mod: int = 10_000,
+                method: str = "stable"):
+    """Dataset mixing — downsample sources to target proportions (the
+    Pile/DoReMi-style mixture step): given integer ``weights`` ``{source:
+    w}``, keep ``~C*w_s`` rows of source ``s`` where ``C = min_s(n_s //
+    w_s)`` — the bottleneck source is kept (almost) whole and every other
+    source is hash-downsampled toward the target ratio.  Sources absent from
+    ``weights`` are dropped.
+
+    ALL rate math is integer (``C = min(n_s // w_s)``, ``thr_s = C * w_s *
+    mod // n_s``), so the DuckDB oracle reproduces it bit-exactly; the row
+    filter is value-hash-deterministic (``H(key) % mod < thr_s``), stable
+    across engines, runs, partitionings and corpus growth.  ``method``:
+    ``"stable"`` (fast vectorized u64 hash) or ``"md5"`` (engine-portable,
+    equals DuckDB ``md5_number_lower``) — same contract as
+    :func:`relational.hash_sample`.
+
+    Scale shape: ONE combiner groupby for per-source counts (O(#sources)
+    rows reach the driver), thresholds ship in the task closure (tiny dict),
+    then one vectorized filter pass — no shuffle of the corpus itself.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: int_weight} dict")
+    if any(int(w) < 1 for w in weights.values()):
+        raise ValueError(f"weights must be >= 1 integers, got {weights}")
+    from ..relational import grouped_sum
+
+    counts = grouped_sum(ds.select_columns([source_col]), [source_col], {},
+                         count_col="__n").to_pandas()
+    n_by_src = {r[source_col]: int(r["__n"]) for _, r in counts.iterrows()
+                if r[source_col] in weights}
+    if not n_by_src:
+        # no weighted source present: empty result, schema preserved
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    C = min(n // int(weights[s]) for s, n in n_by_src.items())
+    thr = {s: (C * int(weights[s]) * mod) // n for s, n in n_by_src.items()}
+
+    def flt(t: pa.Table) -> pa.Table:
+        keys = pc.cast(_col(t, key_col), pa.string()).to_numpy(
+            zero_copy_only=False)
+        if method == "md5":
+            md5 = hashlib.md5
+            h = np.fromiter(
+                (int.from_bytes(md5(str(v).encode()).digest()[8:], "little")
+                 % mod for v in keys),
+                dtype=np.int64, count=len(keys))
+        else:
+            from ..pairs import stable_hash
+
+            h = (stable_hash(keys) % np.uint64(mod)).astype(np.int64)
+        t_s = pd.Series(_col(t, source_col).to_numpy(zero_copy_only=False))
+        t_thr = t_s.map(thr).fillna(0).to_numpy(np.int64)
+        return t.filter(pa.array(h < t_thr))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

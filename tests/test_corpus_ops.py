@@ -552,3 +552,32 @@ def test_pack_greedy_invariants(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True))
+
+
+# ----------------------------------------------------------- source mixing
+def test_mix_sources_ratios_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import mix_sources
+
+    n = 3000
+    rng = np.random.default_rng(2)
+    src = rng.choice(["a", "b", "c", "drop_me"], size=n, p=[0.5, 0.3, 0.1, 0.1])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array(src, pa.string())})).repartition(6)
+    out = mix_sources(ds, weights={"a": 1, "b": 1, "c": 1},
+                      key_col="doc_id").to_pandas()
+    # unweighted source fully dropped
+    assert (out["source"] != "drop_me").all()
+    # bottleneck source (c, smallest) kept ~whole; a and b downsampled to ~|c|
+    counts = out.groupby("source").size()
+    n_c = int((src == "c").sum())
+    assert counts["c"] >= n_c * 0.99
+    for s in ("a", "b"):
+        assert abs(counts[s] - n_c) <= max(10, 0.15 * n_c), (s, counts[s], n_c)
+    # value-determinism: same rows kept regardless of partitioning
+    out2 = mix_sources(ds.repartition(13), weights={"a": 1, "b": 1, "c": 1},
+                       key_col="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
