@@ -1908,6 +1908,49 @@ def _q_pack_greedy_documents(sf_dir):
     })
 
 
+def _q_pagerank_hosts(sf_dir):
+    """Host-authority PageRank over a deterministic link graph derived from
+    the synthetic web corpus: every mirror host links to its cluster's
+    canonical host, every canonical host links to the corpus' hub host
+    (cluster 0's canonical).  In-query invariants: ranks sum to 1, every
+    host ranked, the hub ranks first."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import add_url_host, pagerank
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    pages = add_url_host(synth_pages_dataset(n, seed=42), url_col="url",
+                         out_col="host")
+    df = pages.select_columns(["host", "true_id"]).to_pandas()
+    # canonical host per cluster = lexicographically smallest (deterministic)
+    canon = df.groupby("true_id")["host"].min()
+    hub = canon.loc[canon.index.min()]
+    edges = pd.DataFrame({
+        "src": df["host"].to_numpy(),
+        "dst": df["true_id"].map(canon).to_numpy()})
+    edges = pd.concat([
+        edges[edges["src"] != edges["dst"]],            # mirror -> canonical
+        pd.DataFrame({"src": canon.to_numpy(), "dst": hub}),  # canonical -> hub
+    ], ignore_index=True)
+    edges = edges[edges["src"] != edges["dst"]]
+    ranks = (pagerank(rd.from_pandas(edges).repartition(4), iters=10)
+             .to_pandas().sort_values("rank", ascending=False)
+             .reset_index(drop=True))
+    assert abs(ranks["rank"].sum() - 1.0) < 1e-9, "mass not conserved"
+    n_hosts = pd.concat([edges["src"], edges["dst"]]).nunique()
+    assert len(ranks) == n_hosts, "missing nodes"
+    assert ranks.loc[0, "node"] == hub, "hub not top-ranked"
+    return pd.DataFrame({
+        "n_hosts": [int(n_hosts)],
+        "n_edges": [int(len(edges))],
+        "hub_rank": [round(float(ranks.loc[0, "rank"]), 8)],
+        "rank_sum_ok": [True],
+    })
+
+
 def _q_mix_sources_documents(sf_dir):
     """Dataset mixing: downsample three sources to a 3:1:1 token-budget ratio
     with integer-exact rates and md5-deterministic row selection — the
@@ -2582,6 +2625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_greedy_documents": _q_pack_greedy_documents,
         "pca_embeddings": _q_pca_embeddings,
         "quality_filter_train": _q_quality_filter_train,
+        "pagerank_hosts": _q_pagerank_hosts,
     }
 
 

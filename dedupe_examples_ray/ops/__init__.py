@@ -31,6 +31,9 @@ from .classifier import (  # noqa: F401
     logreg_fit,
     logreg_predict,
 )
+from .graph import (  # noqa: F401
+    pagerank,
+)
 from .packing import (  # noqa: F401
     pack_sequences,
     pack_sequences_greedy,

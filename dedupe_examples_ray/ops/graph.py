@@ -1,0 +1,149 @@
+"""Graph operators — PageRank over an edge-list Dataset.
+
+Host-level authority is a standard web-corpus quality signal (Common Crawl
+publishes harmonic-centrality/PageRank host rankings; quality filters weight
+documents by their host's rank).  ``pagerank`` computes it over an ``(src,
+dst)`` edge Dataset.
+
+Update rule (Page et al. 1999, with the standard dangling-mass
+redistribution):
+
+    r'(v) = (1 - d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+
+where ``dangling = sum of r(u) over nodes with no out-edges``.  Ranks sum to
+1 every iteration.
+
+Tiered like ``embed_cluster.kmeans_distributed``:
+
+- **driver tier** (edge list under ``_DRIVER_PR_BUDGET`` bytes): edges pull
+  once, iterations are numpy scatter-adds — the fast path for graphs that
+  fit (a host graph is ~10^7 nodes even at web scale; the DOCUMENT graph
+  needs the streaming tier).
+- **streaming tier**: per iteration, ONE big-big ``hash_join`` ships each
+  node's ``r/outdeg`` onto its out-edges (bucketed cogroup — neither ranks
+  nor edges are broadcast or collected) and ONE combiner ``grouped_sum``
+  accumulates per-destination mass; the dangling total is a tiny aggregate.
+  The rank vector lives as a materialized Dataset between iterations, never
+  on the driver.
+
+Both tiers run the same update and agree to float tolerance (parity-tested).
+Self-loops count like any edge; parallel edges contribute multiply (matching
+the adjacency-matrix formulation on multigraphs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_DRIVER_PR_BUDGET = 256 << 20  # bytes of edge projection
+
+
+def _pagerank_numpy(src: np.ndarray, dst: np.ndarray, nodes: np.ndarray,
+                    damping: float, iters: int) -> np.ndarray:
+    """Reference/driver kernel: dense rank vector, scatter-add iterations."""
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.fromiter((idx[v] for v in src), np.int64, len(src))
+    di = np.fromiter((idx[v] for v in dst), np.int64, len(dst))
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        w = np.where(deg > 0, r / np.maximum(deg, 1.0), 0.0)
+        contrib = np.bincount(di, weights=w[si], minlength=n)
+        dangling = float(r[deg == 0].sum())
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iters: int = 20,
+             driver_budget: int | None = None, force_tier: str | None = None,
+             num_buckets: int | None = None):
+    """PageRank over an edge Dataset (see module docstring).  Returns a
+    Dataset ``(node, rank)`` covering every node that appears as src or dst;
+    ranks sum to 1."""
+    import ray
+    import ray.data as rd
+
+    from ..relational import distinct, grouped_sum, hash_join
+    from ..scale import resolve_buckets
+
+    budget = _DRIVER_PR_BUDGET if driver_budget is None else driver_budget
+    proj = edges.select_columns([src_col, dst_col]).materialize()
+    if proj.count() == 0:
+        raise ValueError("pagerank needs at least one edge")
+    tier = force_tier or (
+        "driver" if (proj.size_bytes() or budget + 1) <= budget else "stream")
+
+    if tier == "driver":
+        df = proj.to_pandas()
+        src = df[src_col].to_numpy()
+        dst = df[dst_col].to_numpy()
+        nodes = np.unique(np.concatenate((src, dst)))
+        r = _pagerank_numpy(src, dst, nodes, damping, iters)
+        return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                       "rank": pa.array(r, pa.float64())}))
+
+    B = resolve_buckets(num_buckets, proj)
+
+    # node universe + out-degrees (both tiny relative to edges; stay as
+    # datasets — nothing here reaches the driver but scalars)
+    def srcs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(t[src_col].combine_chunks())})
+
+    def dsts(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(t[dst_col].combine_chunks())})
+
+    nodes = distinct(
+        proj.map_batches(srcs, batch_format="pyarrow").union(
+            proj.map_batches(dsts, batch_format="pyarrow")), ["node"]
+    ).materialize()
+    n = nodes.count()
+    deg = grouped_sum(proj.select_columns([src_col]), [src_col], {},
+                      count_col="outdeg").materialize()
+
+    r0 = 1.0 / n
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank", pa.array(
+            np.full(t.num_rows, r0), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # r/outdeg per node; outdeg NULL marks a dangling node
+        rd_join = hash_join(ranks, deg, on="node", right_on=src_col,
+                            how="left", num_buckets=B)
+
+        def weight(t: pa.Table) -> pa.Table:
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            dangling = np.isnan(d) if d.dtype.kind == "f" else pd.isna(d)
+            w = np.where(dangling, 0.0, r / np.where(dangling, 1.0, d))
+            return pa.table({"node": t["node"],
+                             "w": pa.array(w, pa.float64()),
+                             "dang": pa.array(np.where(dangling, r, 0.0),
+                                              pa.float64())})
+
+        weighted = rd_join.map_batches(weight, batch_format="pyarrow").materialize()
+        dangling = weighted.sum("dang") or 0.0
+        # ship each src's weight onto its out-edges (big-big), sum per dst
+        contribs = grouped_sum(
+            hash_join(proj, weighted.drop_columns(["dang"]),
+                      on=src_col, right_on="node", how="inner",
+                      num_buckets=B).select_columns([dst_col, "w"]),
+            [dst_col], {"w": "contrib"})
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t["contrib"].to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c), 0.0, c)
+            return pa.table({
+                "node": t["node"],
+                "rank": pa.array(base + damping * c, pa.float64())})
+
+        ranks = hash_join(nodes, contribs, on="node", right_on=dst_col,
+                          how="left", num_buckets=B).map_batches(
+            update, batch_format="pyarrow").materialize()
+    return ranks

@@ -405,3 +405,39 @@ def test_logreg_tier_parity(ray_session):
     assert np.allclose(md["w"], ms["w"], atol=1e-10)
     assert abs(md["b"] - ms["b"]) < 1e-10
     assert np.allclose(md["losses"], ms["losses"], atol=1e-6)
+
+
+def test_pagerank_exact_and_tier_parity(ray_session):
+    """Driver tier == standalone numpy reference exactly; streaming tier
+    (hash_join + combiner groupby per iteration) == driver tier to float
+    tolerance; ranks sum to 1; a planted hub ranks first."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import pagerank
+    from dedupe_examples_ray.ops.graph import _pagerank_numpy
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    src = np.concatenate([src, rng.integers(0, 40, 60), [7]])
+    # node 0 = hub; node 99 = planted dangling sink (dst only)
+    dst = np.concatenate([dst, np.zeros(60, np.int64), [99]])
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(4)
+
+    d = (pagerank(edges, iters=6, force_tier="driver").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    s = (pagerank(edges, iters=6, force_tier="stream").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    nodes = np.unique(np.concatenate((src, dst)))
+    ref = _pagerank_numpy(src, dst, nodes, 0.85, 6)
+    assert np.allclose(d["rank"].to_numpy(), ref)
+    assert np.allclose(d["rank"].to_numpy(), s["rank"].to_numpy(), atol=1e-12)
+    assert abs(d["rank"].sum() - 1.0) < 1e-9
+    assert int(d.loc[d["rank"].idxmax(), "node"]) == 0
+    # the planted dangling sink (node 99, no out-edges) still holds rank
+    # and total mass stays 1 (its mass redistributes each iteration)
+    assert (d["rank"].to_numpy() > 0).all()
+    assert 99 in set(d["node"]) and 99 not in set(src)
