@@ -1908,6 +1908,15 @@ def _q_pack_greedy_documents(sf_dir):
     })
 
 
+def _q_top_event_types_per_user(sf_dir):
+    """Per-user top-2 event types by frequency (k-mode; combiner-bounded
+    shuffle) — SQL ROW_NUMBER-over-count oracle."""
+    from dedupe_examples_ray.relational import grouped_top_values
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_top_values(ev, key="user_id", col="event_type", k=2)
+
+
 def _q_pagerank_hosts(sf_dir):
     """Host-authority PageRank over a deterministic link graph derived from
     the synthetic web corpus: every mirror host links to its cluster's
@@ -2556,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate_documents": _q_strip_boilerplate_documents,
         "pack_sequences_documents": _q_pack_sequences_documents,
         "mix_sources_documents": _q_mix_sources_documents,
+        "top_event_types_per_user": _q_top_event_types_per_user,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
@@ -3077,6 +3087,13 @@ def oracle_sql() -> dict[str, str]:
             "      AS BIGINT) AS start_offset FROM tk) "
             "SELECT doc_id, n_tokens, start_offset, "
             "       start_offset // 1024 AS shard FROM o"
+        ),
+        "top_event_types_per_user": (
+            "SELECT user_id, event_type, n, rnk FROM ("
+            "  SELECT user_id, event_type, COUNT(*) AS n, "
+            "         ROW_NUMBER() OVER (PARTITION BY user_id "
+            "           ORDER BY COUNT(*) DESC, event_type ASC) AS rnk "
+            "  FROM events GROUP BY user_id, event_type) WHERE rnk <= 2"
         ),
         "mix_sources_documents": (
             "WITH n AS ("

@@ -1789,6 +1789,44 @@ def grouped_mode(ds, key: str, col: str, out_val: str = "mode_val",
     return partials.groupby("__bkt").map_groups(final, batch_format="pandas")
 
 
+def grouped_top_values(ds, key: str, col: str, k: int = 3,
+                       out_count: str = "n", rank_col: str = "rnk",
+                       num_buckets: int | None = None):
+    """Per-key top-``k`` most frequent ``col`` values — the k-mode
+    generalization of :func:`grouped_mode` (SQL: ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY COUNT(*) DESC, val ASC) <= k``).  Output
+    ``(key, col, out_count, rank_col)``.
+
+    Same combiner shape as ``grouped_mode``: per-batch (key, val) count
+    partials bound the shuffle by distinct pairs, one bucketed merge, then a
+    vectorized per-bucket sort + head(k).  NULL keys form their own group;
+    NULL values count and sort last on ties."""
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        g = df.groupby([key, col], sort=False, dropna=False).size().reset_index(name="__cnt")
+        g["__bkt"] = (
+            pd.util.hash_pandas_object(g[key], index=False).to_numpy() % num_buckets
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, col], sort=False, dropna=False, as_index=False)["__cnt"].sum()
+        g = g.sort_values([key, "__cnt", col], ascending=[True, False, True],
+                          kind="mergesort", na_position="last")
+        out = g.groupby(key, sort=False, dropna=False).head(k).rename(
+            columns={"__cnt": out_count})
+        out[out_count] = out[out_count].astype(np.int64)
+        out[rank_col] = out.groupby(key, sort=False, dropna=False).cumcount() + 1
+        return out[[key, col, out_count, rank_col]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("__bkt").map_groups(final, batch_format="pandas")
+
+
 def grouped_sum_grouping_sets(ds, keys: list[str], sum_col: str,
                               grouping_ids: list[int],
                               out_col: str = "total",

@@ -581,3 +581,27 @@ def test_mix_sources_ratios_and_determinism(ray_session):
     out2 = mix_sources(ds.repartition(13), weights={"a": 1, "b": 1, "c": 1},
                        key_col="doc_id").to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_grouped_top_values_ties_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_top_values
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, None, None], pa.int64()),
+        "v": pa.array(["b", "b", "a", "a", "x", None, "z", "z"], pa.string()),
+    })
+    out = (grouped_top_values(rd.from_arrow(t).repartition(3), "k", "v", k=2)
+           .to_pandas().sort_values(["k", "rnk"]).reset_index(drop=True))
+    # key 1: a and b tie at 2 -> value ASC breaks the tie
+    k1 = out[out["k"] == 1]
+    assert list(k1["v"]) == ["a", "b"] and list(k1["n"]) == [2, 2]
+    assert list(k1["rnk"]) == [1, 2]
+    # key 2: x(1) then NULL(1) — null sorts last on ties
+    k2 = out[out["k"] == 2]
+    assert k2["v"].iloc[0] == "x" and pd.isna(k2["v"].iloc[1])
+    # NULL key forms its own group
+    kn = out[out["k"].isna()]
+    assert len(kn) == 1 and kn["v"].iloc[0] == "z" and kn["n"].iloc[0] == 2
