@@ -1908,6 +1908,56 @@ def _q_pack_greedy_documents(sf_dir):
     })
 
 
+def _q_grouped_approx_quantile_events(sf_dir):
+    """Per-key mergeable quantile sketch (the scale path past the exact
+    whole-group grouped_quantile) — approx_ndistinct-style oracle: per
+    event_type the row is (n, TRUE, TRUE) and only hash-matches DuckDB's
+    (COUNT, TRUE, TRUE) when each sketch value sits inside the exact
+    per-key quantile band at q +/- 2*eps."""
+    import pandas as pd
+
+    from dedupe_examples_ray.relational import (grouped_approx_quantile,
+                                                grouped_quantile)
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    sk = grouped_approx_quantile(ev, "event_type", "value",
+                                 {"p50": 0.5, "p90": 0.9},
+                                 sample_per_batch=256).to_pandas()
+    eps = 2 * (1.0 / (2 * 256))
+    band = grouped_quantile(ev, ["event_type"], "value",
+                            {"p50_lo": 0.5 - eps, "p50_hi": 0.5 + eps,
+                             "p90_lo": 0.9 - eps, "p90_hi": min(0.9 + eps, 1.0)},
+                            round_digits=9, method="disc").to_pandas()
+    j = sk.merge(band, on="event_type", how="left")
+    rows = {"event_type": j["event_type"],
+            "n_rows": j["n"].round().astype(np.int64)}
+    for p in ("p50", "p90"):
+        rows[f"{p}_ok"] = ((j[f"{p}_lo"] <= j[p]) & (j[p] <= j[f"{p}_hi"])).astype(bool)
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def _q_locf_events(sf_dir):
+    """Per-user forward fill (LOCF) of a sparse metric: 'view' events carry
+    no value (nulled deterministically), filled from each user's prior
+    event along (ts, event_id) — LAST_VALUE IGNORE NULLS oracle."""
+    from dedupe_examples_ray.windows import locf
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def nullify(t: pa.Table) -> pa.Table:
+        is_view = pc.fill_null(pc.equal(t["event_type"], "view"), False)
+        vn = pc.if_else(is_view, pa.nulls(t.num_rows, pa.float64()),
+                        pc.cast(t["value"], pa.float64()))
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "user_id": t["user_id"], "value_n": vn})
+
+    out = locf(ev.map_batches(nullify, batch_format="pyarrow"),
+               key_col="user_id", order_cols=["ts", "event_id"],
+               val_col="value_n", out_col="filled")
+    return out.select_columns(["event_id", "user_id", "value_n", "filled"])
+
+
 def _q_top_event_types_per_user(sf_dir):
     """Per-user top-2 event types by frequency (k-mode; combiner-bounded
     shuffle) — SQL ROW_NUMBER-over-count oracle."""
@@ -2566,6 +2616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": _q_pack_sequences_documents,
         "mix_sources_documents": _q_mix_sources_documents,
         "top_event_types_per_user": _q_top_event_types_per_user,
+        "locf_events": _q_locf_events,
+        "grouped_approx_quantile_events": _q_grouped_approx_quantile_events,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "hash_sample_documents": _q_hash_sample_documents,
         "semi_join_customers": _q_semi_join_customers,
@@ -3087,6 +3139,20 @@ def oracle_sql() -> dict[str, str]:
             "      AS BIGINT) AS start_offset FROM tk) "
             "SELECT doc_id, n_tokens, start_offset, "
             "       start_offset // 1024 AS shard FROM o"
+        ),
+        "grouped_approx_quantile_events": (
+            "SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n_rows, "
+            "TRUE AS p50_ok, TRUE AS p90_ok FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "locf_events": (
+            "SELECT event_id, user_id, value_n, "
+            "  LAST_VALUE(value_n IGNORE NULLS) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled "
+            "FROM (SELECT event_id, ts, user_id, "
+            "        CASE WHEN event_type = 'view' THEN NULL ELSE value END "
+            "        AS value_n FROM events)"
         ),
         "top_event_types_per_user": (
             "SELECT user_id, event_type, n, rnk FROM ("

@@ -1228,6 +1228,79 @@ def approx_quantile(ds, col: str, qs: dict[str, float],
     return out
 
 
+def grouped_approx_quantile(ds, key: str, col: str, qs: dict[str, float],
+                            sample_per_batch: int = 256,
+                            num_buckets: int | None = None):
+    """Per-key approximate quantiles from the same mergeable weighted-order-
+    statistic sketch as :func:`approx_quantile` — the scale path past
+    :func:`grouped_quantile`'s whole-group-in-one-task contract (its
+    docstring's promised sketch variant).
+
+    Per batch, each key's non-null values collapse to at most
+    ``sample_per_batch`` (value, weight) order statistics; ONE bucketed
+    shuffle on ``hash(key)`` merges each key's partials and reads weighted
+    quantiles off the union.  Per-key rank error ≤ ``1/(2*sample_per_batch)``
+    of that key's count, same bound as the global sketch.  Output: Dataset
+    ``(key, <qs names>, n)`` — distributed, never driver-collected (key
+    cardinality is unbounded).  NULL keys form their own group."""
+    from .scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+    S = int(sample_per_batch)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        v = df[col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        df = df[ok]
+        v = v[ok]
+        if len(df) == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "val": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64()),
+                             "__bkt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(df[key].to_numpy(), use_na_sentinel=False)
+        order = np.lexsort((v, codes))
+        c2, v2 = codes[order], v[order]
+        n_k = np.bincount(c2, minlength=len(uniq)).astype(np.int64)
+        s_k = np.minimum(S, n_k)
+        starts = np.concatenate(([0], np.cumsum(n_k[:-1])))
+        out_starts = np.concatenate(([0], np.cumsum(s_k[:-1])))
+        total = int(s_k.sum())
+        key_rep = np.repeat(np.arange(len(uniq)), s_k)
+        within = np.arange(total) - np.repeat(out_starts, s_k)
+        # midpoint ranks (i+0.5)/s_k scaled to the key's n_k values
+        pos = ((within + 0.5) / s_k[key_rep] * n_k[key_rep]).astype(np.int64)
+        idx = np.repeat(starts, s_k) + np.minimum(pos, n_k[key_rep] - 1)
+        kv = pd.Series(uniq).take(key_rep).to_numpy()
+        h = pd.util.hash_pandas_object(pd.Series(kv), index=False).to_numpy()
+        return pa.table({key: pa.array(kv, t.schema.field(key).type,
+                                       from_pandas=True),
+                         "val": pa.array(v2[idx], pa.float64()),
+                         "w": pa.array((n_k / s_k)[key_rep], pa.float64()),
+                         "__bkt": pa.array((h % num_buckets).astype(np.int64))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kval, g in df.groupby(key, sort=False, dropna=False):
+            v = g["val"].to_numpy()
+            w = g["w"].to_numpy()
+            order = np.argsort(v, kind="stable")
+            v, w = v[order], w[order]
+            cum = np.cumsum(w)
+            total = cum[-1]
+            row = {key: kval, "n": float(total)}
+            for name, q in qs.items():
+                i = int(np.searchsorted(cum, q * total, side="left"))
+                row[name] = float(v[min(i, len(v) - 1)])
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[key, "n"] + list(qs))
+
+    partials = ds.select_columns([key, col]).map_batches(
+        sketch, batch_format="pyarrow")
+    return partials.groupby("__bkt").map_groups(merge, batch_format="pandas")
+
+
 def range_join_broadcast(ds, intervals: pd.DataFrame, val_col: str,
                          band_col: str = "band", lo_col: str = "lo",
                          hi_col: str = "hi", concurrency=None):

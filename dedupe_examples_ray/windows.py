@@ -577,6 +577,29 @@ def lag_lead(
     return bucketed_by_key(ds, key_col, per_bucket)
 
 
+def locf(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "filled",
+):
+    """Per-key forward fill — LOCF, last observation carried forward (SQL
+    ``LAST_VALUE(val IGNORE NULLS) OVER (PARTITION BY key ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)``): gap-fill a sparse metric along each key's
+    timeline; leading NULLs (no prior observation) stay NULL.  One bucketed
+    shuffle; pandas grouped ``ffill`` is vectorized across all keys of a
+    bucket.  NULL keys form one partition (SQL semantics)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        df[out_col] = df.groupby(key_col, sort=False, dropna=False)[val_col].ffill()
+        return df
+
+    return bucketed_by_key(ds, key_col, per_bucket)
+
+
 def first_last_value(
     ds,
     key_col: str,

@@ -843,3 +843,57 @@ def test_cohort_retention_epoch_offsets(ray_session):
     assert pd.Timestamp(out["cohort_week"].iloc[0]) == pd.Timestamp("2024-01-01")
     got = dict(zip(out.week_offset, out.n_keys))
     assert got == {0: 2, 1: 1}
+
+
+def test_locf_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.windows import locf
+
+    rng = np.random.default_rng(9)
+    n = 500
+    key = rng.integers(0, 20, n).astype("float64")
+    key[rng.random(n) < 0.05] = np.nan  # null-key partition
+    ts = rng.permutation(n)
+    val = rng.normal(size=n)
+    val[rng.random(n) < 0.4] = np.nan
+    t = pa.table({"k": pa.array(key), "ts": pa.array(ts, pa.int64()),
+                  "v": pa.array(val)})
+    got = (locf(rd.from_arrow(t).repartition(5), key_col="k",
+                order_cols=["ts"], val_col="v", out_col="f")
+           .to_pandas().sort_values(["ts"]).reset_index(drop=True))
+    df = pd.DataFrame({"k": key, "ts": ts, "v": val}).sort_values("ts")
+    df["f"] = df.groupby("k", sort=False, dropna=False)["v"].ffill()
+    exp = df.sort_values("ts").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["f"], exp["f"], check_names=False)
+
+
+def test_grouped_approx_quantile_rank_bound(ray_session):
+    """Every per-key sketch quantile must sit within the published rank
+    bound of the key's exact quantile (checked by exact rank position)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_approx_quantile
+
+    rng = np.random.default_rng(21)
+    n, S = 20_000, 64
+    key = rng.integers(0, 5, n)
+    val = rng.lognormal(size=n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(key, pa.int64()), "v": pa.array(val)})).repartition(11)
+    out = grouped_approx_quantile(ds, "k", "v", {"p50": 0.5, "p99": 0.99},
+                                  sample_per_batch=S).to_pandas()
+    assert len(out) == 5
+    eps = 2 * (1.0 / (2 * S))
+    for _, r in out.iterrows():
+        vk = np.sort(val[key == int(r["k"])])
+        assert abs(r["n"] - len(vk)) < 1e-6
+        for name, q in (("p50", 0.5), ("p99", 0.99)):
+            # exact rank of the sketch value inside the key's sorted data
+            rank = np.searchsorted(vk, r[name], side="right") / len(vk)
+            assert abs(rank - q) <= eps + 2.0 / len(vk), (r["k"], name, rank)
