@@ -2536,6 +2536,32 @@ def _q_tpch_q3_topk(sf_dir):
     return df.reset_index(drop=True)
 
 
+def _q_edit_sim_join_parts(sf_dir):
+    """COMPLETE Levenshtein<=1 self-join on part names via the FastSS
+    deletion neighborhood (ops/simjoin.py) — the lossless counterpart of the
+    reference's learned blocking predicates; output equals the naive O(n²)
+    cross-join filter, so the DuckDB byte-level `levenshtein` oracles it
+    exactly."""
+    from dedupe_examples_ray.ops.simjoin import edit_similarity_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    out = edit_similarity_join(part, col="p_name", id_col="p_partkey")
+    return out.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+
+
+def _q_sorted_neighborhood_parts(sf_dir):
+    """Hernández-Stolfo sorted-neighborhood blocking (window=5) over part
+    names: every pair within 5 positions of the global (name, id) order,
+    ranked by the distributed two-pass global_rank — equals the ROW_NUMBER
+    window self-join in SQL."""
+    from dedupe_examples_ray.ops.simjoin import sorted_neighborhood_pairs
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    out = sorted_neighborhood_pairs(part, key_col="p_name", id_col="p_partkey",
+                                    window=5)
+    return out.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -2656,6 +2682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_order_price": _q_mad_order_price,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
+        "edit_sim_join_parts": _q_edit_sim_join_parts,
+        "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_gold_f1": _q_er_gold_f1,
         "blocking_quality": _q_blocking_quality,
@@ -3501,6 +3529,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
             "                  AS BIGINT)) DESC, l_orderkey "
             "LIMIT 10"
+        ),
+        "edit_sim_join_parts": (
+            "SELECT a.p_partkey AS id1, b.p_partkey AS id2, "
+            "       levenshtein(a.p_name, b.p_name) AS dist "
+            "FROM part a JOIN part b ON a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 1 "
+            "ORDER BY id1, id2"
+        ),
+        "sorted_neighborhood_parts": (
+            "WITH r AS (SELECT p_partkey AS id, "
+            "  ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn FROM part) "
+            "SELECT a.id AS id1, b.id AS id2 FROM r a "
+            "JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5 "
+            "ORDER BY id1, id2"
         ),
     }
 

@@ -34,6 +34,10 @@ from .classifier import (  # noqa: F401
 from .graph import (  # noqa: F401
     pagerank,
 )
+from .simjoin import (  # noqa: F401
+    edit_similarity_join,
+    sorted_neighborhood_pairs,
+)
 from .packing import (  # noqa: F401
     pack_sequences,
     pack_sequences_greedy,

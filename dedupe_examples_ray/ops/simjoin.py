@@ -1,0 +1,287 @@
+"""String-similarity self-joins: FastSS edit-distance join and
+sorted-neighborhood blocking.
+
+Two classic entity-resolution candidate generators the reference's `dedupe`
+library approximates with learned predicates (csv_example.py's fingerprinter
+picks from the same family — prefix/ngram/sorted predicates):
+
+- :func:`edit_similarity_join` — the COMPLETE edit-distance-<=1 self-join via
+  the FastSS deletion-neighborhood (Bocek et al. 2007): two strings with
+  Levenshtein distance <= 1 share a key in {s} ∪ {s minus one char}.  Unlike
+  a learned blocking predicate this is lossless, so the output equals the
+  naive O(n²) cross-join filter and can be oracled exactly against DuckDB's
+  byte-based ``levenshtein``.
+- :func:`sorted_neighborhood_pairs` — Hernández & Stolfo's (SIGMOD 1995)
+  sorted-neighborhood method: order records by a key, emit every pair within
+  a fixed window of the global sort order.  Equals the SQL
+  ``ROW_NUMBER() OVER (ORDER BY key, id)`` self-join on ``0 < rn_b - rn_a <= w``.
+
+Scale notes (100 TB posture):
+
+- FastSS keys are computed WITHOUT materializing the deletion-variant
+  strings: one polynomial rolling hash over the UTF-8 byte matrix yields all
+  ``len+1`` variant hashes per row in O(len) vectorized work (prefix hashes
+  combine with suffix hashes through modular-inverse powers of the base, all
+  in natural uint64 wraparound — the base is odd, hence invertible mod 2^64).
+  Hash collisions only ever ADD candidates; the exact verify removes them.
+- Candidate emission reuses :func:`pairs.candidate_pairs`'s bucketed shuffle
+  (``policy="keep"`` — the join is output-complete, so per-key quadratic
+  emission is proportional to the OUTPUT, not the corpus; for lossy capped
+  dedup semantics use ``ops.dedup`` instead).  The compared string rides the
+  key rows (bytes amplification O(len) per row), which targets SHORT key
+  columns — names, titles, normalized addresses; for document bodies use
+  minhash/simhash.
+- Sorted-neighborhood runs on the two-pass range-partitioned
+  ``windows.global_rank`` (no driver sort); window pairs are emitted per rank
+  band with a ``window``-row ghost overlap so no pair straddles a task
+  boundary.  Row numbers are dense, so partner lookup inside a band is a
+  ``searchsorted`` per window offset — O(w) vector ops per band.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..pairs import candidate_pairs, stable_hash
+
+_BASE = np.uint64(1099511628211)  # odd -> invertible mod 2^64 (FNV prime)
+_BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))
+_EMPTY_SENTINEL = np.uint64(0xCBF29CE484222325)  # hash of the empty variant
+
+
+def _byte_matrix(strings: list) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L) uint8 matrix of UTF-8 bytes (zero-padded) + byte lengths.
+
+    Byte-level (not code-point) on purpose: DuckDB's ``levenshtein`` counts
+    byte edits, and the oracle contract needs the same metric.
+    """
+    bts = [s.encode("utf-8") if isinstance(s, str) else b"" for s in strings]
+    lens = np.fromiter((len(b) for b in bts), dtype=np.int64, count=len(bts))
+    n, L = len(bts), int(lens.max()) if len(bts) else 0
+    M = np.zeros((n, max(L, 1)), dtype=np.uint8)
+    if lens.sum():
+        flat = np.frombuffer(b"".join(bts), dtype=np.uint8)
+        row = np.repeat(np.arange(n), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        col = np.arange(len(flat)) - np.repeat(starts, lens)
+        M[row, col] = flat
+    return M, lens
+
+
+def _fastss_keys(strings: list) -> tuple[np.ndarray, np.ndarray]:
+    """All FastSS-1 variant keys for each string, via rolling hashes.
+
+    Returns (row_index, key) arrays covering, per row, the full-string hash
+    plus one hash per single-char deletion — ``len+1`` keys/row, no variant
+    strings built.  Keys mix in the variant LENGTH so only same-length
+    variants collide (full(len m) matches deletion(len n -> n-1) iff m==n-1,
+    which is exactly the FastSS match condition).
+    """
+    M, lens = _byte_matrix(strings)
+    n, L = M.shape
+    # C[:, j] = sum_{k<j} byte[k] * BASE^{-k}  (uint64 wraparound)
+    binv_pows = np.ones(L, dtype=np.uint64)
+    if L > 1:
+        np.multiply.accumulate(np.full(L - 1, _BASE_INV, np.uint64), out=binv_pows[1:])
+    C = np.zeros((n, L + 1), dtype=np.uint64)
+    np.cumsum(M.astype(np.uint64) * binv_pows[None, :], axis=1, out=C[:, 1:])
+    # B^e for e in [-1, L): index e+1
+    b_pows = np.empty(L + 1, dtype=np.uint64)
+    b_pows[0] = _BASE_INV
+    b_pows[1] = 1
+    if L > 1:
+        np.multiply.accumulate(np.full(L - 1, _BASE, np.uint64), out=b_pows[2:], axis=0)
+
+    def mix(h: np.ndarray, vlen: np.ndarray) -> np.ndarray:
+        return stable_hash(h * np.uint64(0x9E3779B97F4A7C15) + vlen.astype(np.uint64))
+
+    rows_out = [np.arange(n)]
+    # full-string keys: h = C[i, len] * BASE^{len-1}; empty -> sentinel
+    c_n = C[np.arange(n), lens]
+    h_full = np.where(lens > 0, c_n * b_pows[np.clip(lens, 1, None)], _EMPTY_SENTINEL)
+    keys_out = [mix(h_full, lens)]
+    # deletion keys at position d (vectorized over the (n, L) grid):
+    # h_del(d) = C[:, d] * B^{n-2} + (C[:, n] - C[:, d+1]) * B^{n-1}
+    valid = np.arange(L)[None, :] < lens[:, None]
+    if valid.any():
+        bn2 = b_pows[np.clip(lens - 1, 0, None)][:, None]  # B^{len-2} (index len-1)
+        bn1 = b_pows[np.clip(lens, 1, None)][:, None]      # B^{len-1}
+        h_del = C[:, :L] * bn2 + (c_n[:, None] - C[:, 1 : L + 1]) * bn1
+        h_del = np.where(lens[:, None] == 1, _EMPTY_SENTINEL, h_del)
+        ri, di = np.nonzero(valid)
+        rows_out.append(ri)
+        keys_out.append(mix(h_del[ri, di], (lens[ri] - 1)))
+    return np.concatenate(rows_out), np.concatenate(keys_out)
+
+
+def batch_edit_distance(a: list, b: list) -> np.ndarray:
+    """Exact byte-level Levenshtein distance for N pairs, vectorized.
+
+    Full Wagner-Fischer, one numpy op per DP row across all pairs (same
+    memory pattern as ``distances.batch_levenshtein_sim`` but UNCAPPED and
+    returning raw distances — the verify set is candidate pairs only, so
+    exactness beats the capped kernel's L2 tuning here).
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    eq = np.fromiter((x == y for x, y in zip(a, b)), dtype=bool, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    sub = np.flatnonzero(~eq)
+    if not len(sub):
+        return out
+    A, la = _byte_matrix([a[i] for i in sub])
+    B, lb = _byte_matrix([b[i] for i in sub])
+    m = len(sub)
+    w = B.shape[1] + 1
+    jr = np.arange(w, dtype=np.int32)
+    prev = np.broadcast_to(jr, (m, w)).astype(np.int32).copy()
+    cur = np.empty((m, w), dtype=np.int32)
+    dist = np.where(la == 0, lb, 0).astype(np.int64)
+    for i in range(1, int(la.max()) + 1 if m else 0):
+        neq = A[:, i - 1 : i] != B
+        cand = np.minimum(prev[:, :-1] + neq, prev[:, 1:] + 1)
+        cur[:, 0] = i
+        cur[:, 1:] = cand
+        cur -= jr
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += jr
+        done = la == i
+        if done.any():
+            dist[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    out[sub] = dist
+    return out
+
+
+def edit_similarity_join(
+    ds,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+    num_buckets: int | None = None,
+):
+    """Complete Levenshtein-distance-<= ``max_dist`` self-join on ``col``.
+
+    Returns a Dataset of (id1, id2, dist) with id1 < id2, EXACTLY equal to
+    the naive cross-join filter (FastSS candidates are complete for
+    distance <= 1; the verify is exact).  Only ``max_dist=1`` is supported —
+    it is the FastSS-1 completeness bound; larger radii need deletion
+    neighborhoods of size O(len^k) and belong to the lossy minhash family.
+    NULL values compare as empty strings (SQL ``levenshtein`` would return
+    NULL and drop the pair; pre-filter nulls if SQL semantics are needed).
+    """
+    if max_dist != 1:
+        raise ValueError("edit_similarity_join is complete only for max_dist=1")
+
+    def keys(t: pa.Table) -> pa.Table:
+        s = t[col].to_pylist()
+        ri, k = _fastss_keys(s)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "block_key": pa.array(k.view(np.int64)),
+                id_col: pa.array(ids[ri]),
+                col: pa.array([s[i] for i in ri], pa.string()),
+            }
+        )
+
+    blocks = ds.select_columns([id_col, col]).map_batches(keys, batch_format="pyarrow")
+    pairs = candidate_pairs(
+        blocks, id_col=id_col, carry_cols=[col],
+        policy="keep", num_buckets=num_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
+                                 "id2": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        d = batch_edit_distance(df[f"{col}_a"].tolist(), df[f"{col}_b"].tolist())
+        keep = d <= max_dist
+        return pd.DataFrame(
+            {"id1": df["id_a"].to_numpy()[keep],
+             "id2": df["id_b"].to_numpy()[keep],
+             "dist": d[keep]}
+        )
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+def sorted_neighborhood_pairs(
+    ds,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    band_width: int | None = None,
+):
+    """Sorted-neighborhood blocking: all pairs within ``window`` positions of
+    the global (key, id) sort order.
+
+    Equals ``SELECT a.id, b.id FROM ranked a JOIN ranked b ON b.rn > a.rn AND
+    b.rn <= a.rn + window`` where rn is ``ROW_NUMBER() OVER (ORDER BY key,
+    id)``.  Ranking reuses :func:`windows.global_rank`'s two-pass range
+    partitioning, driven by an order-preserving numeric projection of the
+    key's first 6 UTF-8 bytes (exact in float64; full-key ties resolved by
+    ``tie_cols``).  ASCII/byte collation — matches DuckDB's default ORDER BY.
+    """
+    from ..windows import global_rank
+
+    w = int(window)
+    W = int(band_width) if band_width else max(4 * w, 1024)
+
+    def add_prefix(t: pa.Table) -> pa.Table:
+        M, lens = _byte_matrix(t[key_col].to_pylist())
+        p = np.zeros(len(lens), dtype=np.float64)
+        for j in range(min(6, M.shape[1])):
+            p = p * 256.0 + np.where(j < lens, M[:, j], 0).astype(np.float64)
+        p *= 256.0 ** max(0, 6 - M.shape[1])
+        return t.append_column("__pfx", pa.array(p))
+
+    ranked = global_rank(
+        ds.select_columns([id_col, key_col]).map_batches(add_prefix, batch_format="pyarrow"),
+        by="__pfx", tie_cols=[key_col, id_col], mode="row_number", out_col="__rn",
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        band = (rn - 1) // W
+        ghost = ((rn - 1) % W < w) & (band >= 1)
+        out_band = np.concatenate([band, band[ghost] - 1])
+        return pa.table(
+            {
+                "__band": pa.array(np.asarray(out_band, np.int64)),
+                "__rn2": pa.array(np.concatenate([rn, rn[ghost]])),
+                id_col: pa.array(np.concatenate([ids, ids[ghost]])),
+                "__native": pa.array(
+                    np.concatenate([np.ones(len(rn), bool), np.zeros(int(ghost.sum()), bool)])
+                ),
+            }
+        )
+
+    banded = ranked.map_batches(to_bands, batch_format="pyarrow")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("__rn2", kind="mergesort").reset_index(drop=True)
+        rn = df["__rn2"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy()
+        native = df["__native"].to_numpy(bool)
+        anchors = np.flatnonzero(native)
+        out1, out2 = [], []
+        for off in range(1, w + 1):
+            tgt = rn[anchors] + off
+            idx = np.searchsorted(rn, tgt)
+            ok = (idx < len(rn)) & (rn[np.clip(idx, 0, len(rn) - 1)] == tgt)
+            out1.append(ids[anchors[ok]])
+            out2.append(ids[idx[ok]])
+        if not out1:
+            return pd.DataFrame({"id1": pd.Series([], dtype=ids.dtype),
+                                 "id2": pd.Series([], dtype=ids.dtype)})
+        return pd.DataFrame(
+            {"id1": np.concatenate(out1), "id2": np.concatenate(out2)}
+        )
+
+    return banded.groupby("__band").map_groups(emit, batch_format="pandas")

@@ -1,0 +1,109 @@
+"""ops/simjoin.py: FastSS edit-distance join + sorted-neighborhood blocking."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dedupe_examples_ray.ops.simjoin import (
+    _fastss_keys,
+    batch_edit_distance,
+    edit_similarity_join,
+    sorted_neighborhood_pairs,
+)
+
+
+def _ref_lev(a: str, b: str) -> int:
+    """Byte-level Wagner-Fischer reference (matches DuckDB levenshtein)."""
+    x, y = a.encode(), b.encode()
+    prev = list(range(len(y) + 1))
+    for i, ca in enumerate(x, 1):
+        cur = [i]
+        for j, cb in enumerate(y, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _rand_strings(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    vocab = "abcde"
+    out = ["".join(rng.choice(vocab) for _ in range(rng.randint(0, 6))) for _ in range(n)]
+    return out + ["café", "cafe", "caf", "", "x", "naïve", "naive"]
+
+
+def test_fastss_keys_complete_for_distance_1():
+    strs = _rand_strings(250, seed=3)
+    truth = {
+        (i, j)
+        for i, j in itertools.combinations(range(len(strs)), 2)
+        if _ref_lev(strs[i], strs[j]) <= 1
+    }
+    ri, keys = _fastss_keys(strs)
+    buckets: dict[int, set] = {}
+    for r, k in zip(ri, keys):
+        buckets.setdefault(int(k), set()).add(int(r))
+    cand = set()
+    for members in buckets.values():
+        cand.update(itertools.combinations(sorted(members), 2))
+    assert truth <= cand  # completeness: every true pair is a candidate
+    assert truth  # non-vacuous
+
+
+def test_batch_edit_distance_exact_and_bytelevel():
+    strs = _rand_strings(60, seed=9)
+    pairs = list(itertools.combinations(range(len(strs)), 2))[:1500]
+    a = [strs[i] for i, _ in pairs]
+    b = [strs[j] for _, j in pairs]
+    got = batch_edit_distance(a, b)
+    exp = np.array([_ref_lev(x, y) for x, y in zip(a, b)])
+    assert (got == exp).all()
+    # byte-level on purpose: 'café' vs 'cafe' is 2 edits (é is 2 UTF-8 bytes)
+    assert batch_edit_distance(["café"], ["cafe"])[0] == 2
+
+
+def test_edit_similarity_join_equals_cross_join(ray_session):
+    import ray.data as rd
+
+    strs = _rand_strings(300, seed=5)
+    tbl = pa.table({"id": pa.array(range(len(strs)), pa.int64()),
+                    "s": pa.array(strs)})
+    out = (edit_similarity_join(rd.from_arrow(tbl).repartition(4), col="s",
+                                id_col="id")
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    exp_rows = [
+        (i, j, _ref_lev(strs[i], strs[j]))
+        for i, j in itertools.combinations(range(len(strs)), 2)
+        if _ref_lev(strs[i], strs[j]) <= 1
+    ]
+    exp = pd.DataFrame(exp_rows, columns=["id1", "id2", "dist"])
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), exp.astype("int64"), check_like=False)
+
+
+def test_sorted_neighborhood_matches_window_self_join(ray_session):
+    import ray.data as rd
+
+    rng = random.Random(11)
+    # duplicate keys + shared 6-byte prefixes exercise tie-breaking past the
+    # numeric prefix projection
+    keys = [rng.choice(["alphaaa", "alphaab", "beta", "beta", "gamma", "zz"])
+            + rng.choice(["", "x"]) for _ in range(400)]
+    ids = list(range(len(keys)))
+    tbl = pa.table({"k": pa.array(keys), "id": pa.array(ids, pa.int64())})
+    w = 4
+    out = (sorted_neighborhood_pairs(rd.from_arrow(tbl).repartition(5), "k",
+                                     "id", window=w, band_width=16)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    order = sorted(ids, key=lambda i: (keys[i], i))
+    exp = pd.DataFrame(
+        [(order[i], order[j])
+         for i in range(len(order))
+         for j in range(i + 1, min(i + w + 1, len(order)))],
+        columns=["id1", "id2"],
+    ).sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
