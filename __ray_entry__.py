@@ -2536,6 +2536,67 @@ def _q_tpch_q3_topk(sf_dir):
     return df.reset_index(drop=True)
 
 
+def _q_tpch_q5_regional(sf_dir):
+    """TPC-H Q5-shaped capstone: 6-table star join (region/nation dims driver
+    -side — 5/25 rows; customer and supplier pruned to the region BEFORE the
+    wide joins; lineitem ⋈ orders and ⋈ supplier via the engine's big-big
+    hash_join).  The reference pushes exactly this payoff-join shape to
+    Postgres (pgsql_big_dedupe_example.py); revenue accumulates in exact
+    integer ten-thousandths like tpch_q3_topk.  The final nation-name mapping
+    happens AFTER the group-by, on 25 aggregate rows."""
+    import datetime as _dt
+
+    from dedupe_examples_ray.relational import grouped_sum, hash_join
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    keys = pa.array(asia["n_nationkey"].astype("int64"))
+    names = dict(zip(asia["n_nationkey"].astype("int64"), asia["n_name"]))
+
+    def in_region(col):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(pc.cast(t[col], pa.int64()), value_set=keys))
+        return f
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+            .map_batches(in_region("c_nationkey"), batch_format="pyarrow"))
+    supp = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+            .map_batches(in_region("s_nationkey"), batch_format="pyarrow"))
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    od = od.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                                   pc.less(t["o_orderdate"], pa.scalar(hi))))
+                   .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    ords = hash_join(od, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev_e4(t: pa.Table) -> pa.Table:
+        v = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        e4 = pc.cast(pc.floor(pc.add(pc.multiply(v, 10000.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "rev_e4": e4})
+
+    j = hash_join(li.map_batches(rev_e4, batch_format="pyarrow"), ords,
+                  on="l_orderkey", right_on="o_orderkey")
+    j = hash_join(j, supp, on="l_suppkey", right_on="s_suppkey")
+    j = j.map_batches(
+        lambda t: t.filter(pc.equal(pc.cast(t["c_nationkey"], pa.int64()),
+                                    pc.cast(t["s_nationkey"], pa.int64()))),
+        batch_format="pyarrow")
+    g = grouped_sum(j, ["s_nationkey"], {"rev_e4": "rev_e4_sum"}).to_pandas()
+    g["n_name"] = g["s_nationkey"].astype("int64").map(names)
+    g["revenue"] = (g.pop("rev_e4_sum") / 10000.0).round(4)
+    return (g[["n_name", "revenue"]]
+            .sort_values("revenue", ascending=False).reset_index(drop=True))
+
+
 def _q_edit_sim_join_parts(sf_dir):
     """COMPLETE Levenshtein<=1 self-join on part names via the FastSS
     deletion neighborhood (ops/simjoin.py) — the lossless counterpart of the
@@ -2684,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
+        "tpch_q5_regional": _q_tpch_q5_regional,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_gold_f1": _q_er_gold_f1,
         "blocking_quality": _q_blocking_quality,
@@ -3543,6 +3605,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.id AS id1, b.id AS id2 FROM r a "
             "JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5 "
             "ORDER BY id1, id2"
+        ),
+        "tpch_q5_regional": (
+            "SELECT n_name, "
+            "  ROUND(SUM(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) "
+            "                 AS BIGINT))/10000.0, 4) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "  AND r_name = 'ASIA' "
+            "  AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "  AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC"
         ),
     }
 
