@@ -2610,6 +2610,21 @@ def _q_edit_sim_join_parts(sf_dir):
     return out.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
 
 
+def _q_jaccard_sim_join_parts(sf_dir):
+    """Prefix-filtered token-set Jaccard>=0.5 self-join on part names
+    (PPJoin's base filter, ops/simjoin.py) — complete candidates under a
+    rarest-first global token order, exact set verify; equals the naive
+    cross-join Jaccard filter over distinct space-split tokens."""
+    from dedupe_examples_ray.ops.simjoin import jaccard_similarity_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    out = (jaccard_similarity_join(part, col="p_name", id_col="p_partkey",
+                                   threshold=0.5)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    out["jac"] = out["jac"].round(6)
+    return out
+
+
 def _q_sorted_neighborhood_parts(sf_dir):
     """Hernández-Stolfo sorted-neighborhood blocking (window=5) over part
     names: every pair within 5 positions of the global (name, id) order,
@@ -2745,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
+        "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
         "tpch_q5_regional": _q_tpch_q5_regional,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_gold_f1": _q_er_gold_f1,
@@ -3604,6 +3620,17 @@ def oracle_sql() -> dict[str, str]:
             "  ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn FROM part) "
             "SELECT a.id AS id1, b.id AS id2 FROM r a "
             "JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5 "
+            "ORDER BY id1, id2"
+        ),
+        "jaccard_sim_join_parts": (
+            "WITH p AS (SELECT p_partkey, "
+            "  list_distinct(string_split(p_name,' ')) AS toks FROM part) "
+            "SELECT a.p_partkey AS id1, b.p_partkey AS id2, "
+            "  ROUND(len(list_intersect(a.toks,b.toks))*1.0 / "
+            "        len(list_distinct(list_concat(a.toks,b.toks))), 6) AS jac "
+            "FROM p a JOIN p b ON a.p_partkey < b.p_partkey "
+            "WHERE len(list_intersect(a.toks,b.toks))*1.0 / "
+            "      len(list_distinct(list_concat(a.toks,b.toks))) >= 0.5 "
             "ORDER BY id1, id2"
         ),
         "tpch_q5_regional": (

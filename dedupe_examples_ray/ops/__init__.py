@@ -36,6 +36,7 @@ from .graph import (  # noqa: F401
 )
 from .simjoin import (  # noqa: F401
     edit_similarity_join,
+    jaccard_similarity_join,
     sorted_neighborhood_pairs,
 )
 from .packing import (  # noqa: F401

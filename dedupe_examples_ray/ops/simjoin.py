@@ -210,6 +210,106 @@ def edit_similarity_join(
     return pairs.map_batches(verify, batch_format="pandas")
 
 
+def jaccard_similarity_join(
+    ds,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    delimiter: str = " ",
+    num_buckets: int | None = None,
+):
+    """Complete token-set Jaccard-similarity >= ``threshold`` self-join.
+
+    Prefix filtering (Chaudhuri et al. ICDE 2006 / Xiao et al. WWW 2008
+    PPJoin's base filter): under one GLOBAL token order, a set keeps only its
+    first ``|s| - ceil(t*|s|) + 1`` tokens as blocking keys; J(A,B) >= t
+    implies |A∩B| >= t*|A|, so the prefixes of A and B must share a token —
+    candidates are complete, and the exact set verify removes false ones.
+    Tokens are ordered rarest-first by a document-frequency combiner pass so
+    prefixes land on selective keys; the token->rank map is broadcast
+    (vocabulary-sized — the standard PPJoin assumption; at web vocab scale,
+    swap in rank = stable_hash(token), which stays global with zero driver
+    state but prunes less).
+
+    Returns (id1, id2, jac) with id1 < id2, equal to the naive cross-join
+    Jaccard filter over DISTINCT delimiter-split tokens (mirrors DuckDB's
+    ``list_distinct(string_split(...))`` semantics, including empty tokens
+    from doubled delimiters).
+    """
+    import ray
+
+    t0 = float(threshold)
+    if not 0.0 < t0 <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+
+    def toks_of(s) -> list:
+        return sorted(set((s or "").split(delimiter)))
+
+    # pass 1: token document frequencies (per-batch combiner -> tiny groupby)
+    def batch_df(t: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for s in t[col].to_pylist():
+            for w in set((s or "").split(delimiter)):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table({"tok": pa.array(list(cnt.keys()), pa.string()),
+                         "n": pa.array(list(cnt.values()), pa.int64())})
+
+    df_tbl = (
+        ds.select_columns([col])
+        .map_batches(batch_df, batch_format="pyarrow")
+        .groupby("tok").sum("n")
+        .to_pandas()
+    )
+    if df_tbl.empty:
+        return ray.data.from_arrow(pa.table({
+            "id1": pa.array([], pa.int64()), "id2": pa.array([], pa.int64()),
+            "jac": pa.array([], pa.float64())}))
+    # the aggregate column is named "sum(n)" (or "n" on some fused paths)
+    agg_col = [c for c in df_tbl.columns if c != "tok"][0]
+    df_tbl = df_tbl.sort_values([agg_col, "tok"], kind="mergesort").reset_index(drop=True)
+    rank_ref = ray.put({w: i for i, w in enumerate(df_tbl["tok"])})
+
+    def prefix_keys(t: pa.Table) -> pa.Table:
+        rank = ray.get(rank_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        strs = t[col].to_pylist()
+        out_key, out_id, out_s = [], [], []
+        for i, s in enumerate(strs):
+            toks = toks_of(s)
+            n = len(toks)
+            if n == 0:
+                continue
+            plen = n - int(np.ceil(t0 * n)) + 1
+            pref = sorted(toks, key=rank.__getitem__)[:plen]
+            out_key.extend(rank[w] for w in pref)
+            out_id.extend([ids[i]] * len(pref))
+            out_s.extend([s] * len(pref))
+        return pa.table({"block_key": pa.array(out_key, pa.int64()),
+                         id_col: pa.array(out_id),
+                         col: pa.array(out_s, pa.string())})
+
+    blocks = ds.select_columns([id_col, col]).map_batches(prefix_keys, batch_format="pyarrow")
+    pairs = candidate_pairs(blocks, id_col=id_col, carry_cols=[col],
+                            policy="keep", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"id1": pd.Series([], dtype=np.int64),
+                                 "id2": pd.Series([], dtype=np.int64),
+                                 "jac": pd.Series([], dtype=np.float64)})
+        ja = np.empty(len(df), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(df[f"{col}_a"], df[f"{col}_b"])):
+            a, b = set((sa or "").split(delimiter)), set((sb or "").split(delimiter))
+            u = len(a | b)
+            ja[i] = (len(a & b) / u) if u else 0.0
+        keep = ja >= t0
+        return pd.DataFrame({"id1": df["id_a"].to_numpy()[keep],
+                             "id2": df["id_b"].to_numpy()[keep],
+                             "jac": ja[keep]})
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
 def sorted_neighborhood_pairs(
     ds,
     key_col: str,

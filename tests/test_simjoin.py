@@ -85,6 +85,37 @@ def test_edit_similarity_join_equals_cross_join(ray_session):
         out.astype("int64"), exp.astype("int64"), check_like=False)
 
 
+def test_jaccard_join_equals_cross_join(ray_session):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import jaccard_similarity_join
+
+    rng = random.Random(21)
+    words = ["red", "blue", "cold", "warm", "bolt", "rod", "widget", "gear"]
+    strs = [" ".join(rng.sample(words, rng.randint(1, 4))) for _ in range(200)]
+    strs += ["red  bolt", "red bolt", ""]  # doubled delimiter -> empty token
+    tbl = pa.table({"id": pa.array(range(len(strs)), pa.int64()),
+                    "s": pa.array(strs)})
+    t = 0.5
+    out = (jaccard_similarity_join(rd.from_arrow(tbl).repartition(4), "s",
+                                   "id", threshold=t)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+
+    def jac(a, b):
+        A, B = set(a.split(" ")), set(b.split(" "))
+        return len(A & B) / len(A | B)
+
+    exp = pd.DataFrame(
+        [(i, j, jac(strs[i], strs[j]))
+         for i, j in itertools.combinations(range(len(strs)), 2)
+         if jac(strs[i], strs[j]) >= t],
+        columns=["id1", "id2", "jac"],
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"id1": "int64", "id2": "int64"}),
+        exp.astype({"id1": "int64", "id2": "int64"}))
+
+
 def test_sorted_neighborhood_matches_window_self_join(ray_session):
     import ray.data as rd
 
