@@ -2625,6 +2625,21 @@ def _q_jaccard_sim_join_parts(sf_dir):
     return out
 
 
+def _q_cosine_join_embeddings(sf_dir):
+    """Exact all-pairs cosine>=0.3 self-join over embeddings via 1-Bucket-
+    Theta 2-D grid partitioning (ops/simjoin.py) — every unordered pair
+    lands in exactly one grid cell, block matmul per cell; equals the naive
+    DOUBLE-cast list_cosine_similarity cross-join filter."""
+    from dedupe_examples_ray.ops.simjoin import cosine_threshold_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = (cosine_threshold_join(emb, vec_col="embedding", id_col="vec_id",
+                                 threshold=0.3, grid=8)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    out["cos"] = out["cos"].round(6)
+    return out
+
+
 def _q_sorted_neighborhood_parts(sf_dir):
     """Hernández-Stolfo sorted-neighborhood blocking (window=5) over part
     names: every pair within 5 positions of the global (name, id) order,
@@ -2761,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_sim_join_parts": _q_edit_sim_join_parts,
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
         "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
+        "cosine_join_embeddings": _q_cosine_join_embeddings,
         "tpch_q5_regional": _q_tpch_q5_regional,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_gold_f1": _q_er_gold_f1,
@@ -3631,6 +3647,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM p a JOIN p b ON a.p_partkey < b.p_partkey "
             "WHERE len(list_intersect(a.toks,b.toks))*1.0 / "
             "      len(list_distinct(list_concat(a.toks,b.toks))) >= 0.5 "
+            "ORDER BY id1, id2"
+        ),
+        "cosine_join_embeddings": (
+            "WITH e AS (SELECT vec_id, "
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS id1, b.vec_id AS id2, "
+            "  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.3 "
             "ORDER BY id1, id2"
         ),
         "tpch_q5_regional": (

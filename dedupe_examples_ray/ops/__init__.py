@@ -35,6 +35,7 @@ from .graph import (  # noqa: F401
     pagerank,
 )
 from .simjoin import (  # noqa: F401
+    cosine_threshold_join,
     edit_similarity_join,
     jaccard_similarity_join,
     sorted_neighborhood_pairs,

@@ -385,3 +385,101 @@ def sorted_neighborhood_pairs(
         )
 
     return banded.groupby("__band").map_groups(emit, batch_format="pandas")
+
+
+def cosine_threshold_join(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    grid: int = 8,
+):
+    """Exact all-pairs cosine-similarity >= ``threshold`` self-join.
+
+    1-Bucket-Theta 2-D grid partitioning (Okcan & Riedewald, SIGMOD 2011):
+    each row is hashed into one of ``grid`` chunks and replicated to the
+    ``grid`` cells ``{(min(c, j), max(c, j)) : j}``, so every unordered row
+    pair lands in EXACTLY ONE cell; each cell task computes its chunk-pair
+    block product ``Xa @ Xb.T`` (float64, unnormalized-then-normed to match
+    a DOUBLE-cast SQL ``list_cosine_similarity``) and filters locally.
+
+    Output is complete and exact — no LSH recall loss — at the classic
+    theta-join cost: shuffled bytes = ``grid`` x corpus vectors, per-task
+    work ~ (n/grid)^2 dot products.  Pick ``grid`` ~ sqrt(desired tasks);
+    for true near-dup detection at corpus scale prefer
+    :func:`~dedupe_examples_ray.ops.dedup.embedding_cosine_dedup` (LSH) and
+    use this as its exactness oracle on samples.  Null/empty vectors are
+    excluded (SQL NULL-comparison parity).
+
+    Returns (id1, id2, cos) with id1 < id2.
+    """
+    from ..pairs import stable_hash
+
+    t0 = float(threshold)
+    g = int(grid)
+    if g < 1:
+        raise ValueError("grid must be >= 1")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids_arr = t[id_col]
+        valid = np.ones(len(t), dtype=bool)
+        vcol = t[vec_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if vcol.null_count:
+            valid &= ~np.asarray(vcol.is_null())
+        if valid.sum() == 0:
+            return pa.table({
+                "cell": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.int64()),
+                id_col: pa.array([], ids_arr.type),
+                vec_col: pa.array([], vcol.type),
+            })
+        t = t.filter(pa.array(valid))
+        n = len(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        c = (stable_hash(ids) % np.uint64(g)).astype(np.int64)
+        # row i -> g copies, one per j; cell id = a * g + b with (a, b) sorted
+        rep = np.repeat(np.arange(n), g)
+        j = np.tile(np.arange(g, dtype=np.int64), n)
+        ci = c[rep]
+        a = np.minimum(ci, j)
+        b = np.maximum(ci, j)
+        out = t.take(pa.array(rep))
+        out = out.append_column("cell", pa.array(a * g + b, pa.int64()))
+        return out.append_column("chunk", pa.array(ci, pa.int64()))
+
+    def cell_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        cell = int(t["cell"][0].as_py())
+        a, b = divmod(cell, g)
+        chunk = t["chunk"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        from .ann import _col_matrix, _normalize
+
+        M = _normalize(_col_matrix(t[vec_col], dtype=np.float64))
+        if a == b:
+            S = M @ M.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = S[iu, ju] >= t0
+            i1, i2, cs = ids[iu[keep]], ids[ju[keep]], S[iu, ju][keep]
+        else:
+            ma, mb = chunk == a, chunk == b
+            if not ma.any() or not mb.any():
+                return empty
+            S = M[ma] @ M[mb].T
+            iu, ju = np.nonzero(S >= t0)
+            i1, i2, cs = ids[ma][iu], ids[mb][ju], S[iu, ju]
+        lo = np.minimum(i1, i2)
+        hi = np.maximum(i1, i2)
+        return pa.table({"id1": pa.array(lo), "id2": pa.array(hi),
+                         "cos": pa.array(cs, pa.float64())})
+
+    reps = ds.select_columns([id_col, vec_col]).map_batches(
+        replicate, batch_format="pyarrow")
+    return reps.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")

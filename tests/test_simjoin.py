@@ -138,3 +138,57 @@ def test_sorted_neighborhood_matches_window_self_join(ray_session):
         columns=["id1", "id2"],
     ).sort_values(["id1", "id2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
+
+
+def test_cosine_threshold_join_equals_cross_join(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import cosine_threshold_join
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    M = rng.normal(size=(n, d))
+    M[10] = M[3] + 0.01 * rng.normal(size=d)  # planted near-dup
+    M[77] = -M[12]                            # planted anti-correlate
+    vecs = [row.astype(np.float32).tolist() for row in M]
+    vecs[50] = None                           # null vector excluded
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    t = 0.4
+    out = (cosine_threshold_join(rd.from_arrow(tbl).repartition(4),
+                                 "embedding", "vec_id", threshold=t, grid=3)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+
+    X = np.array([np.zeros(d) if v is None else np.asarray(v, np.float64)
+                  for v in vecs])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    S = Xn @ Xn.T
+    exp = pd.DataFrame(
+        [(i, j, S[i, j]) for i in range(n) for j in range(i + 1, n)
+         if vecs[i] is not None and vecs[j] is not None and S[i, j] >= t],
+        columns=["id1", "id2", "cos"],
+    )
+    assert (out["id1"] == exp["id1"].to_numpy()).all()
+    assert (out["id2"] == exp["id2"].to_numpy()).all()
+    np.testing.assert_allclose(out["cos"], exp["cos"], atol=1e-12)
+    assert ((out["id1"] == 3) & (out["id2"] == 10)).any()
+
+
+def test_cosine_threshold_join_grid1_and_empty(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import cosine_threshold_join
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert cosine_threshold_join(empty, "embedding", "vec_id").count() == 0
+
+    tbl = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0], [1.0, 0.0]],
+                                          pa.list_(pa.float32()))})
+    out = (cosine_threshold_join(rd.from_arrow(tbl), "embedding", "vec_id",
+                                 threshold=0.99, grid=1).to_pandas())
+    assert len(out) == 1 and np.isclose(out["cos"].iloc[0], 1.0)
