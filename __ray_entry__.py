@@ -2625,6 +2625,54 @@ def _q_jaccard_sim_join_parts(sf_dir):
     return out
 
 
+def _q_weighted_sample_orders(sf_dir):
+    """Efraimidis-Spirakis A-ES weighted sampling without replacement
+    (ops/corpus.py): 100 orders sampled proportional to o_totalprice with
+    md5-deterministic uniforms — per-batch top-k so only k rows per block
+    reach the final sort; byte-identical to the SQL ln(u)/w ORDER BY."""
+    from dedupe_examples_ray.ops.corpus import weighted_sample
+
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = weighted_sample(od, key_col="o_orderkey", weight_col="o_totalprice",
+                          k=100).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_tpch_q18_large_orders(sf_dir):
+    """TPC-H Q18-shaped capstone: GROUP BY + HAVING over the fact table
+    gates a multi-join (lineitem qty sums in exact integer hundredths ->
+    HAVING > 250 -> orders big-big hash_join -> broadcast customer dim),
+    top-100 by o_totalprice.  The reference delegates this payoff-join shape
+    to the database server (pgsql_big_dedupe_example.py)."""
+    from dedupe_examples_ray.relational import (broadcast_left_join,
+                                                grouped_sum, hash_join, top_k)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_c(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.add(pc.multiply(t["l_quantity"], 100.0), 0.5)),
+                    pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "qty_c": q})
+
+    g = grouped_sum(li.map_batches(qty_c, batch_format="pyarrow"),
+                    ["l_orderkey"], {"qty_c": "qty_c_sum"})
+    big = g.map_batches(
+        lambda t: t.filter(pc.greater(t["qty_c_sum"], 25000)),
+        batch_format="pyarrow")
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    j = hash_join(od, big, on="o_orderkey", right_on="l_orderkey")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    j = broadcast_left_join(j, cust.rename(columns={"c_custkey": "o_custkey"}),
+                            on="o_custkey")
+    df = (top_k(j, "o_totalprice", 100, tie_cols=["o_orderkey"])
+          .to_pandas())
+    df["sum_qty"] = (df.pop("qty_c_sum") / 100.0).round(2)
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    return df[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
 def _q_cosine_join_embeddings(sf_dir):
     """Exact all-pairs cosine>=0.3 self-join over embeddings via 1-Bucket-
     Theta 2-D grid partitioning (ops/simjoin.py) — every unordered pair
@@ -2777,6 +2825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
         "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
         "cosine_join_embeddings": _q_cosine_join_embeddings,
+        "weighted_sample_orders": _q_weighted_sample_orders,
+        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "tpch_q5_regional": _q_tpch_q5_regional,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "er_gold_f1": _q_er_gold_f1,
@@ -3648,6 +3698,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(a.toks,b.toks))*1.0 / "
             "      len(list_distinct(list_concat(a.toks,b.toks))) >= 0.5 "
             "ORDER BY id1, id2"
+        ),
+        "weighted_sample_orders": (
+            "SELECT o_orderkey, o_totalprice FROM ("
+            "  SELECT o_orderkey, o_totalprice, "
+            "    ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+            "::UBIGINT + 0.5) / 4294967296.0) / o_totalprice AS sk "
+            "  FROM orders WHERE o_totalprice > 0 "
+            "  ORDER BY sk DESC, o_orderkey LIMIT 100"
+            ") ORDER BY o_orderkey"
+        ),
+        "tpch_q18_large_orders": (
+            "WITH big AS ("
+            "  SELECT l_orderkey, "
+            "    SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS qty_c "
+            "  FROM lineitem GROUP BY l_orderkey HAVING qty_c > 25000) "
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "  ROUND(qty_c / 100.0, 2) AS sum_qty "
+            "FROM big JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
         ),
         "cosine_join_embeddings": (
             "WITH e AS (SELECT vec_id, "

@@ -61,6 +61,7 @@ from .corpus import (  # noqa: F401
     paragraph_dedup,
     sample_per_group,
     split_by_hash,
+    weighted_sample,
 )
 from .pii import flag_pii, redact_pii  # noqa: F401
 from .corpus import chunk_text  # noqa: F401

@@ -44,6 +44,50 @@ def _md5_bucket(values, n_buckets: int = SPLIT_BUCKETS) -> np.ndarray:
     )
 
 
+def weighted_sample(ds, key_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling WITHOUT replacement, top-``k``.
+
+    Efraimidis & Spirakis (IPL 2006) A-ES keys: each row with weight w > 0
+    gets score ``ln(u) / w`` for a uniform u in (0,1); the k largest scores
+    are a weighted sample without replacement.  u derives from md5 of the
+    row key — ``(md5_32(key) + 0.5) / 2^32`` — so the sample is reproducible
+    across runs, engines, and partitionings (SQL:
+    ``ln((('0x'||substr(md5(CAST(key AS VARCHAR)),1,8))::UBIGINT + 0.5)
+    / 4294967296.0) / w``, ORDER BY DESC, ties by key).  Rows with NULL or
+    non-positive weight are excluded (SQL comparison-with-NULL parity).
+
+    Scale shape: per-batch top-k (argpartition) so at most k rows per block
+    reach the final sort — the global sort+limit runs over ≤ k·#blocks
+    candidate rows, never the corpus.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    md5 = hashlib.md5
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        w = pc.cast(_col(t, weight_col), pa.float64()).to_numpy(zero_copy_only=False)
+        valid = np.isfinite(w) & (w > 0)
+        if not valid.all():
+            t = t.filter(pa.array(valid))
+            w = w[valid]
+        if t.num_rows == 0:
+            return t.append_column("_sk", pa.array([], pa.float64()))
+        u = np.fromiter(
+            (int(md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in _col(t, key_col).to_pylist()),
+            dtype=np.float64, count=t.num_rows)
+        sk = np.log((u + 0.5) / 4294967296.0) / w
+        if len(sk) > k:
+            keep = np.sort(np.argpartition(sk, len(sk) - k)[len(sk) - k:])
+            t = t.take(pa.array(keep))
+            sk = sk[keep]
+        return t.append_column("_sk", pa.array(sk, pa.float64()))
+
+    cands = ds.map_batches(score_topk, batch_format="pyarrow")
+    return (cands.sort(["_sk", key_col], descending=[True, False])
+            .limit(k).drop_columns(["_sk"]))
+
+
 def split_by_hash(ds, key_col: str, splits: dict[str, float] | None = None,
                   out_col: str = "split"):
     """Append a deterministic train/valid/test ``split`` label per record.

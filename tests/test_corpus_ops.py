@@ -605,3 +605,42 @@ def test_grouped_top_values_ties_and_nulls(ray_session):
     # NULL key forms its own group
     kn = out[out["k"].isna()]
     assert len(kn) == 1 and kn["v"].iloc[0] == "z" and kn["n"].iloc[0] == 2
+
+
+# ------------------------------------------------------------ weighted_sample
+def test_weighted_sample_matches_brute_force(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops import weighted_sample
+
+    rng = np.random.default_rng(3)
+    n, k = 500, 40
+    w = rng.uniform(0.1, 50.0, size=n)
+    w[5] = 0.0          # excluded: non-positive
+    w[17] = -2.0        # excluded
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"id": pa.array(ids), "w": pa.array(w)})
+    out = (weighted_sample(rd.from_arrow(tbl).repartition(8), "id", "w", k)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    u = np.array([(int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5)
+                  / 2**32 for i in ids])
+    sk = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1.0), -np.inf)
+    exp = np.sort(ids[np.argsort(-sk, kind="stable")][:k])
+    assert (out["id"].to_numpy() == exp).all()
+    assert 5 not in set(out["id"]) and 17 not in set(out["id"])
+
+
+def test_weighted_sample_null_weights_and_small_input(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops import weighted_sample
+
+    tbl = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                    "w": pa.array([None, 1.0, None], pa.float64())})
+    out = weighted_sample(rd.from_arrow(tbl), "id", "w", 10).to_pandas()
+    assert out["id"].tolist() == [2]
+    with pytest.raises(ValueError):
+        weighted_sample(rd.from_arrow(tbl), "id", "w", 0)
