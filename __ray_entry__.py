@@ -2625,6 +2625,22 @@ def _q_jaccard_sim_join_parts(sf_dir):
     return out
 
 
+def _q_lm_bpb_documents(sf_dir):
+    """CCNet-style byte-bigram LM perplexity (ops/lm.py): fit on the corpus
+    (combiner counts -> 512 KB broadcast table), score every document as
+    bits_per_byte.  Rows-only: scalar-reference parity and boundary cases in
+    tests/test_lm.py; in-query invariant — every score is finite, non-negative
+    and the corpus mean beats the 8-bit uniform-model ceiling."""
+    from dedupe_examples_ray.ops.lm import lm_perplexity
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (lm_perplexity(docs).select_columns(["doc_id", "bits_per_byte"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = out["bits_per_byte"].to_numpy()
+    assert np.isfinite(b).all() and (b >= 0).all() and b.mean() < 8.0
+    return out
+
+
 def _q_weighted_sample_orders(sf_dir):
     """Efraimidis-Spirakis A-ES weighted sampling without replacement
     (ops/corpus.py): 100 orders sampled proportional to o_totalprice with
@@ -2829,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "tpch_q5_regional": _q_tpch_q5_regional,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
+        "lm_bpb_documents": _q_lm_bpb_documents,
         "er_gold_f1": _q_er_gold_f1,
         "blocking_quality": _q_blocking_quality,
         "er_dedupe_documents": _q_er_dedupe_documents,

@@ -63,5 +63,10 @@ from .corpus import (  # noqa: F401
     split_by_hash,
     weighted_sample,
 )
+from .lm import (  # noqa: F401
+    bigram_lm_fit,
+    bigram_lm_score,
+    lm_perplexity,
+)
 from .pii import flag_pii, redact_pii  # noqa: F401
 from .corpus import chunk_text  # noqa: F401
