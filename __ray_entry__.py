@@ -2625,6 +2625,28 @@ def _q_jaccard_sim_join_parts(sf_dir):
     return out
 
 
+def _q_dsir_resample_documents(sf_dir):
+    """DSIR importance resampling (Xie et al. 2023, ops/lm.py): bigram models
+    fit on the target slice (source='src1') and the full corpus; every doc
+    gets log2 P_target/P_raw; Gumbel-top-k draws 50 docs proportional to the
+    weight with md5-deterministic noise.  Rows-only: scalar-reference parity
+    in tests/test_lm.py; in-query invariant — the sampled docs' mean
+    log-weight exceeds the corpus mean (the op's entire point)."""
+    from dedupe_examples_ray.ops.lm import dsir_log_weights, gumbel_topk_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src1")),
+        batch_format="pyarrow")
+    weighted = dsir_log_weights(docs, target)
+    sample = (gumbel_topk_sample(weighted, "log2_weight", "doc_id", 50)
+              .select_columns(["doc_id", "log2_weight"])
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    corpus_mean = weighted.to_pandas()["log2_weight"].mean()
+    assert sample["log2_weight"].mean() > corpus_mean
+    return sample
+
+
 def _q_lm_bpb_documents(sf_dir):
     """CCNet-style byte-bigram LM perplexity (ops/lm.py): fit on the corpus
     (combiner counts -> 512 KB broadcast table), score every document as
@@ -2846,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_regional": _q_tpch_q5_regional,
         # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "lm_bpb_documents": _q_lm_bpb_documents,
+        "dsir_resample_documents": _q_dsir_resample_documents,
         "er_gold_f1": _q_er_gold_f1,
         "blocking_quality": _q_blocking_quality,
         "er_dedupe_documents": _q_er_dedupe_documents,

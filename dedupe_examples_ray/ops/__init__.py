@@ -66,6 +66,8 @@ from .corpus import (  # noqa: F401
 from .lm import (  # noqa: F401
     bigram_lm_fit,
     bigram_lm_score,
+    dsir_log_weights,
+    gumbel_topk_sample,
     lm_perplexity,
 )
 from .pii import flag_pii, redact_pii  # noqa: F401

@@ -159,3 +159,112 @@ def lm_perplexity(ds, text_col: str = "text", add_k: float = 0.5,
     real filter; self-fit still ranks outliers within a corpus."""
     return bigram_lm_score(ds, bigram_lm_fit(ds, text_col, add_k),
                            text_col=text_col, out_col=out_col)
+
+
+def _doc_nll_sums(t: pa.Table, nll: np.ndarray, text_col: str) -> np.ndarray:
+    """Per-document TOTAL -log2 P over interior bigrams (not per-byte)."""
+    arr, lens = _batch_bytes(t, text_col)
+    pairs, valid = _pair_ids(arr, lens)
+    nlp = np.zeros(len(pairs), dtype=np.float64)
+    nlp[valid] = nll[pairs[valid]]
+    cs = np.concatenate([[0.0], np.cumsum(nlp)])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    cap = len(cs) - 1
+    lo = np.minimum(starts, cap)
+    hi = np.minimum(np.maximum(starts, ends - 1), cap)
+    return cs[hi] - cs[lo]
+
+
+class _DsirWeigher:
+    def __init__(self, refs, text_col, out_col):
+        import ray
+
+        self.nll_target, self.nll_raw = (
+            ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in refs)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lw = (_doc_nll_sums(t, self.nll_raw, self.text_col)
+              - _doc_nll_sums(t, self.nll_target, self.text_col))
+        return t.append_column(self.out_col, pa.array(lw, pa.float64()))
+
+
+_DSIR_CACHE: dict = {}
+
+
+def _dsir_cached(t: pa.Table, *, refs, text_col, out_col) -> pa.Table:
+    key = (tuple(r.hex() if hasattr(r, "hex") else id(r) for r in refs),
+           text_col, out_col)
+    fn = _DSIR_CACHE.get(key)
+    if fn is None:
+        fn = _DsirWeigher(refs, text_col, out_col)
+        if len(_DSIR_CACHE) >= 8:
+            _DSIR_CACHE.pop(next(iter(_DSIR_CACHE)))
+        _DSIR_CACHE[key] = fn
+    return fn(t)
+
+
+def dsir_log_weights(raw_ds, target_ds, text_col: str = "text",
+                     add_k: float = 0.5, out_col: str = "log2_weight"):
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023), bigram form.
+
+    Fits the byte-bigram model on the TARGET corpus and on the RAW corpus,
+    then appends ``log2 w(x) = log2 P_target(x) - log2 P_raw(x)`` (total over
+    the document's interior bigrams) to every raw row.  Documents that look
+    more like the target than like the average raw document get positive
+    log-weight.  Both 512 KB model tables broadcast once.
+    """
+    import ray
+
+    nll_t = bigram_lm_fit(target_ds, text_col=text_col, add_k=add_k)
+    nll_r = bigram_lm_fit(raw_ds, text_col=text_col, add_k=add_k)
+    refs = (ray.put(nll_t), ray.put(nll_r))
+    return raw_ds.map_batches(
+        _dsir_cached,
+        fn_kwargs=dict(refs=refs, text_col=text_col, out_col=out_col),
+        batch_format="pyarrow",
+    )
+
+
+def gumbel_topk_sample(ds, logw_col: str, key_col: str, k: int):
+    """Sample ``k`` rows WITHOUT replacement proportional to ``2**logw``.
+
+    Gumbel-top-k (Kool et al., ICML 2019): the k largest
+    ``logw + Gumbel(u)`` are such a sample; working in log space never
+    exponentiates the weight, so DSIR's total-likelihood-ratio weights
+    (hundreds of bits for long documents) can't overflow.  Uniforms derive
+    from md5 of the row key — deterministic across runs, engines and
+    partitionings — and the per-batch top-k keeps at most k rows per block
+    out of the final sort, mirroring :func:`weighted_sample`.
+    """
+    import hashlib
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    md5 = hashlib.md5
+    ln2 = np.log(2.0)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        lw = pc.cast(_col(t, logw_col), pa.float64()).to_numpy(zero_copy_only=False)
+        valid = np.isfinite(lw)
+        if not valid.all():
+            t = t.filter(pa.array(valid))
+            lw = lw[valid]
+        if t.num_rows == 0:
+            return t.append_column("_gk", pa.array([], pa.float64()))
+        u = (np.fromiter(
+            (int(md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in _col(t, key_col).to_pylist()),
+            dtype=np.float64, count=t.num_rows) + 0.5) / 4294967296.0
+        gk = lw * ln2 - np.log(-np.log(u))
+        if len(gk) > k:
+            keep = np.sort(np.argpartition(gk, len(gk) - k)[len(gk) - k:])
+            t = t.take(pa.array(keep))
+            gk = gk[keep]
+        return t.append_column("_gk", pa.array(gk, pa.float64()))
+
+    cands = ds.map_batches(score_topk, batch_format="pyarrow")
+    return (cands.sort(["_gk", key_col], descending=[True, False])
+            .limit(k).drop_columns(["_gk"]))
