@@ -236,3 +236,61 @@ def read_partitioned(path: str, columns: list[str] | None = None):
     if not files:
         raise FileNotFoundError(f"no committed buckets under {path}")
     return rd.read_parquet(files, columns=columns)
+
+
+def read_parquet_union_by_name(paths: list[str], columns: list[str] | None = None):
+    """Read Parquet shards whose schemas DRIFTED (crawl generations add or
+    drop columns) and align them by column NAME — DuckDB/Spark
+    ``union_by_name`` semantics: the output schema is the name-ordered union
+    of all shard schemas; a shard missing a column yields typed nulls.
+
+    Schema reconciliation happens on METADATA only (one footer read per
+    path, no data IO); the data read is a normal pruned ``read_parquet`` per
+    shard group, so column/row-group pruning still applies.  Type conflicts
+    across shards resolve by Arrow ``unify_schemas`` promotion where legal
+    (int32→int64, float→double); incompatible types raise at plan time, not
+    mid-job.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if not paths:
+        raise ValueError("paths must be non-empty")
+    schemas = [pq.read_schema(p) for p in paths]
+    try:
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        raise ValueError(f"shard schemas cannot be unified by name: {e}") from e
+    names = sorted(unified.names)
+    if columns is not None:
+        missing = set(columns) - set(names)
+        if missing:
+            raise ValueError(f"columns not in any shard: {sorted(missing)}")
+        names = [n for n in sorted(columns)]
+    target = pa.schema([unified.field(n) for n in names])
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in t.column_names:
+                c = t[f.name]
+                if c.type != f.type:
+                    c = pc.cast(c, f.type)
+            else:
+                c = pa.nulls(t.num_rows, f.type)
+            cols.append(c)
+        return pa.table(dict(zip(target.names, cols)))
+
+    # group shards by identical projected schema so each group is one clean
+    # read_parquet (Ray requires uniform schemas within a read)
+    groups: dict[tuple, list[str]] = {}
+    for p, s in zip(paths, schemas):
+        key = tuple(sorted((f.name, str(f.type)) for f in s))
+        groups.setdefault(key, []).append(p)
+    out = None
+    for grp in groups.values():
+        shard_cols = [n for n in names if n in pq.read_schema(grp[0]).names]
+        ds = rd.read_parquet(grp, columns=shard_cols or None).map_batches(
+            align, batch_format="pyarrow")
+        out = ds if out is None else out.union(ds)
+    return out

@@ -105,3 +105,50 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     # full rerun is a no-op
     m3 = write_partitioned(ds, out, "k", num_buckets=8)
     assert m3["written"] == [] and len(m3["skipped"]) == 8
+
+
+def test_read_parquet_union_by_name(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_examples_ray.sources import read_parquet_union_by_name
+
+    # generation 1: (id int32, text); generation 2 added lang, widened id
+    p1 = str(tmp_path / "gen1.parquet")
+    p2 = str(tmp_path / "gen2.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int32()),
+                             "text": pa.array(["a", "b"])}), p1)
+    pq.write_table(pa.table({"id": pa.array([3], pa.int64()),
+                             "lang": pa.array(["en"]),
+                             "text": pa.array(["c"])}), p2)
+
+    out = (read_parquet_union_by_name([p1, p2]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert list(out.columns) == ["id", "lang", "text"]
+    assert out["id"].tolist() == [1, 2, 3]          # int32 promoted to int64
+    assert out["lang"].tolist()[:2] == [None, None]  # missing -> nulls
+    assert out["lang"].tolist()[2] == "en"
+
+    # column pruning still works, and unknown columns raise at plan time
+    pruned = read_parquet_union_by_name([p1, p2], columns=["id", "lang"])
+    assert sorted(pruned.schema().names) == ["id", "lang"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_parquet_union_by_name([p1, p2], columns=["nope"])
+    with _pytest.raises(ValueError):
+        read_parquet_union_by_name([])
+
+
+def test_read_parquet_union_by_name_incompatible_types(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from dedupe_examples_ray.sources import read_parquet_union_by_name
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), p1)
+    pq.write_table(pa.table({"k": pa.array([[1]], pa.list_(pa.int64()))}), p2)
+    with _pytest.raises(ValueError):
+        read_parquet_union_by_name([p1, p2])
