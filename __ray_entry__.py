@@ -2726,6 +2726,20 @@ def _q_cosine_join_embeddings(sf_dir):
     return out
 
 
+def _q_knn_join_embeddings(sf_dir):
+    """Exact k-NN JOIN, both sides large (ops/simjoin.py): per-cell partial
+    top-5 on the directed 2-D grid, grouped_top_n global merge — at most
+    grid*k rows per probe reach the merge; equals the SQL ROW_NUMBER window
+    over the full cross join."""
+    from dedupe_examples_ray.ops.simjoin import knn_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = (knn_join(emb, emb, k=5, grid=4, exclude_self=True)
+           .to_pandas().sort_values(["id1", "rank"]).reset_index(drop=True))
+    out["cos"] = out["cos"].round(6)
+    return out[["id1", "id2", "cos", "rank"]]
+
+
 def _q_sorted_neighborhood_parts(sf_dir):
     """Hernández-Stolfo sorted-neighborhood blocking (window=5) over part
     names: every pair within 5 positions of the global (name, id) order,
@@ -2863,6 +2877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
         "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
         "cosine_join_embeddings": _q_cosine_join_embeddings,
+        "knn_join_embeddings": _q_knn_join_embeddings,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "tpch_q5_regional": _q_tpch_q5_regional,
@@ -3738,6 +3753,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(a.toks,b.toks))*1.0 / "
             "      len(list_distinct(list_concat(a.toks,b.toks))) >= 0.5 "
             "ORDER BY id1, id2"
+        ),
+        "knn_join_embeddings": (
+            "WITH e AS (SELECT vec_id, "
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings), s AS ("
+            "  SELECT a.vec_id AS id1, b.vec_id AS id2, "
+            "    list_cosine_similarity(a.v, b.v) AS c, "
+            "    ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+            "      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id"
+            "    ) AS rank "
+            "  FROM e a JOIN e b ON a.vec_id <> b.vec_id) "
+            "SELECT id1, id2, ROUND(c, 6) AS cos, rank FROM s "
+            "WHERE rank <= 5 ORDER BY id1, rank"
         ),
         "weighted_sample_orders": (
             "SELECT o_orderkey, o_totalprice FROM ("

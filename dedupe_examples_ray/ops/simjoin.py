@@ -528,3 +528,105 @@ def cosine_threshold_join(
     reps = ds.select_columns([id_col, vec_col]).map_batches(
         replicate, batch_format="pyarrow")
     return reps.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
+
+
+def knn_join(
+    left,
+    right,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 4,
+    exclude_self: bool = False,
+):
+    """Exact k-nearest-neighbor JOIN: for every LEFT row, its ``k`` most
+    cosine-similar RIGHT rows — both sides large (contrast
+    :func:`~dedupe_examples_ray.ops.ann.ann_brute_force`, which broadcasts a
+    small probe set).
+
+    Same 2-D grid as :func:`cosine_threshold_join`, directed: a left row in
+    chunk ``a`` replicates to cells ``(a, *)``, a right row in chunk ``b`` to
+    ``(*, b)``, so cell (a, b) holds exactly chunk-a probes x chunk-b
+    candidates.  Each cell emits its LOCAL top-k per probe (``argpartition``
+    on the block matmul), and a
+    :func:`~dedupe_examples_ray.windows.grouped_top_n` merge keeps the global
+    top-k — at most ``grid * k`` rows per probe ever reach the merge, so the
+    exchange is output-sized, never |L|x|R|.  Exact, complete, deterministic
+    (ties by candidate id).  ``exclude_self`` drops id-equal pairs for
+    self-join use.
+
+    Returns (id1, id2, cos, rank) — rank 1-based per probe.
+    """
+    import ray
+
+    from ..pairs import stable_hash
+    from ..windows import grouped_top_n
+    from .ann import _col_matrix, _normalize
+
+    g = int(grid)
+    if g < 1 or k < 1:
+        raise ValueError("grid and k must be >= 1")
+
+    def replicate(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            vcol = t[vec_col]
+            if isinstance(vcol, pa.ChunkedArray):
+                vcol = vcol.combine_chunks()
+            if vcol.null_count:
+                t = t.filter(pc.is_valid(vcol))
+            n = t.num_rows
+            if n == 0:
+                return pa.table({
+                    "cell": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    id_col: pa.array([], t[id_col].type),
+                    vec_col: pa.array([], t[vec_col].type),
+                })
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            c = (stable_hash(ids) % np.uint64(g)).astype(np.int64)
+            rep = np.repeat(np.arange(n), g)
+            j = np.tile(np.arange(g, dtype=np.int64), n)
+            cell = c[rep] * g + j if side == 0 else j * g + c[rep]
+            out = t.take(pa.array(rep))
+            out = out.append_column("cell", pa.array(cell, pa.int64()))
+            return out.append_column("side", pa.array(
+                np.full(len(rep), side, np.int8)))
+
+        return fn
+
+    lrep = left.select_columns([id_col, vec_col]).map_batches(
+        replicate(0), batch_format="pyarrow")
+    rrep = right.select_columns([id_col, vec_col]).map_batches(
+        replicate(1), batch_format="pyarrow")
+
+    def cell_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ml, mr = side == 0, side == 1
+        if not ml.any() or not mr.any():
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        M = _normalize(_col_matrix(t[vec_col], dtype=np.float64))
+        S = M[ml] @ M[mr].T  # probes x candidates
+        lid, rid = ids[ml], ids[mr]
+        if exclude_self:
+            eq = lid[:, None] == rid[None, :]
+            S = np.where(eq, -np.inf, S)
+        kk = min(k, S.shape[1])
+        # per-probe local top-k with (cos desc, rid asc) tie order
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        pi = np.repeat(np.arange(S.shape[0]), kk)
+        ci = part.reshape(-1)
+        cs = S[pi, ci]
+        keep = np.isfinite(cs)
+        return pa.table({"id1": pa.array(lid[pi[keep]]),
+                         "id2": pa.array(rid[ci[keep]]),
+                         "cos": pa.array(cs[keep], pa.float64())})
+
+    cells = lrep.union(rrep).groupby("cell").map_groups(
+        cell_topk, batch_format="pyarrow")
+    return grouped_top_n(cells, key_cols=["id1"], by="cos", n=k,
+                         ascending=False, tie_cols=["id2"], rank_col="rank")

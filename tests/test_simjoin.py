@@ -192,3 +192,60 @@ def test_cosine_threshold_join_grid1_and_empty(ray_session):
     out = (cosine_threshold_join(rd.from_arrow(tbl), "embedding", "vec_id",
                                  threshold=0.99, grid=1).to_pandas())
     assert len(out) == 1 and np.isclose(out["cos"].iloc[0], 1.0)
+
+
+def test_knn_join_matches_brute_force(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import knn_join
+
+    rng = np.random.default_rng(5)
+    nl, nr, d, k = 60, 80, 8, 3
+    L = rng.normal(size=(nl, d))
+    R = rng.normal(size=(nr, d))
+    lt = pa.table({"vec_id": pa.array(range(nl), pa.int64()),
+                   "embedding": pa.array([r.tolist() for r in L],
+                                         pa.list_(pa.float32()))})
+    rt = pa.table({"vec_id": pa.array(range(100, 100 + nr), pa.int64()),
+                   "embedding": pa.array([r.tolist() for r in R],
+                                         pa.list_(pa.float32()))})
+    out = (knn_join(rd.from_arrow(lt).repartition(3),
+                    rd.from_arrow(rt).repartition(4), k=k, grid=3)
+           .to_pandas().sort_values(["id1", "rank"]).reset_index(drop=True))
+
+    Ln = L.astype(np.float32).astype(np.float64)
+    Rn = R.astype(np.float32).astype(np.float64)
+    Ln /= np.linalg.norm(Ln, axis=1, keepdims=True)
+    Rn /= np.linalg.norm(Rn, axis=1, keepdims=True)
+    S = Ln @ Rn.T
+    exp_rows = []
+    for i in range(nl):
+        order = sorted(range(nr), key=lambda j: (-S[i, j], 100 + j))[:k]
+        exp_rows += [(i, 100 + j, S[i, j], r + 1)
+                     for r, j in enumerate(order)]
+    exp = pd.DataFrame(exp_rows, columns=["id1", "id2", "cos", "rank"])
+    assert len(out) == len(exp)
+    assert (out["id1"].to_numpy() == exp["id1"].to_numpy()).all()
+    assert (out["id2"].to_numpy() == exp["id2"].to_numpy()).all()
+    assert (out["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+    import numpy.testing as npt
+    npt.assert_allclose(out["cos"], exp["cos"], atol=1e-12)
+
+
+def test_knn_join_self_excludes_identity(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import knn_join
+
+    rng = np.random.default_rng(9)
+    n, d = 40, 6
+    M = rng.normal(size=(n, d))
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in M],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    out = knn_join(ds, ds, k=2, grid=2, exclude_self=True).to_pandas()
+    assert (out["id1"] != out["id2"]).all()
+    assert out.groupby("id1").size().eq(2).all()
