@@ -2647,6 +2647,19 @@ def _q_dsir_resample_documents(sf_dir):
     return sample
 
 
+def _q_script_profile_documents(sf_dir):
+    """Per-doc Unicode-script composition (ops/textstats.py script_profile):
+    Latin/Cyrillic/Han/Arabic/digit counts and fractions via RE2 class
+    kernels — the mixed-script web-spam signal; oracle-exact because DuckDB's
+    regexp_extract_all uses the same RE2 classes."""
+    from dedupe_examples_ray.ops.textstats import script_profile
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (script_profile(docs).drop_columns(["text"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
 def _q_lm_bpb_documents(sf_dir):
     """CCNet-style byte-bigram LM perplexity (ops/lm.py): fit on the corpus
     (combiner counts -> 512 KB broadcast table), score every document as
@@ -2878,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
         "cosine_join_embeddings": _q_cosine_join_embeddings,
         "knn_join_embeddings": _q_knn_join_embeddings,
+        "script_profile_documents": _q_script_profile_documents,
         "weighted_sample_orders": _q_weighted_sample_orders,
         "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "tpch_q5_regional": _q_tpch_q5_regional,
@@ -3753,6 +3767,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(a.toks,b.toks))*1.0 / "
             "      len(list_distinct(list_concat(a.toks,b.toks))) >= 0.5 "
             "ORDER BY id1, id2"
+        ),
+        "script_profile_documents": (
+            "SELECT doc_id, length(COALESCE(text,'')) AS n_chars_text, "
+            + ", ".join(
+                f"len(regexp_extract_all(COALESCE(text,''), '{pat}')) AS n_{name}, "
+                f"ROUND(len(regexp_extract_all(COALESCE(text,''), '{pat}')) * 1.0 "
+                f"/ GREATEST(length(COALESCE(text,'')), 1), 6) AS frac_{name}"
+                for name, pat in (
+                    ("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+                    ("han", r"\p{Han}"), ("arabic", r"\p{Arabic}"),
+                    ("digit", "[0-9]"),
+                )
+            )
+            + " FROM documents ORDER BY doc_id"
         ),
         "knn_join_embeddings": (
             "WITH e AS (SELECT vec_id, "

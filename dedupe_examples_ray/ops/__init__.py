@@ -17,6 +17,7 @@ from .embed_cluster import (  # noqa: F401
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,
+    script_profile,
     token_count,
     doc_fingerprint,
     repetition_stats,

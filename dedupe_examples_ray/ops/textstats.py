@@ -566,3 +566,46 @@ def unigram_xentropy(ds, text_col: str = "text", id_col: str = "doc_id",
                          "n_tokens": t["n_tokens"]})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+_SCRIPTS = (
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("han", r"\p{Han}"),
+    ("arabic", r"\p{Arabic}"),
+    ("digit", r"[0-9]"),
+)
+
+
+def script_profile(ds, text_col: str = "text", round_digits: int = 6):
+    """Append per-document Unicode-script composition: counts and fractions
+    of Latin / Cyrillic / Han / Arabic letters and ASCII digits.
+
+    The mixed-script signal web-spam filters use (keyword-stuffed pages mix
+    scripts; legitimate documents are script-homogeneous) — complementary to
+    :func:`language_id`, which assumes latin text.  One RE2
+    ``count_substring_regex`` kernel per script class per batch, zero row
+    loops; DuckDB's ``regexp_extract_all`` uses the same RE2 class
+    definitions, so the counts are oracle-exact.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        s = pc.fill_null(pc.cast(arr, pa.string()), "")
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64())
+        denom = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+        out = t.append_column("n_chars_text", n_chars)
+        for name, pat in _SCRIPTS:
+            cnt = pc.cast(pc.count_substring_regex(s, pat), pa.int64())
+            # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+            # half-to-even (0.8203125 -> .820312 vs .820313)
+            frac = pc.round(pc.divide(pc.cast(cnt, pa.float64()), denom),
+                            ndigits=round_digits,
+                            round_mode="half_towards_infinity")
+            out = out.append_column(f"n_{name}", cnt)
+            out = out.append_column(f"frac_{name}", frac)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -932,3 +932,24 @@ def test_grouped_approx_ndistinct_accuracy(ray_session):
     for k, exact in (("a", len(np.unique(ka))), ("b", len(np.unique(kb)))):
         est = out.loc[k, "approx_ndv"]
         assert abs(est - exact) / exact <= 3 * out.loc[k, "error_bound"], (k, est, exact)
+
+
+def test_script_profile_mixed_scripts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import script_profile
+
+    texts = ["hello world", "Привет мир", "世界你好", "مرحبا", "123 abc",
+             "", None]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (script_profile(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_latin"].tolist() == [10, 0, 0, 0, 3, 0, 0]
+    assert out["n_cyrillic"].tolist() == [0, 9, 0, 0, 0, 0, 0]
+    assert out["n_han"].tolist() == [0, 0, 4, 0, 0, 0, 0]
+    assert out["n_arabic"].tolist() == [0, 0, 0, 5, 0, 0, 0]
+    assert out["n_digit"].tolist() == [0, 0, 0, 0, 3, 0, 0]
+    assert out["frac_latin"].iloc[0] == round(10 / 11, 6)
+    assert (out.loc[5:, ["frac_latin", "frac_han"]] == 0).all().all()
