@@ -1,4 +1,5 @@
 from .io import (  # noqa: F401
+    compact_parquet,
     read_parquet_union_by_name,
     read_partitioned,
     read_table,

@@ -294,3 +294,61 @@ def read_parquet_union_by_name(paths: list[str], columns: list[str] | None = Non
             align, batch_format="pyarrow")
         out = ds if out is None else out.union(ds)
     return out
+
+
+def compact_parquet(in_dir: str, out_dir: str, target_mb: int = 256):
+    """Compact a directory of small Parquet files into ~``target_mb`` output
+    files — the standard post-shuffle maintenance pass (thousands of tiny
+    shuffle outputs destroy read parallelism economics at crawl scale).
+
+    Planning is metadata-only on the driver (one listing, file sizes from the
+    filesystem — no footers read); files are greedily binned by cumulative
+    size, then ONE Ray task per bin streams its input files into one output
+    file.  Deterministic bin naming (``part-{i:05d}.parquet``) plus an
+    atomic rename per bin makes the pass resumable: re-running skips bins
+    whose output already exists.  Row order within a bin follows input-file
+    name order (stable across runs).
+
+    Returns {"files_in": n, "files_out": m, "skipped": k}.
+    """
+    import os
+
+    import ray
+
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir}")
+    target = int(target_mb) * (1 << 20)
+    bins: list[list[str]] = [[]]
+    acc = 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if bins[-1] and acc + sz > target:
+            bins.append([])
+            acc = 0
+        bins[-1].append(f)
+        acc += sz
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def compact_bin(paths: list[str], out_path: str) -> int:
+        import pyarrow.parquet as pq
+
+        if os.path.exists(out_path):
+            return -1  # resumed: already compacted
+        tables = [pq.read_table(p) for p in paths]
+        merged = pa.concat_tables(tables, promote_options="permissive")
+        tmp = out_path + ".inprogress"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, out_path)  # atomic commit
+        return merged.num_rows
+
+    outs = [os.path.join(out_dir, f"part-{i:05d}.parquet")
+            for i in range(len(bins))]
+    results = ray.get([compact_bin.remote(b, o) for b, o in zip(bins, outs)])
+    return {"files_in": len(files), "files_out": len(bins),
+            "skipped": sum(1 for r in results if r == -1)}

@@ -152,3 +152,34 @@ def test_read_parquet_union_by_name_incompatible_types(ray_session, tmp_path):
     pq.write_table(pa.table({"k": pa.array([[1]], pa.list_(pa.int64()))}), p2)
     with _pytest.raises(ValueError):
         read_parquet_union_by_name([p1, p2])
+
+
+def test_compact_parquet_resumable(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_examples_ray.sources import compact_parquet
+
+    src = tmp_path / "small"
+    dst = tmp_path / "big"
+    src.mkdir()
+    total = 0
+    for i in range(12):
+        n = 50 + i
+        pq.write_table(pa.table({"k": pa.array(range(total, total + n), pa.int64())}),
+                       str(src / f"shard-{i:03d}.parquet"))
+        total += n
+    # ~0 MB target forces one bin per file boundary; a big target -> one bin
+    r1 = compact_parquet(str(src), str(dst), target_mb=1)
+    assert r1["files_in"] == 12 and r1["files_out"] == 1 and r1["skipped"] == 0
+    got = pq.read_table(str(dst / "part-00000.parquet"))
+    assert got.num_rows == total
+    assert got["k"].to_pylist() == list(range(total))  # name-order stable
+
+    # resume: nothing rewritten
+    r2 = compact_parquet(str(src), str(dst), target_mb=1)
+    assert r2["skipped"] == 1
+    # no in-progress temp files left behind
+    assert not [f for f in os.listdir(dst) if f.endswith(".inprogress")]
