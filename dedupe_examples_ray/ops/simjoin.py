@@ -616,10 +616,22 @@ def knn_join(
             eq = lid[:, None] == rid[None, :]
             S = np.where(eq, -np.inf, S)
         kk = min(k, S.shape[1])
-        # per-probe local top-k with (cos desc, rid asc) tie order
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        pi = np.repeat(np.arange(S.shape[0]), kk)
-        ci = part.reshape(-1)
+        # per-probe local top-k with EXACT (cos desc, rid asc) tie order:
+        # argpartition picks arbitrarily among cos ties at the k boundary,
+        # which would drop a tied smaller-rid candidate before the global
+        # merge (duplicate vectors make exact ties common on dedup corpora).
+        # Keep everything strictly above the kth value, then the
+        # smallest-rid rows among the exactly-tied (columns pre-sorted by
+        # rid, so a cumsum cap selects them) — bounded at kk rows/probe.
+        rorder = np.argsort(rid, kind="stable")
+        S = S[:, rorder]
+        rid = rid[rorder]
+        thresh = np.partition(-S, kk - 1, axis=1)[:, kk - 1] * -1.0
+        above = S > thresh[:, None]
+        tied = S == thresh[:, None]
+        need = kk - above.sum(axis=1)
+        tsel = tied & (np.cumsum(tied, axis=1) <= need[:, None])
+        pi, ci = np.nonzero(above | tsel)
         cs = S[pi, ci]
         keep = np.isfinite(cs)
         return pa.table({"id1": pa.array(lid[pi[keep]]),

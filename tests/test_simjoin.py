@@ -249,3 +249,25 @@ def test_knn_join_self_excludes_identity(ray_session):
     out = knn_join(ds, ds, k=2, grid=2, exclude_self=True).to_pandas()
     assert (out["id1"] != out["id2"]).all()
     assert out.groupby("id1").size().eq(2).all()
+
+
+def test_knn_join_exact_ties_pick_smallest_id(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import knn_join
+
+    # 10 identical candidates (cos ties everywhere): SQL ROW_NUMBER keeps the
+    # smallest candidate ids; the per-cell selection must not drop them
+    d = 4
+    probe = pa.table({"vec_id": pa.array([0], pa.int64()),
+                      "embedding": pa.array([[1.0, 0, 0, 0]],
+                                            pa.list_(pa.float32()))})
+    cands = pa.table({"vec_id": pa.array(range(100, 110), pa.int64()),
+                      "embedding": pa.array([[1.0, 0, 0, 0]] * 10,
+                                            pa.list_(pa.float32()))})
+    out = (knn_join(rd.from_arrow(probe), rd.from_arrow(cands).repartition(3),
+                    k=3, grid=3)
+           .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert out["id2"].tolist() == [100, 101, 102]
+    assert np.allclose(out["cos"], 1.0)
