@@ -59,6 +59,10 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int):
     Scale shape: per-batch top-k (argpartition) so at most k rows per block
     reach the final sort — the global sort+limit runs over ≤ k·#blocks
     candidate rows, never the corpus.
+
+    ``key_col`` values must be unique — they seed the deterministic uniforms
+    AND break score ties; duplicate keys make the winner among their copies
+    arbitrary in any engine.
     """
     if k < 1:
         raise ValueError("k must be >= 1")

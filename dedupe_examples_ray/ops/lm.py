@@ -237,7 +237,8 @@ def gumbel_topk_sample(ds, logw_col: str, key_col: str, k: int):
     (hundreds of bits for long documents) can't overflow.  Uniforms derive
     from md5 of the row key — deterministic across runs, engines and
     partitionings — and the per-batch top-k keeps at most k rows per block
-    out of the final sort, mirroring :func:`weighted_sample`.
+    out of the final sort, mirroring :func:`weighted_sample`.  ``key_col``
+    values must be unique (they seed the uniforms and break ties).
     """
     import hashlib
 
