@@ -370,19 +370,41 @@ def sorted_neighborhood_pairs(
     id)``.  Ranking reuses :func:`windows.global_rank`'s two-pass range
     partitioning, driven by an order-preserving numeric projection of the
     key's first 6 UTF-8 bytes (exact in float64; full-key ties resolved by
-    ``tie_cols``).  ASCII/byte collation — matches DuckDB's default ORDER BY.
+    ``tie_cols``).  ASCII/byte collation — matches DuckDB's default ORDER BY,
+    including NULLS LAST (null keys rank after every non-null key).
+    ``band_width`` must be >= ``window`` (the band ghost overlap is one
+    window deep); violating it raises instead of silently dropping pairs.
     """
     from ..windows import global_rank
 
     w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
     W = int(band_width) if band_width else max(4 * w, 1024)
+    if W < w:
+        # the ghost overlap only replicates w rows into the PREVIOUS band;
+        # a band narrower than the window would silently lose every pair
+        # whose partner lies 2+ bands ahead (no-silent-caps rule)
+        raise ValueError(
+            f"band_width ({W}) must be >= window ({w}): pairs spanning "
+            "more than one band boundary would be silently dropped"
+        )
 
     def add_prefix(t: pa.Table) -> pa.Table:
-        M, lens = _byte_matrix(t[key_col].to_pylist())
+        vals = t[key_col].to_pylist()
+        M, lens = _byte_matrix(vals)
         p = np.zeros(len(lens), dtype=np.float64)
         for j in range(min(6, M.shape[1])):
             p = p * 256.0 + np.where(j < lens, M[:, j], 0).astype(np.float64)
         p *= 256.0 ** max(0, 6 - M.shape[1])
+        # SQL default collation is NULLS LAST; _byte_matrix maps None to b""
+        # (prefix 0 == empty string, which would rank nulls FIRST), so pin
+        # null keys to +inf — they land in the final rank range, where the
+        # in-range tie sort (na_position="last") orders them after any
+        # non-null and by id among themselves.
+        isnull = np.fromiter((v is None for v in vals), dtype=bool, count=len(vals))
+        if isnull.any():
+            p = np.where(isnull, np.inf, p)
         return t.append_column("__pfx", pa.array(p))
 
     ranked = global_rank(
@@ -472,8 +494,12 @@ def cosine_threshold_join(
         vcol = t[vec_col]
         if isinstance(vcol, pa.ChunkedArray):
             vcol = vcol.combine_chunks()
-        if vcol.null_count:
-            valid &= ~np.asarray(vcol.is_null())
+        # exclude BOTH null and zero-length vectors (the docstring's
+        # "null/empty" contract): an empty list among fixed-width vectors
+        # would break _col_matrix's uniform-width stack and kill the task
+        vlens = pc.fill_null(pc.list_value_length(vcol), 0).to_numpy(
+            zero_copy_only=False)
+        valid &= vlens > 0
         if valid.sum() == 0:
             return pa.table({
                 "cell": pa.array([], pa.int64()),
@@ -553,7 +579,7 @@ def knn_join(
     top-k — at most ``grid * k`` rows per probe ever reach the merge, so the
     exchange is output-sized, never |L|x|R|.  Exact, complete, deterministic
     (ties by candidate id).  ``exclude_self`` drops id-equal pairs for
-    self-join use.
+    self-join use.  Null/empty vectors on either side are excluded.
 
     Returns (id1, id2, cos, rank) — rank 1-based per probe.
     """
@@ -573,8 +599,12 @@ def knn_join(
             vcol = t[vec_col]
             if isinstance(vcol, pa.ChunkedArray):
                 vcol = vcol.combine_chunks()
-            if vcol.null_count:
-                t = t.filter(pc.is_valid(vcol))
+            # drop null AND zero-length vectors (same contract as
+            # cosine_threshold_join: an empty list would break the
+            # uniform-width matrix stack in _col_matrix)
+            vlens = pc.fill_null(pc.list_value_length(vcol), 0)
+            if pc.any(pc.equal(vlens, 0)).as_py():
+                t = t.filter(pc.greater(vlens, 0))
             n = t.num_rows
             if n == 0:
                 return pa.table({

@@ -303,14 +303,22 @@ def compact_parquet(in_dir: str, out_dir: str, target_mb: int = 256):
 
     Planning is metadata-only on the driver (one listing, file sizes from the
     filesystem — no footers read); files are greedily binned by cumulative
-    size, then ONE Ray task per bin streams its input files into one output
-    file.  Deterministic bin naming (``part-{i:05d}.parquet``) plus an
-    atomic rename per bin makes the pass resumable: re-running skips bins
-    whose output already exists.  Row order within a bin follows input-file
-    name order (stable across runs).
+    size, then ONE Ray task per bin streams its input files ROW GROUP BY ROW
+    GROUP through one ``pq.ParquetWriter`` — peak task memory is one
+    decompressed row group (plus the writer's buffer), never the whole bin.
+
+    Resume is keyed on bin MEMBERSHIP, not bare existence: a ``_MANIFEST.json``
+    in ``out_dir`` records each part's input (name, size) signature, and a
+    re-run skips a part only when its signature is unchanged.  If the input
+    listing shifted (files added/removed), affected bins are recompacted in
+    place (atomic rename) and stale parts beyond the new plan are deleted —
+    re-running after an input change can never duplicate or drop rows.  Row
+    order within a bin follows input-file name order (stable across runs).
 
     Returns {"files_in": n, "files_out": m, "skipped": k}.
     """
+    import hashlib
+    import json
     import os
 
     import ray
@@ -333,22 +341,59 @@ def compact_parquet(in_dir: str, out_dir: str, target_mb: int = 256):
         acc += sz
 
     os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    try:
+        with open(manifest_path) as fh:
+            old_manifest = json.load(fh)
+    except (OSError, ValueError):
+        old_manifest = {}
+
+    def bin_sig(paths: list[str]) -> str:
+        ident = "\n".join(
+            f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in paths)
+        return hashlib.sha1(ident.encode()).hexdigest()
 
     @ray.remote(num_cpus=1)
     def compact_bin(paths: list[str], out_path: str) -> int:
         import pyarrow.parquet as pq
 
-        if os.path.exists(out_path):
-            return -1  # resumed: already compacted
-        tables = [pq.read_table(p) for p in paths]
-        merged = pa.concat_tables(tables, promote_options="permissive")
+        schema = pa.unify_schemas(
+            [pq.read_schema(p) for p in paths], promote_options="permissive")
         tmp = out_path + ".inprogress"
-        pq.write_table(merged, tmp)
+        n_rows = 0
+        with pq.ParquetWriter(tmp, schema) as writer:
+            for p in paths:
+                pf = pq.ParquetFile(p)
+                for rg in range(pf.num_row_groups):
+                    t = pf.read_row_group(rg)
+                    cols = [
+                        pc.cast(t[f.name], f.type) if f.name in t.column_names
+                        else pa.nulls(t.num_rows, f.type)
+                        for f in schema
+                    ]
+                    aligned = pa.table(cols, schema=schema)
+                    writer.write_table(aligned)
+                    n_rows += t.num_rows
         os.replace(tmp, out_path)  # atomic commit
-        return merged.num_rows
+        return n_rows
 
-    outs = [os.path.join(out_dir, f"part-{i:05d}.parquet")
-            for i in range(len(bins))]
-    results = ray.get([compact_bin.remote(b, o) for b, o in zip(bins, outs)])
+    parts = [f"part-{i:05d}.parquet" for i in range(len(bins))]
+    sigs = [bin_sig(b) for b in bins]
+    todo, refs = [], []
+    for part, b, sig in zip(parts, bins, sigs):
+        out_path = os.path.join(out_dir, part)
+        if old_manifest.get(part) == sig and os.path.exists(out_path):
+            continue  # resumed: same membership, already compacted
+        todo.append(part)
+        refs.append(compact_bin.remote(b, out_path))
+    ray.get(refs)
+    # stale parts from a previous, larger plan would duplicate rows on read
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".parquet") and f not in set(parts):
+            os.remove(os.path.join(out_dir, f))
+    tmp = manifest_path + ".inprogress"
+    with open(tmp, "w") as fh:
+        json.dump(dict(zip(parts, sigs)), fh)
+    os.replace(tmp, manifest_path)
     return {"files_in": len(files), "files_out": len(bins),
-            "skipped": sum(1 for r in results if r == -1)}
+            "skipped": len(bins) - len(todo)}

@@ -183,3 +183,58 @@ def test_compact_parquet_resumable(ray_session, tmp_path):
     assert r2["skipped"] == 1
     # no in-progress temp files left behind
     assert not [f for f in os.listdir(dst) if f.endswith(".inprogress")]
+
+
+def test_compact_parquet_rebins_on_changed_input(ray_session, tmp_path):
+    """Resume is keyed on bin membership: adding an input file after a run
+    recompacts affected bins instead of skipping stale parts (which would
+    duplicate or drop rows)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_examples_ray.sources import compact_parquet
+
+    src = tmp_path / "small2"
+    dst = tmp_path / "big2"
+    src.mkdir()
+    for i in range(6):
+        pq.write_table(pa.table({"k": pa.array([i] * 100, pa.int64())}),
+                       str(src / f"shard-{i:03d}.parquet"))
+    compact_parquet(str(src), str(dst), target_mb=1)
+
+    # input changes: one new file lands between existing ones
+    pq.write_table(pa.table({"k": pa.array([99] * 100, pa.int64())}),
+                   str(src / "shard-002b.parquet"))
+    r = compact_parquet(str(src), str(dst), target_mb=1)
+    assert r["files_in"] == 7
+
+    parts = sorted(f for f in os.listdir(dst)
+                   if f.startswith("part-") and f.endswith(".parquet"))
+    got = pa.concat_tables([pq.read_table(str(dst / f)) for f in parts])
+    exp = sorted([i for i in range(6) for _ in range(100)] + [99] * 100)
+    assert sorted(got["k"].to_pylist()) == exp  # no dupes, no drops
+
+
+def test_compact_parquet_unifies_drifted_schemas(ray_session, tmp_path):
+    """Files with missing/extra columns stream through one unified-schema
+    writer (missing columns become nulls)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_examples_ray.sources import compact_parquet
+
+    src = tmp_path / "drift"
+    dst = tmp_path / "drift_out"
+    src.mkdir()
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}),
+                   str(src / "f0.parquet"))
+    pq.write_table(pa.table({"a": pa.array([3], pa.int64()),
+                             "b": pa.array(["x"], pa.string())}),
+                   str(src / "f1.parquet"))
+    compact_parquet(str(src), str(dst), target_mb=64)
+    got = pq.read_table(str(dst / "part-00000.parquet"))
+    assert sorted(got.column_names) == ["a", "b"]
+    assert got["a"].to_pylist() == [1, 2, 3]
+    assert got["b"].to_pylist() == [None, None, "x"]

@@ -271,3 +271,52 @@ def test_knn_join_exact_ties_pick_smallest_id(ray_session):
            .to_pandas().sort_values("rank").reset_index(drop=True))
     assert out["id2"].tolist() == [100, 101, 102]
     assert np.allclose(out["cos"], 1.0)
+
+
+def test_cosine_and_knn_join_exclude_empty_vectors(ray_session):
+    """Zero-length list vectors are excluded, not a ray task crash."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import cosine_threshold_join, knn_join
+
+    vecs = [[1.0, 0.0], [], [0.9, 0.1], None, [0.0, 1.0]]
+    tbl = pa.table({"vec_id": pa.array(range(5), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    out = (cosine_threshold_join(rd.from_arrow(tbl), "embedding", "vec_id",
+                                 threshold=0.5, grid=2)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    # only (0, 2) clears 0.5 among the valid vectors; ids 1/3 never appear
+    assert out[["id1", "id2"]].values.tolist() == [[0, 2]]
+
+    kn = knn_join(rd.from_arrow(tbl), rd.from_arrow(tbl), k=2,
+                  vec_col="embedding", id_col="vec_id", grid=2,
+                  exclude_self=True).to_pandas()
+    assert not set(kn["id1"]) & {1, 3} and not set(kn["id2"]) & {1, 3}
+    assert set(kn["id1"]) == {0, 2, 4}  # every valid probe got neighbors
+
+
+def test_sorted_neighborhood_rejects_narrow_band():
+    import pytest
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array(["a", "b"]), "id": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="band_width"):
+        sorted_neighborhood_pairs(rd.from_arrow(tbl), "k", "id",
+                                  window=5, band_width=3)
+
+
+def test_sorted_neighborhood_nulls_rank_last(ray_session):
+    """NULL keys sort after every non-null key (DuckDB NULLS LAST)."""
+    import ray.data as rd
+
+    keys = ["b", None, "a", None, "zz"]
+    ids = [1, 2, 3, 4, 5]
+    tbl = pa.table({"k": pa.array(keys, pa.string()),
+                    "id": pa.array(ids, pa.int64())})
+    out = (sorted_neighborhood_pairs(rd.from_arrow(tbl), "k", "id", window=1)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    # NULLS LAST order: a(3), b(1), zz(5), null(2), null(4)
+    exp = pd.DataFrame({"id1": [1, 2, 3, 5], "id2": [5, 4, 1, 2]})
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  exp.sort_values(["id1", "id2"])
+                                  .reset_index(drop=True).astype("int64"))
