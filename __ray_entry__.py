@@ -2638,11 +2638,14 @@ def _q_dsir_resample_documents(sf_dir):
     target = docs.map_batches(
         lambda t: t.filter(pc.equal(t["source"], "src1")),
         batch_format="pyarrow")
-    weighted = dsir_log_weights(docs, target)
+    # materialize once: consuming the lazy dataset twice (sample + corpus
+    # mean) would re-run the whole read + scoring pass a second time
+    weighted = dsir_log_weights(docs, target).materialize()
     sample = (gumbel_topk_sample(weighted, "log2_weight", "doc_id", 50)
               .select_columns(["doc_id", "log2_weight"])
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    corpus_mean = weighted.to_pandas()["log2_weight"].mean()
+    corpus_mean = weighted.select_columns(["log2_weight"]).to_pandas()[
+        "log2_weight"].mean()
     assert sample["log2_weight"].mean() > corpus_mean
     return sample
 

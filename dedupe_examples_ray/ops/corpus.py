@@ -33,15 +33,49 @@ def _col(t: pa.Table, name: str) -> pa.Array:
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
-def _md5_bucket(values, n_buckets: int = SPLIT_BUCKETS) -> np.ndarray:
-    """md5(str(key))[:8] as int, mod ``n_buckets`` — the portable record
-    bucket (DuckDB: ``('0x' || substr(md5(k), 1, 8))::UBIGINT % n``)."""
+def _md5_u32(values) -> np.ndarray:
+    """md5(str(v))[:8] as int64 in [0, 2^32) — THE deterministic-uniform
+    seed shared by every sampler/splitter (DuckDB:
+    ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::UBIGINT``).  One
+    definition on purpose: a tweak to the offset or width must hit the
+    A-ES sampler, the Gumbel sampler and the hash splits together."""
     md5 = hashlib.md5
     return np.fromiter(
-        (int(md5(str(v).encode()).hexdigest()[:8], 16) % n_buckets for v in values),
+        (int(md5(str(v).encode()).hexdigest()[:8], 16) for v in values),
         dtype=np.int64,
         count=len(values),
     )
+
+
+def _md5_bucket(values, n_buckets: int = SPLIT_BUCKETS) -> np.ndarray:
+    """md5(str(key))[:8] as int, mod ``n_buckets`` — the portable record
+    bucket (DuckDB: ``('0x' || substr(md5(k), 1, 8))::UBIGINT % n``)."""
+    return _md5_u32(values) % n_buckets
+
+
+def _deterministic_topk(ds, key_col: str, k: int, batch_scores):
+    """Shared sampler skeleton: per-batch score + local top-``k``
+    (argpartition), then one global sort+limit over <= k rows per block —
+    the exchange is sample-sized, never the corpus.  ``batch_scores(t)``
+    returns ``(filtered_table, float64_scores)``; rows it drops are
+    excluded from the sample.  Ties break by ``key_col`` ascending, so
+    ``key_col`` values must be unique for a deterministic winner."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        t, s = batch_scores(t)
+        if t.num_rows == 0:
+            return t.append_column("_sk", pa.array([], pa.float64()))
+        if len(s) > k:
+            keep = np.sort(np.argpartition(s, len(s) - k)[len(s) - k:])
+            t = t.take(pa.array(keep))
+            s = s[keep]
+        return t.append_column("_sk", pa.array(s, pa.float64()))
+
+    cands = ds.map_batches(score_topk, batch_format="pyarrow")
+    return (cands.sort(["_sk", key_col], descending=[True, False])
+            .limit(k).drop_columns(["_sk"]))
 
 
 def weighted_sample(ds, key_col: str, weight_col: str, k: int):
@@ -64,32 +98,19 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int):
     AND break score ties; duplicate keys make the winner among their copies
     arbitrary in any engine.
     """
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    md5 = hashlib.md5
 
-    def score_topk(t: pa.Table) -> pa.Table:
+    def batch_scores(t: pa.Table):
         w = pc.cast(_col(t, weight_col), pa.float64()).to_numpy(zero_copy_only=False)
         valid = np.isfinite(w) & (w > 0)
         if not valid.all():
             t = t.filter(pa.array(valid))
             w = w[valid]
         if t.num_rows == 0:
-            return t.append_column("_sk", pa.array([], pa.float64()))
-        u = np.fromiter(
-            (int(md5(str(v).encode()).hexdigest()[:8], 16)
-             for v in _col(t, key_col).to_pylist()),
-            dtype=np.float64, count=t.num_rows)
-        sk = np.log((u + 0.5) / 4294967296.0) / w
-        if len(sk) > k:
-            keep = np.sort(np.argpartition(sk, len(sk) - k)[len(sk) - k:])
-            t = t.take(pa.array(keep))
-            sk = sk[keep]
-        return t.append_column("_sk", pa.array(sk, pa.float64()))
+            return t, np.zeros(0, np.float64)
+        u = _md5_u32(_col(t, key_col).to_pylist()).astype(np.float64)
+        return t, np.log((u + 0.5) / 4294967296.0) / w
 
-    cands = ds.map_batches(score_topk, batch_format="pyarrow")
-    return (cands.sort(["_sk", key_col], descending=[True, False])
-            .limit(k).drop_columns(["_sk"]))
+    return _deterministic_topk(ds, key_col, k, batch_scores)
 
 
 def split_by_hash(ds, key_col: str, splits: dict[str, float] | None = None,

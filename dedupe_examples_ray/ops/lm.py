@@ -237,35 +237,26 @@ def gumbel_topk_sample(ds, logw_col: str, key_col: str, k: int):
     (hundreds of bits for long documents) can't overflow.  Uniforms derive
     from md5 of the row key — deterministic across runs, engines and
     partitionings — and the per-batch top-k keeps at most k rows per block
-    out of the final sort, mirroring :func:`weighted_sample`.  ``key_col``
-    values must be unique (they seed the uniforms and break ties).
+    out of the final sort via the shared ``corpus._deterministic_topk``
+    skeleton (one md5-uniform definition, one top-k pipeline — shared with
+    :func:`~.corpus.weighted_sample` so a tweak to either hits both).
+    ``key_col`` values must be unique (they seed the uniforms and break
+    ties).
     """
-    import hashlib
+    from .corpus import _deterministic_topk, _md5_u32
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    md5 = hashlib.md5
     ln2 = np.log(2.0)
 
-    def score_topk(t: pa.Table) -> pa.Table:
+    def batch_scores(t: pa.Table):
         lw = pc.cast(_col(t, logw_col), pa.float64()).to_numpy(zero_copy_only=False)
         valid = np.isfinite(lw)
         if not valid.all():
             t = t.filter(pa.array(valid))
             lw = lw[valid]
         if t.num_rows == 0:
-            return t.append_column("_gk", pa.array([], pa.float64()))
-        u = (np.fromiter(
-            (int(md5(str(v).encode()).hexdigest()[:8], 16)
-             for v in _col(t, key_col).to_pylist()),
-            dtype=np.float64, count=t.num_rows) + 0.5) / 4294967296.0
-        gk = lw * ln2 - np.log(-np.log(u))
-        if len(gk) > k:
-            keep = np.sort(np.argpartition(gk, len(gk) - k)[len(gk) - k:])
-            t = t.take(pa.array(keep))
-            gk = gk[keep]
-        return t.append_column("_gk", pa.array(gk, pa.float64()))
+            return t, np.zeros(0, np.float64)
+        u = (_md5_u32(_col(t, key_col).to_pylist()).astype(np.float64)
+             + 0.5) / 4294967296.0
+        return t, lw * ln2 - np.log(-np.log(u))
 
-    cands = ds.map_batches(score_topk, batch_format="pyarrow")
-    return (cands.sort(["_gk", key_col], descending=[True, False])
-            .limit(k).drop_columns(["_gk"]))
+    return _deterministic_topk(ds, key_col, k, batch_scores)

@@ -283,13 +283,15 @@ def read_parquet_union_by_name(paths: list[str], columns: list[str] | None = Non
 
     # group shards by identical projected schema so each group is one clean
     # read_parquet (Ray requires uniform schemas within a read)
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, tuple[list[str], pa.Schema]] = {}
     for p, s in zip(paths, schemas):
         key = tuple(sorted((f.name, str(f.type)) for f in s))
-        groups.setdefault(key, []).append(p)
+        groups.setdefault(key, ([], s))[0].append(p)
     out = None
-    for grp in groups.values():
-        shard_cols = [n for n in names if n in pq.read_schema(grp[0]).names]
+    for grp, schema in groups.values():
+        # reuse the schema already fetched for planning — on remote object
+        # storage an extra read_schema is one more round-trip per group
+        shard_cols = [n for n in names if n in schema.names]
         ds = rd.read_parquet(grp, columns=shard_cols or None).map_batches(
             align, batch_format="pyarrow")
         out = ds if out is None else out.union(ds)
