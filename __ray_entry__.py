@@ -1276,6 +1276,21 @@ def _q_top_tfidf_terms(sf_dir):
     return top.select_columns(["doc_id", "tok", "tfidf", "rank"])
 
 
+def _q_bm25_documents(sf_dir):
+    """Okapi BM25 top-5 retrieval for three fixed bag-of-words queries
+    (ops/textstats.bm25_topk): fused query-vocab DF/doclen combiner pass +
+    broadcast-idf scoring pass with per-batch top-k — the exact targeted-
+    retrieval operator (decontamination / data selection), vs text_knn's
+    hashed approximation."""
+    from dedupe_examples_ray.ops.textstats import bm25_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    qs = [("q1", "hash join merge"), ("q2", "scan filter vector"),
+          ("q3", "window agg stream")]
+    return bm25_topk(docs, qs, k=5).select_columns(
+        ["query_id", "doc_id", "score", "rank"])
+
+
 def _q_explode_part_types(sf_dir):
     """Vectorized UNNEST(string_split) — one row per type word per part."""
     from dedupe_examples_ray.relational import explode_split
@@ -2834,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_orders": _q_winsorize_orders,
         "explode_part_types": _q_explode_part_types,
         "top_tfidf_terms": _q_top_tfidf_terms,
+        "bm25_documents": _q_bm25_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -3269,6 +3285,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rank FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "ORDER BY tfidf DESC, tok) AS rn FROM s) WHERE rn <= 3"
+        ),
+        "bm25_documents": (
+            "WITH toks AS (SELECT doc_id, tok FROM ("
+            "  SELECT doc_id, unnest(regexp_split_to_array(COALESCE(text, ''), "
+            "'\\s+')) AS tok FROM documents) WHERE tok <> ''), "
+            "dl AS (SELECT d.doc_id, COALESCE(c.n, 0) AS dl FROM documents d "
+            "LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id) c "
+            "USING (doc_id)), "
+            "st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl), "
+            "qt(query_id, tok) AS (VALUES "
+            "('q1','hash'),('q1','join'),('q1','merge'),"
+            "('q2','scan'),('q2','filter'),('q2','vector'),"
+            "('q3','window'),('q3','agg'),('q3','stream')), "
+            "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks "
+            "WHERE tok IN (SELECT tok FROM qt) GROUP BY tok), "
+            "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks "
+            "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), "
+            "s AS (SELECT qt.query_id, tf.doc_id, "
+            "ROUND(SUM(LN(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))"
+            "), 4) AS score "
+            "FROM tf JOIN df USING (tok) JOIN qt USING (tok) "
+            "JOIN dl USING (doc_id) CROSS JOIN st "
+            "GROUP BY qt.query_id, tf.doc_id) "
+            "SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY score DESC, doc_id) AS rn FROM s) WHERE rn <= 5"
         ),
         "winsorize_orders": (
             "SELECT o_orderkey, ROUND(LEAST(GREATEST(o_totalprice, "

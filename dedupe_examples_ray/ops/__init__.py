@@ -15,6 +15,7 @@ from .embed_cluster import (  # noqa: F401
     semantic_dedup,
 )
 from .textstats import (  # noqa: F401
+    bm25_topk,
     language_id,
     quality_score,
     script_profile,

@@ -609,3 +609,146 @@ def script_profile(ds, text_col: str = "text", round_digits: int = 6):
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bm25_topk(ds, queries: list[tuple], k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              round_digits: int = 4):
+    """Okapi BM25 top-``k`` retrieval: for each (query_id, query_text), the
+    ``k`` highest-scoring documents (Robertson et al., TREC-3; the idf uses
+    the Lucene ``ln(1 + (N - df + .5)/(df + .5))`` form, always positive).
+
+    The retrieval operator a training-data pipeline needs for targeted
+    decontamination and data selection (find the corpus documents closest to
+    an eval prompt) — exact, not hashed: contrast :func:`text_knn`, whose
+    hashed-TF cosine is the cheap approximate path.
+
+    Scale shape (two passes, no corpus state on the driver):
+
+    1. ONE fused stats pass — per batch: document count + token-count sum
+       partials AND per-query-term distinct-doc partials (the DF combiner is
+       restricted to the query vocabulary, so each batch contributes at most
+       ``n_terms + 1`` rows to the tiny driver merge — never a corpus-vocab
+       shuffle).
+    2. ONE scoring pass against the broadcast (terms, idf, avgdl) arrays —
+       whole-batch token matching via searchsorted, per-doc tf via one
+       ``np.unique`` over packed (row, term) codes, dense (batch x query)
+       score accumulation, per-batch (score desc, id) top-k so at most
+       ``k`` rows per query per block reach the final
+       :func:`~dedupe_examples_ray.windows.grouped_top_n` merge.
+
+    Tokens are whitespace-split with empties dropped (the repo's DuckDB
+    oracle convention, ``_tokenize_flat``); query tokens are deduplicated
+    (bag-of-words query).  Scores are rounded to ``round_digits`` BEFORE
+    ranking so ordering is reproducible against a SQL oracle; ties break by
+    ascending ``id_col``.  Documents sharing no query term (score 0) are
+    absent, SQL-join style.  Returns (query_id, doc_id, score, rank).
+    """
+    import ray
+
+    from ..windows import grouped_top_n
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("query ids must be unique")
+    qterms = [sorted(set(w for w in str(text).split() if w))
+              for _, text in queries]
+    terms = np.array(sorted(set(w for ts in qterms for w in ts)), dtype=object)
+    if len(terms) == 0:
+        raise ValueError("queries contain no tokens")
+    # query membership matrix (n_terms x n_queries), tiny
+    member = np.zeros((len(terms), len(queries)), dtype=np.float64)
+    tpos = {t: i for i, t in enumerate(terms)}
+    for qi, ts in enumerate(qterms):
+        for w in ts:
+            member[tpos[w], qi] = 1.0
+
+    terms_sorted = terms.astype(str)  # sorted already; searchsorted key
+
+    # ---- pass 1: fused corpus stats + query-term DF partials ----
+    def stats_partial(t: pa.Table) -> pa.Table:
+        parents, flat = _tokenize_flat(t, text_col)
+        idx = np.searchsorted(terms_sorted, flat.astype(str))
+        np.clip(idx, 0, len(terms_sorted) - 1, out=idx)
+        hit = terms_sorted[idx] == flat.astype(str)
+        # distinct (doc, term) pairs -> per-term doc-count partial
+        codes = np.unique(parents[hit].astype(np.int64) * len(terms) + idx[hit])
+        tcounts = np.bincount(codes % len(terms), minlength=len(terms))
+        nz = np.flatnonzero(tcounts)
+        return pa.table({
+            "term_idx": pa.array(np.concatenate([[-1], nz]), pa.int64()),
+            "df": pa.array(np.concatenate([[0], tcounts[nz]]), pa.int64()),
+            "n_docs": pa.array([t.num_rows] + [0] * len(nz), pa.int64()),
+            "dl_sum": pa.array([int(len(flat))] + [0] * len(nz), pa.int64()),
+        })
+
+    stats = (ds.select_columns([text_col])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("term_idx")
+             .sum(["df", "n_docs", "dl_sum"])
+             .to_pandas())
+    stats.columns = ["term_idx", "df", "n_docs", "dl_sum"]
+    srow = stats[stats["term_idx"] == -1]
+    n_corpus = int(srow["n_docs"].sum())
+    if n_corpus == 0:
+        raise ValueError("empty corpus")
+    avgdl = max(float(srow["dl_sum"].sum()) / n_corpus, 1e-12)
+    df = np.zeros(len(terms), dtype=np.float64)
+    trow = stats[stats["term_idx"] >= 0]
+    df[trow["term_idx"].to_numpy()] = trow["df"].to_numpy(np.float64)
+    idf = np.log1p((n_corpus - df + 0.5) / (df + 0.5))
+    bc = ray.put((terms_sorted, idf, member, avgdl))
+
+    # ---- pass 2: score + per-batch top-k ----
+    def score_batch(t: pa.Table) -> pa.Table:
+        terms_s, idf_a, member_m, avg = ray.get(bc)
+        empty = pa.table({"query_id": pa.array([], pa.string()),
+                          id_col: pa.array([], t[id_col].type),
+                          "score": pa.array([], pa.float64())})
+        parents, flat = _tokenize_flat(t, text_col)
+        if len(flat) == 0:
+            return empty
+        dl = np.bincount(parents, minlength=t.num_rows).astype(np.float64)
+        fs = flat.astype(str)
+        idx = np.searchsorted(terms_s, fs)
+        np.clip(idx, 0, len(terms_s) - 1, out=idx)
+        hit = terms_s[idx] == fs
+        if not hit.any():
+            return empty
+        codes, tf = np.unique(
+            parents[hit].astype(np.int64) * len(terms_s) + idx[hit],
+            return_counts=True)
+        rows, tix = codes // len(terms_s), codes % len(terms_s)
+        tf = tf.astype(np.float64)
+        contrib = idf_a[tix] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl[rows] / avg))
+        # dense (batch x queries) accumulation: a term contributes to every
+        # query containing it
+        S = np.zeros((t.num_rows, member_m.shape[1]), dtype=np.float64)
+        np.add.at(S, rows, contrib[:, None] * member_m[tix])
+        scale = 10.0 ** round_digits
+        S = np.floor(S * scale + 0.5) / scale  # ROUND half-away parity
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_i, out_s = [], [], []
+        for qi, (qid, _) in enumerate(queries):
+            col = S[:, qi]
+            cand = np.flatnonzero(col > 0)
+            if len(cand) == 0:
+                continue
+            order = np.lexsort((ids[cand], -col[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), str(qid), dtype=object))
+            out_i.append(ids[sel])
+            out_s.append(col[sel])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.string()),
+                         id_col: pa.array(np.concatenate(out_i)),
+                         "score": pa.array(np.concatenate(out_s), pa.float64())})
+
+    cands = ds.select_columns([id_col, text_col]).map_batches(
+        score_batch, batch_format="pyarrow")
+    return grouped_top_n(cands, key_cols=["query_id"], by="score", n=k,
+                         ascending=False, tie_cols=[id_col], rank_col="rank")

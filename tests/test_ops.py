@@ -441,3 +441,64 @@ def test_pagerank_exact_and_tier_parity(ray_session):
     # and total mass stays 1 (its mass redistributes each iteration)
     assert (d["rank"].to_numpy() > 0).all()
     assert 99 in set(d["node"]) and 99 not in set(src)
+
+
+def test_bm25_topk_matches_scalar_reference(ray_session):
+    """bm25_topk == brute-force Okapi BM25 (Lucene idf), rounded ordering."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.textstats import bm25_topk
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the five boxing wizards jump quickly",
+        "quick quick quick brown fox",
+        "",                       # empty doc: counts toward N and avgdl
+        "lazy dog dog dog and a fox",
+        "wizard of the liquor box",
+    ]
+    ids = list(range(len(docs)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    queries = [("q_fox", "quick fox"), ("q_liquor", "liquor box"),
+               ("q_dup", "dog dog lazy")]  # dup tokens collapse to a set
+    k1, b, k = 1.2, 0.75, 3
+    out = (bm25_topk(rd.from_arrow(tbl).repartition(3), queries, k=k)
+           .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    # scalar reference
+    toks = [d.split() for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    exp_rows = []
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.split()))
+        scores = {}
+        for i, t in enumerate(toks):
+            s = 0.0
+            for w in terms:
+                tf = t.count(w)
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks if w in tt)
+                idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s > 0:
+                scores[i] = round(s, 4)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (i, s) in enumerate(top, 1):
+            exp_rows.append((qid, i, s, r))
+    import pandas as pd
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "doc_id", "score", "rank"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["query_id", "doc_id", "score", "rank"]].astype(
+            {"doc_id": "int64", "rank": "int64"}),
+        exp.astype({"doc_id": "int64", "rank": "int64"}))
+    # empty doc never retrieved
+    assert 4 not in set(out["doc_id"])
