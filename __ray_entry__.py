@@ -1291,6 +1291,21 @@ def _q_bm25_documents(sf_dir):
         ["query_id", "doc_id", "score", "rank"])
 
 
+def _q_gopher_rules_documents(sf_dir):
+    """Gopher A1.1 quality rules (ops/textstats.gopher_rules) over documents:
+    word-count / mean-word-length / symbol / bullet / ellipsis / alpha /
+    stop-word gates with half-away-rounded ratios so the DuckDB oracle
+    reproduces gopher_pass bit-exactly.  min_stop_hits=1 because the
+    synthetic vocabulary carries only 'the' from the Gopher stop set."""
+    from dedupe_examples_ray.ops.textstats import gopher_rules
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_rules(docs, min_stop_hits=1).select_columns(
+        ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+         "stopword_hits", "gopher_pass"])
+
+
 def _q_explode_part_types(sf_dir):
     """Vectorized UNNEST(string_split) — one row per type word per part."""
     from dedupe_examples_ray.relational import explode_split
@@ -2850,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_part_types": _q_explode_part_types,
         "top_tfidf_terms": _q_top_tfidf_terms,
         "bm25_documents": _q_bm25_documents,
+        "gopher_rules_documents": _q_gopher_rules_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -3312,6 +3328,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY score DESC, doc_id) AS rn FROM s) WHERE rn <= 5"
+        ),
+        "gopher_rules_documents": (
+            "WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents), "
+            "w AS (SELECT doc_id, t, "
+            "array_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '') AS words, "
+            "string_split(t, chr(10)) AS lines FROM base), "
+            "s AS (SELECT doc_id, "
+            "CAST(len(words) AS BIGINT) AS n_words, "
+            "CASE WHEN len(words) > 0 THEN ROUND(CAST(COALESCE(list_sum("
+            "list_transform(words, x -> length(x))), 0) AS DOUBLE) / len(words), 6) END AS mean_word_len, "
+            "CASE WHEN len(words) > 0 THEN ROUND(CAST("
+            "(length(t) - length(replace(t, '#', ''))) "
+            "+ (length(t) - length(replace(t, '...', ''))) / 3 "
+            "+ (length(t) - length(replace(t, '…', ''))) AS DOUBLE) / len(words), 6) END AS symbol_ratio, "
+            "ROUND(CAST(len(list_filter(lines, l -> "
+            "ltrim(l, ' ' || chr(9)) LIKE '-%' OR ltrim(l, ' ' || chr(9)) LIKE '*%' "
+            "OR ltrim(l, ' ' || chr(9)) LIKE '•%')) AS DOUBLE) / len(lines), 6) AS bullet_line_frac, "
+            "ROUND(CAST(len(list_filter(lines, l -> "
+            "rtrim(l, ' ' || chr(9)) LIKE '%...' OR rtrim(l, ' ' || chr(9)) LIKE '%…')) "
+            "AS DOUBLE) / len(lines), 6) AS ellipsis_line_frac, "
+            "CASE WHEN len(words) > 0 THEN ROUND(CAST(len(list_filter(words, "
+            "x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words), 6) END AS alpha_word_frac, "
+            "CAST(len(list_filter(['and','be','have','of','that','the','to','with'], "
+            "sw -> list_contains(list_transform(words, x -> lower(x)), sw))) AS BIGINT) "
+            "AS stopword_hits FROM w) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac, "
+            "ellipsis_line_frac, alpha_word_frac, stopword_hits, "
+            "(n_words >= 50 AND n_words <= 100000 "
+            "AND COALESCE(mean_word_len >= 3 AND mean_word_len <= 10, FALSE) "
+            "AND COALESCE(symbol_ratio < 0.1, FALSE) "
+            "AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3 "
+            "AND COALESCE(alpha_word_frac > 0.8, FALSE) "
+            "AND stopword_hits >= 1) AS gopher_pass FROM s"
         ),
         "winsorize_orders": (
             "SELECT o_orderkey, ROUND(LEAST(GREATEST(o_totalprice, "

@@ -16,6 +16,7 @@ from .embed_cluster import (  # noqa: F401
 )
 from .textstats import (  # noqa: F401
     bm25_topk,
+    gopher_rules,
     language_id,
     quality_score,
     script_profile,

@@ -752,3 +752,125 @@ def bm25_topk(ds, queries: list[tuple], k: int = 10, text_col: str = "text",
         score_batch, batch_format="pyarrow")
     return grouped_top_n(cands, key_cols=["query_id"], by="score", n=k,
                          ascending=False, tie_cols=[id_col], rank_col="rank")
+
+
+# Gopher stop-word set (Rae et al. 2021, "Scaling Language Models", A1.1):
+# a document must contain >= min_stop_hits of these to pass the rule.
+_GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(ds, text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000, min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0, max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9, max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8, min_stop_hits: int = 2,
+                 round_digits: int = 6):
+    """Gopher repetition-free quality rules (Rae et al. 2021, A1.1): the
+    standard web-corpus document filter.  Appends the per-document statistics
+    and one boolean per the composite gate:
+
+    - ``n_words`` in [min_words, max_words] (whitespace tokens, empties
+      dropped — the repo's DuckDB oracle convention);
+    - ``mean_word_len`` (chars per token) in [3, 10];
+    - ``symbol_ratio`` = (#'#' + #'...' + #'…') / n_words < 0.1
+      (non-overlapping counts, Python ``str.count`` semantics);
+    - ``bullet_line_frac`` < 0.9 and ``ellipsis_line_frac`` < 0.3 over
+      '\\n'-split lines (bullet = space/tab-stripped line starting with
+      '-', '*' or '•'; ellipsis = stripped line ending with '...' or '…');
+    - ``alpha_word_frac`` (tokens containing [A-Za-z]) > 0.8;
+    - ``stopword_hits`` (distinct Gopher stop words present, lowercased
+      token equality) >= min_stop_hits.
+
+    NULL text counts as '' (one empty line, zero words); word-denominated
+    ratios are NULL at n_words == 0 and fail their rules.  Ratios are
+    rounded half-away to ``round_digits`` BEFORE the threshold compare so a
+    SQL oracle using ROUND reproduces ``gopher_pass`` bit-exactly.  One
+    zero-copy Arrow pass per batch — token and line work is vectorized over
+    the flattened list children, never per row.
+    """
+    scale = 10.0 ** round_digits
+
+    def rnd(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * scale + 0.5) / scale
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        s = pc.fill_null(pc.cast(arr, pa.string()), "")
+
+        # ---- word-token stats (one flatten, vectorized children) ----
+        parents, flat = _tokenize_flat(t, text_col)
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        tok = pa.array(flat, pa.string())
+        wlen = pc.utf8_length(tok).to_numpy(zero_copy_only=False)
+        len_sum = np.bincount(parents, weights=wlen, minlength=n)
+        alpha = pc.match_substring_regex(tok, "[A-Za-z]").to_numpy(
+            zero_copy_only=False)
+        alpha_sum = np.bincount(parents, weights=alpha, minlength=n)
+        low = pc.utf8_lower(tok).to_numpy(zero_copy_only=False)
+        stop_hits = np.zeros(n, dtype=np.int64)
+        for w in _GOPHER_STOPWORDS:
+            m = low == w
+            if m.any():
+                stop_hits += np.bincount(parents[m], minlength=n) > 0
+
+        # ---- symbol counts on the raw text ----
+        sym = (pc.count_substring(s, "#").to_numpy(zero_copy_only=False)
+               + pc.count_substring(s, "...").to_numpy(zero_copy_only=False)
+               + pc.count_substring(s, "…").to_numpy(zero_copy_only=False)
+               ).astype(np.float64)
+
+        # ---- line stats ('\n' split keeps empties; '' -> one empty line) ----
+        lines = pc.split_pattern(s, "\n")
+        lparents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        lflat = pc.list_flatten(lines)
+        n_lines = np.bincount(lparents, minlength=n).astype(np.float64)
+        lt = pc.utf8_ltrim(lflat, characters=" \t")
+        bullet = pc.or_(pc.or_(pc.starts_with(lt, "-"), pc.starts_with(lt, "*")),
+                        pc.starts_with(lt, "•")).to_numpy(zero_copy_only=False)
+        rt = pc.utf8_rtrim(lflat, characters=" \t")
+        ell = pc.or_(pc.ends_with(rt, "..."),
+                     pc.ends_with(rt, "…")).to_numpy(zero_copy_only=False)
+        bullet_frac = rnd(np.bincount(lparents, weights=bullet, minlength=n)
+                          / n_lines)
+        ell_frac = rnd(np.bincount(lparents, weights=ell, minlength=n) / n_lines)
+
+        nz = n_words > 0
+        nwf = n_words.astype(np.float64)
+        mean_wlen = np.full(n, np.nan)
+        sym_ratio = np.full(n, np.nan)
+        alpha_frac = np.full(n, np.nan)
+        mean_wlen[nz] = rnd(len_sum[nz] / nwf[nz])
+        sym_ratio[nz] = rnd(sym[nz] / nwf[nz])
+        alpha_frac[nz] = rnd(alpha_sum[nz] / nwf[nz])
+
+        ok = ((n_words >= min_words) & (n_words <= max_words)
+              & nz & (mean_wlen >= min_mean_word_len)
+              & (mean_wlen <= max_mean_word_len)
+              & (sym_ratio < max_symbol_ratio)
+              & (bullet_frac < max_bullet_frac)
+              & (ell_frac < max_ellipsis_frac)
+              & (alpha_frac > min_alpha_frac)
+              & (stop_hits >= min_stop_hits))
+
+        def fcol(x: np.ndarray) -> pa.Array:
+            return pa.array(np.where(np.isnan(x), None, x), pa.float64(),
+                            from_pandas=True)
+
+        out = t
+        for name, col in [
+            ("n_words", pa.array(n_words, pa.int64())),
+            ("mean_word_len", fcol(mean_wlen)),
+            ("symbol_ratio", fcol(sym_ratio)),
+            ("bullet_line_frac", pa.array(bullet_frac, pa.float64())),
+            ("ellipsis_line_frac", pa.array(ell_frac, pa.float64())),
+            ("alpha_word_frac", fcol(alpha_frac)),
+            ("stopword_hits", pa.array(stop_hits, pa.int64())),
+            ("gopher_pass", pa.array(ok)),
+        ]:
+            out = out.append_column(name, col)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

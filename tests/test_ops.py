@@ -502,3 +502,56 @@ def test_bm25_topk_matches_scalar_reference(ray_session):
         exp.astype({"doc_id": "int64", "rank": "int64"}))
     # empty doc never retrieved
     assert 4 not in set(out["doc_id"])
+
+
+def test_gopher_rules_hostile_inputs(ray_session):
+    """gopher_rules on docs exercising every rule branch, vs hand-computed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.textstats import gopher_rules
+
+    docs = [
+        # 0: passes everything at min_words=5 (has 'the' and 'of')
+        "the cat sat on top of the warm mat today",
+        # 1: bullet-heavy — every line is a bullet
+        "- one item\n\t* two item\n  • three item",
+        # 2: ellipsis-heavy + symbols
+        "first line...\nsecond goes on… \nhash # tags #### here...",
+        # 3: empty
+        "",
+        # 4: null
+        None,
+        # 5: no alphabetic words at all
+        "123 456 789 000 111",
+        # 6: '....' counts ONE non-overlapping '...'
+        "dots.... the of and end",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    out = (gopher_rules(rd.from_arrow(tbl).repartition(3), min_words=5,
+                        min_stop_hits=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert out["n_words"].tolist() == [10, 9, 10, 0, 0, 5, 5]
+    # doc 0: mean len = 31/10, all alpha, 2 stop hits -> pass
+    assert abs(out["mean_word_len"][0] - 3.1) < 1e-9
+    assert out["alpha_word_frac"][0] == 1.0 and out["stopword_hits"][0] == 2
+    assert bool(out["gopher_pass"][0])
+    # doc 1: 3/3 bullet lines (dash, tab+star, space+unicode bullet)
+    assert out["bullet_line_frac"][1] == 1.0 and not bool(out["gopher_pass"][1])
+    # doc 2: lines 1 and 2 end with ellipsis after rtrim; line 3 ends '...'
+    assert abs(out["ellipsis_line_frac"][2] - 1.0) < 1e-9
+    # symbols: 5 '#' + 2 '...' + 1 '…' = 8 over 10 words
+    assert abs(out["symbol_ratio"][2] - round(8 / 10, 6)) < 1e-9
+    # docs 3/4: zero words -> NULL ratios, one empty line, fail
+    for i in (3, 4):
+        assert np.isnan(out["mean_word_len"][i])
+        assert out["bullet_line_frac"][i] == 0.0
+        assert not bool(out["gopher_pass"][i])
+    # doc 5: alpha fraction 0 -> fails alpha rule
+    assert out["alpha_word_frac"][5] == 0.0 and not bool(out["gopher_pass"][5])
+    # doc 6: non-overlapping '...' count is 1 ('....' -> one match + '.')
+    assert abs(out["symbol_ratio"][6] - round(1 / 5, 6)) < 1e-9
+    assert out["stopword_hits"][6] == 3
