@@ -1306,6 +1306,32 @@ def _q_gopher_rules_documents(sf_dir):
          "stopword_hits", "gopher_pass"])
 
 
+def _q_canonicalize_documents(sf_dir):
+    """Cluster canonicalization (cluster.canonicalize_clusters): per cluster,
+    the Levenshtein-medoid value of each field — dedupe's canonicalize
+    centroid rule with an exact SQL-checkable metric.  Clusters are built
+    SQL-reproducibly: each document with an UPPER variant and a ' tail'
+    variant, keyed by doc_id (the clone-corpus pattern of the consistency
+    oracles)."""
+    from dedupe_examples_ray.cluster import canonicalize_clusters
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.concat_tables([
+            pa.table({"cluster_id": ids, "val": txt}),
+            pa.table({"cluster_id": ids, "val": pc.utf8_upper(txt)}),
+            pa.table({"cluster_id": ids,
+                      "val": pc.binary_join_element_wise(txt, "tail", " ")}),
+        ])
+
+    ds = docs.map_batches(variants, batch_format="pyarrow")
+    return canonicalize_clusters(ds, "cluster_id", ["val"]).select_columns(
+        ["cluster_id", "cluster_size", "canon_val"])
+
+
 def _q_explode_part_types(sf_dir):
     """Vectorized UNNEST(string_split) — one row per type word per part."""
     from dedupe_examples_ray.relational import explode_split
@@ -2866,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tfidf_terms": _q_top_tfidf_terms,
         "bm25_documents": _q_bm25_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
+        "canonicalize_documents": _q_canonicalize_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -3361,6 +3388,22 @@ def oracle_sql() -> dict[str, str]:
             "AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3 "
             "AND COALESCE(alpha_word_frac > 0.8, FALSE) "
             "AND stopword_hits >= 1) AS gopher_pass FROM s"
+        ),
+        "canonicalize_documents": (
+            "WITH v AS ("
+            "SELECT doc_id AS cluster_id, COALESCE(text, '') AS val FROM documents "
+            "UNION ALL SELECT doc_id, upper(COALESCE(text, '')) FROM documents "
+            "UNION ALL SELECT doc_id, COALESCE(text, '') || ' tail' FROM documents), "
+            "a AS (SELECT DISTINCT cluster_id, val FROM v), "
+            "d AS (SELECT a.cluster_id, a.val, "
+            "SUM(levenshtein(a.val, b.val)) AS dsum "
+            "FROM a JOIN v b USING (cluster_id) GROUP BY a.cluster_id, a.val), "
+            "sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM v "
+            "GROUP BY cluster_id) "
+            "SELECT r.cluster_id, sz.cluster_size, r.val AS canon_val FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+            "ORDER BY dsum, val) AS rn FROM d) r JOIN sz USING (cluster_id) "
+            "WHERE rn = 1"
         ),
         "winsorize_orders": (
             "SELECT o_orderkey, ROUND(LEAST(GREATEST(o_totalprice, "

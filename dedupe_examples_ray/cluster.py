@@ -857,3 +857,89 @@ def build_entity_map_uid(
         return pa.table(cols)
 
     return j2.map_batches(fin, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- canonicalization
+def canonicalize_clusters(ds, cluster_col: str, fields: list[str],
+                          num_buckets: int | None = None,
+                          max_distinct: int = 2048):
+    """One canonical row per entity cluster: for each string field, the
+    MEDOID value — the member value minimizing the summed Levenshtein
+    distance to every member occurrence of that field (ties by ascending
+    value; the ``dedupe.canonicalize`` centroid rule with an exact,
+    SQL-checkable metric).  NULL field values are ignored; an all-NULL
+    cluster yields NULL.  Output: (cluster_col, cluster_size,
+    canon_<field>...), one row per cluster.
+
+    Scale shape: ONE bucketed key shuffle (clusters never split across
+    buckets); inside a bucket the pairwise work runs over DISTINCT
+    (cluster, value) pairs weighted by occurrence counts — m² per cluster
+    for m distinct values, never k² over k members — through one vectorized
+    ``batch_edit_distance`` call for the whole bucket.  Clusters with one
+    distinct value (the common case after exact dedup) skip pair work
+    entirely.  Clusters beyond ``max_distinct`` distinct values fall back to
+    most-frequent-then-smallest (documented approximation; the medoid of a
+    10k-variant cluster is not a meaningful canonical form).
+
+    Distances are byte-level (``ops.simjoin.batch_edit_distance``), equal to
+    character-level Levenshtein (DuckDB ``levenshtein``) on ASCII text.
+    """
+    from .ops.simjoin import batch_edit_distance
+    from .scale import resolve_buckets
+    from .windows import bucketed_by_key
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(cluster_col, sort=False, dropna=False)
+               .size().rename("cluster_size").reset_index())
+        for f in fields:
+            sub = df[[cluster_col, f]].dropna(subset=[f])
+            sub[f] = sub[f].astype(str)
+            dv = (sub.groupby([cluster_col, f], sort=False)
+                  .size().rename("cnt").reset_index())
+            nd = dv.groupby(cluster_col, sort=False)[f].transform("size")
+            canon = {}
+            # fast path: one distinct value
+            ones = dv[nd == 1]
+            canon.update(zip(ones[cluster_col], ones[f]))
+            # oversize fallback: most frequent, ties by ascending value
+            big = dv[nd > max_distinct]
+            if len(big):
+                pick = (big.sort_values([cluster_col, "cnt", f],
+                                        ascending=[True, False, True])
+                        .groupby(cluster_col, sort=False).head(1))
+                canon.update(zip(pick[cluster_col], pick[f]))
+            # medoid path: m² weighted pairs over distinct values per cluster
+            med = dv[(nd > 1) & (nd <= max_distinct)]
+            if len(med):
+                med = med.sort_values([cluster_col, f]).reset_index(drop=True)
+                m = (med.groupby(cluster_col, sort=False).size()
+                     .to_numpy(np.int64))
+                starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+                npairs = m * m
+                tot = int(npairs.sum())
+                pair_starts = np.concatenate([[0], np.cumsum(npairs)[:-1]])
+                within = np.arange(tot) - np.repeat(pair_starts, npairs)
+                base = np.repeat(starts, npairs)
+                mm = np.repeat(m, npairs)
+                a_idx = base + within // mm
+                b_idx = base + within % mm
+                vals = med[f].to_numpy(object)
+                cnts = med["cnt"].to_numpy(np.float64)
+                d = batch_edit_distance(vals[a_idx].tolist(),
+                                        vals[b_idx].tolist())
+                dsum = np.bincount(a_idx, weights=d * cnts[b_idx],
+                                   minlength=len(med))
+                med = med.assign(__dsum=dsum)
+                pick = (med.sort_values([cluster_col, "__dsum", f])
+                        .groupby(cluster_col, sort=False).head(1))
+                canon.update(zip(pick[cluster_col], pick[f]))
+            # object dtype + None (not float NaN) so an all-null bucket emits
+            # the same Arrow string-typed column as every other bucket
+            col = out[cluster_col].map(canon).astype(object)
+            out[f"canon_{f}"] = col.where(col.notna(), None)
+        return out
+
+    return bucketed_by_key(ds.select_columns([cluster_col] + list(fields)),
+                           cluster_col, per_bucket, num_buckets=num_buckets)

@@ -124,3 +124,47 @@ def test_contract_edges_preserves_components(ray_session):
     # same partition: equal label maps up to component renaming — both use
     # min-id labels, so they must be identical
     assert direct == via
+
+
+def test_canonicalize_clusters_medoid_and_edges(ray_session):
+    """Medoid selection with multiplicity weights, null values, all-null
+    clusters, single-member clusters, and the oversize fallback."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import canonicalize_clusters
+
+    rows = [
+        # cluster 1: 'aab' x2 pulls the medoid toward it despite 'abb' being
+        # lexicographically... dsum('aab')=0+0+1+2=3? hand-check below
+        (1, "aab"), (1, "aab"), (1, "abb"), (1, "zzzz"),
+        # cluster 2: all NULL values -> canon None, size counted
+        (2, None), (2, None),
+        # cluster 3: singleton
+        (3, "only"),
+        # cluster 4: one non-null among nulls
+        (4, None), (4, "kept"),
+        # cluster 5: exact tie on dsum -> ascending value wins
+        (5, "ab"), (5, "ba"),
+    ]
+    tbl = pa.table({"cid": pa.array([r[0] for r in rows], pa.int64()),
+                    "name": pa.array([r[1] for r in rows], pa.string())})
+    out = (canonicalize_clusters(rd.from_arrow(tbl).repartition(3), "cid",
+                                 ["name"], num_buckets=4)
+           .to_pandas().sort_values("cid").reset_index(drop=True))
+    assert out["cluster_size"].tolist() == [4, 2, 1, 2, 2]
+    # cluster 1 dsums (weighted by occurrence): aab: 1*2(to abb)... compute:
+    # d(aab,aab)=0, d(aab,abb)=1, d(aab,zzzz)=4 -> dsum(aab)=0*2+1+4=5
+    # d(abb,aab)=1 -> dsum(abb)=1*2+0+4=6 ; dsum(zzzz)=4*2+4+0=12
+    got = [None if pd.isna(v) else v for v in out["canon_name"]]
+    assert got == ["aab", None, "only", "kept", "ab"]
+
+    # oversize fallback: > max_distinct distinct values -> most frequent wins
+    many = [(9, f"v{i:03d}") for i in range(5)] + [(9, "v001")]
+    t2 = pa.table({"cid": pa.array([r[0] for r in many], pa.int64()),
+                   "name": pa.array([r[1] for r in many], pa.string())})
+    o2 = (canonicalize_clusters(rd.from_arrow(t2), "cid", ["name"],
+                                num_buckets=2, max_distinct=3)
+          .to_pandas())
+    assert o2["canon_name"].tolist() == ["v001"] and o2["cluster_size"][0] == 6
