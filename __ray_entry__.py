@@ -1306,6 +1306,84 @@ def _q_gopher_rules_documents(sf_dir):
          "stopword_hits", "gopher_pass"])
 
 
+def _multiline_docs(sf_dir):
+    """Derived multi-line corpus for the line-level cleaning queries: the
+    synthetic documents are single-line word salad, so both the Ray query and
+    its SQL oracle build the SAME five-line page per document (substrings
+    joined with '\\n', with deterministic doc_id-keyed javascript / brace /
+    lorem injections) — every C4 rule and the dedup path fire
+    non-degenerately."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lines(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        idn = ids.to_numpy(zero_copy_only=False)
+        a = pc.binary_join_element_wise(pc.utf8_slice_codeunits(txt, 0, 50),
+                                        ".", "")
+        b = pc.utf8_slice_codeunits(txt, 50, 90)  # no terminal punct
+        c = pc.if_else(
+            pa.array(idn % 3 == 0),
+            pc.binary_join_element_wise(
+                pa.array(["JavaScript is required to view "] * len(t)),
+                pc.utf8_slice_codeunits(txt, 0, 20), ".", ""),
+            pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(txt, 90, 140), "?", ""))
+        d = pc.if_else(
+            pa.array(idn % 7 == 0),
+            pa.array(["stream config { enabled } value table row."] * len(t)),
+            a)  # duplicate of line a -> dedup_lines removes it
+        e = pc.if_else(
+            pa.array(idn % 11 == 0),
+            pa.array(["Lorem ipsum dolor sit amet consectetur adipiscing."]
+                     * len(t)),
+            pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(txt, 30, 75), "!", ""))
+        mt = pc.binary_join_element_wise(a, b, c, d, e, "\n")
+        return pa.table({"doc_id": ids, "text": mt})
+
+    return docs.map_batches(lines, batch_format="pyarrow")
+
+
+#: the SQL mirror of _multiline_docs (DuckDB substring is 1-based)
+_MULTILINE_SQL = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "substring(COALESCE(text,''), 1, 50) || '.' || chr(10) || "
+    "substring(COALESCE(text,''), 51, 40) || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'JavaScript is required to view ' || "
+    "substring(COALESCE(text,''), 1, 20) || '.' "
+    "ELSE substring(COALESCE(text,''), 91, 50) || '?' END || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'stream config { enabled } value table row.' "
+    "ELSE substring(COALESCE(text,''), 1, 50) || '.' END || chr(10) || "
+    "CASE WHEN doc_id % 11 = 0 "
+    "THEN 'Lorem ipsum dolor sit amet consectetur adipiscing.' "
+    "ELSE substring(COALESCE(text,''), 31, 45) || '!' END AS text "
+    "FROM documents"
+)
+
+
+def _q_c4_rules_documents(sf_dir):
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2;
+    ops/corpus.c4_line_rules) over the derived multi-line corpus: terminal
+    punctuation + >=5-word + no-javascript line retention, then the page
+    gate (>=1 kept line, >=3 sentence chars, no lorem ipsum, no brace)."""
+    from dedupe_examples_ray.ops.corpus import c4_line_rules
+
+    return c4_line_rules(_multiline_docs(sf_dir)).select_columns(
+        ["doc_id", "c4_text", "kept_lines", "n_sentences", "c4_pass"])
+
+
+def _q_dedup_lines_documents(sf_dir):
+    """Within-document duplicate-line removal (RefinedWeb/CCNet within-page
+    line dedup; ops/corpus.dedup_lines): first occurrence of each exact line
+    kept in order.  The derived corpus repeats line 1 as line 4 for all
+    doc_id % 7 != 0, so removals are non-degenerate."""
+    from dedupe_examples_ray.ops.corpus import dedup_lines
+
+    return dedup_lines(_multiline_docs(sf_dir)).select_columns(
+        ["doc_id", "dedup_text", "lines_removed"])
+
+
 def _q_canonicalize_documents(sf_dir):
     """Cluster canonicalization (cluster.canonicalize_clusters): per cluster,
     the Levenshtein-medoid value of each field — dedupe's canonicalize
@@ -2892,6 +2970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tfidf_terms": _q_top_tfidf_terms,
         "bm25_documents": _q_bm25_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
+        "c4_rules_documents": _q_c4_rules_documents,
+        "dedup_lines_documents": _q_dedup_lines_documents,
         "canonicalize_documents": _q_canonicalize_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
@@ -3388,6 +3468,43 @@ def oracle_sql() -> dict[str, str]:
             "AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3 "
             "AND COALESCE(alpha_word_frac > 0.8, FALSE) "
             "AND stopword_hits >= 1) AS gopher_pass FROM s"
+        ),
+        "c4_rules_documents": (
+            "WITH src AS (" + _MULTILINE_SQL + "), "
+            "l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(text, chr(10))))) AS ord "
+            "FROM src), "
+            "k AS (SELECT doc_id, line, ord FROM l "
+            "WHERE regexp_matches(rtrim(line, ' ' || chr(9)), '[.!?\"]$') "
+            "AND len(regexp_extract_all(line, '\\S+')) >= 5 "
+            "AND NOT regexp_matches(line, '(?i)javascript')), "
+            "c AS (SELECT s.doc_id, "
+            "COALESCE(string_agg(k.line, chr(10) ORDER BY k.ord), '') AS c4_text, "
+            "COUNT(k.line) AS kept_lines "
+            "FROM src s LEFT JOIN k USING (doc_id) GROUP BY s.doc_id) "
+            "SELECT doc_id, c4_text, kept_lines, "
+            "length(c4_text) - length(replace(replace(replace(c4_text, '.', ''), "
+            "'!', ''), '?', '')) AS n_sentences, "
+            "(kept_lines >= 1 AND n_sentences >= 3 "
+            "AND NOT contains(lower(c4_text), 'lorem ipsum') "
+            "AND NOT contains(c4_text, '{')) AS c4_pass FROM c"
+        ),
+        "dedup_lines_documents": (
+            "WITH src AS (" + _MULTILINE_SQL + "), "
+            "l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(text, chr(10))))) AS ord "
+            "FROM src), "
+            "f AS (SELECT doc_id, line, ord, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn "
+            "FROM l) "
+            "SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY ord) FILTER (WHERE rn = 1) "
+            "AS dedup_text, "
+            "CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) "
+            "AS lines_removed "
+            "FROM f GROUP BY doc_id"
         ),
         "canonicalize_documents": (
             "WITH v AS ("

@@ -1276,3 +1276,99 @@ def mix_sources(ds, source_col: str = "source",
         return t.filter(pa.array(h < t_thr))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def c4_line_rules(ds, text_col: str = "text", min_line_words: int = 5,
+                  min_sentences: int = 3):
+    """C4 line-level cleaning heuristics (Raffel et al. 2020, §2.2 — the
+    rules that built the Colossal Clean Crawled Corpus), as a deterministic,
+    SQL-reproducible gate.  Per '\\n'-split line, a line is RETAINED iff:
+
+    - its space/tab-rstripped form ends in terminal punctuation
+      (``.``, ``!``, ``?`` or ``"``);
+    - it has >= ``min_line_words`` whitespace tokens;
+    - it does not contain ``javascript`` (case-insensitive).
+
+    ``c4_text`` is the retained lines joined with '\\n' ('' when none
+    survive; NULL input text counts as '').  The page-level gate
+    ``c4_pass`` is:
+
+    - ``kept_lines`` >= 1;
+    - ``n_sentences`` >= ``min_sentences``, where the sentence proxy is the
+      count of ``.``/``!``/``?`` characters in ``c4_text`` (C4 used a real
+      sentence splitter; a character count is the deterministic stand-in
+      both engines reproduce bit-exactly);
+    - ``lower(c4_text)`` does not contain ``lorem ipsum``;
+    - ``c4_text`` does not contain ``{`` (the code/markup tell).
+
+    Appends ``c4_text`` (string), ``kept_lines`` (int64), ``n_sentences``
+    (int64), ``c4_pass`` (bool).  One zero-copy Arrow pass per batch — line
+    work is vectorized over the flattened list children; stateless,
+    shuffle-free, so it composes into any funnel position.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = pc.fill_null(pc.cast(_col(t, text_col), pa.string()), "")
+        lines = pc.split_pattern(s, "\n")
+        lparents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        lflat = pc.list_flatten(lines)
+        rt = pc.utf8_rtrim(lflat, characters=" \t")
+        term = pc.match_substring_regex(rt, '[.!?"]$')
+        words = pc.count_substring_regex(lflat, r"\S+")
+        js = pc.match_substring_regex(lflat, "(?i)javascript")
+        keep = (term.to_numpy(zero_copy_only=False)
+                & (words.to_numpy(zero_copy_only=False) >= min_line_words)
+                & ~js.to_numpy(zero_copy_only=False))
+        kept = np.bincount(lparents[keep], minlength=n).astype(np.int64)
+        c4_text = _ragged_join(lflat.filter(pa.array(keep)), kept, "\n")
+        n_sent = (pc.count_substring(c4_text, ".").to_numpy(zero_copy_only=False)
+                  + pc.count_substring(c4_text, "!").to_numpy(zero_copy_only=False)
+                  + pc.count_substring(c4_text, "?").to_numpy(zero_copy_only=False)
+                  ).astype(np.int64)
+        lorem = pc.match_substring(pc.utf8_lower(c4_text), "lorem ipsum")
+        brace = pc.match_substring(c4_text, "{")
+        ok = ((kept >= 1) & (n_sent >= min_sentences)
+              & ~lorem.to_numpy(zero_copy_only=False)
+              & ~brace.to_numpy(zero_copy_only=False))
+        out = t
+        for name, col in [("c4_text", c4_text),
+                          ("kept_lines", pa.array(kept, pa.int64())),
+                          ("n_sentences", pa.array(n_sent, pa.int64())),
+                          ("c4_pass", pa.array(ok))]:
+            out = out.append_column(name, col)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_lines(ds, text_col: str = "text", out_col: str = "dedup_text"):
+    """Within-document exact duplicate-line removal (the within-page form of
+    RefinedWeb/CCNet line dedup): keep the FIRST occurrence of each exact
+    line in each document, preserving line order; later repeats are dropped.
+    NULL text counts as ''.  Appends ``out_col`` (the deduplicated text) and
+    ``lines_removed`` (int64).
+
+    Scale shape: per-document work only — a stateless ``map_batches`` pass
+    with NO shuffle.  Duplicate detection is one hash-based vectorized
+    ``duplicated`` over the batch's flattened (doc, line) children; the text
+    is reassembled with a single Arrow ``binary_join`` kernel.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = pc.fill_null(pc.cast(_col(t, text_col), pa.string()), "")
+        lines = pc.split_pattern(s, "\n")
+        lparents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        lflat = pc.list_flatten(lines)
+        n_lines = np.bincount(lparents, minlength=n).astype(np.int64)
+        first = ~pd.DataFrame(
+            {"p": lparents, "l": lflat.to_pandas()}
+        ).duplicated().to_numpy()
+        kept = np.bincount(lparents[first], minlength=n).astype(np.int64)
+        deduped = _ragged_join(lflat.filter(pa.array(first)), kept, "\n")
+        return (t.append_column(out_col, deduped)
+                .append_column("lines_removed",
+                               pa.array(n_lines - kept, pa.int64())))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -644,3 +644,61 @@ def test_weighted_sample_null_weights_and_small_input(ray_session):
     assert out["id"].tolist() == [2]
     with pytest.raises(ValueError):
         weighted_sample(rd.from_arrow(tbl), "id", "w", 0)
+
+
+def test_c4_line_rules_gates(ray_session):
+    """Line retention (terminal punct, >=5 words, no javascript) and the
+    page gate (sentences, lorem ipsum, brace) on hostile inputs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.corpus import c4_line_rules
+
+    texts = [
+        # two good lines; middle lines dropped (short / no punct)
+        "Good long line with many words here.\nshort.\n"
+        "no punct line with many words\nAnother solid line of six words!",
+        None, "",
+        # quoted terminal keeps; javascript drops case-insensitively
+        'He said "stop right there now please"\n'
+        "JavaScript is required to view this page.",
+        # brace in a KEPT line fails the page
+        "Config sample { x } with several words.\nOne two three four five six.",
+        # lorem ipsum fails the page even with 3 sentences
+        "Lorem Ipsum dolor sit amet consectetur adipiscing.\n"
+        "One two three four five six.\nSeven eight nine ten eleven twelve?",
+        # trailing tab before terminal punct still retained (rstrip rule)
+        "é ü 中文 line with terminal punct here.\t\n"
+        "ok line ends with question mark now?",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (c4_line_rules(rd.from_arrow(t), min_sentences=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["kept_lines"].tolist() == [2, 0, 0, 1, 2, 3, 2]
+    assert out["c4_pass"].tolist() == [True, False, False, False, False,
+                                       False, True]
+    assert out.loc[3, "c4_text"] == 'He said "stop right there now please"'
+    # original line bytes (incl. the trailing tab) survive into c4_text
+    assert "here.\t" in out.loc[6, "c4_text"]
+
+
+def test_dedup_lines_first_occurrence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.corpus import dedup_lines
+
+    texts = [
+        "a\nb\na\nc\nb\na",          # repeats of a and b dropped
+        "x\n\ny\n\nz",               # duplicate EMPTY line dropped too
+        None, "", "only",
+        "same\nsame\nsame",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (dedup_lines(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["dedup_text"].tolist() == [
+        "a\nb\nc", "x\n\ny\nz", "", "", "only", "same"]
+    assert out["lines_removed"].tolist() == [3, 1, 0, 0, 0, 2]
