@@ -2613,6 +2613,18 @@ def _q_mad_order_price(sf_dir):
     return out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_trimmed_mean_orders(sf_dir):
+    """Per-priority 10%-trimmed mean of order totals (drop-k robust mean:
+    floor(0.1*n) smallest and largest dropped per group — exactly the
+    ROW_NUMBER-window SQL the oracle runs)."""
+    from dedupe_examples_ray.relational import grouped_trimmed_mean
+
+    od = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = grouped_trimmed_mean(od, ["o_orderpriority"], "o_totalprice",
+                               trim=0.1)
+    return out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_quantile_disc_lineitem(sf_dir):
     """Discrete per-group percentiles (percentile_disc: an actual data value,
     not an interpolation — what you want for 'a real representative row')."""
@@ -3026,6 +3038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions_events": _q_transitions_events,
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
+        "trimmed_mean_orders": _q_trimmed_mean_orders,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
@@ -3976,6 +3989,17 @@ def oracle_sql() -> dict[str, str]:
         "mad_order_price": (
             "SELECT o_orderpriority, ROUND(mad(o_totalprice), 4) AS mad "
             "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "trimmed_mean_orders": (
+            "WITH r AS (SELECT o_orderpriority, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice) AS ra, "
+            "COUNT(*) OVER (PARTITION BY o_orderpriority) AS n "
+            "FROM orders WHERE o_totalprice IS NOT NULL) "
+            "SELECT o_orderpriority, "
+            "ROUND(AVG(o_totalprice), 4) AS trimmed_mean FROM r "
+            "WHERE ra > floor(0.1 * n) AND ra <= n - floor(0.1 * n) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
         "quantile_disc_lineitem": (
             "SELECT l_returnflag, "

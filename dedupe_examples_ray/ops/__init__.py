@@ -1,6 +1,7 @@
 from .dedup import (  # noqa: F401
     exact_dedup,
     normalized_dedup,
+    lsh_plan,
     minhash_lsh_dedup,
     simhash_dedup,
     ngram_jaccard_dedup,

@@ -271,6 +271,39 @@ def batch_minhash_signatures(texts: list, shingle: str, k: int, num_perm: int) -
     return sigs
 
 
+def lsh_plan(threshold: float, num_perm: int = 128,
+             fp_weight: float = 0.5, fn_weight: float = 0.5,
+             grid: int = 1000) -> tuple[int, int]:
+    """Choose the (bands, rows_per_band) MinHash-LSH parameters for a target
+    Jaccard ``threshold``: minimize the weighted integral of false-positive
+    area (candidate probability :math:`1-(1-s^r)^b` below the threshold) plus
+    false-negative area (miss probability above it) over all factorizations
+    ``b*r <= num_perm`` — the standard S-curve optimization (Leskovec,
+    Rajaraman & Ullman, *Mining of Massive Datasets* §3.4; the same rule
+    datasketch's public LSH uses).  Returns ``(bands, rows_per_band)``;
+    feed ``bands`` (with the same ``num_perm``) to :func:`minhash_lsh_dedup`.
+
+    Driver-side analytic helper — trapezoidal integration on a ``grid``-point
+    similarity mesh, no data touched.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    s = np.linspace(0.0, 1.0, grid + 1)
+    below = s < threshold
+    best, best_err = (1, 1), np.inf
+    for r in range(1, num_perm + 1):
+        for b in range(1, num_perm // r + 1):
+            p = 1.0 - (1.0 - s**r) ** b
+            fp = np.trapz(p[below], s[below])
+            fn = np.trapz(1.0 - p[~below], s[~below])
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best, best_err = (b, r), err
+    return best
+
+
 def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
     """(n_docs, bands) int64 bucket keys — vectorized FNV-1a mix over each
     band's signature slots (replaces per-(doc, band) hashlib digests)."""
@@ -509,15 +542,16 @@ def minhash_lsh_dedup(
     shingle: str = "word",
     k: int = 3,
     num_perm: int = 128,
-    bands: int = 32,
+    bands: int | None = 32,
     threshold: float = 0.5,
     verify: bool = True,
 ):
     """Near-dup assignment via MinHash+LSH (see module docstring).
 
     ``bands=32, num_perm=128`` (r=4) targets the classic S-curve with ~0.5
-    Jaccard threshold.  ``verify=False`` skips the exact-Jaccard pass (pure
-    LSH recall, lower precision).
+    Jaccard threshold; ``bands=None`` picks the S-curve-optimal band count
+    for ``threshold`` via :func:`lsh_plan`.  ``verify=False`` skips the
+    exact-Jaccard pass (pure LSH recall, lower precision).
 
     Scale posture: the exact-Jaccard verify hydrates texts onto the candidate
     pairs via the partition-aligned bucketed cogroup (scoring.bucketed_hydrate)
@@ -525,6 +559,9 @@ def minhash_lsh_dedup(
     to the driver or broadcasts it.
     """
     from ..scale import buckets_for, estimate_rows
+
+    if bands is None:
+        bands, _ = lsh_plan(threshold, num_perm)
 
     buckets = ds.map_batches(
         _minhash_bands_batch,

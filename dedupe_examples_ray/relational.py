@@ -329,6 +329,43 @@ def grouped_mad(ds, keys: list[str], col: str, out_col: str = "mad",
     )
 
 
+def grouped_trimmed_mean(ds, keys: list[str], col: str,
+                         trim: float = 0.1, out_col: str = "trimmed_mean",
+                         round_digits: int = 4):
+    """Per-group trimmed mean with the exact drop-k definition: drop the
+    ``floor(trim * n)`` smallest and largest non-NULL values, average the
+    rest (the robust-statistics estimator; SQL-reproducible as a
+    ROW_NUMBER-window filter, unlike interpolated-quantile clipping).
+    ``trim < 0.5`` guarantees at least one survivor, so the result is NULL
+    only for all-NULL groups.  NULLs excluded per SQL aggregate semantics;
+    rounding is half-away so a ``ROUND(AVG(..), d)`` oracle matches.
+
+    Same bounded-group contract as ``grouped_quantile`` (order statistics
+    need the full group in one task); values sort per group inside the
+    ``map_groups`` task, only key rows return.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = np.sort(v[~np.isnan(v)])
+        scale = 10.0 ** round_digits
+        out = {k: [df[k].iloc[0]] for k in keys}
+        if len(v) == 0:
+            out[out_col] = [np.nan]
+        else:
+            k = int(np.floor(trim * len(v)))
+            m = float(v[k:len(v) - k].mean())
+            out[out_col] = [np.floor(m * scale + 0.5) / scale]
+        return pd.DataFrame(out)
+
+    proj = ds.select_columns(keys + [col])
+    return proj.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
 def grouped_regression(ds, keys: list[str], x: str, y: str,
                        round_digits: int = 4):
     """Grouped simple linear regression of ``y`` on ``x`` — SQL

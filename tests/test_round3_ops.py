@@ -953,3 +953,77 @@ def test_script_profile_mixed_scripts(ray_session):
     assert out["n_digit"].tolist() == [0, 0, 0, 0, 3, 0, 0]
     assert out["frac_latin"].iloc[0] == round(10 / 11, 6)
     assert (out.loc[5:, ["frac_latin", "frac_han"]] == 0).all().all()
+
+
+def test_lsh_plan_matches_brute_force_and_known_points():
+    """The (bands, rows) plan equals an independent brute-force minimization
+    of the S-curve error integral, and hits the public known optimum for the
+    classic (0.5, 128) configuration."""
+    import numpy as np
+
+    from dedupe_examples_ray.ops.dedup import lsh_plan
+
+    def brute(th, P, fpw=0.5, fnw=0.5):
+        s = np.linspace(0.0, 1.0, 1001)
+        below = s < th
+        best, err = None, np.inf
+        for r in range(1, P + 1):
+            for b in range(1, P // r + 1):
+                p = 1.0 - (1.0 - s**r) ** b
+                e = fpw * np.trapz(p[below], s[below]) + fnw * np.trapz(
+                    1.0 - p[~below], s[~below])
+                if e < err:
+                    best, err = (b, r), e
+        return best
+
+    for th in (0.3, 0.5, 0.8):
+        assert lsh_plan(th, 128) == brute(th, 128)
+    assert lsh_plan(0.5, 128) == (25, 5)  # datasketch's published optimum
+    # recall-weighting shifts the curve left: more bands (earlier S-rise)
+    b_bal, r_bal = lsh_plan(0.8, 128)
+    b_rec, r_rec = lsh_plan(0.8, 128, fp_weight=0.1, fn_weight=0.9)
+    assert brute(0.8, 128, 0.1, 0.9) == (b_rec, r_rec)
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with pytest.raises(ValueError):
+        lsh_plan(0.5, num_perm=1)
+
+
+def test_grouped_trimmed_mean_dropk(ray_session):
+    """Drop-k semantics: floor(trim*n) extremes cut per side; NULLs excluded;
+    all-NULL group yields NULL; trim=0 is the plain mean."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import grouped_trimmed_mean
+
+    rows = {
+        "k": ["a"] * 10 + ["b"] * 3 + ["c"] * 2 + ["d"],
+        "v": [100.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, -50.0,
+              1.0, None, 3.0,
+              None, None,
+              7.0],
+    }
+    t = pa.table({"k": pa.array(rows["k"]), "v": pa.array(rows["v"],
+                                                          pa.float64())})
+    out = (grouped_trimmed_mean(rd.from_arrow(t), ["k"], "v", trim=0.1)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # a: n=10, k=1 -> drop -50 and 100 -> mean(1..8) = 4.5
+    # b: two non-null, k=0 -> mean(1,3)=2 ; c: all null -> NaN ; d: 7
+    assert out["trimmed_mean"].iloc[0] == 4.5
+    assert out["trimmed_mean"].iloc[1] == 2.0
+    assert pd.isna(out["trimmed_mean"].iloc[2])
+    assert out["trimmed_mean"].iloc[3] == 7.0
+    # trim=0 equals the plain mean
+    out0 = (grouped_trimmed_mean(rd.from_arrow(t), ["k"], "v", trim=0.0)
+            .to_pandas().set_index("k"))
+    assert np.isclose(out0.loc["a", "trimmed_mean"], np.mean(
+        [100, 1, 2, 3, 4, 5, 6, 7, 8, -50]))
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_trimmed_mean(rd.from_arrow(t), ["k"], "v", trim=0.5)
