@@ -150,7 +150,70 @@ def emit_tfidf_canopy(arr, k: int = 2, df: dict | None = None) -> tuple[np.ndarr
     return np.array(out_idx, dtype=np.int64), pa.array(out_keys, pa.string())
 
 
+#: Soundex letter→code table (American Soundex, the public algorithm):
+#: 1 BFPV, 2 CGJKQSXZ, 3 DT, 4 L, 5 MN, 6 R; 0 = vowel/Y (separator that
+#: RESETS adjacency), 7 = H/W (transparent: does NOT reset adjacency).
+_SOUNDEX_CODE = np.zeros(256, dtype=np.uint8)
+for _letters, _code in [("BFPV", 1), ("CGJKQSXZ", 2), ("DT", 3), ("L", 4),
+                        ("MN", 5), ("R", 6), ("AEIOUY", 0), ("HW", 7)]:
+    for _ch in _letters:
+        _SOUNDEX_CODE[ord(_ch)] = _code
+_SOUNDEX_WIDTH = 18  # significant letters examined; 3 digits need far fewer
+
+
+def soundex_codes(vals: pa.Array) -> pa.Array:
+    """Vectorized American Soundex (first letter + 3 digits, zero-padded),
+    including the H/W transparency rule (Ashcraft -> A261) and
+    first-letter-code adjacency (Pfister -> P236).  '' for strings with no
+    ASCII letter.  Column-sweep vectorization: per-row state arrays updated
+    over ``_SOUNDEX_WIDTH`` fixed-width byte columns — no per-row Python in
+    the scan."""
+    up = pc.utf8_upper(_as_string(vals))
+    letters = pc.replace_substring_regex(up, "[^A-Z]", "")
+    py = letters.to_pylist()
+    n = len(py)
+    if n == 0:
+        return pa.array([], pa.string())
+    buf = "".join((s or "")[:_SOUNDEX_WIDTH].ljust(_SOUNDEX_WIDTH) for s in py)
+    mat = np.frombuffer(buf.encode("ascii"), np.uint8).reshape(n, _SOUNDEX_WIDTH)
+    codes = _SOUNDEX_CODE[mat]
+    codes[mat == ord(" ")] = 0
+    first = mat[:, 0]
+    has = first != ord(" ")
+    prev = codes[:, 0].copy()          # first letter's code participates
+    digits = np.zeros((n, 3), dtype=np.uint8)
+    count = np.zeros(n, dtype=np.int64)
+    for j in range(1, _SOUNDEX_WIDTH):
+        c = codes[:, j]
+        is_letter = mat[:, j] != ord(" ")
+        emit = is_letter & (c >= 1) & (c <= 6) & (c != prev) & (count < 3)
+        rows = np.flatnonzero(emit)
+        digits[rows, count[rows]] = c[rows]
+        count[rows] += 1
+        # vowels reset adjacency; H/W leave it; consonants set it
+        upd = is_letter & (c != 7)
+        prev = np.where(upd, c, prev)
+    out = np.array([
+        chr(first[i]) + "".join(str(d) for d in digits[i])
+        if has[i] else "" for i in range(n)
+    ], dtype=object)
+    return pa.array(out, pa.string())
+
+
+def emit_soundex(arr) -> tuple[np.ndarray, pa.Array]:
+    """Phonetic blocking key — the role of dedupe's doublemetaphone-family
+    predicates, using the fully-specified public American Soundex algorithm
+    so keys are deterministic and engine-reproducible.  Rows whose field has
+    no ASCII letter emit no key."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    keys = soundex_codes(vals)
+    keep = pc.not_equal(keys, "").to_numpy(zero_copy_only=False)
+    return idx[keep], keys.filter(pa.array(keep))
+
+
 PREDICATE_KINDS = {
+    "soundex": emit_soundex,
     "sorted_tokens": emit_sorted_tokens,
     "whole_field": emit_whole_field,
     "first_token": emit_first_token,

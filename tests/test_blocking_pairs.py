@@ -143,3 +143,29 @@ def test_corpus_df_idf_common(ray_session):
     assert common == frozenset({"the"})
     idf = idf_from_df(tbl, n_docs=3)
     assert idf["cat"] > idf["the"]
+
+
+def test_soundex_predicate():
+    """American Soundex canonical examples (NIST/archives spec), the H/W
+    transparency rule, first-letter-code adjacency, and emitter filtering of
+    letterless values."""
+    from dedupe_examples_ray.blocking.predicates import soundex_codes
+
+    cases = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+             "Tymczak": "T522", "Pfister": "P236", "Honeyman": "H555",
+             "Washington": "W252", "Lee": "L000", "O'Brien": "O165",
+             "a": "A000", "123": ""}
+    got = soundex_codes(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+    # emitter drops null / empty / letterless rows; sound-alikes collide
+    assert _keys("soundex", ["Smith", None, "", "42", "Smyth"]) == [
+        (0, "S530"), (4, "S530")]
+    # usable straight from a settings spec through the Fingerprinter
+    s = Settings(fields=[Field("name")],
+                 predicates=[{"kind": "soundex", "column": "name"}])
+    batch = pa.table({"rid": pa.array([7, 8], pa.int64()),
+                      "name": pa.array(["Robert", "Rupert"])})
+    fp = Fingerprinter(s.to_json(), "rid", [])
+    out = fp(batch)
+    ks = out["block_key"].to_pylist()
+    assert len(ks) == 2 and ks[0] == ks[1] and ks[0].endswith("R163")
