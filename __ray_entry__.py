@@ -2613,6 +2613,25 @@ def _q_mad_order_price(sf_dir):
     return out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_nfc_normalize_documents(sf_dir):
+    """Unicode NFC normalization (normalize.unicode_normalize) over a derived
+    corpus carrying decomposed sequences (combining acute U+0301 appended in
+    both engines): composed output is bit-identical to DuckDB's
+    nfc_normalize (UAX #15)."""
+    from dedupe_examples_ray.normalize import unicode_normalize
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        mt = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(txt, 0, 30), "café niño", " ")
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "nfc_text": unicode_normalize(mt, "NFC")})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_trimmed_mean_orders(sf_dir):
     """Per-priority 10%-trimmed mean of order totals (drop-k robust mean:
     floor(0.1*n) smallest and largest dropped per group — exactly the
@@ -3039,6 +3058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_price_qty": _q_regr_price_qty,
         "mad_order_price": _q_mad_order_price,
         "trimmed_mean_orders": _q_trimmed_mean_orders,
+        "nfc_normalize_documents": _q_nfc_normalize_documents,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
@@ -3989,6 +4009,11 @@ def oracle_sql() -> dict[str, str]:
         "mad_order_price": (
             "SELECT o_orderpriority, ROUND(mad(o_totalprice), 4) AS mad "
             "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "nfc_normalize_documents": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "nfc_normalize(substring(COALESCE(text, ''), 1, 30) || ' cafe' || "
+            "chr(769) || ' nin' || chr(771) || 'o') AS nfc_text FROM documents"
         ),
         "trimmed_mean_orders": (
             "WITH r AS (SELECT o_orderpriority, o_totalprice, "

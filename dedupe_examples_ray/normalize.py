@@ -246,3 +246,66 @@ def json_scalar_field(arr, field: str, out_type: pa.DataType | None = None):
     if out_type is not None:
         out = pc.cast(out, out_type)
     return out
+
+
+_MN_TABLE: dict | None = None
+
+
+def _mn_translate_table() -> dict:
+    """str.translate deletion table for every category-Mn codepoint
+    (nonspacing combining marks), built once per process on first use."""
+    global _MN_TABLE
+    if _MN_TABLE is None:
+        import sys
+        import unicodedata
+
+        _MN_TABLE = {c: None for c in range(sys.maxunicode + 1)
+                     if unicodedata.category(chr(c)) == "Mn"}
+    return _MN_TABLE
+
+
+def unicode_normalize(arr, form: str = "NFC", strip_marks: bool = False):
+    """Unicode normalization (UAX #15) — the canonicalization pass every
+    multilingual web corpus needs before exact/near dedup (composed vs
+    decomposed byte sequences of the SAME text otherwise hash apart).
+    With ``strip_marks=True`` the text is compatibility/canonically
+    decomposed first and combining marks (``\\p{Mn}``) removed — the
+    standard accent-fold — before the requested form is applied.  NULLs pass
+    through.  ``form`` in {NFC, NFKC, NFD, NFKD}.
+
+    NFC output is bit-identical to DuckDB ``nfc_normalize`` (same UAX #15),
+    which the oracle query checks.
+
+    Vectorization note: pyarrow's ``utf8_normalize`` (utf8proc, checked on
+    16.1) does NOT perform canonical COMPOSITION — ``e + U+0301`` survives
+    its "NFC" — so composition runs through CPython's C-level
+    ``unicodedata.normalize``, applied ONLY to rows one Arrow regex kernel
+    flags as non-ASCII.  ASCII rows (the overwhelming share of web text)
+    pass through zero-copy; the per-row C call touches just the multilingual
+    minority.
+    """
+    import unicodedata
+
+    import numpy as np
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string())
+    non_ascii = pc.fill_null(
+        pc.match_substring_regex(arr, r"[^\x00-\x7F]"), False
+    ).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(non_ascii)
+    if len(idx) == 0:
+        return arr
+    sub = arr.take(pa.array(idx, pa.int64())).to_pylist()
+    if strip_marks:
+        decomp = "NFKD" if form in ("NFKC", "NFKD") else "NFD"
+        _mn = _mn_translate_table()
+        sub = [unicodedata.normalize(decomp, s).translate(_mn) for s in sub]
+    fixed = pa.array([unicodedata.normalize(form, s) for s in sub],
+                     pa.string())
+    out = arr.to_numpy(zero_copy_only=False).astype(object)
+    out[idx] = fixed.to_numpy(zero_copy_only=False)
+    return pa.array(out, pa.string(), from_pandas=True)

@@ -100,3 +100,32 @@ def test_json_scalar_field():
     # string "null" stays the string (json_extract_string semantics)
     quoted = json_scalar_field(pa.array(['{"k": "null"}', '{"k": null}']), "k").to_pylist()
     assert quoted == ["null", None]
+
+
+def test_unicode_normalize_forms_and_strip_marks():
+    """Composition (NFC/NFKC), compatibility folding, accent strip, ASCII
+    zero-copy passthrough, nulls, and form validation."""
+    import pyarrow as pa
+    import pytest
+
+    from dedupe_examples_ray.normalize import unicode_normalize
+
+    dec = "café niño"          # decomposed
+    comp = "café niño"           # composed
+    out = unicode_normalize(
+        pa.array([dec, comp, "plain", None, ""]), "NFC").to_pylist()
+    assert out[0] == out[1] == comp        # both byte forms converge
+    assert out[2] == "plain" and out[3] is None and out[4] == ""
+    # NFD decomposes the composed form back
+    nfd = unicode_normalize(pa.array([comp]), "NFD").to_pylist()[0]
+    assert nfd == dec
+    # NFKC folds compatibility chars (ligature, fullwidth) AND composes
+    nfkc = unicode_normalize(
+        pa.array(["ﬁle Ａ " + dec]), "NFKC").to_pylist()[0]
+    assert nfkc == "file A " + comp
+    # strip_marks removes ALL category-Mn marks (incl. non-Latin: nukta)
+    sm = unicode_normalize(
+        pa.array([dec, "h़indi"]), "NFC", strip_marks=True).to_pylist()
+    assert sm == ["cafe nino", "hindi"]
+    with pytest.raises(ValueError):
+        unicode_normalize(pa.array(["a"]), "NFX")
