@@ -2632,6 +2632,39 @@ def _q_nfc_normalize_documents(sf_dir):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+#: clean payload whose UTF-8 bytes round-trip cleanly through the cp1252
+#: mojibake (spelled with \u escapes so the source stays ASCII).
+_MOJI_PAYLOAD = (" café ñiño “quote€ —"
+                 " naïve…")
+#: the payload as a browser would misdecode its UTF-8 bytes under
+#: windows-1252 (WHATWG: the five unmapped bytes pass through as C1).
+_MOJI_GARBLED = "".join(
+    bytes([b]).decode("cp1252", errors="strict")
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(b)
+    for b in _MOJI_PAYLOAD.encode("utf-8")
+)
+
+
+def _q_fix_mojibake_documents(sf_dir):
+    """Encoding repair (normalize.fix_mojibake): each document's ASCII prefix
+    gets the garbled (UTF-8-read-as-cp1252) payload appended; the repaired
+    output must equal prefix + clean payload, which DuckDB builds directly
+    from chr() codepoints — bit-exact parity or the hash fails."""
+    from dedupe_examples_ray.normalize import fix_mojibake
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        base = pc.replace_substring_regex(
+            pc.utf8_slice_codeunits(txt, 0, 40), r"[^\x00-\x7F]", "")
+        mixed = pc.binary_join_element_wise(base, _MOJI_GARBLED, "")
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fixed_text": fix_mojibake(mixed)})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_trimmed_mean_orders(sf_dir):
     """Per-priority 10%-trimmed mean of order totals (drop-k robust mean:
     floor(0.1*n) smallest and largest dropped per group — exactly the
@@ -3059,6 +3092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_order_price": _q_mad_order_price,
         "trimmed_mean_orders": _q_trimmed_mean_orders,
         "nfc_normalize_documents": _q_nfc_normalize_documents,
+        "fix_mojibake_documents": _q_fix_mojibake_documents,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
@@ -4014,6 +4048,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "nfc_normalize(substring(COALESCE(text, ''), 1, 30) || ' cafe' || "
             "chr(769) || ' nin' || chr(771) || 'o') AS nfc_text FROM documents"
+        ),
+        "fix_mojibake_documents": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "regexp_replace(substring(COALESCE(text, ''), 1, 40), "
+            "'[^\\x00-\\x7F]', '', 'g') || ' caf' || chr(233) || ' ' || "
+            "chr(241) || 'i' || chr(241) || 'o ' || chr(8220) || 'quote' || "
+            "chr(8364) || ' ' || chr(8212) || ' na' || chr(239) || 've' || "
+            "chr(8230) AS fixed_text FROM documents"
         ),
         "trimmed_mean_orders": (
             "WITH r AS (SELECT o_orderpriority, o_totalprice, "

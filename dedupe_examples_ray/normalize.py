@@ -309,3 +309,92 @@ def unicode_normalize(arr, form: str = "NFC", strip_marks: bool = False):
     out = arr.to_numpy(zero_copy_only=False).astype(object)
     out[idx] = fixed.to_numpy(zero_copy_only=False)
     return pa.array(out, pa.string(), from_pandas=True)
+
+
+# UTF-8 bytes misread as windows-1252 leave a lead char in C2-C5/E2 (the
+# misdecoded UTF-8 lead byte) followed by a misdecoded continuation byte:
+# either a Latin-1 char in U+00A0-U+00BF or one of the 27 cp1252 punctuation
+# mappings of 0x80-0x9F (plus the five C1 passthrough holes).  Genuine text
+# almost never pairs these; the repair is additionally gated on the cp1252
+# round-trip decoding as VALID UTF-8, which random real text fails.
+_MOJIBAKE_SIG_RE = (
+    "[\u00C2-\u00C5\u00E2]"
+    "[\u00A0-\u00BF\u20AC\u201A\u0192\u201E\u2026\u2020\u2021"
+    "\u02C6\u2030\u0160\u2039\u0152\u017D\u2018\u2019\u201C"
+    "\u201D\u2022\u2013\u2014\u02DC\u2122\u0161\u203A\u0153"
+    "\u017E\u0178\u0081\u008D\u008F\u0090\u009D]"
+)
+
+
+def _sloppy_cp1252_bytes(s: str) -> bytes:
+    """Encode back to the byte stream a cp1252 misdecode produced.
+
+    cp1252 leaves five bytes unmapped (0x81 0x8D 0x8F 0x90 0x9D); browsers
+    (WHATWG windows-1252) pass them through as the C1 controls U+0081 etc.,
+    so the reverse map falls back to latin-1 for exactly those codepoints.
+    """
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in s:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o > 0xFF:        # genuinely non-cp1252 text: not mojibake
+                    raise
+                out.append(o)
+        return bytes(out)
+
+
+def fix_mojibake(arr, max_passes: int = 3):
+    """Repair UTF-8-decoded-as-cp1252 mojibake ('cafÃ©' -> 'café').
+
+    The single most common encoding corruption in web crawls: a UTF-8 byte
+    stream decoded under windows-1252 (the core case of the public ftfy
+    tool — algorithmic idea only, no code reuse).  A row is touched ONLY if
+    (a) it matches a two-char mojibake signature (see _MOJIBAKE_SIG_RE) and
+    (b) re-encoding it to cp1252 (WHATWG-sloppy: latin-1 fallback for the
+    five unmapped C1 holes) yields bytes that decode as VALID UTF-8.
+    Random genuine text fails (b) with overwhelming probability
+    (continuation-byte structure), so the repair is effectively one-way.
+    Up to ``max_passes`` rounds unwind double/triple encoding.  ASCII rows
+    pass through zero-copy; NULLs pass.
+
+    Vectorization: one Arrow regex kernel flags candidate rows; only that
+    (tiny, on real crawls) minority routes through the per-row C-level
+    codec round-trip.
+    """
+    import re
+
+    import numpy as np
+
+    sig = re.compile(_MOJIBAKE_SIG_RE)
+
+    def _fix_one(s: str) -> str:
+        for _ in range(max_passes):
+            if not sig.search(s):
+                break
+            try:
+                dec = _sloppy_cp1252_bytes(s).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                break
+            if dec == s:
+                break
+            s = dec
+        return s
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.string())
+    cand = pc.fill_null(
+        pc.match_substring_regex(arr, _MOJIBAKE_SIG_RE), False
+    ).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(cand)
+    if len(idx) == 0:
+        return arr
+    sub = arr.take(pa.array(idx, pa.int64())).to_pylist()
+    out = arr.to_numpy(zero_copy_only=False).astype(object)
+    out[idx] = [_fix_one(s) for s in sub]
+    return pa.array(out, pa.string(), from_pandas=True)

@@ -129,3 +129,30 @@ def test_unicode_normalize_forms_and_strip_marks():
     assert sm == ["cafe nino", "hindi"]
     with pytest.raises(ValueError):
         unicode_normalize(pa.array(["a"]), "NFX")
+
+
+def test_fix_mojibake():
+    """Single and double cp1252 mojibake repair; genuine text untouched."""
+    import pyarrow as pa
+
+    from dedupe_examples_ray.normalize import fix_mojibake
+
+    orig = "café ñiño “quote€ — naïve…"
+
+    def sloppy(bs):  # browser-style windows-1252 decode (C1 passthrough)
+        return "".join(
+            bytes([b]).decode("cp1252")
+            if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else chr(b)
+            for b in bs)
+
+    moji = sloppy(orig.encode("utf-8"))
+    double = sloppy(moji.encode("utf-8"))
+    genuine = ["plain", None, "SÃO PAULO não", "Ã",
+               "café… genuine", "АБВ"]
+    got = fix_mojibake(pa.array([moji, double, orig] + genuine)).to_pylist()
+    assert got[0] == got[1] == got[2] == orig
+    assert got[3:] == genuine
+    # chunked input, empty array, all-ASCII zero-copy path
+    assert fix_mojibake(pa.chunked_array([[moji], [None]])).to_pylist() == [orig, None]
+    assert fix_mojibake(pa.array([], pa.string())).to_pylist() == []
+    assert fix_mojibake(pa.array(["abc"])).to_pylist() == ["abc"]
