@@ -2665,6 +2665,19 @@ def _q_fix_mojibake_documents(sf_dir):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def _q_pmi_pairs_documents(sf_dir):
+    """Within-document token co-occurrence PMI (ops.textstats.pmi_token_pairs,
+    Church & Hanks 1990 collocation measure): distinct per-doc lowercase
+    alnum tokens >= 3 chars, vocabulary df >= 10, pairs with n_ab >= 5,
+    docs capped at 200 qualifying tokens (the explicit quadratic bound,
+    mirrored in the oracle's HAVING)."""
+    from dedupe_examples_ray.ops.textstats import pmi_token_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pmi_token_pairs(docs, min_df=10, min_pair=5, max_doc_tokens=200)
+    return out.to_pandas().sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
 def _q_trimmed_mean_orders(sf_dir):
     """Per-priority 10%-trimmed mean of order totals (drop-k robust mean:
     floor(0.1*n) smallest and largest dropped per group — exactly the
@@ -3093,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_orders": _q_trimmed_mean_orders,
         "nfc_normalize_documents": _q_nfc_normalize_documents,
         "fix_mojibake_documents": _q_fix_mojibake_documents,
+        "pmi_pairs_documents": _q_pmi_pairs_documents,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
@@ -4056,6 +4070,26 @@ def oracle_sql() -> dict[str, str]:
             "chr(241) || 'i' || chr(241) || 'o ' || chr(8220) || 'quote' || "
             "chr(8364) || ' ' || chr(8212) || ' na' || chr(239) || 've' || "
             "chr(8230) AS fixed_text FROM documents"
+        ),
+        "pmi_pairs_documents": (
+            "WITH toks AS (SELECT DISTINCT doc_id, t AS tok FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(COALESCE(text, "
+            "'')), '[^a-z0-9]+')) AS t FROM documents) u WHERE length(t) >= 3"
+            "), df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok), "
+            "vocab AS (SELECT tok, df FROM df WHERE df >= 10), "
+            "vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)), "
+            "ok_docs AS (SELECT doc_id FROM vt GROUP BY doc_id "
+            "HAVING COUNT(*) <= 200), "
+            "pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab "
+            "FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok "
+            "JOIN ok_docs d ON a.doc_id = d.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 5) "
+            "SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab, "
+            "ROUND(LN(n_ab * (SELECT COUNT(*) FROM documents) * 1.0 / "
+            "(da.df * db.df)), 6) AS pmi "
+            "FROM pairs JOIN vocab da ON pairs.tok_a = da.tok "
+            "JOIN vocab db ON pairs.tok_b = db.tok "
+            "ORDER BY tok_a, tok_b"
         ),
         "trimmed_mean_orders": (
             "WITH r AS (SELECT o_orderpriority, o_totalprice, "

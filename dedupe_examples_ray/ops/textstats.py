@@ -874,3 +874,231 @@ def gopher_rules(ds, text_col: str = "text", min_words: int = 50,
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _alnum_doc_tokens(t: pa.Table, text_col: str, min_len: int):
+    """(parents, flat) DISTINCT-per-document lowercase alnum tokens of at
+    least ``min_len`` chars — the regexp_split_to_array(lower(text),
+    '[^a-z0-9]+') convention the PMI oracle uses."""
+    import pandas as pd
+
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(pc.cast(arr, pa.string()), ""))
+    lists = pc.split_pattern_regex(low, r"[^a-z0-9]+")
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    keep = pd.Series(flat).str.len().to_numpy() >= min_len
+    parents, flat = parents[keep], flat[keep]
+    if len(flat) == 0:
+        return parents, flat
+    dd = pd.DataFrame({"p": parents, "t": flat}).drop_duplicates()
+    return dd["p"].to_numpy(), dd["t"].to_numpy(dtype=object)
+
+
+def _emit_doc_pairs(parents, tokens, max_doc_tokens: int):
+    """All unordered within-doc token pairs (a < b), docs with more than
+    ``max_doc_tokens`` qualifying tokens excluded (the explicit quadratic
+    bound — mirrored by the oracle's HAVING).  Input need not be sorted."""
+    import pandas as pd
+
+    if len(parents) == 0:
+        return np.array([], object), np.array([], object)
+    order = np.lexsort((tokens, parents))
+    p, tk = parents[order], tokens[order]
+    starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+    ends = np.r_[starts[1:], len(p)]
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2 or k > max_doc_tokens:
+            continue
+        i, j = np.triu_indices(k, 1)
+        a_parts.append(tk[s + i])
+        b_parts.append(tk[s + j])
+    if not a_parts:
+        return np.array([], object), np.array([], object)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _pmi_pair_partial_batch(t: pa.Table, *, vocab_ref, text_col, min_len,
+                            max_doc_tokens):
+    """Per-batch combiner: within-doc vocab-token pairs -> partial counts.
+    Vocab membership comes from the broadcast (token) table, built into a
+    per-worker pd.Index once per vocab (same memo pattern as _xent_batch)."""
+    import pandas as pd
+    import ray
+
+    empty = pa.table({"tok_a": pa.array([], pa.string()),
+                      "tok_b": pa.array([], pa.string()),
+                      "n_ab": pa.array([], pa.int64())})
+    key = ("pmi", vocab_ref.hex())
+    cached = _VOCAB_CACHE.get(key)
+    if cached is None:
+        vt = ray.get(vocab_ref)
+        cached = pd.Index(vt["token"].to_numpy(zero_copy_only=False))
+        if len(_VOCAB_CACHE) >= 4:
+            _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
+        _VOCAB_CACHE[key] = cached
+    parents, flat = _alnum_doc_tokens(t, text_col, min_len)
+    if len(flat) == 0:
+        return empty
+    member = cached.get_indexer(flat) >= 0
+    a, b = _emit_doc_pairs(parents[member], flat[member], max_doc_tokens)
+    if len(a) == 0:
+        return empty
+    cnt = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"], sort=False).size()
+    lv = cnt.index
+    return pa.table({"tok_a": pa.array(lv.get_level_values(0), pa.string()),
+                     "tok_b": pa.array(lv.get_level_values(1), pa.string()),
+                     "n_ab": pa.array(cnt.to_numpy(), pa.int64())})
+
+
+def pmi_token_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                    min_len: int = 3, min_df: int = 5, min_pair: int = 5,
+                    max_doc_tokens: int = 200, method: str = "auto",
+                    round_digits: int = 6, num_buckets: int | None = None):
+    """Corpus-wide pointwise mutual information over within-document token
+    co-occurrence (Church & Hanks 1990): for distinct per-doc lowercase
+    alnum tokens, ``pmi(a,b) = ln(n_ab * N / (df_a * df_b))`` with N = total
+    documents.  The standard collocation / phrase-mining signal.
+
+    Scale shape: pass 1 is the Zipf-compressed DF shuffle
+    (``unigram-style`` combiner); pass 2 emits within-doc pairs ONLY for
+    tokens with ``df >= min_df`` and docs with at most ``max_doc_tokens``
+    qualifying tokens — both bounds are explicit and mirrored in the SQL
+    oracle, so no hot document or stopword-free vocabulary can go
+    quadratic.  Per-batch partial counts collapse each batch to distinct
+    pairs before the ONE pair shuffle; final DF attach is a big-big
+    ``hash_join`` on token (never a vocabulary broadcast of counts).
+
+    ``method="broadcast"`` ships the vocab token set once via ``ray.put``
+    (bytes = O(vocab), bounded by ``_VOCAB_BROADCAST_BUDGET``);
+    ``method="join"`` is the giant-vocab tier: distinct (doc, token) rows
+    semi-join the vocab, then pair emission runs inside hash buckets of
+    ``id_col`` (``bucketed_by_key``).  Both emit identical tables.
+    """
+    import pandas as pd
+    import ray
+
+    from ..relational import grouped_sum, hash_join
+
+    # pass 1: document frequency over distinct per-doc tokens
+    def df_partial(t: pa.Table) -> pa.Table:
+        _, flat = _alnum_doc_tokens(t, text_col, min_len)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        counts = pd.Series(flat).value_counts()
+        return pa.table({"token": pa.array(counts.index.to_numpy(), pa.string()),
+                         "df": pa.array(counts.to_numpy(), pa.int64())})
+
+    df_ds = grouped_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"], {"df": "df"})
+    _df_schema = pa.table({"token": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64())})
+
+    def _min_df_filter(t: pa.Table) -> pa.Table:
+        if "df" not in t.column_names:  # schemaless empty-corpus block
+            return _df_schema
+        return t.filter(pc.greater_equal(t["df"], int(min_df)))
+
+    vocab_ds = df_ds.map_batches(_min_df_filter, batch_format="pyarrow")
+    n_docs = ds.count()
+
+    n_vocab = vocab_ds.count()
+    if n_vocab == 0:  # fully empty / all-rare corpus: typed empty result
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table(
+            {"tok_a": pa.array([], pa.string()),
+             "tok_b": pa.array([], pa.string()),
+             "n_ab": pa.array([], pa.int64()),
+             "pmi": pa.array([], pa.float64())}))
+    if method == "auto":
+        method = ("broadcast" if n_vocab <= _VOCAB_BROADCAST_BUDGET
+                  else "join")
+
+    if method == "broadcast":
+        vocab = pa.concat_tables(
+            [ray.get(r) for r in vocab_ds.to_arrow_refs()],
+            promote_options="default").combine_chunks()
+        if "token" not in vocab.column_names:  # fully empty corpus
+            vocab = _df_schema
+        vocab_ref = ray.put(pa.table({"token": vocab["token"]}))
+        pair_partials = ds.map_batches(
+            _pmi_pair_partial_batch,
+            fn_kwargs=dict(vocab_ref=vocab_ref, text_col=text_col,
+                           min_len=min_len, max_doc_tokens=max_doc_tokens),
+            batch_format="pyarrow")
+    elif method == "join":
+        from ..windows import bucketed_by_key
+
+        def explode(t: pa.Table) -> pa.Table:
+            parents, flat = _alnum_doc_tokens(t, text_col, min_len)
+            return pa.table(
+                {id_col: t[id_col].take(pa.array(parents, pa.int64())),
+                 "token": pa.array(flat, pa.string())})
+
+        inst = ds.select_columns([id_col, text_col]).map_batches(
+            explode, batch_format="pyarrow")
+        vt = hash_join(inst, vocab_ds, on="token").select_columns(
+            [id_col, "token"])
+
+        def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            # id_col values keep doc integrity inside one bucket
+            codes, _ = pd.factorize(df[id_col], sort=False)
+            a, b = _emit_doc_pairs(codes,
+                                   df["token"].to_numpy(dtype=object),
+                                   max_doc_tokens)
+            if len(a) == 0:
+                return pd.DataFrame({"tok_a": pd.Series([], dtype=str),
+                                     "tok_b": pd.Series([], dtype=str),
+                                     "n_ab": pd.Series([], dtype="int64")})
+            cnt = (pd.DataFrame({"tok_a": a, "tok_b": b})
+                   .groupby(["tok_a", "tok_b"], sort=False).size()
+                   .rename("n_ab").reset_index())
+            return cnt
+
+        pair_partials = bucketed_by_key(
+            vt, id_col, bucket_pairs,
+            num_buckets=num_buckets or 256)
+    else:
+        raise ValueError(f"method must be auto/broadcast/join, got {method!r}")
+
+    pairs = grouped_sum(pair_partials, ["tok_a", "tok_b"], {"n_ab": "n_ab"})
+    _pair_schema = pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n_ab": pa.array([], pa.int64())})
+
+    def _min_pair_filter(t: pa.Table) -> pa.Table:
+        if "n_ab" not in t.column_names:
+            return _pair_schema
+        return t.filter(pc.greater_equal(t["n_ab"], int(min_pair)))
+
+    pairs = pairs.map_batches(_min_pair_filter, batch_format="pyarrow")
+
+    # DF attach: two big-big hash joins on token (vocab never broadcast with
+    # counts); PMI finishes vectorized.
+    da = vocab_ds.map_batches(
+        lambda t: pa.table({"tok_a": t["token"], "df_a": t["df"]}),
+        batch_format="pyarrow")
+    db = vocab_ds.map_batches(
+        lambda t: pa.table({"tok_b": t["token"], "df_b": t["df"]}),
+        batch_format="pyarrow")
+    joined = hash_join(hash_join(pairs, da, on="tok_a"), db, on="tok_b")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfa = t["df_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfb = t["df_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(n_ab * float(n_docs) / (dfa * dfb))
+        if round_digits is not None:
+            pmi = np.round(pmi, round_digits)
+        return pa.table({"tok_a": t["tok_a"], "tok_b": t["tok_b"],
+                         "n_ab": pc.cast(t["n_ab"], pa.int64()),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

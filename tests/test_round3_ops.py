@@ -1027,3 +1027,46 @@ def test_grouped_trimmed_mean_dropk(ray_session):
 
     with pytest.raises(ValueError):
         grouped_trimmed_mean(rd.from_arrow(t), ["k"], "v", trim=0.5)
+
+
+def test_pmi_token_pairs_tiers_and_caps(ray_session):
+    """Broadcast and join tiers emit identical PMI tables; the hot-doc cap
+    excludes an over-cap document's pairs; min_df prunes rare tokens."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.textstats import pmi_token_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": range(7),
+        "text": ["the quick brown fox jumps", "the quick brown dog runs",
+                 "quick brown foxes and dogs", "alpha beta gamma",
+                 "alpha beta delta", None,
+                 # hot doc: many tokens — excluded when max_doc_tokens < 6
+                 "alpha beta quick brown the gamma delta extra more toks"],
+    })
+    ds = rd.from_pandas(docs)
+    kw = dict(min_df=2, min_pair=2)
+    out_b = (pmi_token_pairs(ds, method="broadcast", **kw).to_pandas()
+             .sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+    out_j = (pmi_token_pairs(ds, method="join", **kw).to_pandas()
+             .sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+    assert out_b.equals(out_j)
+    # hot doc (7 qualifying tokens) participates at the default cap...
+    row = out_b[(out_b.tok_a == "brown") & (out_b.tok_b == "quick")]
+    assert row["n_ab"].iloc[0] == 4
+    # ...and is excluded below it: quick&brown co-occur 3x, df 4 each, N=7
+    capped = (pmi_token_pairs(ds, max_doc_tokens=6, **kw).to_pandas()
+              .sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+    row = capped[(capped.tok_a == "brown") & (capped.tok_b == "quick")]
+    assert row["n_ab"].iloc[0] == 3
+    assert abs(row["pmi"].iloc[0] - round(math.log(3 * 7 / 16), 6)) < 1e-9
+    # min_df prunes: 'fox'/'dog' appear once -> never in any pair
+    assert not set(capped.tok_a) & {"fox", "dog"}
+    # empty corpus
+    empty = pmi_token_pairs(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [None]})),
+        **kw).to_pandas()
+    assert len(empty) == 0
