@@ -2678,6 +2678,34 @@ def _q_pmi_pairs_documents(sf_dir):
     return out.to_pandas().sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
 
 
+def _q_cdc_dedup_documents(sf_dir):
+    """Content-defined chunking storage-dedup audit (ops.corpus.cdc_chunk,
+    FastCDC-shaped Gear rolling hash): the corpus is unioned with a
+    1-byte-prefix-shifted clone of itself, so the in-query invariant is
+    checkable — content-defined boundaries must re-align after the shift
+    and the chunk-level dedup ratio must approach 2 (fixed-size chunking
+    would stay near 1).  Not SQL-expressible (rolling hash); rows-only."""
+    from dedupe_examples_ray.ops.corpus import cdc_dedup_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clone_shift(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "doc_id": pc.add(pc.cast(t["doc_id"], pa.int64()), 10_000_000),
+            "text": pc.binary_join_element_wise("X", txt, ""),
+        })
+
+    both = docs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "text": pc.cast(t["text"], pa.string())}),
+        batch_format="pyarrow").union(
+        docs.map_batches(clone_shift, batch_format="pyarrow"))
+    stats = cdc_dedup_stats(both, avg_size=128)
+    stats["invariant_ok"] = bool(stats["dedup_ratio"].iloc[0] > 1.6)
+    return stats
+
+
 def _q_trimmed_mean_orders(sf_dir):
     """Per-priority 10%-trimmed mean of order totals (drop-k robust mean:
     floor(0.1*n) smallest and largest dropped per group — exactly the
@@ -3152,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "quality_filter_train": _q_quality_filter_train,
         "pagerank_hosts": _q_pagerank_hosts,
+        "cdc_dedup_documents": _q_cdc_dedup_documents,
     }
 
 

@@ -1372,3 +1372,188 @@ def dedup_lines(ds, text_col: str = "text", out_col: str = "dedup_text"):
                                pa.array(n_lines - kept, pa.int64())))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-shaped Gear rolling hash)
+# ---------------------------------------------------------------------------
+
+_GEAR_TABLE: np.ndarray | None = None
+
+
+def _gear_table() -> np.ndarray:
+    """256 fixed random uint64 gear values (deterministic seed) — the Gear
+    hash lookup table (Xia et al., FastCDC, USENIX ATC 2016; algorithmic
+    idea only).  Built once per process."""
+    global _GEAR_TABLE
+    if _GEAR_TABLE is None:
+        rng = np.random.default_rng(0x9E3779B97F4A7C15)
+        # full-range values: low bits must be uniform or the boundary test
+        # (h & mask == 0) degenerates (e.g. all-odd gears make h always odd)
+        _GEAR_TABLE = rng.integers(0, 2**64, size=256, dtype=np.uint64,
+                                   endpoint=False)
+    return _GEAR_TABLE
+
+
+def _gear_hashes(gvals: np.ndarray) -> np.ndarray:
+    """Rolling Gear hash h[i] = (h[i-1] << 1) + gear[b[i]] over a gear-mapped
+    byte array — vectorized as the closed form h[i] = sum_{k<64}
+    gear[b[i-k]] << k (older terms overflow out of uint64), i.e. 64 shifted
+    vector adds instead of a per-byte Python loop."""
+    n = len(gvals)
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(64):
+        if k >= n:
+            break
+        term = gvals[: n - k] << np.uint64(k)
+        h[k:] += term
+    return h
+
+
+def cdc_chunk(ds, text_col: str = "text", id_col: str = "doc_id",
+              avg_size: int = 256, min_size: int | None = None,
+              max_size: int | None = None):
+    """Content-defined chunking: split each document's UTF-8 bytes at Gear
+    rolling-hash boundaries (``h & (avg_size-1) == 0``) with FastCDC-style
+    min/max bounds — the storage-dedup primitive whose boundaries survive
+    byte insertions (unlike fixed-size ``chunk_text``, where one inserted
+    byte shifts every later chunk).
+
+    Emits one row per chunk: ``(id, chunk_idx, start, length, chunk_hash)``
+    with ``chunk_hash`` a uint64 content hash — ready for an exact-dedup
+    groupby to measure cross-corpus redundancy at sub-document granularity.
+
+    Scale shape: pure per-batch map (NO shuffle).  Within a batch all docs'
+    gear-mapped bytes are flattened with 63-zero-gear gaps so ONE 64-pass
+    vectorized sweep computes every rolling hash; only the sparse boundary
+    candidates (one per ~avg_size bytes) are walked in Python to enforce
+    min/max.  ``avg_size`` must be a power of two.
+    """
+    import pandas as pd
+
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    min_size = max(1, avg_size // 4) if min_size is None else min_size
+    max_size = avg_size * 4 if max_size is None else max_size
+    if not (1 <= min_size <= avg_size <= max_size):
+        raise ValueError("need 1 <= min_size <= avg_size <= max_size")
+    mask = np.uint64(avg_size - 1)
+    gear = _gear_table()
+    gap = 63
+
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "chunk_idx": pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64()),
+        "length": pa.array([], pa.int64()),
+        "chunk_hash": pa.array([], pa.uint64()),
+    })
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = _col(t, id_col)
+        txt = pc.fill_null(pc.cast(_col(t, text_col), pa.string()), "")
+        raw = [s.encode("utf-8") for s in txt.to_pylist()]
+        lens = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+        if lens.sum() == 0:
+            return empty
+        # flatten with zero-gear gaps: no cross-document hash contamination
+        total = int(lens.sum()) + gap * len(raw)
+        gvals = np.zeros(total, dtype=np.uint64)
+        doc_off = np.zeros(len(raw), dtype=np.int64)
+        pos = 0
+        for i, b in enumerate(raw):
+            doc_off[i] = pos
+            if b:
+                gvals[pos:pos + len(b)] = gear[np.frombuffer(b, np.uint8)]
+            pos += len(b) + gap
+        h = _gear_hashes(gvals)
+        is_cand = (h & mask) == np.uint64(0)
+
+        out_id, out_start, out_len, out_bytes = [], [], [], []
+        for i, b in enumerate(raw):
+            n = lens[i]
+            if n == 0:
+                continue
+            # candidate CUT positions (chunk ends, exclusive) local to doc
+            cand = np.flatnonzero(
+                is_cand[doc_off[i]:doc_off[i] + n]) + 1
+            pos_l = 0
+            while pos_l < n:
+                lo, hi = pos_l + min_size, pos_l + max_size
+                j = np.searchsorted(cand, lo, side="left")
+                nxt = int(cand[j]) if j < len(cand) and cand[j] <= hi else hi
+                nxt = min(nxt, n)
+                if n - nxt < min_size:   # don't strand a sub-min tail
+                    nxt = n
+                out_id.append(i)
+                out_start.append(pos_l)
+                out_len.append(nxt - pos_l)
+                out_bytes.append(b[pos_l:nxt])
+                pos_l = nxt
+        if not out_id:
+            return empty
+        idx = np.asarray(out_id, np.int64)
+        starts = np.asarray(out_start, np.int64)
+        chunk_idx = np.arange(len(idx), dtype=np.int64)
+        first = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        chunk_idx = chunk_idx - np.repeat(chunk_idx[first],
+                                          np.diff(np.r_[first, len(idx)]))
+        # latin-1 round-trips arbitrary bytes to str: the str path of
+        # hash_array is keyed siphash (deterministic across workers), while
+        # raw bytes objects can fall back to the salted builtin hash()
+        hashes = pd.util.hash_array(
+            np.array([b.decode("latin-1") for b in out_bytes],
+                     dtype=object)).astype(np.uint64)
+        return pa.table({
+            id_col: pc.cast(ids, pa.int64()).take(pa.array(idx, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "length": pa.array(np.asarray(out_len, np.int64), pa.int64()),
+            "chunk_hash": pa.array(hashes, pa.uint64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cdc_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                    avg_size: int = 256, **kw):
+    """Corpus-level CDC storage-dedup summary: total chunks/bytes vs
+    distinct chunks/bytes (one combiner-shaped shuffle over chunk_hash) —
+    the 'how much would content-addressed storage save' number."""
+    from ..relational import grouped_sum
+
+    chunks = cdc_chunk(ds, text_col, id_col, avg_size=avg_size, **kw)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"chunk_hash": t["chunk_hash"],
+                         "length": t["length"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_hash = grouped_sum(
+        chunks.map_batches(partial, batch_format="pyarrow"),
+        ["chunk_hash"], {"length": "tot_bytes", "n": "n"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        tot = t["tot_bytes"].to_numpy(zero_copy_only=False)
+        uniq_bytes = tot / np.maximum(n, 1)  # all copies of a hash same len
+        return pa.table({
+            "total_chunks": pa.array([int(n.sum())], pa.int64()),
+            "distinct_chunks": pa.array([t.num_rows], pa.int64()),
+            "total_bytes": pa.array([int(tot.sum())], pa.int64()),
+            "distinct_bytes": pa.array([int(uniq_bytes.sum())], pa.int64()),
+        })
+
+    # per-block partials then one tiny driver-side reduce
+    parts = per_hash.map_batches(finish, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    if len(parts) == 0:
+        return pd.DataFrame({"total_chunks": [0], "distinct_chunks": [0],
+                             "total_bytes": [0], "distinct_bytes": [0],
+                             "dedup_ratio": [1.0]})
+    agg = parts.sum().to_frame().T
+    agg["dedup_ratio"] = round(
+        float(agg["total_bytes"].iloc[0])
+        / max(float(agg["distinct_bytes"].iloc[0]), 1.0), 6)
+    return agg.reset_index(drop=True)

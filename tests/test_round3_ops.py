@@ -1070,3 +1070,51 @@ def test_pmi_token_pairs_tiers_and_caps(ray_session):
         rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [None]})),
         **kw).to_pandas()
     assert len(empty) == 0
+
+
+def test_cdc_chunk_invariants(ray_session):
+    """Content-defined chunking: reconstruction, min/max bounds, boundary
+    shift-resistance under prefix and mid-document insertions, determinism,
+    null/empty docs, and the dedup-stats rollup."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.corpus import cdc_chunk, cdc_dedup_stats
+
+    rng = np.random.default_rng(7)
+    base = "".join(rng.choice(list("abcdefgh "), 4000))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [base, "X" + base,
+                 base[:2000] + "INSERTED" + base[2000:], None, ""],
+    })
+    ds = rd.from_pandas(docs)
+    ch = cdc_chunk(ds, avg_size=128).to_pandas()
+    assert set(ch.doc_id) == {0, 1, 2}  # null/empty docs emit nothing
+    for d in (0, 1, 2):
+        sub = ch[ch.doc_id == d].sort_values("chunk_idx")
+        assert sub["length"].sum() == len(docs.text[d].encode())
+        assert (sub["start"].to_numpy()[1:]
+                == (sub["start"] + sub["length"]).to_numpy()[:-1]).all()
+        assert sub["length"].min() >= 1 and sub["length"].max() <= 512
+        assert (sub["chunk_idx"].to_numpy() == np.arange(len(sub))).all()
+    h0 = set(ch[ch.doc_id == 0].chunk_hash)
+    h1 = set(ch[ch.doc_id == 1].chunk_hash)
+    h2 = set(ch[ch.doc_id == 2].chunk_hash)
+    assert len(h0 & h1) / len(h0) > 0.6   # 1-byte prefix insert re-aligns
+    assert len(h0 & h2) / len(h0) > 0.6   # mid-document insert re-aligns
+    # determinism across separate pipeline runs (worker processes differ)
+    ch2 = cdc_chunk(ds, avg_size=128).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    assert ch.sort_values(key).reset_index(drop=True).equals(
+        ch2.sort_values(key).reset_index(drop=True))
+    stats = cdc_dedup_stats(ds, avg_size=128)
+    assert stats["dedup_ratio"].iloc[0] > 2.0
+    assert stats["total_bytes"].iloc[0] == 4000 + 4001 + 4008
+    # param validation
+    import pytest
+    with pytest.raises(ValueError):
+        cdc_chunk(ds, avg_size=100)
+    with pytest.raises(ValueError):
+        cdc_chunk(ds, avg_size=128, min_size=256, max_size=200)
