@@ -2144,6 +2144,49 @@ def _q_pagerank_hosts(sf_dir):
     })
 
 
+def _q_hits_hosts(sf_dir):
+    """HITS hubs/authorities (ops.graph.hits) over the same deterministic
+    mirror->canonical->hub link graph as pagerank_hosts.  In-query
+    invariants: the corpus hub host is the top AUTHORITY (everything flows
+    to it), some mirror is the top hub, both tiers agree (parity asserted
+    in pytest), and both score vectors are unit-L2."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import add_url_host, hits
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    pages = add_url_host(synth_pages_dataset(n, seed=42), url_col="url",
+                         out_col="host")
+    df = pages.select_columns(["host", "true_id"]).to_pandas()
+    canon = df.groupby("true_id")["host"].min()
+    hub = canon.loc[canon.index.min()]
+    edges = pd.DataFrame({
+        "src": df["host"].to_numpy(),
+        "dst": df["true_id"].map(canon).to_numpy()})
+    edges = pd.concat([
+        edges[edges["src"] != edges["dst"]],
+        pd.DataFrame({"src": canon.to_numpy(), "dst": hub}),
+    ], ignore_index=True)
+    edges = edges[edges["src"] != edges["dst"]]
+    scores = (hits(rd.from_pandas(edges).repartition(4), iters=10)
+              .to_pandas().sort_values("node").reset_index(drop=True))
+    n_hosts = pd.concat([edges["src"], edges["dst"]]).nunique()
+    assert len(scores) == n_hosts, "missing nodes"
+    assert abs(np.linalg.norm(scores["hub"]) - 1.0) < 1e-9
+    assert abs(np.linalg.norm(scores["authority"]) - 1.0) < 1e-9
+    top_auth = scores.loc[scores["authority"].idxmax(), "node"]
+    assert top_auth == hub, "corpus hub host must be the top authority"
+    return pd.DataFrame({
+        "n_hosts": [int(n_hosts)],
+        "n_edges": [int(len(edges))],
+        "top_authority_score": [round(float(scores["authority"].max()), 8)],
+        "norms_ok": [True],
+    })
+
+
 def _q_mix_sources_documents(sf_dir):
     """Dataset mixing: downsample three sources to a 3:1:1 token-budget ratio
     with integer-exact rates and md5-deterministic row selection — the
@@ -3181,6 +3224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_train": _q_quality_filter_train,
         "pagerank_hosts": _q_pagerank_hosts,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
+        "hits_hosts": _q_hits_hosts,
     }
 
 

@@ -36,6 +36,7 @@ from .classifier import (  # noqa: F401
     logreg_predict,
 )
 from .graph import (  # noqa: F401
+    hits,
     pagerank,
 )
 from .simjoin import (  # noqa: F401

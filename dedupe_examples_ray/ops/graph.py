@@ -147,3 +147,123 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
                           how="left", num_buckets=B).map_batches(
             update, batch_format="pyarrow").materialize()
     return ranks
+
+
+def _hits_numpy(src: np.ndarray, dst: np.ndarray, nodes: np.ndarray,
+                iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reference/driver kernel: dense hub/authority vectors, scatter-add
+    iterations with L2 normalization (Kleinberg, JACM 1999)."""
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    si = np.fromiter((idx[v] for v in src), np.int64, len(src))
+    di = np.fromiter((idx[v] for v in dst), np.int64, len(dst))
+    h = np.full(n, 1.0)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.bincount(di, weights=h[si], minlength=n)
+        a /= np.linalg.norm(a) or 1.0
+        h = np.bincount(si, weights=a[di], minlength=n)
+        h /= np.linalg.norm(h) or 1.0
+    return h, a
+
+
+def hits(edges, src_col: str = "src", dst_col: str = "dst", iters: int = 20,
+         driver_budget: int | None = None, force_tier: str | None = None,
+         num_buckets: int | None = None):
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over an edge
+    Dataset — the complement to ``pagerank`` for link-graph quality
+    signals: authorities are pages many good hubs point AT, hubs are pages
+    that point at many good authorities.
+
+    Update: ``a = A^T h; h = A a`` with L2 normalization each half-step —
+    power iteration toward the principal singular vectors of the adjacency
+    matrix.  Returns ``(node, hub, authority)`` covering every node.
+
+    Tiered exactly like ``pagerank``: a driver numpy kernel under the edge
+    byte budget; above it, each half-step is ONE big-big ``hash_join``
+    (ship scores onto edges, bucketed cogroup) + ONE combiner
+    ``grouped_sum``, and the L2 norm is a tiny scalar aggregate — neither
+    scores nor edges ever collect to the driver.  Parity-tested.
+    """
+    import ray.data as rd
+
+    from ..relational import distinct, grouped_sum, hash_join
+    from ..scale import resolve_buckets
+
+    budget = _DRIVER_PR_BUDGET if driver_budget is None else driver_budget
+    proj = edges.select_columns([src_col, dst_col]).materialize()
+    if proj.count() == 0:
+        raise ValueError("hits needs at least one edge")
+    tier = force_tier or (
+        "driver" if (proj.size_bytes() or budget + 1) <= budget else "stream")
+
+    if tier == "driver":
+        df = proj.to_pandas()
+        src = df[src_col].to_numpy()
+        dst = df[dst_col].to_numpy()
+        nodes = np.unique(np.concatenate((src, dst)))
+        h, a = _hits_numpy(src, dst, nodes, iters)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes),
+            "hub": pa.array(h, pa.float64()),
+            "authority": pa.array(a, pa.float64())}))
+
+    B = resolve_buckets(num_buckets, proj)
+
+    def srcs(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(t[src_col].combine_chunks())})
+
+    def dsts(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(t[dst_col].combine_chunks())})
+
+    nodes = distinct(
+        proj.map_batches(srcs, batch_format="pyarrow").union(
+            proj.map_batches(dsts, batch_format="pyarrow")), ["node"]
+    ).materialize()
+
+    def _norm(ds, col):
+        tot = ds.map_batches(
+            lambda t: pa.table({"sq": pc.multiply(t[col], t[col])}),
+            batch_format="pyarrow").sum("sq") or 0.0
+        return float(np.sqrt(tot)) or 1.0
+
+    def _propagate(scores, score_col, join_key, group_key, out_col):
+        """ship scores onto edges via join_key, sum per group_key."""
+        shipped = hash_join(
+            proj, scores, on=join_key, right_on="node", how="inner",
+            num_buckets=B).select_columns([group_key, score_col])
+        summed = grouped_sum(shipped, [group_key], {score_col: out_col})
+        # complete to the full node universe with zeros
+        full = hash_join(nodes, summed, on="node", right_on=group_key,
+                         how="left", num_buckets=B)
+
+        def fill(t: pa.Table) -> pa.Table:
+            v = t[out_col].to_numpy(zero_copy_only=False)
+            v = np.where(np.isnan(v), 0.0, v)
+            return pa.table({"node": t["node"],
+                             out_col: pa.array(v, pa.float64())})
+
+        return full.map_batches(fill, batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(
+        lambda t: t.append_column("hub", pa.array(
+            np.full(t.num_rows, 1.0), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    auth = None
+    for _ in range(iters):
+        auth = _propagate(hubs, "hub", src_col, dst_col, "authority")
+        na = _norm(auth, "authority")
+        auth = auth.map_batches(
+            lambda t, s=na: pa.table({
+                "node": t["node"],
+                "authority": pc.divide(t["authority"], s)}),
+            batch_format="pyarrow").materialize()
+        hubs = _propagate(auth, "authority", dst_col, src_col, "hub")
+        nh = _norm(hubs, "hub")
+        hubs = hubs.map_batches(
+            lambda t, s=nh: pa.table({
+                "node": t["node"], "hub": pc.divide(t["hub"], s)}),
+            batch_format="pyarrow").materialize()
+
+    return hash_join(hubs, auth, on="node", num_buckets=B)

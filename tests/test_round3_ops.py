@@ -1118,3 +1118,35 @@ def test_cdc_chunk_invariants(ray_session):
         cdc_chunk(ds, avg_size=100)
     with pytest.raises(ValueError):
         cdc_chunk(ds, avg_size=128, min_size=256, max_size=200)
+
+
+def test_hits_tiers_and_invariants(ray_session):
+    """HITS driver and streaming tiers agree to float tolerance and match
+    the textbook power iteration; hubs/authorities land where they should."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.graph import hits
+
+    edges = pd.DataFrame({"src": [0, 0, 0, 1, 1, 2, 10],
+                          "dst": [10, 11, 12, 10, 11, 10, 13]})
+    ds = rd.from_pandas(edges)
+    d = (hits(ds, iters=15, force_tier="driver").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    s = (hits(ds.repartition(3), iters=15, force_tier="stream").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    assert np.allclose(d["hub"], s["hub"], atol=1e-9)
+    assert np.allclose(d["authority"], s["authority"], atol=1e-9)
+    # node 0 points at all three authorities -> best hub; node 10 is cited
+    # by every hub -> best authority; L2 norms are 1
+    assert d.loc[d["hub"].idxmax(), "node"] == 0
+    assert d.loc[d["authority"].idxmax(), "node"] == 10
+    assert abs(np.linalg.norm(d["hub"]) - 1) < 1e-9
+    assert abs(np.linalg.norm(d["authority"]) - 1) < 1e-9
+    # a pure authority has hub ~0; a pure hub has authority 0
+    assert d.loc[d["node"] == 11, "hub"].iloc[0] < 1e-8
+    assert d.loc[d["node"] == 0, "authority"].iloc[0] < 1e-8
+    import pytest
+    with pytest.raises(ValueError):
+        hits(rd.from_pandas(pd.DataFrame({"src": [], "dst": []})))
