@@ -2749,6 +2749,20 @@ def _q_cdc_dedup_documents(sf_dir):
     return stats
 
 
+def _q_resample_locf_events(sf_dir):
+    """Regular-grid resampling with LOCF (windows.resample_locf): daily noon
+    grid over the events month, per user the latest observation at or
+    before each instant — DuckDB keys CROSS JOIN generate_series ASOF LEFT
+    JOIN obs."""
+    from dedupe_examples_ray.windows import resample_locf
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = resample_locf(ev, start="2024-01-01 12:00:00",
+                        end="2024-01-30 12:00:00", step_hours=24)
+    return (out.to_pandas().sort_values(["user_id", "gts"])
+            .reset_index(drop=True))
+
+
 def _q_trimmed_mean_orders(sf_dir):
     """Per-priority 10%-trimmed mean of order totals (drop-k robust mean:
     floor(0.1*n) smallest and largest dropped per group — exactly the
@@ -3178,6 +3192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_documents": _q_nfc_normalize_documents,
         "fix_mojibake_documents": _q_fix_mojibake_documents,
         "pmi_pairs_documents": _q_pmi_pairs_documents,
+        "resample_locf_events": _q_resample_locf_events,
         "quantile_disc_lineitem": _q_quantile_disc_lineitem,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "edit_sim_join_parts": _q_edit_sim_join_parts,
@@ -4163,6 +4178,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs JOIN vocab da ON pairs.tok_a = da.tok "
             "JOIN vocab db ON pairs.tok_b = db.tok "
             "ORDER BY tok_a, tok_b"
+        ),
+        "resample_locf_events": (
+            "WITH grid AS (SELECT unnest(generate_series("
+            "TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-30 12:00:00', "
+            "INTERVAL 24 HOUR)) AS gts), "
+            "obs AS (SELECT user_id, ts, MAX(value) AS value FROM events "
+            "GROUP BY user_id, ts), "
+            "keys AS (SELECT DISTINCT user_id FROM events) "
+            "SELECT k.user_id, g.gts, o.value "
+            "FROM keys k CROSS JOIN grid g "
+            "ASOF LEFT JOIN obs o ON k.user_id = o.user_id AND g.gts >= o.ts "
+            "ORDER BY k.user_id, g.gts"
         ),
         "trimmed_mean_orders": (
             "WITH r AS (SELECT o_orderpriority, o_totalprice, "

@@ -947,3 +947,54 @@ def cohort_retention(ds, key_col: str, ts_col: str,
     # pandas timedelta arithmetic upcasts to ns; pin the SQL-facing dtype
     out["cohort_week"] = out["cohort_week"].astype("datetime64[us]")
     return out
+
+
+def resample_locf(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    start: str = "2024-01-01 12:00:00",
+    end: str = "2024-01-30 12:00:00",
+    step_hours: int = 24,
+    out_ts: str = "gts",
+    out_val: str = "value",
+    num_buckets: int = 256,
+):
+    """Regular-time-grid resampling with last-observation-carried-forward:
+    for every key in the input and every grid instant in
+    ``[start, end]`` stepped by ``step_hours``, the value of the latest
+    observation at or before the instant (NULL before a key's first
+    observation) — DuckDB's ``keys CROSS JOIN generate_series ASOF LEFT
+    JOIN obs`` in one bucketed shuffle.
+
+    Duplicate ``(key, ts)`` observations collapse by MAX first (ASOF over
+    exact-tie timestamps is otherwise ambiguous in both engines — the
+    oracle mirrors the GROUP BY).  Inside each hash bucket the whole grid
+    resolves with ONE ``pd.merge_asof`` (C-level, vectorized across keys
+    via ``by=``); the grid replication factor (#instants per key) is
+    explicit and bounded by the parameters, never data-dependent.
+    """
+    grid = pd.date_range(start=start, end=end,
+                         freq=pd.Timedelta(hours=step_hours)).astype(
+        "datetime64[us]")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        obs = (df.groupby([key_col, ts_col], as_index=False)[val_col]
+               .max())
+        obs[ts_col] = obs[ts_col].astype("datetime64[us]")
+        keys = obs[key_col].drop_duplicates().to_numpy()
+        left = pd.DataFrame({
+            key_col: np.repeat(keys, len(grid)),
+            out_ts: np.tile(grid.to_numpy(), len(keys)),
+        }).sort_values(out_ts, kind="mergesort")
+        right = obs.sort_values(ts_col, kind="mergesort")
+        out = pd.merge_asof(left, right, left_on=out_ts, right_on=ts_col,
+                            by=key_col, direction="backward")
+        out = out[[key_col, out_ts, val_col]].rename(
+            columns={val_col: out_val})
+        return out.sort_values([key_col, out_ts], kind="mergesort")
+
+    prepared = ds.select_columns([key_col, ts_col, val_col])
+    return bucketed_by_key(prepared, key_col, per_bucket,
+                           num_buckets=num_buckets)

@@ -897,3 +897,35 @@ def test_grouped_approx_quantile_rank_bound(ray_session):
             # exact rank of the sketch value inside the key's sorted data
             rank = np.searchsorted(vk, r[name], side="right") / len(vk)
             assert abs(rank - q) <= eps + 2.0 / len(vk), (r["k"], name, rank)
+
+
+def test_resample_locf(ray_session):
+    """LOCF grid resampling: carried values, NULL before first obs,
+    duplicate-ts collapse by MAX, every key x instant present."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.windows import resample_locf
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": pd.to_datetime([
+            "2024-01-02 00:00:00", "2024-01-05 06:00:00",
+            "2024-01-05 06:00:00",           # duplicate ts -> MAX wins
+            "2024-01-01 12:00:00",           # exactly on a grid instant
+            "2024-01-03 18:00:00", "2024-01-20 00:00:00"]),
+        "value": [10.0, 7.0, 9.0, 1.0, 2.0, 3.0],
+    })
+    out = resample_locf(
+        rd.from_pandas(ev), start="2024-01-01 12:00:00",
+        end="2024-01-06 12:00:00", step_hours=24,
+    ).to_pandas().sort_values(["user_id", "gts"]).reset_index(drop=True)
+    assert len(out) == 2 * 6
+    u1 = out[out.user_id == 1]["value"].to_numpy()
+    # day1: no obs yet -> NaN; days2-4: 10; days5-6: max(7,9)=9
+    assert np.isnan(u1[0]) and (u1[1:4] == 10.0).all() and (u1[4:] == 9.0).all()
+    u2 = out[out.user_id == 2]["value"].to_numpy()
+    # grid-instant obs included (>= semantics): day1 = 1; the day-3 noon
+    # instant precedes that day's 18:00 obs, so 2.0 starts at day 4
+    assert (u2[:3] == 1.0).all() and (u2[3:] == 2.0).all()
