@@ -2144,6 +2144,40 @@ def _q_pagerank_hosts(sf_dir):
     })
 
 
+def _q_fuzzy_decontam_documents(sf_dir):
+    """Fuzzy (MinHash-LSH) decontamination (ops.corpus.fuzzy_decontaminate):
+    the eval set is built from 20 corpus documents with their first five
+    words removed — paraphrase-grade edits the exact 8-gram rule can miss.
+    In-query invariant: every planted source doc is recovered for its eval
+    item (20/20 recall at word-shingle Jaccard >= 0.6)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.corpus import fuzzy_decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pdf = docs.to_pandas()
+    pdf["text"] = pdf["text"].fillna("")
+    wc = pdf["text"].str.split().str.len()
+    planted = pdf[wc >= 40].nsmallest(20, "doc_id").reset_index(drop=True)
+    evals = pd.DataFrame({
+        "doc_id": planted["doc_id"].to_numpy() + 1_000_000,
+        "text": [" ".join(s.split()[5:]) for s in planted["text"]],
+    })
+    out = fuzzy_decontaminate(
+        docs, rd.from_pandas(evals), threshold=0.6).to_pandas()
+    hits = set(zip(out["doc_id"], out["eval_id"]))
+    want = {(d, d + 1_000_000) for d in planted["doc_id"]}
+    recall = len(want & hits) / len(want)
+    assert recall == 1.0, f"planted recall {recall}"
+    return pd.DataFrame({
+        "n_planted": [len(want)],
+        "planted_recall": [recall],
+        "n_matches": [int(len(out))],
+        "min_jac": [round(float(out["jac"].min()), 6)],
+    })
+
+
 def _q_hits_hosts(sf_dir):
     """HITS hubs/authorities (ops.graph.hits) over the same deterministic
     mirror->canonical->hub link graph as pagerank_hosts.  In-query
@@ -3240,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
         "hits_hosts": _q_hits_hosts,
+        "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
     }
 
 

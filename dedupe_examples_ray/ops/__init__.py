@@ -61,6 +61,7 @@ from .corpus import (  # noqa: F401
     host_stats,
     keep_latest,
     mix_sources,
+    fuzzy_decontaminate,
     ngram_decontaminate,
     normalize_url,
     paragraph_dedup,

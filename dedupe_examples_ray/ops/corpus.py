@@ -1557,3 +1557,121 @@ def cdc_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         float(agg["total_bytes"].iloc[0])
         / max(float(agg["distinct_bytes"].iloc[0]), 1.0), 6)
     return agg.reset_index(drop=True)
+
+
+def fuzzy_decontaminate(train_ds, eval_ds, text_col: str = "text",
+                        id_col: str = "doc_id", shingle: str = "word",
+                        k: int = 3, num_perm: int = 128,
+                        bands: int | None = None, threshold: float = 0.7,
+                        eval_budget_rows: int = 1_000_000):
+    """Fuzzy benchmark decontamination: MinHash+LSH NEAR-duplicate matches
+    between training documents and the evaluation set — catches the
+    paraphrased / lightly-edited leakage the exact n-gram rule
+    (:func:`ngram_decontaminate`) misses (the Llama/RefinedWeb-style fuzzy
+    train–test overlap pass).
+
+    Returns ``(doc_id, eval_id, jac)`` — one row per (train doc, eval doc)
+    pair whose exact shingle Jaccard >= ``threshold``, candidates generated
+    by shared LSH band keys (``bands=None`` picks the S-curve-optimal band
+    count for ``threshold`` via :func:`~.dedup.lsh_plan`).
+
+    Scale shape: mirrors ``ngram_decontaminate`` — the eval side is
+    benchmark-sized BY DEFINITION (enforced: > ``eval_budget_rows`` raises,
+    pointing at per-shard runs), so its band keys AND hashed shingle sets
+    are built once and broadcast via ``ray.put``; the training pass is one
+    streaming ``map_batches`` per batch doing a sorted-array band-key probe
+    (searchsorted, no Python dict) and exact verify only on the (rare)
+    LSH-colliding candidates.  NO shuffle, nothing corpus-sized anywhere.
+    """
+    import ray
+
+    from .dedup import (_get_broadcast, _hash_tokens, band_keys,
+                        batch_minhash_signatures, char_ngram_hashes,
+                        lsh_plan, word_shingles)
+
+    if bands is None:
+        bands, _ = lsh_plan(threshold, num_perm)
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def _shingle_set(text: str) -> np.ndarray:
+        if shingle == "word":
+            return np.unique(_hash_tokens(word_shingles(text or "", k)))
+        return np.unique(char_ngram_hashes(text or "", k))
+
+    def _band_codes(keys: np.ndarray) -> np.ndarray:
+        # (n, bands) int64 band keys -> uint64 codes mixing in the band idx
+        b = np.arange(keys.shape[1], dtype=np.uint64) * golden
+        return keys.astype(np.uint64) + b[None, :]
+
+    eval_tbl = eval_ds.select_columns([id_col, text_col]).to_pandas()
+    if len(eval_tbl) > eval_budget_rows:
+        raise ValueError(
+            f"eval side has {len(eval_tbl)} rows > budget {eval_budget_rows}"
+            " — fuzzy_decontaminate broadcasts the eval side (benchmark-"
+            "sized by definition); run per eval shard for larger sets")
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "eval_id": pa.array([], pa.int64()),
+                      "jac": pa.array([], pa.float64())})
+    if len(eval_tbl) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    etexts = eval_tbl[text_col].fillna("").tolist()
+    esigs = batch_minhash_signatures(etexts, shingle, k, num_perm)
+    ecodes = _band_codes(band_keys(esigs, bands)).ravel()
+    erows = np.repeat(np.arange(len(eval_tbl), dtype=np.int64), bands)
+    order = np.argsort(ecodes, kind="stable")
+    ecodes, erows = ecodes[order], erows[order]
+    esets = [_shingle_set(s) for s in etexts]
+    eids = eval_tbl[id_col].to_numpy()
+    ref = ray.put((ecodes, erows, eids, esets))
+
+    def probe(t: pa.Table) -> pa.Table:
+        codes_s, rows_s, ids_e, sets_e = _get_broadcast(ref)
+        texts = [s or "" for s in
+                 pc.cast(_col(t, text_col), pa.string()).to_pylist()]
+        if not texts:
+            return empty
+        sigs = batch_minhash_signatures(texts, shingle, k, num_perm)
+        pcode = _band_codes(band_keys(sigs, bands))      # (n, bands)
+        flat = pcode.ravel()
+        trow = np.repeat(np.arange(len(texts), dtype=np.int64), bands)
+        lo = np.searchsorted(codes_s, flat, side="left")
+        hi = np.searchsorted(codes_s, flat, side="right")
+        hit = hi > lo
+        if not hit.any():
+            return empty
+        # expand collision ranges -> (train_row, eval_row) candidates
+        cand_t, cand_e = [], []
+        for f, l, h in zip(trow[hit], lo[hit], hi[hit]):
+            cand_t.append(np.full(h - l, f, np.int64))
+            cand_e.append(rows_s[l:h])
+        ct = np.concatenate(cand_t)
+        ce = np.concatenate(cand_e)
+        uniq = np.unique(ct * np.int64(len(ids_e)) + ce)
+        ct, ce = uniq // len(ids_e), uniq % len(ids_e)
+        ids_t = _col(t, id_col).to_numpy(zero_copy_only=False)
+        out_t, out_e, out_j = [], [], []
+        cache: dict = {}
+        for ti, ei in zip(ct, ce):
+            a = cache.get(ti)
+            if a is None:
+                a = _shingle_set(texts[ti])
+                cache[ti] = a
+            b = sets_e[ei]
+            if len(a) == 0 or len(b) == 0:
+                continue
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= threshold:
+                out_t.append(ids_t[ti])
+                out_e.append(ids_e[ei])
+                out_j.append(jac)
+        if not out_t:
+            return empty
+        return pa.table({id_col: pa.array(np.asarray(out_t, np.int64)),
+                         "eval_id": pa.array(np.asarray(out_e, np.int64)),
+                         "jac": pa.array(np.asarray(out_j, np.float64))})
+
+    return train_ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow")

@@ -702,3 +702,42 @@ def test_dedup_lines_first_occurrence(ray_session):
     assert out["dedup_text"].tolist() == [
         "a\nb\nc", "x\n\ny\nz", "", "", "only", "same"]
     assert out["lines_removed"].tolist() == [3, 1, 0, 0, 0, 2]
+
+
+# -------------------------------------------------------- fuzzy_decontaminate
+def test_fuzzy_decontaminate_catches_paraphrase_edits(ray_session):
+    """Eval items are train docs with a few words removed — below the exact
+    8-gram rule's radar at low overlap, but caught by MinHash at Jaccard
+    >= threshold.  An unrelated doc must NOT match."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import fuzzy_decontaminate
+
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = " ".join(f"w{i}" for i in range(5, 60))  # drop first 5 words
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base,
+                 " ".join(f"z{i}" for i in range(60)),  # disjoint vocab
+                 ""],
+    }))
+    ev = rd.from_pandas(pd.DataFrame({"doc_id": [100], "text": [edited]}))
+    out = fuzzy_decontaminate(train, ev, threshold=0.6).to_pandas()
+    assert set(zip(out["doc_id"], out["eval_id"])) == {(1, 100)}
+    assert (out["jac"] >= 0.6).all()
+
+
+def test_fuzzy_decontaminate_empty_eval_and_budget(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import fuzzy_decontaminate
+
+    train = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    ev0 = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                       "text": pd.Series([], dtype="object")}))
+    assert fuzzy_decontaminate(train, ev0).count() == 0
+    ev2 = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2],
+                                       "text": ["a b c", "d e f"]}))
+    with _pytest.raises(ValueError, match="budget"):
+        fuzzy_decontaminate(train, ev2, eval_budget_rows=1)
