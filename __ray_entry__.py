@@ -2178,6 +2178,39 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_fs_em_dedupe_pages(sf_dir):
+    """UNSUPERVISED Fellegi-Sunter EM dedupe (fs_em.fs_dedupe_dataset): the
+    north-rule gold corpus deduped with NO labels and NO trained weights —
+    u rates from Jaro random pairing, m/prevalence via EM on the <=2^k
+    agreement-pattern histogram (one combiner pass; EM never re-touches pair
+    data).  In-query invariants: pairwise F1 >= 0.99 vs planted gold,
+    m_j > u_j for every field.  sf_dir ignored (seed-pinned corpus)."""
+    import pandas as pd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.fs_em import fs_dedupe_dataset
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(150, seed=42)
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    derived = full.select_columns(["url", "text"]).map_batches(
+        derive_page_fields, batch_format="pyarrow")
+    entity, fit = fs_dedupe_dataset(derived, default_page_settings(), "url")
+    s = evaluate_entity_map(entity.to_pandas(), gold)
+    assert s["f1"] >= 0.99, (s, fit)
+    assert all(m > u for m, u in zip(fit["m"], fit["u"])), fit
+    return pd.DataFrame([{
+        "n_records": len(gold),
+        "f1": round(s["f1"], 6),
+        "em_iters": int(fit["iters"]),
+        "prevalence": round(fit["p"], 4),
+        "min_agree_weight": round(min(fit["agree_weight"]), 4),
+        "labels_used": 0,
+    }])
+
+
 def _q_hits_hosts(sf_dir):
     """HITS hubs/authorities (ops.graph.hits) over the same deterministic
     mirror->canonical->hub link graph as pagerank_hosts.  In-query
@@ -3275,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_documents": _q_cdc_dedup_documents,
         "hits_hosts": _q_hits_hosts,
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
+        "fs_em_dedupe_pages": _q_fs_em_dedupe_pages,
     }
 
 

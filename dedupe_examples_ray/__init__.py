@@ -17,6 +17,7 @@ Layers
 - ``cluster``      connected components + confidence + entity map (reference `Dedupe.cluster`)
 - ``pipelines``    dedupe / record-link / gazetteer composed flows
 - ``ops``          large-scale training-data operators (dedup family, ANN, text stats)
+- ``fs_em``        unsupervised Fellegi-Sunter EM match-weight estimation
 - ``checkpoint``   per-stage Parquet checkpoints with lineage manifests
 - ``evaluate``     pairwise precision/recall/F1 (reference csv_evaluation.py:6-17)
 
