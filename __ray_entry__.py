@@ -2178,6 +2178,18 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_cluster_metrics_documents(sf_dir):
+    """Extrinsic clustering agreement (evaluate.cluster_eval_metrics): B-cubed
+    P/R/F1 + Adjusted Rand Index between the text-equality clustering and the
+    source clustering of documents — one contingency combiner pass, margins
+    via big-big hash_joins, scalar reduction.  Oracle: the same B3/ARI
+    arithmetic as SQL CTEs over GROUP BY (text, source)."""
+    from dedupe_examples_ray.evaluate import cluster_eval_metrics
+
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+    return cluster_eval_metrics(docs, "text", "source")
+
+
 def _q_fs_em_dedupe_pages(sf_dir):
     """UNSUPERVISED Fellegi-Sunter EM dedupe (fs_em.fs_dedupe_dataset): the
     north-rule gold corpus deduped with NO labels and NO trained weights —
@@ -3309,11 +3321,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": _q_hits_hosts,
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
         "fs_em_dedupe_pages": _q_fs_em_dedupe_pages,
+        "cluster_metrics_documents": _q_cluster_metrics_documents,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cluster_metrics_documents": (
+            "WITH cells AS ("
+            "  SELECT text AS p, source AS g, CAST(COUNT(*) AS DOUBLE) AS n"
+            "  FROM documents GROUP BY 1, 2), "
+            "psz AS (SELECT p, SUM(n) AS np FROM cells GROUP BY 1), "
+            "gsz AS (SELECT g, SUM(n) AS ng FROM cells GROUP BY 1), "
+            "tot AS (SELECT SUM(n) AS N, SUM(n*(n-1)/2) AS pc FROM cells), "
+            "marg AS (SELECT (SELECT SUM(np*(np-1)/2) FROM psz) AS pa, "
+            "                (SELECT SUM(ng*(ng-1)/2) FROM gsz) AS pb), "
+            "b AS (SELECT SUM(c.n*c.n/psz.np) AS bp, SUM(c.n*c.n/gsz.ng) AS br "
+            "      FROM cells c "
+            "      JOIN psz ON c.p IS NOT DISTINCT FROM psz.p "
+            "      JOIN gsz ON c.g IS NOT DISTINCT FROM gsz.g) "
+            "SELECT CAST(tot.N AS BIGINT) AS n_records, "
+            "       ROUND(b.bp / tot.N, 6) AS b3_precision, "
+            "       ROUND(b.br / tot.N, 6) AS b3_recall, "
+            "       ROUND(2 * b.bp * b.br / (tot.N * (b.bp + b.br)), 6) AS b3_f1, "
+            "       ROUND((tot.pc - marg.pa*marg.pb/(tot.N*(tot.N-1)/2)) "
+            "             / ((marg.pa+marg.pb)/2 - marg.pa*marg.pb/(tot.N*(tot.N-1)/2)), 6) AS ari "
+            "FROM tot, marg, b"
+        ),
         "exact_dedup_documents": (
             "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id "
             "FROM documents ORDER BY doc_id"

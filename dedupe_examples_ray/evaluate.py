@@ -69,3 +69,106 @@ def evaluate_entity_map(entity_df, gold_df, id_col="record_id", cluster_col="can
     found = pairs_from_clusters(entity_df[id_col].tolist(), entity_df[cluster_col].tolist())
     true = pairs_from_clusters(gold_df[gold_id_col].tolist(), gold_df[true_col].tolist())
     return pairwise_scores(found, true)
+
+
+def cluster_eval_metrics(ds, pred_col: str, gold_col: str,
+                         round_digits: int = 6):
+    """Extrinsic clustering metrics beyond pairwise P/R (csv_evaluation.py's
+    arithmetic, A8): B-cubed precision/recall/F1 (Bagga & Baldwin 1998) and
+    the Adjusted Rand Index (Hubert & Arabie 1985) between a predicted and a
+    gold clustering, from ONE contingency pass.
+
+    Distributed shape: the corpus-sized work is a single combiner-shaped
+    ``grouped_sum`` building the (pred, gold) contingency cells — everything
+    after runs over the CELLS (bounded by #distinct cluster intersections,
+    not records): two more grouped_sums for the margins, a streamed scalar
+    reduction to the driver.  NULL cluster ids form their own cluster (SQL
+    GROUP BY semantics, matched by the oracle).
+
+    B3 precision = sum_cells n^2/np / N (np = pred-cluster size); recall the
+    same over gold sizes; ARI from the pair counts C(n,2) of cells/margins.
+    Returns a one-row pandas DataFrame.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import grouped_sum
+
+    def encode(t: pa.Table) -> pa.Table:
+        # NULL ids form ONE cluster (SQL GROUP BY semantics) — but the
+        # margin hash_joins below use SQL JOIN semantics, which would DROP
+        # null keys.  Sentinel-encode both label columns ('v'+value keeps
+        # real values collision-free with the sentinel).
+        def enc(col):
+            s = pc.cast(t[col], pa.string())
+            return pc.fill_null(pc.binary_join_element_wise("v", s, ""), "__NULL__")
+
+        return pa.table({pred_col: enc(pred_col), gold_col: enc(gold_col)})
+
+    cells = grouped_sum(
+        ds.select_columns([pred_col, gold_col]).map_batches(
+            encode, batch_format="pyarrow"),
+        [pred_col, gold_col], {},
+        count_col="n",
+    ).materialize()
+    psz = grouped_sum(cells, [pred_col], {"n": "np"})
+    gsz = grouped_sum(cells, [gold_col], {"n": "ng"})
+
+    # margins join back onto cells: broadcast-free big-big joins keep this
+    # correct when cluster counts are corpus-scale (web dedup: most clusters
+    # are singletons, so |cells| ~ N)
+    from .relational import hash_join
+
+    joined = hash_join(
+        hash_join(cells, psz, on=pred_col), gsz, on=gold_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        np_ = t["np"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ng = t["ng"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "N": pa.array([float(n.sum())]),
+            "bp": pa.array([float((n * n / np_).sum())]),
+            "br": pa.array([float((n * n / ng).sum())]),
+            "pairs_cells": pa.array([float((n * (n - 1) / 2.0).sum())]),
+        })
+
+    def margin_pairs(t: pa.Table, col: str) -> pa.Table:
+        import numpy as np
+
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"s": pa.array([float((v * (v - 1) / 2.0).sum())])})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    pa_pairs = psz.map_batches(
+        lambda t: margin_pairs(t, "np"), batch_format="pyarrow"
+    ).to_pandas()["s"].sum()
+    pb_pairs = gsz.map_batches(
+        lambda t: margin_pairs(t, "ng"), batch_format="pyarrow"
+    ).to_pandas()["s"].sum()
+
+    import pandas as pd
+
+    N = agg["N"]
+    b3p = agg["bp"] / N
+    b3r = agg["br"] / N
+    b3f = 2 * b3p * b3r / (b3p + b3r) if (b3p + b3r) > 0 else 0.0
+    total_pairs = N * (N - 1) / 2.0
+    exp = pa_pairs * pb_pairs / total_pairs if total_pairs > 0 else 0.0
+    max_idx = (pa_pairs + pb_pairs) / 2.0
+    denom = max_idx - exp
+    ari = (agg["pairs_cells"] - exp) / denom if denom != 0 else 1.0
+    # half-away-from-zero to match SQL ROUND (python round is banker's)
+    import numpy as np
+
+    scale = 10.0 ** round_digits
+    r = lambda x: float(np.sign(x) * np.floor(abs(float(x)) * scale + 0.5) / scale)
+    return pd.DataFrame([{
+        "n_records": int(N),
+        "b3_precision": r(b3p),
+        "b3_recall": r(b3r),
+        "b3_f1": r(b3f),
+        "ari": r(ari),
+    }])

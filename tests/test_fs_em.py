@@ -108,3 +108,66 @@ def test_fs_dedupe_e2e_matches_gold(ray_session):
     assert all(mw > uw for mw, uw in zip(fit["m"], fit["u"]))
     scores = evaluate_entity_map(entity.to_pandas(), gold)
     assert scores["f1"] >= 0.99, (scores, fit)
+
+
+# --------------------------------------------------------- cluster_eval_metrics
+def _brute_b3_ari(pred, gold):
+    """Independent O(n^2) reference: per-record B3 from pair membership,
+    ARI from pair-confusion counts."""
+    import itertools
+
+    n = len(pred)
+    bp = br = 0.0
+    for i in range(n):
+        same_p = [j for j in range(n) if pred[j] == pred[i]]
+        same_g = [j for j in range(n) if gold[j] == gold[i]]
+        both = len(set(same_p) & set(same_g))
+        bp += both / len(same_p)
+        br += both / len(same_g)
+    a = b = c = d = 0
+    for i, j in itertools.combinations(range(n), 2):
+        sp, sg = pred[i] == pred[j], gold[i] == gold[j]
+        a += sp and sg; b += sp and not sg; c += (not sp) and sg; d += not (sp or sg)
+    tot = a + b + c + d
+    exp = (a + b) * (a + c) / tot
+    mx = ((a + b) + (a + c)) / 2
+    ari = (a - exp) / (mx - exp) if mx != exp else 1.0
+    return bp / n, br / n, ari
+
+
+def test_cluster_eval_metrics_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.evaluate import cluster_eval_metrics
+
+    pred = ["a", "a", "a", "b", "b", "c", None, None]
+    gold = ["x", "x", "y", "y", "y", "z", "z", None]
+    ds = rd.from_arrow(pa.table({"p": pa.array(pred), "g": pa.array(gold)}))
+    out = cluster_eval_metrics(ds, "p", "g").iloc[0]
+    # brute force treats each NULL as its own value on the B3 side? No —
+    # SQL GROUP BY puts all NULLs in ONE group; mirror that with a sentinel
+    sent_p = [v if v is not None else "__null__" for v in pred]
+    sent_g = [v if v is not None else "__null__" for v in gold]
+    bp, br, ari = _brute_b3_ari(sent_p, sent_g)
+    assert out["b3_precision"] == pytest.approx(bp, abs=1e-6)
+    assert out["b3_recall"] == pytest.approx(br, abs=1e-6)
+    assert out["ari"] == pytest.approx(ari, abs=1e-6)
+    assert out["n_records"] == 8
+
+
+def test_cluster_eval_metrics_perfect_and_degenerate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.evaluate import cluster_eval_metrics
+
+    # identical clusterings -> all metrics 1.0
+    ds = rd.from_arrow(pa.table({"p": ["a", "a", "b"], "g": ["u", "u", "v"]}))
+    out = cluster_eval_metrics(ds, "p", "g").iloc[0]
+    assert out["b3_f1"] == 1.0 and out["ari"] == 1.0
+    # everything-one-cluster vs all-singletons: B3 precision = 1/n per record
+    ds2 = rd.from_arrow(pa.table({"p": ["k"] * 4, "g": ["1", "2", "3", "4"]}))
+    out2 = cluster_eval_metrics(ds2, "p", "g").iloc[0]
+    assert out2["b3_precision"] == pytest.approx(0.25)
+    assert out2["b3_recall"] == 1.0
