@@ -2178,6 +2178,29 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_triangles_orders(sf_dir):
+    """Exact distributed triangle count (ops.graph.triangle_count — Suri &
+    Vassilvitskii degree orientation, O(m^1.5) wedges) over the deterministic
+    modular graph (o_orderkey % 3000) -- (o_custkey % 3000).  Oracle: the
+    textbook 3-way self-join on ordered edges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops import triangle_count
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        a = t["o_orderkey"].to_numpy(zero_copy_only=False) % 3000
+        b = t["o_custkey"].to_numpy(zero_copy_only=False) % 3000
+        return pa.table({"a": pa.array(a.astype(np.int64)),
+                         "b": pa.array(b.astype(np.int64))})
+
+    got = triangle_count(orders.map_batches(edges, batch_format="pyarrow"))
+    return pd.DataFrame([got])
+
+
 def _q_cluster_metrics_documents(sf_dir):
     """Extrinsic clustering agreement (evaluate.cluster_eval_metrics): B-cubed
     P/R/F1 + Adjusted Rand Index between the text-equality clustering and the
@@ -3322,11 +3345,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
         "fs_em_dedupe_pages": _q_fs_em_dedupe_pages,
         "cluster_metrics_documents": _q_cluster_metrics_documents,
+        "triangles_orders": _q_triangles_orders,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "triangles_orders": (
+            "WITH e AS (SELECT DISTINCT"
+            "  LEAST(o_orderkey % 3000, o_custkey % 3000) AS a,"
+            "  GREATEST(o_orderkey % 3000, o_custkey % 3000) AS b"
+            "  FROM orders WHERE (o_orderkey % 3000) <> (o_custkey % 3000)) "
+            "SELECT"
+            "  (SELECT COUNT(*) FROM (SELECT a AS n FROM e UNION SELECT b FROM e)) AS n_nodes,"
+            "  (SELECT COUNT(*) FROM e) AS n_edges,"
+            "  (SELECT COUNT(*) FROM e e1"
+            "     JOIN e e2 ON e2.a = e1.b"
+            "     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"
+        ),
         "cluster_metrics_documents": (
             "WITH cells AS ("
             "  SELECT text AS p, source AS g, CAST(COUNT(*) AS DOUBLE) AS n"

@@ -38,6 +38,7 @@ from .classifier import (  # noqa: F401
 from .graph import (  # noqa: F401
     hits,
     pagerank,
+    triangle_count,
 )
 from .simjoin import (  # noqa: F401
     cosine_threshold_join,

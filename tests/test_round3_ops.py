@@ -1150,3 +1150,58 @@ def test_hits_tiers_and_invariants(ray_session):
     import pytest
     with pytest.raises(ValueError):
         hits(rd.from_pandas(pd.DataFrame({"src": [], "dst": []})))
+
+
+def test_triangle_count_known_and_random(ray_session):
+    """K4 has 4 triangles; C5 has 0; a seeded random graph matches an O(n^3)
+    brute force.  Duplicate/reversed/self-loop edges must not change counts."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import triangle_count
+
+    def brute(edges):
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({x for e in und for x in e})
+        cnt = sum(
+            1 for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in und and (y, z) in und and (x, z) in und)
+        return len(nodes), len(und), cnt
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    got = triangle_count(rd.from_pandas(pd.DataFrame(k4, columns=["a", "b"])))
+    assert got == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    got = triangle_count(rd.from_pandas(pd.DataFrame(c5, columns=["a", "b"])))
+    assert got["n_triangles"] == 0
+
+    rng = np.random.default_rng(7)
+    raw = [(int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+           for _ in range(200)]
+    # add noise: reversed duplicates and self loops
+    noisy = raw + [(b, a) for a, b in raw[:50]] + [(5, 5), (9, 9)]
+    nn, ne, nt = brute(noisy)
+    got = triangle_count(
+        rd.from_pandas(pd.DataFrame(noisy, columns=["a", "b"])).repartition(4))
+    assert got == {"n_nodes": nn, "n_edges": ne, "n_triangles": nt}
+
+
+def test_triangle_count_string_nodes_and_empty(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import triangle_count
+
+    tri = pd.DataFrame({"a": ["x", "y", "x", "x"],
+                        "b": ["y", "z", "z", "w"]})
+    got = triangle_count(rd.from_pandas(tri))
+    assert got == {"n_nodes": 4, "n_edges": 4, "n_triangles": 1}
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    assert triangle_count(empty)["n_triangles"] == 0
