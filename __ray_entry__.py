@@ -2178,6 +2178,29 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_keep_best_documents(sf_dir):
+    """Quality-aware dedup representative selection (ops.dedup.
+    keep_best_assignment): exact-text clusters re-labeled to their
+    best-scoring member (deterministic score = doc_id % 7, max wins, min-id
+    tie-break).  Oracle: ROW_NUMBER window argmax over the same clusters."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops import exact_dedup, keep_best_assignment
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    assign = exact_dedup(docs)
+
+    def score(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "score": pa.array((d % 7).astype(np.float64))})
+
+    out = keep_best_assignment(assign, docs.map_batches(
+        score, batch_format="pyarrow"))
+    return out.sort("doc_id")
+
+
 def _q_triangles_orders(sf_dir):
     """Exact distributed triangle count (ops.graph.triangle_count — Suri &
     Vassilvitskii degree orientation, O(m^1.5) wedges) over the deterministic
@@ -3346,11 +3369,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_em_dedupe_pages": _q_fs_em_dedupe_pages,
         "cluster_metrics_documents": _q_cluster_metrics_documents,
         "triangles_orders": _q_triangles_orders,
+        "keep_best_documents": _q_keep_best_documents,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "keep_best_documents": (
+            "WITH a AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id"
+            "           FROM documents), "
+            "best AS (SELECT keep_id, doc_id AS best_id,"
+            "         ROW_NUMBER() OVER (PARTITION BY keep_id"
+            "           ORDER BY (doc_id % 7) DESC, doc_id ASC) AS rn FROM a) "
+            "SELECT a.doc_id, b.best_id FROM a"
+            " JOIN best b ON a.keep_id = b.keep_id WHERE b.rn = 1"
+            " ORDER BY a.doc_id"
+        ),
         "triangles_orders": (
             "WITH e AS (SELECT DISTINCT"
             "  LEAST(o_orderkey % 3000, o_custkey % 3000) AS a,"

@@ -2,6 +2,8 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     normalized_dedup,
     lsh_plan,
+    keep_best_assignment,
+    minhash_keep_best_dedup,
     minhash_lsh_dedup,
     simhash_dedup,
     ngram_jaccard_dedup,

@@ -916,3 +916,94 @@ def embedding_bucket_metrics(
         batch_format="pyarrow",
     )
     return lsh_bucket_metrics(buckets, id_col, max_bucket=max_bucket, num_buckets=num_buckets)
+
+
+def keep_best_assignment(assign_ds, scores_ds, id_col: str = "doc_id",
+                         keep_col: str = "keep_id", score_col: str = "score",
+                         out_col: str = "best_id",
+                         num_buckets: int | None = None):
+    """Re-label a dedup assignment so each cluster's representative is its
+    BEST-scoring member instead of the first/minimum id — the quality-aware
+    keep strategy large-corpus near-dedup uses (keep the longest / highest
+    quality / most recent copy of each near-dup cluster, not an arbitrary
+    one).
+
+    ``assign_ds``: ``(id_col, keep_col)`` from any dedup family member
+    (exact_dedup, minhash_lsh_dedup, simhash_dedup, ...).  ``scores_ds``:
+    ``(id_col, score_col)``.  Winner per cluster = max score, ties broken by
+    MIN id (deterministic under any partitioning).  Returns ``(id_col,
+    out_col)`` covering every input row.
+
+    Scale shape: one big-big hash_join attaches scores (never broadcast),
+    then the keep_latest combiner pattern — per-batch winners first, ONE
+    bucketed shuffle of those winners, per-bucket final argmax — then a
+    second big-big join relabels members.  Shuffle volume O(clusters), not
+    O(rows), on the argmax leg.
+    """
+    from ..relational import hash_join
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, assign_ds)
+    from ..pairs import stable_hash
+
+    scored = hash_join(
+        assign_ds.select_columns([id_col, keep_col]),
+        scores_ds.select_columns([id_col, score_col]),
+        on=id_col, num_buckets=num_buckets)
+
+    def local_winner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({keep_col: t[keep_col], out_col: t[id_col],
+                             "_s": t[score_col], "_bucket": pa.array([], pa.int64())})
+        df = t.select([keep_col, id_col, score_col]).to_pandas()
+        df = df.sort_values([score_col, id_col], ascending=[False, True],
+                            kind="mergesort")
+        w = df.drop_duplicates(keep_col, keep="first")
+        b = stable_hash(w[keep_col].to_numpy()) % num_buckets
+        return pa.table({
+            keep_col: pa.array(w[keep_col]),
+            out_col: pa.array(w[id_col]),
+            "_s": pa.array(w[score_col]),
+            "_bucket": pa.array(b.astype(np.int64), pa.int64()),
+        })
+
+    def final_winner(t: pa.Table) -> pa.Table:
+        df = t.drop_columns(["_bucket"]).to_pandas()
+        if len(df) == 0:
+            return pa.table({keep_col: t[keep_col], out_col: t[out_col]})
+        df = df.sort_values(["_s", out_col], ascending=[False, True],
+                            kind="mergesort")
+        w = df.drop_duplicates(keep_col, keep="first")
+        return pa.Table.from_pandas(w[[keep_col, out_col]],
+                                    preserve_index=False)
+
+    best = (scored.map_batches(local_winner, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(final_winner,
+                                           batch_format="pyarrow"))
+    out = hash_join(assign_ds.select_columns([id_col, keep_col]), best,
+                    on=keep_col, num_buckets=num_buckets)
+    return out.map_batches(lambda t: t.select([id_col, out_col]),
+                           batch_format="pyarrow")
+
+
+def minhash_keep_best_dedup(ds, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            score_col: str | None = None, **minhash_kwargs):
+    """MinHash-LSH near-dup clustering with quality-aware representative
+    selection: cluster via :func:`minhash_lsh_dedup`, then keep each
+    cluster's best-scoring member (``score_col``; default: text length in
+    chars — the "keep the longest version" web-dedup heuristic).  Returns
+    ``(id_col, best_id)``."""
+    assign = minhash_lsh_dedup(ds, text_col=text_col, id_col=id_col,
+                               **minhash_kwargs)
+
+    def score(t: pa.Table) -> pa.Table:
+        if score_col is not None:
+            s = pc.cast(t[score_col], pa.float64())
+        else:
+            s = pc.cast(pc.utf8_length(pc.fill_null(
+                pc.cast(t[text_col], pa.string()), "")), pa.float64())
+        return pa.table({id_col: t[id_col], "score": s})
+
+    scores = ds.map_batches(score, batch_format="pyarrow")
+    return keep_best_assignment(assign, scores, id_col=id_col)

@@ -1205,3 +1205,46 @@ def test_triangle_count_string_nodes_and_empty(ray_session):
     empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
                                     "b": pa.array([], pa.int64())}))
     assert triangle_count(empty)["n_triangles"] == 0
+
+
+def test_keep_best_assignment_argmax_and_ties(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import keep_best_assignment
+
+    assign = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "keep_id": [1, 1, 1, 4, 4, 6],
+    })).repartition(3)
+    scores = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "score": [0.5, 0.9, 0.9, 0.1, 0.1, 0.7],
+    })).repartition(2)
+    out = (keep_best_assignment(assign, scores).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # cluster {1,2,3}: max score ties 2/3 -> min id 2; cluster {4,5}: tie -> 4
+    assert out["best_id"].tolist() == [2, 2, 2, 4, 4, 6]
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_minhash_keep_best_prefers_longest_clone(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import minhash_keep_best_dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = pd.DataFrame({
+        "doc_id": [10, 11, 12, 20],
+        "text": [base,                       # clone, shorter
+                 base + " extra trailing words here",  # clone, LONGEST
+                 base + " extra",            # clone, mid
+                 " ".join(f"zz{i}" for i in range(40))],  # unrelated
+    })
+    out = (minhash_keep_best_dedup(rd.from_pandas(rows), threshold=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[out["doc_id"] == 10, "best_id"].iloc[0] == 11
+    assert out.loc[out["doc_id"] == 11, "best_id"].iloc[0] == 11
+    assert out.loc[out["doc_id"] == 12, "best_id"].iloc[0] == 11
+    assert out.loc[out["doc_id"] == 20, "best_id"].iloc[0] == 20
