@@ -2178,6 +2178,46 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_wet_roundtrip_documents(sf_dir):
+    """WET interchange round-trip (sources.wet): documents serialized to
+    Common-Crawl-style WET record files under /tmp, read back with the
+    Content-Length-framed parser, character counts compared.  Oracle: the
+    same counts straight off the parquet — only a LOSSLESS round trip
+    hash-matches."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.sources import read_wet, write_wet
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_wet_cols(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        return pa.table({
+            "url": pc.binary_join_element_wise("doc://", ids, ""),
+            "warc_ts": pa.array(["2024-06-01T00:00:00Z"] * t.num_rows),
+            "text": t["text"],
+        })
+
+    out_dir = f"/tmp/graft_wet_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_wet(docs.map_batches(to_wet_cols, batch_format="pyarrow"), out_dir)
+    back = read_wet(out_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        assert pc.all(t["parse_ok"]).as_py() in (True, None), "malformed WET"
+        doc_id = pc.cast(pc.utf8_slice_codeunits(t["url"], 6), pa.int64())
+        return pa.table({
+            "doc_id": doc_id,
+            "n_chars_rt": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return back.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_keep_best_documents(sf_dir):
     """Quality-aware dedup representative selection (ops.dedup.
     keep_best_assignment): exact-text clusters re-labeled to their
@@ -3370,11 +3410,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_metrics_documents": _q_cluster_metrics_documents,
         "triangles_orders": _q_triangles_orders,
         "keep_best_documents": _q_keep_best_documents,
+        "wet_roundtrip_documents": _q_wet_roundtrip_documents,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "wet_roundtrip_documents": (
+            "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"
+            " FROM documents ORDER BY doc_id"
+        ),
         "keep_best_documents": (
             "WITH a AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id"
             "           FROM documents), "

@@ -9,3 +9,9 @@ from .io import (  # noqa: F401
     write_entity_map,
     write_partitioned,
 )
+from .wet import (  # noqa: F401
+    format_wet_records,
+    parse_wet_bytes,
+    read_wet,
+    write_wet,
+)

@@ -1248,3 +1248,48 @@ def test_minhash_keep_best_prefers_longest_clone(ray_session):
     assert out.loc[out["doc_id"] == 11, "best_id"].iloc[0] == 11
     assert out.loc[out["doc_id"] == 12, "best_id"].iloc[0] == 11
     assert out.loc[out["doc_id"] == 20, "best_id"].iloc[0] == 20
+import pandas as pd
+import pyarrow as pa
+
+
+def test_wet_roundtrip_and_hostile(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources import (format_wet_records,
+                                             parse_wet_bytes, read_wet,
+                                             write_wet)
+
+    df = pd.DataFrame({
+        "url": [f"http://ex{i}.com/p" for i in range(7)],
+        "warc_ts": pd.to_datetime(["2024-01-01 00:00:0%d" % i
+                                   for i in range(7)]),
+        "text": ["plain text", "", "line1\n\nline2 with blank",
+                 "payload containing\r\nWARC/1.0\r\nmarker lines",
+                 "unicode: café 中文", None,
+                 "x" * 10_000],
+    })
+    out_dir = str(tmp_path / "wet")
+    nfiles = write_wet(rd.from_pandas(df).repartition(3), out_dir)
+    assert nfiles >= 1
+    back = (read_wet(out_dir).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert back["parse_ok"].all()
+    want = df.sort_values("url").reset_index(drop=True)
+    assert back["url"].tolist() == want["url"].tolist()
+    assert back["text"].tolist() == want["text"].fillna("").tolist()
+    assert (pd.to_datetime(back["warc_ts"]).dt.tz_localize(None)
+            == want["warc_ts"]).all()
+
+    # hostile: truncated final record + missing Content-Length resync
+    good = format_wet_records(["http://a/"], ["2024-01-01T00:00:00Z"], ["hello"])
+    bad_hdr = (b"WARC/1.0\r\nWARC-Target-URI: http://b/\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n\r\n")  # no length
+    truncated = format_wet_records(
+        ["http://c/"], ["2024-01-01T00:00:00Z"], ["full payload here"])[:-12]
+    t = parse_wet_bytes(good + bad_hdr + good + truncated)
+    ok = t.to_pandas()
+    assert ok["parse_ok"].tolist() == [True, False, True, False]
+    assert ok["url"].tolist() == ["http://a/", "http://b/", "http://a/",
+                                  "http://c/"]
+    # empty file
+    assert parse_wet_bytes(b"").num_rows == 0
