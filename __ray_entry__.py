@@ -2178,6 +2178,37 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_string_sim_customers(sf_dir):
+    """Direct oracle on the T3 pair-scoring kernels (distances.py): our
+    vectorized Jaro-Winkler and normalized Levenshtein vs DuckDB's built-in
+    jaro_winkler_similarity / levenshtein over deterministic ASCII pairs
+    (c_name x c_mktsegment, c_name x reverse(c_name)).  Bit-parity checked
+    on ASCII (DuckDB goes byte-level on non-ASCII; our kernels are
+    codepoint-level — documented divergence, not exercised here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.distances import (batch_jaro_winkler,
+                                               batch_levenshtein_sim)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name",
+                                              "c_mktsegment"])
+
+    def sims(t: pa.Table) -> pa.Table:
+        name = t["c_name"].to_pylist()
+        seg = t["c_mktsegment"].to_pylist()
+        rev = pc.utf8_reverse(t["c_name"]).to_pylist()
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "jw_seg": pa.array(batch_jaro_winkler(name, seg), pa.float64()),
+            "jw_rev": pa.array(batch_jaro_winkler(name, rev), pa.float64()),
+            "lev_seg": pa.array(batch_levenshtein_sim(name, seg), pa.float64()),
+            "lev_rev": pa.array(batch_levenshtein_sim(name, rev), pa.float64()),
+        })
+
+    return cust.map_batches(sims, batch_format="pyarrow").sort("c_custkey")
+
+
 def _q_wet_roundtrip_documents(sf_dir):
     """WET interchange round-trip (sources.wet): documents serialized to
     Common-Crawl-style WET record files under /tmp, read back with the
@@ -3411,11 +3442,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_orders": _q_triangles_orders,
         "keep_best_documents": _q_keep_best_documents,
         "wet_roundtrip_documents": _q_wet_roundtrip_documents,
+        "string_sim_customers": _q_string_sim_customers,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "string_sim_customers": (
+            "SELECT c_custkey,"
+            " jaro_winkler_similarity(c_name, c_mktsegment) AS jw_seg,"
+            " jaro_winkler_similarity(c_name, reverse(c_name)) AS jw_rev,"
+            " 1.0 - levenshtein(c_name, c_mktsegment)"
+            "   / GREATEST(LENGTH(c_name), LENGTH(c_mktsegment), 1) AS lev_seg,"
+            " 1.0 - levenshtein(c_name, reverse(c_name))"
+            "   / GREATEST(LENGTH(c_name), 1) AS lev_rev"
+            " FROM customer ORDER BY c_custkey"
+        ),
         "wet_roundtrip_documents": (
             "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"
             " FROM documents ORDER BY doc_id"
