@@ -2178,6 +2178,37 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_fs_tf_dedupe_pages(sf_dir):
+    """TF-adjusted unsupervised FS dedupe (fs_em.fs_classify_tf — the
+    splink-style term-frequency adjustment: agreement on a rare exact value
+    is worth more bits than on a common one).  Same gold contract as
+    fs_em_dedupe_pages, with host-value frequencies driving per-pair
+    adjustments.  sf_dir ignored (seed-pinned corpus)."""
+    import pandas as pd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.fs_em import fs_dedupe_dataset
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(150, seed=42)
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    derived = full.select_columns(["url", "text"]).map_batches(
+        derive_page_fields, batch_format="pyarrow")
+    entity, fit = fs_dedupe_dataset(derived, default_page_settings(), "url",
+                                    tf_adjust=True)
+    s = evaluate_entity_map(entity.to_pandas(), gold)
+    assert s["f1"] >= 0.99, (s, fit)
+    return pd.DataFrame([{
+        "n_records": len(gold),
+        "f1": round(s["f1"], 6),
+        "prevalence": round(fit["p"], 4),
+        "tf_adjusted": True,
+        "labels_used": 0,
+    }])
+
+
 def _q_string_sim_customers(sf_dir):
     """Direct oracle on the T3 pair-scoring kernels (distances.py): our
     vectorized Jaro-Winkler and normalized Levenshtein vs DuckDB's built-in
@@ -3443,6 +3474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_documents": _q_keep_best_documents,
         "wet_roundtrip_documents": _q_wet_roundtrip_documents,
         "string_sim_customers": _q_string_sim_customers,
+        "fs_tf_dedupe_pages": _q_fs_tf_dedupe_pages,
     }
 
 

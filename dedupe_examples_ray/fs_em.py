@@ -31,7 +31,10 @@ __all__ = [
     "agreement_pattern_counts",
     "fs_em_fit",
     "fs_classify",
+    "fs_classify_tf",
     "fs_dedupe_dataset",
+    "field_value_frequencies",
+    "random_pair_u_rates",
 ]
 
 
@@ -252,6 +255,7 @@ def fs_dedupe_dataset(records_ds, settings, id_col: str,
                       posterior_threshold: float = 0.5,
                       idf: dict | None = None,
                       n_random: int = 5000,
+                      tf_adjust: bool = False,
                       broadcast_records_limit: int = 2_000_000):
     """Unsupervised end-to-end dedupe: block -> pair -> feature -> FS-EM ->
     classify -> connected components -> entity map.
@@ -304,8 +308,19 @@ def fs_dedupe_dataset(records_ds, settings, id_col: str,
     hist = agreement_pattern_counts(feats, feat_cols, agree_threshold)
     fit = fs_em_fit(hist, n_fields=len(feat_cols), fixed_u=u_rates)
 
-    classified = fs_classify(feats, fit, feat_cols, agree_threshold,
-                             posterior_threshold)
+    if tf_adjust:
+        tf_cols = [f.column for f in settings.fields
+                   if f.comparator in ("exact", "categorical")]
+        if not tf_cols:
+            raise ValueError("tf_adjust=True needs an exact/categorical field")
+        freqs = {c: field_value_frequencies(records_ds, c) for c in tf_cols}
+        classified = fs_classify_tf(
+            feats, fit, feat_cols, settings, records, freqs,
+            n_records=n_records, agree_threshold=agree_threshold,
+            posterior_threshold=posterior_threshold)
+    else:
+        classified = fs_classify(feats, fit, feat_cols, agree_threshold,
+                                 posterior_threshold)
     edges = classified.filter(expr="fs_match == True").map_batches(
         lambda t: t.select(["id_a", "id_b"]).append_column(
             "score", t["fs_posterior"]),
@@ -315,3 +330,117 @@ def fs_dedupe_dataset(records_ds, settings, id_col: str,
     conf = member_confidence(edges)
     entity = build_entity_map(records_ds, id_col, labels, confidence_ds=conf)
     return entity, fit
+
+
+def field_value_frequencies(records_ds, col: str):
+    """Per-value occurrence counts for one field — the input to
+    term-frequency weight adjustment.  Combiner-shaped ``grouped_sum``; the
+    output is vocabulary-sized (distinct values), not corpus-sized.
+    Returns an Arrow table ``(value: string, n: int64)``; NULL/empty values
+    are excluded (they never count as agreement in the scorer)."""
+    import pyarrow.compute as pc
+
+    from .relational import grouped_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.string())
+        keep = pc.and_(pc.is_valid(v), pc.not_equal(pc.fill_null(v, ""), ""))
+        return pa.table({"value": v.filter(keep)})
+
+    counts = grouped_sum(
+        records_ds.select_columns([col]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["value"], {}, count_col="n")
+    return pa.concat_tables(
+        [t for t in counts.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
+         if t.num_rows] or
+        [pa.table({"value": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64())})])
+
+
+def fs_classify_tf(features_ds, fit: dict, feature_cols: list[str],
+                   settings, records_ref, tf_freqs: dict[str, "pa.Table"],
+                   n_records: int,
+                   agree_threshold: float = 0.88,
+                   posterior_threshold: float = 0.5,
+                   max_adjust_bits: float = 6.0):
+    """Term-frequency-adjusted FS classification (the splink-style TF
+    adjustment, public formulation: Fellegi-Sunter with value-specific u).
+
+    A global ``u_j`` says how often two random records agree on field j —
+    but agreeing on a RARE value (host ``tiny-blog.example``) is far
+    stronger evidence than agreeing on a common one (``blogspot.com``).
+    With ``p_v`` = value share, the value-specific unmatch rate for an
+    exact-match field is ``u_j(v) = p_v``, so the agreement weight gains
+    ``log2(u_j) - log2(p_v)`` bits (positive for rare values, negative for
+    common ones), clamped to ``±max_adjust_bits``.
+
+    ``tf_freqs``: ``{field_column: (value, n) Arrow table}`` from
+    :func:`field_value_frequencies` — vocabulary-sized, shipped once via
+    ``ray.put``.  ``records_ref``: the broadcast record table (same object
+    the scorer used) for pair value lookup.  Disagreeing or missing fields
+    get no adjustment.  Adds the same columns as :func:`fs_classify` plus
+    ``fs_tf_adjust``.
+    """
+    import ray
+
+    from .cluster import _get_broadcast
+
+    aw = np.asarray(fit["agree_weight"], dtype=np.float64)
+    dw = np.asarray(fit["disagree_weight"], dtype=np.float64)
+    prior_lo = float(np.log2(fit["p"]) - np.log2(1.0 - fit["p"]))
+
+    exact_cols = {}
+    for j, f in enumerate(settings.fields):
+        if f.comparator in ("exact", "categorical") and f.column in tf_freqs:
+            exact_cols[f.column] = (j, float(fit["u"][j]))
+    if not exact_cols:
+        raise ValueError("no exact/categorical field has a frequency table")
+
+    if not isinstance(records_ref, ray.ObjectRef):
+        records_ref = ray.put(records_ref)
+    freq_refs = {c: ray.put(tbl) for c, tbl in tf_freqs.items()}
+
+    def apply(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        rec = _get_broadcast(records_ref)
+        if isinstance(rec, list):
+            # record_map_refs-style broadcast: a list of projected block
+            # refs — resolve zero-copy views and concat locally
+            import ray as _ray
+
+            blocks = (_ray.get(rec)
+                      if rec and not isinstance(rec[0], pa.Table) else rec)
+            rec = pa.concat_tables(blocks)
+        id_col_name = rec.column_names[0]
+        idx = pd.Index(rec[id_col_name].to_pandas())
+        ia = idx.get_indexer(t["id_a"].to_pandas())
+        ib = idx.get_indexer(t["id_b"].to_pandas())
+        g = _gamma_bits(t, feature_cols, agree_threshold).astype(np.float64)
+        wgt = g @ aw + (1.0 - g) @ dw
+        adj = np.zeros(t.num_rows)
+        for col, (j, u_j) in exact_cols.items():
+            ftbl = _get_broadcast(freq_refs[col])
+            fmap = pd.Series(
+                ftbl["n"].to_numpy(zero_copy_only=False).astype(np.float64),
+                index=pd.Index(ftbl["value"].to_pandas()))
+            va = pc.cast(rec[col], pa.string()).take(
+                pa.array(ia, pa.int64())).to_pandas()
+            agree = g[:, j] >= 1.0
+            p_v = (fmap.reindex(va).to_numpy() / float(max(n_records, 1)))
+            # missing frequency (value under min_count or null) -> no adjust
+            a = np.log2(max(u_j, 1e-12)) - np.log2(np.clip(p_v, 1e-12, 1.0))
+            a = np.where(np.isnan(p_v) | ~agree, 0.0, a)
+            adj += np.clip(a, -max_adjust_bits, max_adjust_bits)
+        total = wgt + adj
+        post = 1.0 / (1.0 + np.exp2(-(total + prior_lo)))
+        t = t.append_column("fs_weight", pa.array(total, pa.float64()))
+        t = t.append_column("fs_tf_adjust", pa.array(adj, pa.float64()))
+        t = t.append_column("fs_posterior", pa.array(post, pa.float64()))
+        return t.append_column(
+            "fs_match", pa.array(post >= posterior_threshold))
+
+    return features_ds.map_batches(apply, batch_format="pyarrow")

@@ -171,3 +171,110 @@ def test_cluster_eval_metrics_perfect_and_degenerate(ray_session):
     out2 = cluster_eval_metrics(ds2, "p", "g").iloc[0]
     assert out2["b3_precision"] == pytest.approx(0.25)
     assert out2["b3_recall"] == 1.0
+
+
+# ------------------------------------------------------------- TF adjustment
+def test_fs_tf_adjustment_rare_vs_common(ray_session):
+    """Agreement on a RARE exact value gains bits; on a COMMON value loses
+    bits — enough to flip a borderline pair in each direction."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from dedupe_examples_ray.config import Field, Settings
+    from dedupe_examples_ray.fs_em import (field_value_frequencies,
+                                           fs_classify, fs_classify_tf)
+
+    # corpus: 40 records in city "common", 2 in "rare"
+    n = 42
+    ids = [f"r{i}" for i in range(n)]
+    city = ["common"] * 40 + ["rare", "rare"]
+    rec = pa.table({"rid": pa.array(ids), "city": pa.array(city)})
+    records_ref = ray.put(rec)
+    freqs = field_value_frequencies(
+        rd.from_arrow(rec), "city")
+    settings = Settings(fields=[Field("name", "string"),
+                                Field("city", "exact")],
+                        predicates=[], weights={}, bias=0.0, threshold=0.5)
+
+    # two pairs: name disagrees, city agrees — one common-city, one rare-city
+    feats = rd.from_arrow(pa.table({
+        "id_a": pa.array(["r0", "r40"]),
+        "id_b": pa.array(["r1", "r41"]),
+        "f_name": pa.array([0.1, 0.1]),
+        "f_city": pa.array([1.0, 1.0]),
+    }))
+    fit = {"m": [0.7, 0.95], "u": [0.05, 0.3], "p": 0.3,
+           "agree_weight": [np.log2(0.7 / 0.05), np.log2(0.95 / 0.3)],
+           "disagree_weight": [np.log2(0.3 / 0.95), np.log2(0.05 / 0.7)]}
+    plain = fs_classify(feats, fit, ["f_name", "f_city"]).to_pandas()
+    tf = fs_classify_tf(feats, fit, ["f_name", "f_city"], settings,
+                        records_ref, {"city": freqs}, n_records=n).to_pandas()
+    # plain: identical weights for both pairs
+    assert plain["fs_weight"].iloc[0] == pytest.approx(plain["fs_weight"].iloc[1])
+    # TF: common-city pair loses bits (p_v=40/42 > u=0.3), rare gains
+    assert tf["fs_tf_adjust"].iloc[0] < 0 < tf["fs_tf_adjust"].iloc[1]
+    common_adj = np.log2(0.3) - np.log2(40 / 42)
+    rare_adj = np.log2(0.3) - np.log2(2 / 42)
+    assert tf["fs_tf_adjust"].iloc[0] == pytest.approx(common_adj, abs=1e-9)
+    assert tf["fs_tf_adjust"].iloc[1] == pytest.approx(rare_adj, abs=1e-9)
+    # the rare-city pair classifies as a match, the common one does not
+    assert bool(tf["fs_match"].iloc[1]) and not bool(tf["fs_match"].iloc[0])
+
+
+def test_fs_tf_adjustment_clamped_and_gated(ray_session):
+    """No adjustment when the field DISAGREES or the value is unknown; the
+    per-field adjustment is clamped to +/- max_adjust_bits."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from dedupe_examples_ray.config import Field, Settings
+    from dedupe_examples_ray.fs_em import fs_classify_tf
+
+    rec = pa.table({"rid": pa.array(["a", "b", "c", "d"]),
+                    "city": pa.array(["x", "x", "y", None])})
+    freqs = pa.table({"value": pa.array(["x"]),
+                      "n": pa.array([2], pa.int64())})  # "y" unknown
+    settings = Settings(fields=[Field("city", "exact")],
+                        predicates=[], weights={}, bias=0.0, threshold=0.5)
+    feats = rd.from_arrow(pa.table({
+        "id_a": pa.array(["a", "c", "a", "d"]),
+        "id_b": pa.array(["b", "c", "c", "d"]),
+        "f_city": pa.array([1.0, 1.0, 0.0, 1.0]),
+    }))
+    fit = {"m": [0.9], "u": [0.5], "p": 0.5,
+           "agree_weight": [np.log2(0.9 / 0.5)],
+           "disagree_weight": [np.log2(0.1 / 0.5)]}
+    out = fs_classify_tf(
+        feats, fit, ["f_city"], settings, ray.put(rec), {"city": freqs},
+        n_records=1_000_000, max_adjust_bits=3.0).to_pandas()
+    # pair 0 agrees on known "x": clamp hits (log2(.5)-log2(2e-6) >> 3)
+    assert out["fs_tf_adjust"].iloc[0] == pytest.approx(3.0)
+    # pair 1 agrees on UNKNOWN value "y" -> no adjustment
+    assert out["fs_tf_adjust"].iloc[1] == 0.0
+    # pair 2 disagrees -> no adjustment
+    assert out["fs_tf_adjust"].iloc[2] == 0.0
+    # pair 3 agrees on NULL -> value lookup NaN -> no adjustment
+    assert out["fs_tf_adjust"].iloc[3] == 0.0
+    with pytest.raises(ValueError, match="frequency table"):
+        fs_classify_tf(feats, fit, ["f_city"], settings, ray.put(rec),
+                       {"nope": freqs}, n_records=4)
+
+
+def test_fs_dedupe_tf_adjusted_e2e(ray_session):
+    """tf_adjust=True flows through the full unsupervised pipeline and keeps
+    the gold contract (rare hosts gain evidence; nothing regresses)."""
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(120, seed=23)
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    derived = full.select_columns(["url", "text"]).map_batches(
+        derive_page_fields, batch_format="pyarrow")
+    entity, fit = fs_dedupe_dataset(derived, default_page_settings(), "url",
+                                    tf_adjust=True)
+    scores = evaluate_entity_map(entity.to_pandas(), gold)
+    assert scores["f1"] >= 0.99, (scores, fit)
