@@ -2178,6 +2178,24 @@ def _q_fuzzy_decontam_documents(sf_dir):
     })
 
 
+def _q_ewma_events(sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (windows.ewma, alpha=1/3 — a non-terminating decimal, so recursion
+    products never land exactly on a half-tie at the rounding digit;
+    recursive pandas-ewm semantics).  Oracle: the
+    closed form as a quadratic within-user self-join with positive-exponent
+    POW only (no overflow; quadratic is oracle-side only)."""
+    from dedupe_examples_ray.windows import ewma
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+    out = ewma(ev, "user_id", ["ts", "event_id"], "value", alpha=1.0 / 3.0,
+               round_digits=6)
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "ewma"]),
+        batch_format="pyarrow").sort("event_id")
+
+
 def _q_fs_tf_dedupe_pages(sf_dir):
     """TF-adjusted unsupervised FS dedupe (fs_em.fs_classify_tf — the
     splink-style term-frequency adjustment: agreement on a rare exact value
@@ -3475,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip_documents": _q_wet_roundtrip_documents,
         "string_sim_customers": _q_string_sim_customers,
         "fs_tf_dedupe_pages": _q_fs_tf_dedupe_pages,
+        "ewma_events": _q_ewma_events,
     }
 
 
@@ -3489,6 +3508,18 @@ def oracle_sql() -> dict[str, str]:
             " 1.0 - levenshtein(c_name, reverse(c_name))"
             "   / GREATEST(LENGTH(c_name), 1) AS lev_rev"
             " FROM customer ORDER BY c_custkey"
+        ),
+        "ewma_events": (
+            "WITH r AS (SELECT user_id, event_id, value,"
+            "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+            "  FROM events) "
+            "SELECT i.user_id, i.event_id,"
+            "  ROUND(SUM(CASE WHEN j.rn = 1 THEN POW(2.0/3.0, i.rn - 1) * j.value"
+            "                 ELSE (1.0/3.0) * POW(2.0/3.0, i.rn - j.rn) * j.value END), 6)"
+            "    AS ewma"
+            " FROM r i JOIN r j ON j.user_id IS NOT DISTINCT FROM i.user_id"
+            "   AND j.rn <= i.rn"
+            " GROUP BY i.user_id, i.event_id ORDER BY i.event_id"
         ),
         "wet_roundtrip_documents": (
             "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"

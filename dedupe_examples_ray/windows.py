@@ -998,3 +998,48 @@ def resample_locf(
     prepared = ds.select_columns([key_col, ts_col, val_col])
     return bucketed_by_key(prepared, key_col, per_bucket,
                            num_buckets=num_buckets)
+
+
+def ewma(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    round_digits: int | None = None,
+):
+    """Per-key exponentially weighted moving average in ``order_cols`` order
+    — the recursive smoother ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``,
+    ``s_1 = x_1`` (pandas ``ewm(alpha, adjust=False)`` semantics, the
+    time-series monitoring default).
+
+    SQL-reproducible via the closed form (the oracle contract):
+
+        s_i = (1-a)^(i-1) * x_1 + sum_{j=2..i} a*(1-a)^(i-j) * x_j
+
+    which needs only ROW_NUMBER + POW + a windowed SUM — no recursion.
+    ``(1-a) < 1`` so the powers underflow toward 0 harmlessly on long keys.
+
+    One bucketed key shuffle (``bucketed_by_key``); per-bucket work is the
+    C-level pandas groupby-ewm kernel across all of the bucket's keys at
+    once.  NULL keys form one partition (SQL PARTITION BY).  NULL values are
+    propagated as-is by pandas ewm (ignore_na=False: they don't advance the
+    recursion but decay weights) — restrict to non-null value columns for
+    oracle parity.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        s = (df.groupby(key_col, sort=False, dropna=False)[val_col]
+             .transform(lambda v: v.ewm(alpha=alpha, adjust=False).mean())
+             .to_numpy(np.float64))
+        if round_digits is not None:
+            s = _round_half_away(s, round_digits)
+        df[out_col] = s
+        return df
+
+    return bucketed_by_key(ds, key_col, per_bucket)

@@ -929,3 +929,39 @@ def test_resample_locf(ray_session):
     # grid-instant obs included (>= semantics): day1 = 1; the day-3 noon
     # instant precedes that day's 18:00 obs, so 2.0 starts at day 4
     assert (u2[:3] == 1.0).all() and (u2[3:] == 2.0).all()
+
+
+def test_ewma_matches_pandas_and_closed_form(ray_session):
+    """Recursive EWMA == pandas ewm(adjust=False) == the closed-form the SQL
+    oracle uses; null keys form one partition; alpha validated."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from dedupe_examples_ray.windows import ewma
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3 + [None] * 4,
+        "o": list(range(5)) + list(range(3)) + list(range(4)),
+        "v": rng.normal(10, 3, 12).round(3),
+    })
+    a = 0.3
+    out = (ewma(rd.from_pandas(df).repartition(3), "k", ["o"], "v", alpha=a)
+           .to_pandas().sort_values(["k", "o"], na_position="last")
+           .reset_index(drop=True))
+
+    def closed(xs):
+        return [ (1-a)**i * xs[0] + sum(a*(1-a)**(i-j)*xs[j]
+                                        for j in range(1, i+1))
+                 for i in range(len(xs)) ]
+
+    want = df.sort_values(["k", "o"], na_position="last").reset_index(drop=True)
+    for key, g in want.groupby("k", dropna=False, sort=False):
+        exp = closed(g["v"].tolist())
+        got = out[out["k"].isna() if pd.isna(key) else (out["k"] == key)]
+        assert np.allclose(got["ewma"].to_numpy(), exp, atol=1e-12), key
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(rd.from_pandas(df), "k", ["o"], "v", alpha=0.0)
