@@ -3310,6 +3310,50 @@ def _q_sorted_neighborhood_parts(sf_dir):
     return out.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
 
 
+def _part_blocks(sf_dir):
+    """Multi-family blocking map over ``part`` for the meta-blocking queries:
+    brand (exact key), type tokens (whitespace split), size (exact key) —
+    CBS weight = number of shared families after block purging."""
+    from dedupe_examples_ray.blocking.metablocking import (
+        column_blocks,
+        token_blocks,
+    )
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+    return (
+        column_blocks(part, "p_brand", "p_partkey", prefix="brand:")
+        .union(token_blocks(part, "p_type", "p_partkey", prefix="type:"))
+        .union(column_blocks(part, "p_size", "p_partkey", prefix="size:"))
+    )
+
+
+def _q_meta_blocking_wep_parts(sf_dir):
+    """Meta-blocking (Papadakis et al. TKDE 2014) with weighted edge pruning:
+    purge blocks outside [2, 500], CBS edge weights, keep weight >= global
+    mean.  The reference pays full per-block quadratics via a SQL self-join
+    (mysql_example.py:240-264); meta-blocking is the published pruning that
+    makes web-scale token blocking tractable."""
+    from dedupe_examples_ray.blocking.metablocking import meta_block_prune
+
+    out = meta_block_prune(_part_blocks(sf_dir), id_col="rid",
+                           max_block_size=500, mode="wep")
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return df[["id_a", "id_b", "weight"]]
+
+
+def _q_meta_blocking_cnp_parts(sf_dir):
+    """Meta-blocking with cardinality node pruning (k=2): an edge survives
+    iff it ranks in the top-2 by (weight desc, neighbour asc) of EITHER
+    endpoint — output bounded by 2k edges per node regardless of skew."""
+    from dedupe_examples_ray.blocking.metablocking import meta_block_prune
+
+    out = meta_block_prune(_part_blocks(sf_dir), id_col="rid",
+                           max_block_size=500, mode="cnp", k=2)
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return df[["id_a", "id_b", "weight"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -3494,11 +3538,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_sim_customers": _q_string_sim_customers,
         "fs_tf_dedupe_pages": _q_fs_tf_dedupe_pages,
         "ewma_events": _q_ewma_events,
+        "meta_blocking_wep_parts": _q_meta_blocking_wep_parts,
+        "meta_blocking_cnp_parts": _q_meta_blocking_cnp_parts,
     }
+
+
+_META_BLOCK_PAIRS_CTE = (
+    "WITH blocks AS ("
+    "  SELECT 'brand:'||p_brand AS key, p_partkey AS rid FROM part"
+    "  UNION ALL"
+    "  SELECT 'type:'||unnest(string_split(p_type, ' ')), p_partkey FROM part"
+    "  UNION ALL"
+    "  SELECT 'size:'||CAST(p_size AS VARCHAR), p_partkey FROM part"
+    "), b AS (SELECT DISTINCT key, rid FROM blocks), "
+    "kept AS (SELECT key, rid FROM b "
+    "  QUALIFY count(*) OVER (PARTITION BY key) BETWEEN 2 AND 500), "
+    "pairs AS (SELECT a.rid AS id_a, b2.rid AS id_b, count(*) AS weight "
+    "  FROM kept a JOIN kept b2 ON a.key = b2.key AND a.rid < b2.rid "
+    "  GROUP BY 1, 2)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "meta_blocking_wep_parts": (
+            _META_BLOCK_PAIRS_CTE +
+            " SELECT id_a, id_b, weight FROM pairs "
+            "WHERE weight >= (SELECT avg(weight) FROM pairs) "
+            "ORDER BY id_a, id_b"
+        ),
+        "meta_blocking_cnp_parts": (
+            _META_BLOCK_PAIRS_CTE +
+            ", dir AS ("
+            "  SELECT id_a AS node, id_b AS other, weight FROM pairs"
+            "  UNION ALL SELECT id_b, id_a, weight FROM pairs), "
+            "kd AS (SELECT node, other, weight FROM dir "
+            "  QUALIFY ROW_NUMBER() OVER (PARTITION BY node "
+            "    ORDER BY weight DESC, other) <= 2) "
+            "SELECT DISTINCT "
+            "  CASE WHEN node < other THEN node ELSE other END AS id_a, "
+            "  CASE WHEN node < other THEN other ELSE node END AS id_b, weight "
+            "FROM kd ORDER BY id_a, id_b"
+        ),
         "string_sim_customers": (
             "SELECT c_custkey,"
             " jaro_winkler_similarity(c_name, c_mktsegment) AS jw_seg,"
