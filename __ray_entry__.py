@@ -3310,6 +3310,48 @@ def _q_sorted_neighborhood_parts(sf_dir):
     return out.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
 
 
+def _q_warc_roundtrip_documents(sf_dir):
+    """WARC interchange round-trip (sources.warc): documents serialized as
+    WARC/1.0 response records (HTTP envelope + binary body) under /tmp, read
+    back with the Content-Length-framed parser; byte counts and HTTP status
+    compared.  Oracle: octet lengths straight off the parquet — only a
+    LOSSLESS binary round trip hash-matches."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.sources import read_warc, write_warc
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_warc_cols(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        body = pc.cast(pc.fill_null(t["text"], ""), pa.binary())
+        return pa.table({
+            "url": pc.binary_join_element_wise("doc://", ids, ""),
+            "warc_ts": pa.array(["2024-06-01T00:00:00Z"] * t.num_rows),
+            "html": body,
+        })
+
+    out_dir = f"/tmp/graft_warc_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(docs.map_batches(to_warc_cols, batch_format="pyarrow"), out_dir)
+    back = read_warc(out_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        assert pc.all(t["parse_ok"]).as_py() in (True, None), "malformed WARC"
+        doc_id = pc.cast(pc.utf8_slice_codeunits(t["url"], 6), pa.int64())
+        return pa.table({
+            "doc_id": doc_id,
+            "n_bytes_rt": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+            "http_status": t["http_status"],
+        })
+
+    return back.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def _part_blocks(sf_dir):
     """Multi-family blocking map over ``part`` for the meta-blocking queries:
     brand (exact key), type tokens (whitespace split), size (exact key) —
@@ -3540,6 +3582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events": _q_ewma_events,
         "meta_blocking_wep_parts": _q_meta_blocking_wep_parts,
         "meta_blocking_cnp_parts": _q_meta_blocking_cnp_parts,
+        "warc_roundtrip_documents": _q_warc_roundtrip_documents,
     }
 
 
@@ -3604,6 +3647,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wet_roundtrip_documents": (
             "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"
+            " FROM documents ORDER BY doc_id"
+        ),
+        "warc_roundtrip_documents": (
+            "SELECT doc_id,"
+            " CAST(octet_length(CAST(COALESCE(text, '') AS BLOB)) AS BIGINT)"
+            "   AS n_bytes_rt,"
+            " CAST(200 AS INTEGER) AS http_status"
             " FROM documents ORDER BY doc_id"
         ),
         "keep_best_documents": (

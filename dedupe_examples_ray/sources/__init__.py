@@ -9,6 +9,12 @@ from .io import (  # noqa: F401
     write_entity_map,
     write_partitioned,
 )
+from .warc import (  # noqa: F401
+    format_warc_records,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
 from .wet import (  # noqa: F401
     format_wet_records,
     parse_wet_bytes,
