@@ -62,6 +62,19 @@ def test_f1_with_canopy_predicates(ray_session):
     assert scores["f1"] >= 0.99, scores
 
 
+def test_f1_with_cnp_meta_blocking(ray_session):
+    """Opt-in meta-blocking (pair_pruning='cnp', k=4) between pair-gen and
+    scoring keeps the gold contract — each record's top-4 co-blocked
+    neighbours retain every true pair on this corpus."""
+    full = synth_pages_dataset(150, seed=7)
+    pages = full.drop_columns(["true_id"]).materialize()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    entity = dedupe_pages(pages, scorer_concurrency=2,
+                          pair_pruning="cnp", prune_k=4).to_pandas()
+    scores = evaluate_entity_map(entity, gold)
+    assert scores["f1"] >= 0.99, scores
+
+
 def test_empty_corpus_through_dedupe_pages(ray_session):
     """A zero-row pages dataset flows through block->pair->score->CC->entity
     map and yields an empty entity map (no crash at any stage boundary)."""
