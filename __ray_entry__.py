@@ -3310,6 +3310,90 @@ def _q_sorted_neighborhood_parts(sf_dir):
     return out.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
 
 
+def _q_link_graph_pages(sf_dir):
+    """Web-graph composition: deterministic link-bearing pages -> outlink
+    extraction (extract.links_batch) -> host-level edges -> PageRank.
+    Planted invariant: every host links to the hub host h0, so h0 must rank
+    first; ranks are checked to sum to 1.  Rows-only (the html link corpus
+    is synthesized in-query; no SQL-visible table)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.extract import links_batch
+    from dedupe_examples_ray.ops.graph import pagerank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def build_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [f"http://h{int(i) % 20}.example/p{int(i)}" for i in ids]
+        htmls = []
+        for i in ids:
+            i = int(i)
+            prev = f"http://h{(i - 1) % 20}.example/p{i - 1}" if i else ""
+            htmls.append((
+                '<html><body><a href="http://h0.example/p0">hub</a>'
+                + (f'<a href="{prev}">prev</a>' if prev else "")
+                + "</body></html>").encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = docs.map_batches(build_pages, batch_format="pyarrow")
+    links = pages.map_batches(links_batch, batch_format="pyarrow")
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        def host(col):
+            return pc.replace_substring_regex(
+                col, r"^https?://([^/]+)/.*$", r"\1")
+        src_h = host(t["src"])
+        dst_h = host(t["dst"])
+        keep = pc.invert(pc.equal(src_h, dst_h))
+        return pa.table({"src": src_h.filter(keep), "dst": dst_h.filter(keep)})
+
+    host_edges = links.map_batches(to_hosts, batch_format="pyarrow")
+    ranks = pagerank(host_edges, iters=30).to_pandas()
+    total = float(ranks["rank"].sum())
+    assert abs(total - 1.0) < 1e-6, f"ranks must sum to 1, got {total}"
+    top = ranks.sort_values(["rank", "node"], ascending=[False, True])
+    assert top.iloc[0]["node"] == "h0.example", "planted hub must rank first"
+    out = top.head(5).reset_index(drop=True)
+    out["rank"] = out["rank"].round(6)
+    return out[["node", "rank"]]
+
+
+def _q_k_core_orders(sf_dir):
+    """k-core decomposition over the orders-derived graph (same edge recipe
+    as triangles_orders): per-core-number node counts, plus the defining
+    invariant checked in-query — the k=3 core subgraph has min degree >= 3.
+    Rows-only (coreness is an iterative fixed point, not SQL-expressible)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.ops.graph import core_numbers, k_core
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        a = t["o_orderkey"].to_numpy(zero_copy_only=False) % 3000
+        b = t["o_custkey"].to_numpy(zero_copy_only=False) % 3000
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    e = orders.map_batches(edges, batch_format="pyarrow")
+    cores = core_numbers(e).to_pandas()
+    sub = k_core(e, 3).to_pandas()
+    if len(sub):
+        deg = pd.concat([sub["a"], sub["b"]]).value_counts()
+        assert (deg >= 3).all(), "k-core min-degree invariant violated"
+    hist = (cores.groupby("core", as_index=False).size()
+            .rename(columns={"size": "n_nodes"})
+            .sort_values("core").reset_index(drop=True))
+    hist["n_nodes"] = hist["n_nodes"].astype("int64")
+    return hist
+
+
 def _q_warc_roundtrip_documents(sf_dir):
     """WARC interchange round-trip (sources.warc): documents serialized as
     WARC/1.0 response records (HTTP envelope + binary body) under /tmp, read
@@ -3583,6 +3667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_blocking_wep_parts": _q_meta_blocking_wep_parts,
         "meta_blocking_cnp_parts": _q_meta_blocking_cnp_parts,
         "warc_roundtrip_documents": _q_warc_roundtrip_documents,
+        "link_graph_pages": _q_link_graph_pages,
+        "k_core_orders": _q_k_core_orders,
     }
 
 

@@ -100,6 +100,66 @@ def extract_text(html_bytes: bytes) -> str:
     return s.strip()
 
 
+_RE_HREF = re.compile(
+    rb"<a\b[^>]*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE | re.DOTALL,
+)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "about:")
+
+
+def extract_links(html_bytes: bytes, base_url: str) -> list[str]:
+    """Deterministic outlink extraction: every ``<a href=...>`` target,
+    entity-unescaped, resolved against ``base_url`` (stdlib ``urljoin``),
+    fragment-stripped; non-navigational schemes (javascript/mailto/data/
+    tel/about) and empty or fragment-only hrefs are dropped.  Anchors inside
+    script/style/noscript blocks and TERMINATED comments are not links
+    (same ``_RE_DROP`` pass as ``extract_text``; an unterminated comment is
+    treated as content — deterministic, documented divergence from browser
+    comment-to-EOF behavior).  Order is document order with duplicates
+    removed (first occurrence kept) — the web-graph edge emitter for
+    PageRank/HITS/k-core over crawled pages."""
+    from urllib.parse import urldefrag, urljoin
+
+    if not html_bytes:
+        return []
+    html_bytes = _RE_DROP.sub(b" ", html_bytes)
+    seen: set = set()
+    out: list[str] = []
+    for m in _RE_HREF.finditer(html_bytes):
+        raw = next(g for g in m.groups() if g is not None)
+        href = _html.unescape(raw.decode("utf-8", "replace")).strip()
+        if not href or href.startswith("#"):
+            continue
+        if href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        try:
+            absu = urldefrag(urljoin(base_url, href))[0]
+        except ValueError:
+            continue  # malformed IPv6 or port — hostile href, not an error
+        if absu and absu not in seen:
+            seen.add(absu)
+            out.append(absu)
+    return out
+
+
+def links_batch(batch, url_col: str = "url", html_col: str = "html",
+                src_col: str = "src", dst_col: str = "dst"):
+    """map_batches-ready edge emitter: one (src, dst) row per extracted
+    outlink.  Per-document regex walk (HTML is opaque binary), flat Arrow
+    output — run under an actor-pool/task ``map_batches``."""
+    import pyarrow as pa
+
+    srcs: list = []
+    dsts: list = []
+    urls = batch[url_col].to_pylist()
+    for u, h in zip(urls, batch[html_col].to_pylist()):
+        for link in extract_links(h, u or ""):
+            srcs.append(u)
+            dsts.append(link)
+    return pa.table({src_col: pa.array(srcs, pa.string()),
+                     dst_col: pa.array(dsts, pa.string())})
+
+
 def extract_batch(batch, html_col: str = "html", out_col: str = "text"):
     """map_batches-ready wrapper: pyarrow Table in/out, per-row extract.
 

@@ -38,7 +38,9 @@ from .classifier import (  # noqa: F401
     logreg_predict,
 )
 from .graph import (  # noqa: F401
+    core_numbers,
     hits,
+    k_core,
     pagerank,
     triangle_count,
 )
