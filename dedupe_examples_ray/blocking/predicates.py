@@ -212,8 +212,113 @@ def emit_soundex(arr) -> tuple[np.ndarray, pa.Array]:
     return idx[keep], keys.filter(pa.array(keep))
 
 
+_INT_RUN = r"[^0-9]+"
+
+
+def _integer_runs(vals: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """(parent_index, digit_run) pairs for every maximal digit run in each
+    value — one vectorized split + flatten, no Python row loop."""
+    lists = pc.split_pattern_regex(vals, _INT_RUN)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return parents[keep], flat.filter(pa.array(keep))
+
+
+def emit_common_integer(arr) -> tuple[np.ndarray, pa.Array]:
+    """Every integer substring becomes a key (dedupe's
+    commonIntegerPredicate): '123 Main St Apt 4' -> keys '123', '4'.
+    Leading zeros are canonicalized away so '007' and '7' collide."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    parents, runs = _integer_runs(vals)
+    canon = pc.utf8_ltrim(runs, "0")
+    canon = pc.if_else(pc.equal(canon, ""), pa.scalar("0"), canon)
+    return idx[parents], canon
+
+
+def emit_first_integer(arr) -> tuple[np.ndarray, pa.Array]:
+    """First integer substring only (dedupe's firstIntegerPredicate) — the
+    street-number-style key."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    parents, runs = _integer_runs(vals)
+    canon = pc.utf8_ltrim(runs, "0")
+    canon = pc.if_else(pc.equal(canon, ""), pa.scalar("0"), canon)
+    first_mask = np.concatenate([[True], parents[1:] != parents[:-1]]) \
+        if len(parents) else np.array([], bool)
+    return idx[parents[first_mask]], canon.filter(pa.array(first_mask))
+
+
+def emit_near_integers(arr) -> tuple[np.ndarray, pa.Array]:
+    """i-1, i, i+1 for every integer substring (dedupe's
+    nearIntegersPredicate): off-by-one street numbers / years collide.
+    Digit runs longer than 18 chars fall back to the exact key only (they
+    exceed int64 — ids/hashes, where +-1 neighbours are meaningless)."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    parents, runs = _integer_runs(vals)
+    if not len(parents):
+        return parents, pa.array([], pa.string())
+    s = runs.to_numpy(zero_copy_only=False)
+    small = np.char.str_len(s.astype(str)) <= 18
+    out_idx: list[np.ndarray] = []
+    out_keys: list[np.ndarray] = []
+    if small.any():
+        ints = s[small].astype(np.int64)
+        pi = idx[parents[small]]
+        for d in (-1, 0, 1):
+            out_idx.append(pi)
+            out_keys.append((ints + d).astype(str))
+    if (~small).any():
+        out_idx.append(idx[parents[~small]])
+        out_keys.append(s[~small].astype(str))
+    return (np.concatenate(out_idx),
+            pa.array(np.concatenate(out_keys), pa.string()))
+
+
+def emit_alpha_numeric(arr) -> tuple[np.ndarray, pa.Array]:
+    """Alphanumeric tokens that CONTAIN a digit (dedupe's
+    alphaNumericPredicate): unit numbers, model codes, zip+4 — the
+    discriminating tokens on address/product fields."""
+    arr = _as_string(arr)
+    idx, vals = _valid(arr)
+    lists = pc.split_pattern_regex(vals, r"[^A-Za-z0-9]+")
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    keep = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.match_substring_regex(flat, r"[0-9]"),
+    ).to_numpy(zero_copy_only=False)
+    return idx[parents[keep]], flat.filter(pa.array(keep))
+
+
+def emit_order_of_magnitude(arr) -> tuple[np.ndarray, pa.Array]:
+    """floor(log10(|x|)) as the key (dedupe's orderOfMagnitude): prices/
+    counts block with others of the same magnitude.  Zero and non-numeric
+    values emit no key; negatives key on |x| with a '-' prefix."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        ok = pc.match_substring_regex(pc.fill_null(arr, ""), r"^-?\d+(\.\d+)?$")
+        arr = pc.if_else(ok, arr, pa.nulls(len(arr), pa.string()))
+    num = pc.cast(arr, pa.float64(), safe=False)
+    v = num.to_numpy(zero_copy_only=False)
+    mask = np.isfinite(v) & (v != 0)
+    idx = np.flatnonzero(mask)
+    mag = np.floor(np.log10(np.abs(v[idx]))).astype(np.int64)
+    keys = np.where(v[idx] < 0, np.char.add("-", mag.astype(str)),
+                    mag.astype(str))
+    return idx, pa.array(keys, pa.string())
+
+
 PREDICATE_KINDS = {
     "soundex": emit_soundex,
+    "common_integer": emit_common_integer,
+    "first_integer": emit_first_integer,
+    "near_integers": emit_near_integers,
+    "alpha_numeric": emit_alpha_numeric,
+    "order_of_magnitude": emit_order_of_magnitude,
     "sorted_tokens": emit_sorted_tokens,
     "whole_field": emit_whole_field,
     "first_token": emit_first_token,

@@ -34,6 +34,45 @@ def test_predicate_emitters():
     assert list(zip(idx.tolist(), keys.to_pylist())) == [(0, "x"), (0, "y")]
 
 
+def test_integer_family_predicates():
+    # commonIntegerPredicate analog: every digit run, zero-canonicalized
+    assert _keys("common_integer", ["123 Main Apt 4", "no digits", None, "007"]) == [
+        (0, "123"), (0, "4"), (3, "7")]
+    assert _keys("first_integer", ["123 Main Apt 4", "plain", "007 x 9"]) == [
+        (0, "123"), (2, "7")]
+    # nearIntegersPredicate analog: i-1/i/i+1 per run; >18-digit runs fall
+    # back to the exact key (beyond int64 — neighbours meaningless)
+    got = set(_keys("near_integers", ["5", "9" * 25]))
+    assert got == {(0, "4"), (0, "5"), (0, "6"), (1, "9" * 25)}
+    # alphaNumericPredicate analog: tokens containing a digit
+    assert set(_keys("alpha_numeric", ["Apt 4B zip 60614-3121", "plain"])) == {
+        (0, "4B"), (0, "60614"), (0, "3121")}
+    # orderOfMagnitude: floor(log10(|x|)); zero/non-numeric emit nothing
+    assert _keys("order_of_magnitude", ["1200", "zz", "0.5", "0"]) == [
+        (0, "3"), (2, "-1")]
+    idx, keys = emit_keys("order_of_magnitude", pa.array([950.0, 0.0, -120.0]))
+    assert list(zip(idx.tolist(), keys.to_pylist())) == [(0, "2"), (2, "-2")]
+
+
+def test_integer_predicates_through_fingerprinter(ray_session):
+    """Dispatch end-to-end: near_integers blocks off-by-one street numbers."""
+    import ray.data as rd
+
+    s = Settings(fields=[Field("addr")],
+                 predicates=[{"kind": "near_integers", "column": "addr"}])
+    ds = rd.from_items([
+        {"rid": 1, "addr": "100 Elm St"},
+        {"rid": 2, "addr": "101 Elm Street"},
+        {"rid": 3, "addr": "900 Oak Ave"},
+    ])
+    from dedupe_examples_ray.blocking.fingerprint import fingerprint_dataset
+
+    blocks = fingerprint_dataset(ds, s, "rid", []).to_pandas()
+    by_key = blocks.groupby("block_key")["rid"].apply(set)
+    assert {1, 2} in list(by_key)          # 100 and 101 collide via 101/100
+    assert not any({1, 3} <= g for g in by_key)  # 100 and 900 never collide
+
+
 def test_fingerprinter_prefixes_and_carries():
     s = Settings(
         fields=[Field("name")],
