@@ -1163,6 +1163,17 @@ def _q_ann_ivf_top5(sf_dir):
         vecs, lambda ds, probe, k: ann_ivf(ds, probe, k=k, n_cells=8, n_probe=3))
 
 
+def _q_ann_pq_top5(sf_dir):
+    """Product-quantization ANN (Jegou 2011 ADC: codebooks on a bounded
+    sample, one encode pass to a 32x-smaller code table, code-only lookup
+    scan), self-verified like ann_lsh_top5."""
+    from dedupe_examples_ray.ops import ann_pq
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _ann_probe_and_recall(
+        vecs, lambda ds, probe, k: ann_pq(ds, probe, k=k, m=16, ksub=32))
+
+
 def _q_events_window_6h(sf_dir):
     """Tumbling-window aggregate (6-hour windows) — derived-key combiner."""
     from dedupe_examples_ray.windows import tumbling_window
@@ -3669,6 +3680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_documents": _q_warc_roundtrip_documents,
         "link_graph_pages": _q_link_graph_pages,
         "k_core_orders": _q_k_core_orders,
+        "ann_pq_top5": _q_ann_pq_top5,
     }
 
 

@@ -9,7 +9,14 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_dedup,
     embedding_cosine_dedup,
 )
-from .ann import ann_brute_force, ann_ivf, ann_lsh  # noqa: F401
+from .ann import (  # noqa: F401
+    ann_brute_force,
+    ann_ivf,
+    ann_lsh,
+    ann_pq,
+    pq_encode,
+    pq_train,
+)
 from .embed_cluster import (  # noqa: F401
     kmeans_assign,
     kmeans_distributed,

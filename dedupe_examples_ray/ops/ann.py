@@ -257,3 +257,140 @@ def ann_lsh(
 
     filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
     return ann_brute_force(filtered, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_train(X: np.ndarray, m: int = 8, ksub: int = 256, iters: int = 12,
+             seed: int = 5) -> np.ndarray:
+    """Product-quantization codebooks (Jegou, Douze & Schmid, TPAMI 2011):
+    split the dim into ``m`` subspaces and k-means each independently.
+    Returns ``(m, ksub, dim//m)``.  ``ksub`` is clamped to the sample size
+    (can't train 256 centroids from 100 vectors)."""
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ksub = max(2, min(ksub, n))
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        books[j] = kmeans_fit(X[:, j * dsub:(j + 1) * dsub], ksub,
+                              iters=iters, seed=seed + j)
+    return books
+
+
+def pq_encode(V: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, m) uint8/uint16 codes: per subspace, nearest codebook
+    entry by L2 (one matmul per subspace, no per-row loop)."""
+    m, ksub, dsub = books.shape
+    n = V.shape[0]
+    dt = np.uint8 if ksub <= 256 else np.uint16
+    codes = np.empty((n, m), dtype=dt)
+    for j in range(m):
+        sub = V[:, j * dsub:(j + 1) * dsub]
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per argmin
+        d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+        codes[:, j] = d.argmin(axis=1).astype(dt)
+    return codes
+
+
+def ann_pq(
+    ds,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ksub: int = 32,
+    train_sample: int = 4096,
+    seed: int = 5,
+):
+    """Product-quantization ANN with asymmetric-distance scanning (ADC;
+    Jegou et al. 2011) — the memory-bound scale path: vectors are encoded
+    ONCE into ``m``-byte codes (e.g. 64 float64 dims -> 16 bytes, 32x), and
+    the search scans only the code table with per-query lookup tables.
+
+    Stages: (1) driver-side codebook training on a bounded sample (tiny
+    state, broadcast); (2) one streaming encode pass -> materialized codes
+    Dataset (the 32x-smaller artifact is the point — at 100 TB of vectors
+    the code table is ~3 TB and rescans stay cheap); (3) code-only ADC scan:
+    approx ||q - x||^2 = sum_j LUT_j[code_j(x)], one fancy-index + sum per
+    batch, per-batch top-k, output-sized driver merge.  Approximate by
+    construction (quantization error); raise ``m``/``ksub`` for precision.
+
+    Returns pandas (query_id, match_id, score) like :func:`ann_brute_force`,
+    with ``score`` = the ADC cosine approximation ``1 - adc_l2sq / 2`` on
+    unit vectors.
+    """
+    import ray
+
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({"query_id": [], "match_id": [], "score": []})
+    frac = min(1.0, train_sample / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).take(train_sample)
+    if not sample:
+        sample = ds.take(min(n, train_sample))
+    X = _normalize(_as_matrix([r[vec_col] for r in sample]))
+    books = pq_train(X, m=m, ksub=ksub, seed=seed)
+    bref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "code": pa.array([], pa.list_(pa.uint16()))})
+        B = ray.get(bref)
+        V = _normalize(_col_matrix(t[vec_col]))
+        codes = pq_encode(V, B).astype(np.uint16)
+        return pa.table({
+            id_col: t[id_col],
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint16()), codes.shape[1]),
+        })
+
+    codes_ds = ds.map_batches(encode, batch_format="pyarrow").materialize()
+
+    qids = [q[0] for q in queries]
+    Q = _normalize(_as_matrix([q[1] for q in queries]))
+    mm, ksub_t, dsub = books.shape
+    # per-query ADC lookup tables: LUT[q, j, c] = ||q_sub - book[j, c]||^2
+    lut = np.empty((len(qids), mm, ksub_t))
+    for j in range(mm):
+        sub = Q[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = (
+            (sub ** 2).sum(axis=1, keepdims=True)
+            - 2.0 * (sub @ books[j].T)
+            + (books[j] ** 2).sum(axis=1)
+        )
+    lref = ray.put((qids, lut))
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.array(qids).type),
+                             "match_id": pa.array([], t[id_col].type),
+                             "score": pa.array([], pa.float64())})
+        qids_, lut_ = ray.get(lref)
+        col = t["code"].combine_chunks()
+        codes = col.values.to_numpy(zero_copy_only=False).reshape(
+            t.num_rows, lut_.shape[1])
+        out_q: list = []
+        out_id: list = []
+        out_s: list = []
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        jj = np.arange(lut_.shape[1])
+        for qi in range(len(qids_)):
+            adc = lut_[qi][jj, codes].sum(axis=1)  # (n_batch,)
+            kk = min(k, len(adc))
+            top = np.argpartition(adc, kk - 1)[:kk]
+            out_q.extend([qids_[qi]] * kk)
+            out_id.extend(ids[top].tolist())
+            out_s.extend((1.0 - adc[top] / 2.0).tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.array(qids_).type),
+                         "match_id": pa.array(out_id, t[id_col].type),
+                         "score": pa.array(out_s, pa.float64())})
+
+    parts = codes_ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"query_id": [], "match_id": [], "score": []})
+    parts = parts.sort_values(["query_id", "score", "match_id"],
+                              ascending=[True, False, True], kind="stable")
+    return (parts.groupby("query_id", sort=False).head(k)
+            .reset_index(drop=True))

@@ -555,3 +555,76 @@ def test_gopher_rules_hostile_inputs(ray_session):
     # doc 6: non-overlapping '...' count is 1 ('....' -> one match + '.')
     assert abs(out["symbol_ratio"][6] - round(1 / 5, 6)) < 1e-9
     assert out["stopword_hits"][6] == 3
+
+
+# ----------------------------------------------------------------- PQ ANN
+def test_pq_encode_reconstructs_centroids():
+    """Vectors that ARE codebook entries encode losslessly: ADC distance to
+    themselves is 0 and argmin picks their own centroid."""
+    from dedupe_examples_ray.ops.ann import pq_encode, pq_train
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((64, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = pq_train(X, m=4, ksub=8, seed=3)
+    m, ksub, dsub = books.shape
+    # build vectors from one centroid per subspace
+    V = np.concatenate([books[j][2 % ksub][None, :].repeat(3, 0)
+                        for j in range(m)], axis=1)
+    codes = pq_encode(V, books)
+    assert (codes == 2 % ksub).all()
+
+
+def test_pq_train_validates_and_clamps():
+    import pytest as _pytest
+
+    from dedupe_examples_ray.ops.ann import pq_train
+
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((10, 15))
+    with _pytest.raises(ValueError):
+        pq_train(X, m=4)
+    books = pq_train(rng.standard_normal((10, 16)), m=4, ksub=256)
+    assert books.shape == (4, 10, 4)  # ksub clamped to sample size
+
+
+def test_ann_pq_finds_planted_cluster(ray_session):
+    """Planted near-identical vectors must dominate the PQ top-k."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import ann_pq
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32)
+    rows = []
+    for i in range(8):  # 8 near-clones of the probe
+        rows.append({"vec_id": i, "embedding": (base + 0.01 * rng.standard_normal(32)).tolist()})
+    for i in range(8, 300):  # background noise
+        rows.append({"vec_id": i, "embedding": rng.standard_normal(32).tolist()})
+    ds = rd.from_items(rows)
+    out = ann_pq(ds, [(999, base)], k=8, m=8, ksub=16, seed=2)
+    assert len(out) == 8
+    hits = sum(1 for mid in out["match_id"] if mid < 8)
+    assert hits >= 6, out  # quantization noise tolerance
+    assert out["match_id"].iloc[0] < 8  # a clone ranks first
+
+
+def test_ann_pq_empty_and_determinism(ray_session):
+    import pandas as pd_
+
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import ann_pq
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    out = ann_pq(empty, [(1, np.ones(16))], k=3, m=4)
+    assert len(out) == 0
+    rng = np.random.default_rng(5)
+    rows = [{"vec_id": i, "embedding": rng.standard_normal(16).tolist()}
+            for i in range(50)]
+    q = [(0, np.asarray(rows[0]["embedding"]))]
+    a = ann_pq(rd.from_items(rows), q, k=5, m=4, ksub=8, seed=9)
+    b = ann_pq(rd.from_items(rows), q, k=5, m=4, ksub=8, seed=9)
+    pd_.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
