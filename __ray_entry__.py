@@ -1163,6 +1163,40 @@ def _q_ann_ivf_top5(sf_dir):
         vecs, lambda ds, probe, k: ann_ivf(ds, probe, k=k, n_cells=8, n_probe=3))
 
 
+def _q_integer_blocks_customer(sf_dir):
+    """Integer predicate family oracled bit-exactly: common_integer keys
+    (digit runs of c_name, zero-canonicalized) + near_integers keys
+    (c_custkey-1/+0/+1) as one namespaced blocking map."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.blocking.predicates import emit_keys
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def blocks(t: pa.Table) -> pa.Table:
+        rids: list = []
+        keys: list = []
+        idx, k1 = emit_keys("common_integer", t["c_name"])
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False)
+        rids.append(ids[idx])
+        keys.append(pc.binary_join_element_wise(
+            pa.array(["ci:"] * len(k1)), k1, "").to_numpy(zero_copy_only=False))
+        idx2, k2 = emit_keys("near_integers",
+                             pc.cast(t["c_custkey"], pa.string()))
+        rids.append(ids[idx2])
+        keys.append(pc.binary_join_element_wise(
+            pa.array(["ni:"] * len(k2)), k2, "").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "rid": pa.array(np.concatenate(rids), pa.int64()),
+            "block_key": pa.array(np.concatenate(keys), pa.string()),
+        })
+
+    out = cust.map_batches(blocks, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["rid", "block_key"]).reset_index(drop=True)
+
+
 def _q_ann_pq_top5(sf_dir):
     """Product-quantization ANN (Jegou 2011 ADC: codebooks on a bounded
     sample, one encode pass to a 32x-smaller code table, code-only lookup
@@ -3681,6 +3715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph_pages": _q_link_graph_pages,
         "k_core_orders": _q_k_core_orders,
         "ann_pq_top5": _q_ann_pq_top5,
+        "integer_blocks_customer": _q_integer_blocks_customer,
     }
 
 
@@ -3746,6 +3781,22 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip_documents": (
             "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"
             " FROM documents ORDER BY doc_id"
+        ),
+        "integer_blocks_customer": (
+            "WITH ci AS ("
+            "  SELECT c_custkey AS rid,"
+            "    'ci:' || CASE WHEN ltrim(r, '0') = '' THEN '0'"
+            "                  ELSE ltrim(r, '0') END AS block_key"
+            "  FROM (SELECT c_custkey,"
+            "          unnest(regexp_extract_all(c_name, '[0-9]+')) AS r"
+            "        FROM customer)), "
+            "ni AS ("
+            "  SELECT c_custkey AS rid,"
+            "    'ni:' || CAST(c_custkey + d AS VARCHAR) AS block_key"
+            "  FROM customer, unnest([-1, 0, 1]) AS t(d)) "
+            "SELECT rid, block_key FROM"
+            " (SELECT * FROM ci UNION ALL SELECT * FROM ni)"
+            " ORDER BY rid, block_key"
         ),
         "warc_roundtrip_documents": (
             "SELECT doc_id,"

@@ -296,7 +296,9 @@ def emit_alpha_numeric(arr) -> tuple[np.ndarray, pa.Array]:
 def emit_order_of_magnitude(arr) -> tuple[np.ndarray, pa.Array]:
     """floor(log10(|x|)) as the key (dedupe's orderOfMagnitude): prices/
     counts block with others of the same magnitude.  Zero and non-numeric
-    values emit no key; negatives key on |x| with a '-' prefix."""
+    values emit no key; negatives key on |x| with a 'neg' prefix (an
+    unambiguous namespace — a bare '-' would collide "negative, magnitude
+    2" with "positive, magnitude -2")."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
@@ -307,7 +309,7 @@ def emit_order_of_magnitude(arr) -> tuple[np.ndarray, pa.Array]:
     mask = np.isfinite(v) & (v != 0)
     idx = np.flatnonzero(mask)
     mag = np.floor(np.log10(np.abs(v[idx]))).astype(np.int64)
-    keys = np.where(v[idx] < 0, np.char.add("-", mag.astype(str)),
+    keys = np.where(v[idx] < 0, np.char.add("neg", mag.astype(str)),
                     mag.astype(str))
     return idx, pa.array(keys, pa.string())
 

@@ -50,8 +50,10 @@ def test_integer_family_predicates():
     # orderOfMagnitude: floor(log10(|x|)); zero/non-numeric emit nothing
     assert _keys("order_of_magnitude", ["1200", "zz", "0.5", "0"]) == [
         (0, "3"), (2, "-1")]
-    idx, keys = emit_keys("order_of_magnitude", pa.array([950.0, 0.0, -120.0]))
-    assert list(zip(idx.tolist(), keys.to_pylist())) == [(0, "2"), (2, "-2")]
+    idx, keys = emit_keys("order_of_magnitude", pa.array([950.0, 0.0, -120.0, 0.05]))
+    # 'neg' prefix: negative-mag-2 must NOT collide with positive-mag=-2
+    assert list(zip(idx.tolist(), keys.to_pylist())) == [
+        (0, "2"), (2, "neg2"), (3, "-2")]
 
 
 def test_integer_predicates_through_fingerprinter(ray_session):
