@@ -1163,6 +1163,59 @@ def _q_ann_ivf_top5(sf_dir):
         vecs, lambda ds, probe, k: ann_ivf(ds, probe, k=k, n_cells=8, n_probe=3))
 
 
+def _q_warc_corpus_pipeline(sf_dir):
+    """Capstone source-to-clusters composition over the RAW crawl container:
+    synthesized gold pages -> WARC response files under /tmp -> read_warc ->
+    extract_text -> flagship dedupe -> pairwise F1 vs gold.  In-query
+    contracts: every WARC record parses ok; extracted text after the WARC
+    round trip is BYTE-IDENTICAL per url to the direct extraction (the
+    north-rule invariant crossing the container boundary); F1 >= 0.99.
+    Rows-only (gold corpus is synthesized; no SQL-visible table)."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.extract import extract_batch
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.sources import read_warc, write_warc
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(120, seed=13)
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    direct = full.select_columns(["url", "text"]).to_pandas()
+
+    out_dir = f"/tmp/graft_warc_pipe_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(full.select_columns(["url", "warc_ts", "html"]), out_dir)
+
+    back = read_warc(out_dir)
+    extracted = back.map_batches(extract_batch, batch_format="pyarrow")
+    ext_df = extracted.select_columns(["url", "text", "parse_ok"]).to_pandas()
+    assert ext_df["parse_ok"].all(), "malformed WARC records in round trip"
+    cmp = direct.merge(ext_df[["url", "text"]], on="url",
+                       suffixes=("_direct", "_warc"))
+    n_identical = int((cmp["text_direct"] == cmp["text_warc"]).sum())
+    assert n_identical == len(gold), (
+        f"extraction invariant broken across WARC boundary: "
+        f"{n_identical}/{len(gold)}")
+
+    entity = dedupe_pages(
+        extracted.select_columns(["url", "text"])).to_pandas()
+    scores = evaluate_entity_map(entity, gold)
+    assert scores["f1"] >= 0.99, scores
+    return pd.DataFrame([{
+        "n_pages": len(gold),
+        "n_parse_ok": int(ext_df["parse_ok"].sum()),
+        "n_text_identical": n_identical,
+        "n_clusters": int(entity["canon_id"].nunique()),
+        "f1": round(float(scores["f1"]), 4),
+    }])
+
+
 def _q_integer_blocks_customer(sf_dir):
     """Integer predicate family oracled bit-exactly: common_integer keys
     (digit runs of c_name, zero-canonicalized) + near_integers keys
@@ -3716,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core_orders": _q_k_core_orders,
         "ann_pq_top5": _q_ann_pq_top5,
         "integer_blocks_customer": _q_integer_blocks_customer,
+        "warc_corpus_pipeline": _q_warc_corpus_pipeline,
     }
 
 

@@ -443,7 +443,8 @@ def build_record_map(records_ds, id_col: str, cols: list[str]) -> pa.Table:
     for b in records_ds.select_columns([id_col] + cols).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        tbls.append(b)
+        if b.num_rows:  # zero-row source blocks can carry an empty schema
+            tbls.append(b)
     if not tbls:
         return _pa.table({c: _pa.array([], _pa.string()) for c in [id_col] + cols})
     return _pa.concat_tables(tbls).combine_chunks()
@@ -452,7 +453,13 @@ def build_record_map(records_ds, id_col: str, cols: list[str]) -> pa.Table:
 def _consolidate_record_blocks(*blocks):
     import pyarrow as _pa
 
-    return _pa.concat_tables(blocks).combine_chunks()
+    # sources like read_binary_files emit zero-row blocks with an EMPTY
+    # schema; concat_tables treats those as a schema mismatch — drop them
+    # (same guard as pipelines.dedupe.count_distinct_uids)
+    live = [b for b in blocks if b.num_rows]
+    if not live:
+        return blocks[0] if blocks else _pa.table({})
+    return _pa.concat_tables(live).combine_chunks()
 
 
 def record_map_ref(records_ds, id_col: str, cols: list[str]):

@@ -111,3 +111,43 @@ def test_ray_roundtrip_and_atomic_files(ray_session, tmp_path):
     assert got == dict(zip(df["url"], df["html"]))
     import os
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_consolidate_record_blocks_skips_empty_schema_blocks():
+    """read_binary_files-style sources emit zero-row blocks with an EMPTY
+    schema; the broadcast record-map consolidation must not die on them."""
+    import pyarrow as pa
+
+    from dedupe_examples_ray.scoring import _consolidate_record_blocks
+
+    good = pa.table({"url": ["a", "b"], "text": ["x", "y"]})
+    empty_schema = pa.table({})
+    out = _consolidate_record_blocks(empty_schema, good, empty_schema)
+    assert out.num_rows == 2 and out.column_names == ["url", "text"]
+    all_empty = _consolidate_record_blocks(empty_schema)
+    assert all_empty.num_rows == 0
+
+
+def test_warc_to_dedupe_pipeline_end_to_end(ray_session, tmp_path):
+    """Source-to-clusters through the raw container: pages -> WARC files ->
+    read_warc -> extract -> dedupe keeps the gold F1 contract and the
+    byte-identical extraction invariant across the container boundary."""
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.extract import extract_batch
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.sources import read_warc, write_warc
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(60, seed=21)
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    direct = full.select_columns(["url", "text"]).to_pandas()
+    out = str(tmp_path / "warc")
+    write_warc(full.select_columns(["url", "warc_ts", "html"]), out)
+    back = read_warc(out).map_batches(extract_batch, batch_format="pyarrow")
+    ext = back.select_columns(["url", "text"]).to_pandas()
+    cmp = direct.merge(ext, on="url", suffixes=("_d", "_w"))
+    assert (cmp["text_d"] == cmp["text_w"]).all()
+    entity = dedupe_pages(
+        read_warc(out).map_batches(extract_batch, batch_format="pyarrow")
+        .select_columns(["url", "text"])).to_pandas()
+    assert evaluate_entity_map(entity, gold)["f1"] >= 0.99
