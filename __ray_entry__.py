@@ -1673,6 +1673,21 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_rolling_median_orders(sf_dir):
+    """Per-customer trailing 3-order rolling median + rolling sample std
+    (windowed MEDIAN / STDDEV_SAMP parity; even frames interpolate like
+    percentile_cont(0.5), 1-row std frames are NULL)."""
+    from dedupe_examples_ray.windows import moving_stat
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    med = moving_stat(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "o_totalprice", window=3, stat="median", round_digits=4)
+    out = moving_stat(med, "o_custkey", ["o_orderdate", "o_orderkey"],
+                      "o_totalprice", window=3, stat="std", round_digits=4)
+    return out.select_columns(["o_orderkey", "o_custkey", "mmedian", "mstd"])
+
+
 def _q_top3_orders_per_cust(sf_dir):
     """Per-key top-n with combiner pruning (ROW_NUMBER ... QUALIFY parity)."""
     from dedupe_examples_ray.windows import grouped_top_n
@@ -3770,6 +3785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_top5": _q_ann_pq_top5,
         "integer_blocks_customer": _q_integer_blocks_customer,
         "warc_corpus_pipeline": _q_warc_corpus_pipeline,
+        "rolling_median_orders": _q_rolling_median_orders,
     }
 
 
@@ -4164,6 +4180,14 @@ def oracle_sql() -> dict[str, str]:
         "rank_orders_global": (
             "SELECT o_orderkey, RANK() OVER (ORDER BY o_totalprice DESC) AS rnk "
             "FROM orders"
+        ),
+        "rolling_median_orders": (
+            "SELECT o_orderkey, o_custkey, "
+            "ROUND(MEDIAN(o_totalprice) OVER w, 4) AS mmedian, "
+            "ROUND(STDDEV_SAMP(o_totalprice) OVER w, 4) AS mstd "
+            "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         ),
         "dense_rank_orders": (
             "SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY o_totalprice DESC) "

@@ -286,6 +286,45 @@ def moving_avg(
     return bucketed_by_key(ds, key_col, per_bucket)
 
 
+def moving_stat(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int,
+    stat: str = "median",
+    out_col: str | None = None,
+    round_digits: int | None = None,
+):
+    """Per-key trailing rolling statistic (SQL ``<stat>(val) OVER (PARTITION
+    BY key ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``)
+    for ``stat`` in median / min / max / std.
+
+    Same single-shuffle shape as :func:`moving_avg`; pandas rolling kernels
+    are vectorized across a bucket's keys.  ``median`` on even frames is the
+    midpoint average — identical to SQL ``median`` / ``percentile_cont(0.5)``
+    linear interpolation.  ``std`` is the sample standard deviation (ddof=1,
+    SQL ``stddev_samp``; the first row of each partition is NULL).
+    ``min_periods=1`` elsewhere matches SQL frame semantics at partition
+    heads.  NULL keys form one partition (dropna=False)."""
+    if stat not in ("median", "min", "max", "std"):
+        raise ValueError(f"unsupported stat {stat!r}")
+    out_col = out_col or f"m{stat}"
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols, kind="mergesort",
+                            na_position="last").reset_index(drop=True)
+        roll = (df.groupby(key_col, sort=False, dropna=False)[val_col]
+                .rolling(window, min_periods=1))
+        m = getattr(roll, stat)().reset_index(drop=True).to_numpy()
+        if round_digits is not None:
+            m = _round_half_away(m, round_digits)
+        df[out_col] = m
+        return df
+
+    return bucketed_by_key(ds, key_col, per_bucket)
+
+
 def grouped_top_n(
     ds,
     key_cols: list[str],

@@ -965,3 +965,43 @@ def test_ewma_matches_pandas_and_closed_form(ray_session):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma(rd.from_pandas(df), "k", ["o"], "v", alpha=0.0)
+
+
+def test_moving_stat_median_std_null_keys(ray_session):
+    import pandas as pd
+
+    from dedupe_examples_ray.windows import moving_stat
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", None, None],
+        "o": [1, 2, 3, 4, 1, 2],
+        "v": [10.0, 20.0, 40.0, 30.0, 5.0, 7.0],
+    })
+    import ray.data as rd
+
+    out = moving_stat(rd.from_pandas(df), "k", ["o"], "v", window=3,
+                      stat="median").to_pandas().sort_values(
+        ["k", "o"], na_position="last").reset_index(drop=True)
+    # a: [10], [10,20] -> 15 (even-frame midpoint), [10,20,40] -> 20,
+    #    [20,40,30] -> 30; NULL key is its own partition: [5], [5,7] -> 6
+    assert out["mmedian"].tolist() == [10.0, 15.0, 20.0, 30.0, 5.0, 6.0]
+    std = moving_stat(rd.from_pandas(df), "k", ["o"], "v", window=2,
+                      stat="std").to_pandas().sort_values(
+        ["k", "o"], na_position="last").reset_index(drop=True)
+    import numpy as np
+
+    assert np.isnan(std["mstd"].iloc[0])  # 1-row frame -> NULL (ddof=1)
+    assert round(std["mstd"].iloc[1], 6) == round(np.std([10, 20], ddof=1), 6)
+
+
+def test_moving_stat_rejects_unknown(ray_session):
+    import pytest as _pytest
+
+    import ray.data as rd
+    import pandas as pd
+
+    from dedupe_examples_ray.windows import moving_stat
+
+    with _pytest.raises(ValueError):
+        moving_stat(rd.from_pandas(pd.DataFrame({"k": [1], "o": [1], "v": [1.0]})),
+                    "k", ["o"], "v", 2, stat="mode")
