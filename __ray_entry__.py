@@ -1673,6 +1673,33 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_bpe_train_documents(sf_dir):
+    """BPE tokenizer training (Sennrich 2016) over documents: 30 merges on
+    the combiner-built word-frequency table, then encode; in-query
+    invariants: encoding is LOSSLESS (symbols concatenate back to the
+    lower-cased text) and merged docs need fewer symbols than characters.
+    Rows-only (iterative argmax training is not SQL-expressible)."""
+    import pandas as pd
+
+    from dedupe_examples_ray.ops import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=30, min_freq=2)
+    enc = bpe_encode(docs, merges).to_pandas().sort_values("doc_id")
+    sample = enc.head(50)
+    for text, toks in zip(sample["text"], sample["bpe_tokens"]):
+        rebuilt = "".join(toks).replace("</w>", " ").strip()
+        assert rebuilt == " ".join((text or "").lower().split()), "lossy encode"
+    n_chars = sum(len((t or "")) for t in sample["text"])
+    n_syms = int(sample["n_bpe_tokens"].sum())
+    assert n_syms < n_chars, "merges must compress below character count"
+    return pd.DataFrame({
+        "rank": range(len(merges)),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges],
+    })
+
+
 def _q_rolling_median_orders(sf_dir):
     """Per-customer trailing 3-order rolling median + rolling sample std
     (windowed MEDIAN / STDDEV_SAMP parity; even frames interpolate like
@@ -3786,6 +3813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integer_blocks_customer": _q_integer_blocks_customer,
         "warc_corpus_pipeline": _q_warc_corpus_pipeline,
         "rolling_median_orders": _q_rolling_median_orders,
+        "bpe_train_documents": _q_bpe_train_documents,
     }
 
 

@@ -9,6 +9,12 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_dedup,
     embedding_cosine_dedup,
 )
+from .bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_train,
+    bpe_train_reference,
+    word_frequencies,
+)
 from .ann import (  # noqa: F401
     ann_brute_force,
     ann_ivf,
