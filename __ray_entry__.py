@@ -1673,6 +1673,43 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_communities_orders(sf_dir):
+    """Synchronous label-propagation communities (Raghavan 2007,
+    deterministic min-tie-break, self-inclusive update) over the
+    orders-derived graph; returns the community-size histogram.  In-query
+    invariants: every node labeled exactly once; community ids are member
+    minima (each id IS a member node).  Rows-only (iterative fixed point)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops.graph import label_propagation
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        # sparser modulus than triangles_orders: avg degree ~1.5 at sf0.01,
+        # so the histogram shows real community structure, not one blob
+        a = t["o_orderkey"].to_numpy(zero_copy_only=False) % 20000
+        b = t["o_custkey"].to_numpy(zero_copy_only=False) % 20000
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    out = label_propagation(
+        orders.map_batches(edges, batch_format="pyarrow"), iters=12
+    ).to_pandas()
+    assert out["node"].is_unique, "node labeled more than once"
+    members = set(out["node"])
+    assert set(out["community"]) <= members, "community id must be a member"
+    sizes = out.groupby("community").size()
+    hist = (sizes.value_counts().rename_axis("community_size")
+            .reset_index(name="n_communities")
+            .sort_values("community_size").reset_index(drop=True))
+    hist["community_size"] = hist["community_size"].astype("int64")
+    hist["n_communities"] = hist["n_communities"].astype("int64")
+    return hist
+
+
 def _q_bpe_train_documents(sf_dir):
     """BPE tokenizer training (Sennrich 2016) over documents: 30 merges on
     the combiner-built word-frequency table, then encode; in-query
@@ -3814,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_corpus_pipeline": _q_warc_corpus_pipeline,
         "rolling_median_orders": _q_rolling_median_orders,
         "bpe_train_documents": _q_bpe_train_documents,
+        "communities_orders": _q_communities_orders,
     }
 
 

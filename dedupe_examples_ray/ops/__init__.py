@@ -54,6 +54,7 @@ from .graph import (  # noqa: F401
     core_numbers,
     hits,
     k_core,
+    label_propagation,
     pagerank,
     triangle_count,
 )

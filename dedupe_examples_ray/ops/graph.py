@@ -559,3 +559,200 @@ def k_core(edges, k: int, a_col: str = "a", b_col: str = "b",
                    num_buckets=num_buckets)
     return hash_join(e1, keep, on=b_col, right_on="node", how="semi",
                      num_buckets=num_buckets)
+
+
+def _label_prop_numpy(src: np.ndarray, dst: np.ndarray, iters: int = 20):
+    """Reference/driver kernel: SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007) with a deterministic tie-break — each round every
+    node takes the label most frequent among its neighbours, ties broken by
+    the SMALLEST label id; simultaneous updates make the result a pure
+    function of the graph (the paper's random asynchronous order is
+    non-reproducible by design; synchronous + min-tie-break is the standard
+    deterministic variant).  Labels start as node indices in SORTED-unique
+    order — for integer node ids that order equals value order, so the
+    streaming tier's value-labels make the same tie decisions.  Returns
+    (nodes, labels) after convergence or ``iters`` rounds."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    n = len(nodes)
+    si, di = inv[: len(src)], inv[len(src):]
+    # undirected: both directions
+    e_src = np.concatenate([si, di])
+    e_dst = np.concatenate([di, si])
+    order = np.argsort(e_src, kind="stable")
+    e_src, e_dst = e_src[order], e_dst[order]
+    starts = np.searchsorted(e_src, np.arange(n))
+    ends = np.searchsorted(e_src, np.arange(n) + 1)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        nbr_labels = labels[e_dst]
+        new = labels.copy()
+        for v in range(n):
+            s, t = starts[v], ends[v]
+            if s == t:
+                continue
+            # SELF-INCLUSIVE: count the node's own label once — without it
+            # the synchronous variant oscillates on bipartite structures
+            # (a single edge swaps labels forever)
+            seg = np.append(nbr_labels[s:t], labels[v])
+            vals, cnt = np.unique(seg, return_counts=True)
+            new[v] = vals[cnt == cnt.max()].min()
+        if (new == labels).all():
+            break
+        labels = new
+    return nodes, labels
+
+
+def label_propagation(edges, a_col: str = "a", b_col: str = "b",
+                      iters: int = 20, num_buckets: int | None = None,
+                      tier: str = "auto"):
+    """Community detection by synchronous label propagation over an
+    undirected edge-list Dataset — near-linear-time community structure for
+    web/host graphs (link farms and mirror families surface as one label).
+
+    Tiered like :func:`pagerank`: driver numpy kernel under the edge budget;
+    the streaming tier runs each round as ONE big-big ``hash_join`` (ship
+    labels onto directed edges) + one bucketed per-node mode with min-label
+    tie-break + a changed-count aggregate, with the label vector held as a
+    materialized Dataset — nothing graph-sized on the driver.  Both tiers
+    implement the same synchronous min-tie-break update (parity-tested).
+
+    Returns a Dataset ``(node, community)`` where ``community`` is the
+    SMALLEST MEMBER NODE of each community — tier-independent for integer
+    node ids (both tiers' tie-breaks follow node-value order there).  For
+    string ids the streaming tier breaks exact frequency ties in
+    stable-hash order rather than lexicographic order, so partitions can
+    differ on ties between tiers (documented divergence).
+    """
+    import pyarrow.compute as pc
+
+    from ..relational import distinct, hash_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t[a_col], t[b_col]
+        keep = pc.fill_null(pc.not_equal(a, b), False)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({"a": pc.min_element_wise(a, b),
+                         "b": pc.max_element_wise(a, b)})
+
+    und = distinct(
+        edges.select_columns([a_col, b_col]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["a", "b"], num_buckets=num_buckets,
+    ).materialize()
+    if und.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "community": pa.array([], pa.int64())}))
+    est_bytes = und.size_bytes() or 0
+    if tier == "driver" or (tier == "auto" and est_bytes <= _DRIVER_CORE_BUDGET):
+        import ray
+        import ray.data as rd
+
+        tbls = ray.get(und.to_arrow_refs())
+        src = np.concatenate([t["a"].to_numpy(zero_copy_only=False)
+                              for t in tbls if t.num_rows])
+        dst = np.concatenate([t["b"].to_numpy(zero_copy_only=False)
+                              for t in tbls if t.num_rows])
+        nodes, labels = _label_prop_numpy(src, dst, iters=iters)
+        # canonicalize: community id = smallest member node
+        canon_of = pd.DataFrame({"lab": labels, "node": nodes}).groupby(
+            "lab", sort=False)["node"].min()
+        comm = canon_of[labels].to_numpy()
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes),
+            "community": pa.array(comm)}))
+
+    # ---- streaming tier: synchronous rounds over a distributed label table
+    from ..scale import resolve_buckets
+
+    B = resolve_buckets(num_buckets, und)
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["a"].combine_chunks(),
+                                      t["b"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()]),
+        })
+
+    dir_edges = und.map_batches(both_dir, batch_format="pyarrow").materialize()
+    # initial label = dense rank of the node id (int64, stable) — use the
+    # node's own hash-free ordinal via a distinct + window-free trick: label
+    # by min over self only, i.e. rank is unnecessary — any total order works
+    # as long as ties break consistently, so use the node value itself when
+    # numeric and a stable uint64 hash otherwise (collision-safe enough for
+    # a TIE-BREAK; community identity is re-canonicalized at the end).
+    from ..pairs import stable_hash
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes_ = pc.unique(t["node"].combine_chunks())
+        arr = nodes_.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.integer):
+            lab = arr.astype(np.int64)
+        else:
+            lab = stable_hash(arr).astype(np.int64) & np.int64(2**62 - 1)
+        return pa.table({"node": nodes_, "lab": pa.array(lab, pa.int64())})
+
+    # lab is a pure function of node, so DISTINCT on both columns = one row
+    # per node with its label intact
+    est = distinct(
+        dir_edges.select_columns(["node"]).map_batches(
+            init_labels, batch_format="pyarrow"),
+        ["node", "lab"], num_buckets=B,
+    ).materialize()
+
+    from ..windows import bucketed_by_key
+
+    for _ in range(iters):
+        nbr_lab = est.map_batches(
+            lambda t: t.rename_columns(["nbr", "nbr_lab"]),
+            batch_format="pyarrow")
+        joined = hash_join(dir_edges, nbr_lab, on="nbr", num_buckets=B)
+        # self-inclusive update (see driver kernel): one (node, own label)
+        # row per node joins the neighbour-label stream
+        self_rows = est.map_batches(
+            lambda t: pa.table({"node": t["node"], "nbr_lab": t["lab"]}),
+            batch_format="pyarrow")
+        joined = joined.select_columns(["node", "nbr_lab"]).union(self_rows)
+
+        def mode_min(df: pd.DataFrame) -> pd.DataFrame:
+            g = (df.groupby(["node", "nbr_lab"], sort=False)
+                 .size().reset_index(name="n"))
+            g = g.sort_values(["node", "n", "nbr_lab"],
+                              ascending=[True, False, True], kind="stable")
+            top = g.groupby("node", sort=False).head(1)
+            return pd.DataFrame({"node": top["node"].to_numpy(),
+                                 "new_lab": top["nbr_lab"].to_numpy()})
+
+        upd = bucketed_by_key(joined, "node", mode_min, num_buckets=B)
+        nxt = hash_join(
+            est,
+            upd.map_batches(lambda t: t.rename_columns(["node2", "new_lab"]),
+                            batch_format="pyarrow"),
+            on="node", right_on="node2", how="left", num_buckets=B,
+        )
+
+        def take_new(t: pa.Table) -> pa.Table:
+            new = pc.coalesce(t["new_lab"], t["lab"])
+            return pa.table({
+                "node": t["node"],
+                "lab": pc.cast(new, pa.int64()),
+                "chg": pc.cast(pc.not_equal(new, t["lab"]), pa.int64()),
+            })
+
+        nxt = nxt.map_batches(take_new, batch_format="pyarrow").materialize()
+        changed = nxt.sum("chg") or 0
+        est = nxt.select_columns(["node", "lab"])
+        if not changed:
+            break
+    # canonicalize: community id = smallest member node (one bucketed min
+    # per label + a big-big join back — tier-comparable output)
+    def min_node(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lab", as_index=False, sort=False)["node"].min()
+        return g.rename(columns={"lab": "clab", "node": "community"})
+
+    canon_map = bucketed_by_key(est, "lab", min_node, num_buckets=B)
+    out = hash_join(est, canon_map, on="lab", right_on="clab",
+                    num_buckets=B)
+    return out.select_columns(["node", "community"])

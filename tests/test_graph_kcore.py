@@ -146,3 +146,56 @@ def test_links_batch_edges(ray_session):
     out = links_batch(t)
     assert out["src"].to_pylist() == ["http://h1/a", "http://h1/a"]
     assert out["dst"].to_pylist() == ["http://h2/b", "http://h1/c"]
+
+
+# ---------------------------------------------------------- label propagation
+def _two_cliques(n1: int = 6, n2: int = 6) -> list[tuple]:
+    """Two cliques joined by a single bridge edge."""
+    import itertools as it
+
+    a = list(range(n1))
+    b = list(range(100, 100 + n2))
+    edges = list(it.combinations(a, 2)) + list(it.combinations(b, 2))
+    edges.append((a[-1], b[0]))
+    return edges
+
+
+@pytest.mark.parametrize("tier", ["driver", "streaming"])
+def test_label_propagation_recovers_planted_communities(ray_session, tier):
+    from dedupe_examples_ray.ops.graph import label_propagation
+
+    df = pd.DataFrame(_two_cliques(), columns=["a", "b"])
+    out = label_propagation(_ds(df), tier=tier, iters=6).to_pandas()
+    comm = dict(zip(out["node"], out["community"]))
+    c1 = {comm[v] for v in range(6)}
+    c2 = {comm[v] for v in range(100, 106)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    assert c1 == {0} and c2 == {100}  # community id = smallest member
+
+
+def test_label_propagation_tiers_agree_on_integer_graph(ray_session):
+    from dedupe_examples_ray.ops.graph import label_propagation
+
+    edges = _rand_edges(55, n=30, m=70)
+    df = pd.DataFrame(edges, columns=["a", "b"])
+    # fixed round count on both tiers: parity must hold per-round, and the
+    # streaming tier pays several shuffles per round in test time
+    a = label_propagation(_ds(df), tier="driver", iters=5).to_pandas()
+    b = label_propagation(_ds(df), tier="streaming", iters=5).to_pandas()
+    da = dict(zip(a["node"], a["community"]))
+    db = dict(zip(b["node"], b["community"]))
+    assert da == db
+
+
+def test_label_propagation_empty_and_self_loops(ray_session):
+    from dedupe_examples_ray.ops.graph import label_propagation
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    assert label_propagation(empty).count() == 0
+    df = pd.DataFrame({"a": [1, 1, 2], "b": [1, 2, 1]})  # self loop + dup
+    out = label_propagation(_ds(df), tier="driver").to_pandas()
+    assert dict(zip(out["node"], out["community"])) == {1: 1, 2: 1}
