@@ -1673,6 +1673,19 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_skyline_parts(sf_dir):
+    """Skyline / Pareto frontier (Börzsönyi ICDE 2001): parts not dominated
+    on (min price, max size) — two-phase per-batch-frontier combiner, one
+    final frontier task.  Oracle: the NOT EXISTS dominance self-join."""
+    from dedupe_examples_ray.relational import skyline
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_size", "p_retailprice"])
+    out = skyline(part, {"p_retailprice": "min", "p_size": "max"})
+    return (out.to_pandas().sort_values("p_partkey")
+            .reset_index(drop=True)[["p_partkey", "p_size", "p_retailprice"]])
+
+
 def _q_communities_orders(sf_dir):
     """Synchronous label-propagation communities (Raghavan 2007,
     deterministic min-tie-break, self-inclusive update) over the
@@ -3852,6 +3865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_orders": _q_rolling_median_orders,
         "bpe_train_documents": _q_bpe_train_documents,
         "communities_orders": _q_communities_orders,
+        "skyline_parts": _q_skyline_parts,
     }
 
 
@@ -3917,6 +3931,18 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip_documents": (
             "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"
             " FROM documents ORDER BY doc_id"
+        ),
+        "skyline_parts": (
+            "SELECT p_partkey, p_size, p_retailprice FROM part a"
+            " WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL"
+            "   AND NOT EXISTS ("
+            "     SELECT 1 FROM part b"
+            "     WHERE b.p_size IS NOT NULL AND b.p_retailprice IS NOT NULL"
+            "       AND b.p_retailprice <= a.p_retailprice"
+            "       AND b.p_size >= a.p_size"
+            "       AND (b.p_retailprice < a.p_retailprice"
+            "            OR b.p_size > a.p_size))"
+            " ORDER BY p_partkey"
         ),
         "integer_blocks_customer": (
             "WITH ci AS ("

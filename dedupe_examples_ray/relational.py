@@ -2346,3 +2346,74 @@ def profile_table(ds, columns: list[str], ndistinct: bool = True):
         out = out[["col_name", "n_rows", "n_null", "n_distinct",
                    "min_value", "max_value"]]
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+def skyline(ds, cols: dict[str, str], num_buckets: int | None = None):
+    """Skyline / Pareto-frontier (Börzsönyi, Kossmann & Stocker, ICDE 2001):
+    rows not DOMINATED by any other row.  ``cols`` maps column -> "min" |
+    "max"; row r dominates row s iff r is at least as good on every skyline
+    column and strictly better on at least one.
+
+    The distributed shape is the textbook two-phase algorithm: (1) LOCAL
+    skyline per batch (a combiner — dominated rows can never re-enter the
+    global skyline, so each batch forwards only its own frontier), (2) global
+    skyline over the union of local frontiers in one final task.  The final
+    working set is the union of local skylines — small for anti-correlated
+    and realistic dimensions (it equals the true skyline plus per-batch
+    survivors); a pathological all-incomparable input degenerates to the
+    full table, which matches the problem's output size, not a shuffle flaw.
+
+    NULL semantics match the SQL ``NOT EXISTS`` dominance oracle: rows with
+    NULL in any skyline column are excluded (three-valued comparisons make
+    them incomparable in both directions).
+    """
+    names = list(cols)
+    signs = np.array([1.0 if cols[c] == "min" else -1.0 for c in names])
+
+    def _local_skyline(M: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask of the Pareto frontier of M (rows minimize)."""
+        n = len(M)
+        order = np.lexsort(M.T[::-1])  # sort by first col, then ties
+        keep = np.ones(n, bool)
+        kept: list[int] = []
+        for i in order:
+            dominated = False
+            for j in kept:
+                if (M[j] <= M[i]).all() and (M[j] < M[i]).any():
+                    dominated = True
+                    break
+            if dominated:
+                keep[i] = False
+            else:
+                kept.append(i)
+        return keep
+
+    def local(t: pa.Table) -> pa.Table:
+        mask = np.ones(t.num_rows, bool)
+        for c in names:
+            mask &= t[c].is_valid().to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return t
+        M = np.column_stack([
+            t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in names]) * signs
+        return t.filter(pa.array(_local_skyline(M)))
+
+    candidates = ds.map_batches(local, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns="__sky", errors="ignore")
+        df = df.drop(columns="__sky")
+        M = np.column_stack([
+            df[c].to_numpy().astype(np.float64) for c in names]) * signs
+        return df[_local_skyline(M)]
+
+    # single final group: local frontiers are tiny relative to input
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__sky", pa.array(
+            np.zeros(t.num_rows, np.int64)))
+
+    return (candidates.map_batches(tag, batch_format="pyarrow")
+            .groupby("__sky").map_groups(final, batch_format="pandas"))

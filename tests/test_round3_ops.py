@@ -1293,3 +1293,65 @@ def test_wet_roundtrip_and_hostile(ray_session, tmp_path):
                                   "http://c/"]
     # empty file
     assert parse_wet_bytes(b"").num_rows == 0
+
+
+# -------------------------------------------------------------------- skyline
+def _brute_skyline(df, cols):
+    import numpy as np
+
+    signs = np.array([1.0 if d == "min" else -1.0 for d in cols.values()])
+    sub = df.dropna(subset=list(cols))
+    M = sub[list(cols)].to_numpy(dtype=float) * signs
+    keep = []
+    for i in range(len(M)):
+        dominated = any(
+            (M[j] <= M[i]).all() and (M[j] < M[i]).any()
+            for j in range(len(M)) if j != i)
+        if not dominated:
+            keep.append(sub.index[i])
+    return df.loc[keep]
+
+
+def test_skyline_matches_brute_force(ray_session):
+    import numpy as np
+
+    from dedupe_examples_ray.relational import skyline
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "id": range(200),
+        "x": rng.integers(0, 40, 200).astype(float),
+        "y": rng.integers(0, 40, 200).astype(float),
+        "z": rng.integers(0, 40, 200).astype(float),
+    })
+    for cols in ({"x": "min", "y": "min"}, {"x": "min", "y": "max"},
+                 {"x": "min", "y": "max", "z": "min"}):
+        got = skyline(_ds(df), cols).to_pandas()
+        exp = _brute_skyline(df, cols)
+        assert sorted(got["id"]) == sorted(exp["id"]), cols
+
+
+def test_skyline_nulls_excluded_and_duplicates_kept(ray_session):
+    from dedupe_examples_ray.relational import skyline
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "x": [1.0, 1.0, None, 0.5, 9.0],
+        "y": [5.0, 5.0, 9.0, 1.0, 9.0],
+    })
+    got = skyline(_ds(df), {"x": "min", "y": "max"}).to_pandas()
+    ids = sorted(got["id"])
+    # rows 1,2 are identical -> NEITHER dominates the other, both kept;
+    # row 3 has a NULL -> excluded; row 5 dominated by nothing on max-y
+    assert 1 in ids and 2 in ids and 3 not in ids and 5 in ids
+
+
+def test_skyline_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.relational import skyline
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64()),
+                                    "y": pa.array([], pa.float64())}))
+    assert skyline(empty, {"x": "min", "y": "min"}).count() == 0
