@@ -1673,6 +1673,50 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_bloom_incremental_documents(sf_dir):
+    """Constant-bits-per-doc incremental dedup: Bloom membership sidecar
+    (no false negatives — every re-crawled prior doc is caught; false drops
+    at the analytic (1-e^{-kn/m})^k rate).  Snapshot A = even docs; snapshot
+    B = odd docs + clones of every 10th even doc.  In-query invariants:
+    every planted prior clone is flagged probably_seen, and false drops
+    among genuinely-new docs stay under 1%.  Rows-only (stateful store)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.ops.incremental import incremental_bloom_dedup
+
+    snap_a, snap_b = _split_docs_snapshots(sf_dir)
+
+    def prior_clones(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 10 == 0))
+        new_ids = t["doc_id"].to_numpy(zero_copy_only=False) + 1_000_000
+        return pa.table({"doc_id": pa.array(new_ids, pa.int64()),
+                         "text": t["text"]})
+
+    clones = snap_a.map_batches(prior_clones, batch_format="pyarrow")
+    snap_b_full = snap_b.union(clones)
+    store = tempfile.mkdtemp(prefix="bloomstore_", dir="/tmp")
+    incremental_bloom_dedup(snap_a, store, "A").materialize()
+    out = incremental_bloom_dedup(snap_b_full, store, "B").to_pandas()
+    by = out.set_index("doc_id")["status"]
+    clone_ids = [i for i in by.index if i >= 1_000_000]
+    assert clone_ids, "no planted clones"
+    assert (by.loc[clone_ids] == "probably_seen").all(), \
+        "Bloom false negative — impossible by construction"
+    fresh = by.drop(clone_ids)
+    false_drop = float((fresh == "probably_seen").mean())
+    assert false_drop < 0.01, f"false-drop rate {false_drop}"
+    summary = (out.groupby("status").size().rename_axis("status")
+               .reset_index(name="n").sort_values("status")
+               .reset_index(drop=True))
+    summary["n"] = summary["n"].astype("int64")
+    return summary
+
+
 def _q_skyline_parts(sf_dir):
     """Skyline / Pareto frontier (Börzsönyi ICDE 2001): parts not dominated
     on (min price, max size) — two-phase per-batch-frontier combiner, one
@@ -3866,6 +3910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_documents": _q_bpe_train_documents,
         "communities_orders": _q_communities_orders,
         "skyline_parts": _q_skyline_parts,
+        "bloom_incremental_documents": _q_bloom_incremental_documents,
     }
 
 

@@ -483,3 +483,122 @@ def incremental_minhash_dedup(
         new_bands.map_batches(survivor_bands, batch_format="pyarrow"), bands_root, snapshot_id
     )
     return assignment
+
+
+# ---------------------------------------------------------- bloom membership
+def incremental_bloom_dedup(
+    new_ds,
+    store_dir: str,
+    snapshot_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits_per_bucket: int = 1 << 22,
+    n_hashes: int = 4,
+    num_buckets: int | None = None,
+):
+    """Approximate incremental dedup via a persisted Bloom membership filter
+    (Bloom, CACM 1970) — the CONSTANT-BITS-PER-DOC tier below
+    :func:`incremental_exact_dedup`: the exact store pays ~16 bytes/novel
+    doc (hash + keep_id); the Bloom sidecar pays ``n_hashes`` BITS, so a
+    10^12-page frontier membership test fits a few hundred GB of bitmap
+    where the exact store needs tens of TB.  The trade is one-sided error:
+    NO false negatives (a stored duplicate is always caught) but false
+    positives — novel docs wrongly dropped at rate
+    ``(1 - exp(-k*n/m))**k`` (k=n_hashes, n keys per shard, m
+    bits_per_bucket) — the standard crawl-frontier contract.
+
+    Store layout mirrors the exact store (same bucket key, immutable
+    per-snapshot generations, atomic rename, idempotent re-runs):
+
+        store_dir/bloom/snap-<id>/__bkt=<k>/*.parquet   (bit,)  [sorted u32]
+
+    Generations hold SPARSE sorted bit indices; a bucket task ORs prior
+    generations into one dense ``bits_per_bucket`` bitmap (numpy), tests its
+    batch, and emits only its own novel bits as the new generation — prior
+    snapshots are read as bit lists, never re-shuffled.
+
+    Returns ``(doc_id, status)`` over the new snapshot: ``new`` (kept;
+    its bits committed), ``dup_snapshot`` (same content seen earlier in THIS
+    snapshot, exact within-snapshot check — no error), or ``probably_seen``
+    (Bloom hit against prior snapshots; false-positive rate as above).
+    """
+    root = os.path.join(store_dir, "bloom")
+    num_buckets = _store_buckets(root, num_buckets, new_ds)
+    k = int(n_hashes)
+    m = int(bits_per_bucket)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = np.asarray(t[text_col].to_pylist(), dtype=object)
+        if len(texts):
+            texts = np.where(pd.isna(texts), "", texts)
+        hs = pd.util.hash_array(texts).astype(np.uint64)
+        return pa.table({
+            id_col: t[id_col],
+            "h": pa.array(hs.astype(np.int64), pa.int64()),
+            "bucket": pa.array((hs % np.uint64(num_buckets)).astype(np.int64),
+                               pa.int64()),
+        })
+
+    def _positions(h: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via double hashing (Kirsch-Mitzenmacher:
+        g_i = h1 + i*h2 keeps Bloom error bounds with two base hashes)."""
+        h = h.astype(np.uint64)
+        h1 = h * np.uint64(0x9E3779B97F4A7C15)
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (h * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(m)).astype(np.int64)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        bucket = int(df["bucket"].iloc[0])
+        # within-snapshot exact dedup first (no approximation inside a run)
+        first = ~df.duplicated("h")
+        prior = _read_shard(root, bucket, snapshot_id, ["bit"])
+        bitmap = np.zeros(m, dtype=bool)
+        if prior is not None and prior.num_rows:
+            bitmap[prior["bit"].to_numpy(zero_copy_only=False)] = True
+        pos = _positions(df["h"].to_numpy())
+        seen = bitmap[pos].all(axis=1)
+        status = np.where(~first, "dup_snapshot",
+                          np.where(seen, "probably_seen", "new"))
+        new_mask = status == "new"
+        new_bits = np.unique(pos[new_mask].ravel()) if new_mask.any() else \
+            np.array([], dtype=np.int64)
+        out = pd.DataFrame({id_col: df[id_col], "status": status,
+                            "bucket": bucket})
+        # novel bits ride along as extra rows (id NULL) for the delta pass
+        if len(new_bits):
+            bits_rows = pd.DataFrame({
+                id_col: pd.array([None] * len(new_bits),
+                                 dtype=out[id_col].dtype if
+                                 out[id_col].dtype == object else "Int64"),
+                "status": "__bit", "bucket": bucket})
+            bits_rows["bit"] = new_bits
+            out["bit"] = -1
+            out = pd.concat([out, bits_rows], ignore_index=True)
+        else:
+            out["bit"] = -1
+        return out
+
+    resolved = (
+        new_ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()
+    )
+
+    def delta(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "__bit"))
+        return pa.table({"bit": pc.cast(t["bit"], pa.int64()),
+                         "__bkt": t["bucket"]})
+
+    _write_generation(resolved.map_batches(delta, batch_format="pyarrow"),
+                      root, snapshot_id)
+
+    def assignments(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["status"], "__bit")))
+        return t.select([id_col, "status"])
+
+    return resolved.map_batches(assignments, batch_format="pyarrow")

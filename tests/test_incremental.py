@@ -207,3 +207,64 @@ def test_store_bucket_count_pinned_across_snapshots(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="misalign"):
         incremental_exact_dedup(b, store, "C", num_buckets=32)
+
+
+# ------------------------------------------------------------ bloom dedup
+def test_bloom_no_false_negatives_and_idempotent(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.incremental import incremental_bloom_dedup
+
+    store = str(tmp_path / "bloomstore")
+    snap1 = pd.DataFrame({
+        "doc_id": range(100),
+        "text": [f"document number {i}" for i in range(100)],
+    })
+    a1 = incremental_bloom_dedup(rd.from_pandas(snap1), store, "s1").to_pandas()
+    assert (a1["status"] == "new").all()
+    # snapshot 2: 40 exact repeats of snapshot 1 + 60 novel + 2 internal dups
+    snap2 = pd.DataFrame({
+        "doc_id": range(1000, 1102),
+        "text": ([f"document number {i}" for i in range(40)]
+                 + [f"fresh doc {i}" for i in range(60)]
+                 + ["fresh doc 0", "fresh doc 1"]),
+    })
+    a2 = incremental_bloom_dedup(rd.from_pandas(snap2), store, "s2").to_pandas()
+    by = a2.set_index("doc_id")["status"]
+    # Bloom has NO false negatives: every true prior dup is caught
+    assert (by.loc[range(1000, 1040)] == "probably_seen").all()
+    assert (by.loc[[1100, 1101]] == "dup_snapshot").all()
+    novel = by.loc[range(1040, 1100)]
+    # false positives possible but must be rare at this fill factor
+    assert (novel == "new").sum() >= 58
+    # idempotent re-run of the SAME snapshot id: own generation excluded
+    a2b = incremental_bloom_dedup(rd.from_pandas(snap2), store, "s2").to_pandas()
+    assert a2.sort_values("doc_id").reset_index(drop=True).equals(
+        a2b.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_bloom_fpr_within_theory(ray_session, tmp_path):
+    """With n keys in m bits and k hashes, FPR ~= (1-exp(-kn/m))^k; at the
+    test's fill the predicted rate is ~2e-5 — 1000 novel probes should see
+    at most a handful of drops (allow 10x slack to stay unflaky)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.incremental import incremental_bloom_dedup
+
+    store = str(tmp_path / "fprstore")
+    n, m, k = 5000, 1 << 22, 4
+    base = pd.DataFrame({"doc_id": range(n),
+                         "text": [f"base {i}" for i in range(n)]})
+    incremental_bloom_dedup(rd.from_pandas(base), store, "s1",
+                            bits_per_bucket=m, n_hashes=k, num_buckets=4)
+    probe = pd.DataFrame({"doc_id": range(10_000, 11_000),
+                          "text": [f"probe {i}" for i in range(1000)]})
+    out = incremental_bloom_dedup(rd.from_pandas(probe), store, "s2",
+                                  bits_per_bucket=m, n_hashes=k,
+                                  num_buckets=4).to_pandas()
+    fp = int((out["status"] == "probably_seen").sum())
+    pred = (1 - np.exp(-k * (n / 4) / m)) ** k
+    assert fp <= max(5, int(10 * pred * 1000) + 3), (fp, pred)
