@@ -1673,6 +1673,42 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_zonemap_scan_documents(sf_dir):
+    """Zone-map data skipping on the partitioned sink: documents written
+    bucket-per-source-hash (each bucket's _ZONEMAP records per-column
+    min/max), then a source-equality read prunes non-matching buckets from
+    METADATA ONLY.  In-query evidence: at least one bucket is skipped and
+    the pruned read equals the full scan + filter.  Oracle: the same
+    aggregate straight off the parquet."""
+    import os
+    import shutil
+
+    from dedupe_examples_ray.sources import (
+        read_partitioned,
+        write_partitioned,
+        zonemap_plan,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out_dir = f"/tmp/graft_zonemap_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_partitioned(docs, out_dir, key_col="source", num_buckets=16)
+
+    pred = [("source", "==", "src1")]
+    plan = zonemap_plan(out_dir, pred)
+    assert plan["skipped"], "zone maps must prune at least one bucket"
+    pruned = read_partitioned(out_dir, predicate=pred).to_pandas()
+    full = read_partitioned(out_dir).to_pandas()
+    full = full[full["source"] == "src1"]
+    assert sorted(pruned["doc_id"]) == sorted(full["doc_id"]), \
+        "pruned read must equal full scan + filter"
+    agg = (pruned.groupby("source", as_index=False)
+           .agg(n_docs=("doc_id", "count"), sum_chars=("n_chars", "sum")))
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["sum_chars"] = agg["sum_chars"].astype("int64")
+    return agg.sort_values("source").reset_index(drop=True)
+
+
 def _q_bloom_incremental_documents(sf_dir):
     """Constant-bits-per-doc incremental dedup: Bloom membership sidecar
     (no false negatives — every re-crawled prior doc is caught; false drops
@@ -3911,6 +3947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "communities_orders": _q_communities_orders,
         "skyline_parts": _q_skyline_parts,
         "bloom_incremental_documents": _q_bloom_incremental_documents,
+        "zonemap_scan_documents": _q_zonemap_scan_documents,
     }
 
 
@@ -3976,6 +4013,12 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip_documents": (
             "SELECT doc_id, LENGTH(COALESCE(text, '')) AS n_chars_rt"
             " FROM documents ORDER BY doc_id"
+        ),
+        "zonemap_scan_documents": (
+            "SELECT source, COUNT(*) AS n_docs,"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents WHERE source = 'src1'"
+            " GROUP BY source ORDER BY source"
         ),
         "skyline_parts": (
             "SELECT p_partkey, p_size, p_retailprice FROM part a"

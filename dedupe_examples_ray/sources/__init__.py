@@ -8,6 +8,7 @@ from .io import (  # noqa: F401
     write_annotated_output,
     write_entity_map,
     write_partitioned,
+    zonemap_plan,
 )
 from .warc import (  # noqa: F401
     format_warc_records,

@@ -199,6 +199,28 @@ def write_partitioned(ds, path: str, key_col: str, num_buckets: int | None = Non
         tmp = os.path.join(path, f".tmp-bucket={b}-{os.getpid()}")
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(data, os.path.join(tmp, "part-0.parquet"))
+        # zone map: per-column min/max/null_count for int/float/string
+        # columns — written INSIDE the atomic rename, so a committed bucket
+        # always carries its own pruning metadata
+        import json
+
+        import pyarrow.compute as _pc
+
+        zones: dict = {"rows": data.num_rows, "cols": {}}
+        for name, col in zip(data.column_names, data.columns):
+            ty = col.type
+            if not (pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                    or pa.types.is_string(ty) or pa.types.is_large_string(ty)):
+                continue
+            nn = data.num_rows - col.null_count
+            entry = {"null_count": col.null_count, "min": None, "max": None}
+            if nn:
+                mm = _pc.min_max(col)
+                entry["min"] = mm["min"].as_py()
+                entry["max"] = mm["max"].as_py()
+            zones["cols"][name] = entry
+        with open(os.path.join(tmp, "_ZONEMAP"), "w") as f:
+            json.dump(zones, f)
         if os.path.exists(final):  # stale uncommitted attempt
             import shutil
 
@@ -221,21 +243,108 @@ def write_partitioned(ds, path: str, key_col: str, num_buckets: int | None = Non
     }
 
 
-def read_partitioned(path: str, columns: list[str] | None = None):
-    """Read back only COMMITTED buckets of a ``write_partitioned`` directory
-    (uncommitted tmp dirs and marker-less buckets are invisible)."""
+def _zone_excludes(zones: dict, col: str, op: str, v) -> bool:
+    """True iff the zone map PROVES no row of the bucket satisfies
+    ``col <op> v`` (SQL comparison semantics: NULLs never match)."""
+    entry = zones.get("cols", {}).get(col)
+    if entry is None:
+        return False  # no stats for this column — must read
+    lo, hi = entry["min"], entry["max"]
+    if lo is None:  # all-null column: no row can satisfy any comparison
+        return True
+    if op == ">=":
+        return hi < v
+    if op == ">":
+        return hi <= v
+    if op == "<=":
+        return lo > v
+    if op == "<":
+        return lo >= v
+    if op == "==":
+        return v < lo or v > hi
+    raise ValueError(f"unsupported zone-map op {op!r}")
+
+
+def zonemap_plan(path: str, predicate: list[tuple]) -> dict:
+    """Metadata-only pruning plan for a ``write_partitioned`` directory:
+    ``{"keep": [files], "skipped": [files]}`` under an AND-of-comparisons
+    predicate ``[(col, op, value), ...]`` with op in >=, >, <=, <, ==.
+    Buckets without a ``_ZONEMAP`` (older layouts) are conservatively kept.
+    """
+    import json
     import os
 
+    keep: list[str] = []
+    skipped: list[str] = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("bucket="):
+            continue
+        bdir = os.path.join(path, d)
+        if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+            continue
+        f = os.path.join(bdir, "part-0.parquet")
+        zpath = os.path.join(bdir, "_ZONEMAP")
+        if os.path.exists(zpath):
+            with open(zpath) as zf:
+                zones = json.load(zf)
+            if any(_zone_excludes(zones, c, op, v) for c, op, v in predicate):
+                skipped.append(f)
+                continue
+        keep.append(f)
+    return {"keep": keep, "skipped": skipped}
+
+
+def read_partitioned(path: str, columns: list[str] | None = None,
+                     predicate: list[tuple] | None = None):
+    """Read back only COMMITTED buckets of a ``write_partitioned`` directory
+    (uncommitted tmp dirs and marker-less buckets are invisible).
+
+    ``predicate``: optional AND-list of ``(col, op, value)`` comparisons —
+    buckets whose ``_ZONEMAP`` proves emptiness are skipped WITHOUT any data
+    IO (min/max zone maps, the data-lake skipping pattern; the predicate is
+    then still applied row-exactly to the surviving buckets, so the result
+    equals a full scan + filter).
+    """
+    import os
+
+    import pyarrow.compute as _pc
     import ray.data as rd
 
-    files = sorted(
-        os.path.join(path, d, "part-0.parquet")
-        for d in os.listdir(path)
-        if d.startswith("bucket=") and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-    )
+    if predicate:
+        plan = zonemap_plan(path, predicate)
+        files = plan["keep"]
+    else:
+        files = sorted(
+            os.path.join(path, d, "part-0.parquet")
+            for d in os.listdir(path)
+            if d.startswith("bucket=")
+            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        )
     if not files:
-        raise FileNotFoundError(f"no committed buckets under {path}")
-    return rd.read_parquet(files, columns=columns)
+        raise FileNotFoundError(
+            f"no committed buckets under {path}"
+            + (" match the predicate" if predicate else ""))
+    read_cols = columns
+    if predicate and columns is not None:
+        read_cols = list(dict.fromkeys(
+            list(columns) + [c for c, _, _ in predicate]))
+    ds = rd.read_parquet(files, columns=read_cols)
+    if predicate:
+        ops = {">=": _pc.greater_equal, ">": _pc.greater,
+               "<=": _pc.less_equal, "<": _pc.less, "==": _pc.equal}
+
+        def row_filter(t: pa.Table) -> pa.Table:
+            mask = None
+            for c, op, v in predicate:
+                m = ops[op](t[c], pa.scalar(v))
+                m = _pc.fill_null(m, False)
+                mask = m if mask is None else _pc.and_(mask, m)
+            return t.filter(mask)
+
+        ds = ds.map_batches(row_filter, batch_format="pyarrow")
+        if columns is not None and read_cols != list(columns):
+            ds = ds.select_columns(list(columns))
+    return ds
 
 
 def read_parquet_union_by_name(paths: list[str], columns: list[str] | None = None):

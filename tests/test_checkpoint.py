@@ -238,3 +238,73 @@ def test_compact_parquet_unifies_drifted_schemas(ray_session, tmp_path):
     assert sorted(got.column_names) == ["a", "b"]
     assert got["a"].to_pylist() == [1, 2, 3]
     assert got["b"].to_pylist() == [None, None, "x"]
+
+
+# ------------------------------------------------------------- zone maps
+def test_zonemap_pruning_and_row_exactness(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources import (
+        read_partitioned,
+        write_partitioned,
+        zonemap_plan,
+    )
+
+    df = pd.DataFrame({
+        "k": [f"g{i % 4}" for i in range(400)],
+        "val": range(400),
+        "name": [f"n{i:03d}" for i in range(400)],
+    })
+    out = str(tmp_path / "zm")
+    write_partitioned(rd.from_pandas(df), out, key_col="k", num_buckets=8)
+
+    # equality on the partition key prunes every non-matching bucket
+    plan = zonemap_plan(out, [("k", "==", "g2")])
+    assert plan["skipped"] and plan["keep"]
+    got = read_partitioned(out, predicate=[("k", "==", "g2")]).to_pandas()
+    exp = df[df["k"] == "g2"]
+    assert sorted(got["val"]) == sorted(exp["val"])
+
+    # range predicate on a scattered column: zone maps can't prune (hash
+    # layout spans the range) but the row filter is still exact
+    got2 = read_partitioned(out, predicate=[("val", ">=", 390)]).to_pandas()
+    assert sorted(got2["val"]) == list(range(390, 400))
+
+    # impossible predicate prunes EVERYTHING -> explicit error, not a scan
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_partitioned(out, predicate=[("val", ">", 10_000)])
+
+    # columns + predicate-on-unprojected-column composes
+    got3 = read_partitioned(out, columns=["name"],
+                            predicate=[("k", "==", "g1")]).to_pandas()
+    assert list(got3.columns) == ["name"] and len(got3) == 100
+
+
+def test_zonemap_all_null_and_missing_stats(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources import read_partitioned, write_partitioned
+
+    df = pd.DataFrame({"k": ["a"] * 10,
+                       "x": pd.Series([None] * 10, dtype="float64"),
+                       "y": [[1, 2]] * 10})  # y: list col -> no zone entry
+    out = str(tmp_path / "zm2")
+    write_partitioned(rd.from_pandas(df), out, key_col="k", num_buckets=2)
+    # an all-null / un-zone-mapped column is conservatively READ (no stats
+    # to prune on); the exact row filter still yields zero matches
+    got = read_partitioned(out, predicate=[("x", ">=", 0)])
+    assert got.count() == 0
+    got2 = read_partitioned(out, predicate=[("k", "==", "a")]).to_pandas()
+    assert len(got2) == 10
+    # the prune logic itself: an entry recorded as all-null excludes every
+    # comparison (SQL 3VL — no row can match)
+    from dedupe_examples_ray.sources.io import _zone_excludes
+
+    zones = {"cols": {"x": {"null_count": 10, "min": None, "max": None}}}
+    for op in (">=", ">", "<=", "<", "=="):
+        assert _zone_excludes(zones, "x", op, 0)
+    assert not _zone_excludes(zones, "other", ">=", 0)  # no stats -> keep
