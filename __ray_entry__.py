@@ -1673,6 +1673,55 @@ def _q_moving_avg_orders(sf_dir):
     return out.select_columns(["o_orderkey", "o_custkey", "mavg"])
 
 
+def _q_refined_clusters_orders(sf_dir):
+    """Average-linkage refinement of connected components (the reference
+    library's hierarchical cluster cut, anti-chaining): deterministic scored
+    edges from orders -> CC -> per-component re-cut at 0.5.  In-query
+    invariants: every refined label is a member node, and the refined
+    partition REFINES the CC partition (each refined cluster sits inside
+    one component).  Rows-only (iterative linkage)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from dedupe_examples_ray.cluster import (
+        connected_components,
+        refine_clusters_hierarchical,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        a = t["o_orderkey"].to_numpy(zero_copy_only=False) % 20000
+        b = t["o_custkey"].to_numpy(zero_copy_only=False) % 20000
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        # deterministic score in (0.4, 1.0] from the pair value
+        s = 0.4 + 0.6 * (((lo * 31 + hi) % 97) + 1) / 97.0
+        return pa.table({"id_a": pa.array(lo, pa.int64()),
+                         "id_b": pa.array(hi, pa.int64()),
+                         "score": pa.array(s, pa.float64())})
+
+    e = orders.map_batches(edges, batch_format="pyarrow").materialize()
+    refined = refine_clusters_hierarchical(e, threshold=0.5).to_pandas()
+    assert refined["node"].is_unique
+    assert set(refined["label"]) <= set(refined["node"]), "label not a member"
+    cc = connected_components(e.select_columns(["id_a", "id_b"])).to_pandas()
+    cc_of = dict(zip(cc["node"], cc["label"]))
+    by_ref = refined.groupby("label")["node"].apply(list)
+    for members in by_ref:
+        assert len({cc_of[m] for m in members}) == 1, \
+            "refined cluster crosses a CC component"
+    sizes = refined.groupby("label").size()
+    hist = (sizes.value_counts().rename_axis("cluster_size")
+            .reset_index(name="n_clusters")
+            .sort_values("cluster_size").reset_index(drop=True))
+    hist["cluster_size"] = hist["cluster_size"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return hist
+
+
 def _q_zonemap_scan_documents(sf_dir):
     """Zone-map data skipping on the partitioned sink: documents written
     bucket-per-source-hash (each bucket's _ZONEMAP records per-column
@@ -3948,6 +3997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": _q_skyline_parts,
         "bloom_incremental_documents": _q_bloom_incremental_documents,
         "zonemap_scan_documents": _q_zonemap_scan_documents,
+        "refined_clusters_orders": _q_refined_clusters_orders,
     }
 
 

@@ -943,3 +943,96 @@ def canonicalize_clusters(ds, cluster_col: str, fields: list[str],
 
     return bucketed_by_key(ds.select_columns([cluster_col] + list(fields)),
                            cluster_col, per_bucket, num_buckets=num_buckets)
+
+
+def _avg_linkage_split(nodes: np.ndarray, ea: np.ndarray, eb: np.ndarray,
+                       scores: np.ndarray, threshold: float,
+                       max_members: int) -> np.ndarray:
+    """Average-linkage agglomerative clustering of ONE component, cut at
+    ``threshold`` — the reference library's cluster semantics (dedupe's
+    ``cluster()`` runs hierarchical clustering over pairwise scores and cuts
+    at the partition threshold; csv_example.py:152's 0.5 is this cut).
+    Missing pairs score 0, so a transitive chain A~B~C with no A-C evidence
+    has cross-average (s_AB + 0)/2 and splits once that drops below the cut.
+    Returns a group index per node.  Components larger than ``max_members``
+    are returned whole (documented fallback — a genuine O(k^2) matrix is the
+    cost of exact linkage; at web scale components that big mean the
+    blocking/threshold upstream needs fixing, not this step)."""
+    k = len(nodes)
+    if k <= 2 or k > max_members:
+        return np.zeros(k, dtype=np.int64)
+    pos = {v: i for i, v in enumerate(nodes)}
+    S = np.zeros((k, k))
+    for a, b, s in zip(ea, eb, scores):
+        i, j = pos[a], pos[b]
+        S[i, j] = max(S[i, j], s)
+        S[j, i] = S[i, j]
+    group = np.arange(k)
+    sizes = np.ones(k)
+    # cross-cluster total similarity matrix; average = T / (n_i * n_j)
+    T = S.copy()
+    alive = np.ones(k, bool)
+    while True:
+        denom = sizes[:, None] * sizes[None, :]
+        avg = np.where(alive[:, None] & alive[None, :], T / denom, -1.0)
+        np.fill_diagonal(avg, -1.0)
+        i, j = np.unravel_index(np.argmax(avg), avg.shape)
+        if avg[i, j] < threshold:
+            break
+        lo, hi = (i, j) if i < j else (j, i)
+        group[group == hi] = lo
+        T[lo] += T[hi]
+        T[:, lo] += T[:, hi]
+        sizes[lo] += sizes[hi]
+        alive[hi] = False
+        if alive.sum() == 1:
+            break
+    return group
+
+
+def refine_clusters_hierarchical(edges_ds, threshold: float,
+                                 max_members: int = 2000,
+                                 num_buckets: int | None = None):
+    """Split CC clusters with average-linkage at ``threshold`` — the
+    anti-chaining refinement: connected components attach A-B-C on two local
+    edges even when A and C share no evidence; average linkage re-cuts each
+    component exactly like the reference library's hierarchical cluster step.
+
+    Input: scored edge Dataset (id_a, id_b, score), already thresholded.
+    Output: (node, label) with label = MIN member id of the refined
+    sub-cluster.  Shape: one CC pass (existing machinery) assigns a
+    component id per node, edges co-locate with their component via one
+    bucketed shuffle on the component label, and each component refines in
+    ONE task (components are pair-evidence-bounded; oversize fallback
+    documented in :func:`_avg_linkage_split`).
+    """
+    from .relational import hash_join
+    from .scale import resolve_buckets
+    from .windows import bucketed_by_key
+
+    B = resolve_buckets(num_buckets, edges_ds)
+    labels = connected_components(edges_ds.select_columns(["id_a", "id_b"]))
+    # component label onto each edge via id_a (id_b has the same label)
+    lab_a = labels.map_batches(
+        lambda t: t.rename_columns(["node", "comp"]), batch_format="pyarrow")
+    edges_lab = hash_join(edges_ds, lab_a, on="id_a", right_on="node",
+                          num_buckets=B)
+
+    def refine(df: pd.DataFrame) -> pd.DataFrame:
+        out_nodes: list = []
+        out_labels: list = []
+        for _, grp in df.groupby("comp", sort=False):
+            ea = grp["id_a"].to_numpy()
+            eb = grp["id_b"].to_numpy()
+            sc = grp["score"].to_numpy(dtype=float)
+            nodes = np.unique(np.concatenate([ea, eb]))
+            gi = _avg_linkage_split(nodes, ea, eb, sc, threshold, max_members)
+            for g in np.unique(gi):
+                members = nodes[gi == g]
+                out_nodes.extend(members.tolist())
+                out_labels.extend([members.min()] * len(members))
+        return pd.DataFrame({"node": out_nodes, "label": out_labels})
+
+    return bucketed_by_key(
+        edges_lab.select_columns(["id_a", "id_b", "score", "comp"]),
+        "comp", refine, num_buckets=B)

@@ -168,3 +168,65 @@ def test_canonicalize_clusters_medoid_and_edges(ray_session):
                                 num_buckets=2, max_distinct=3)
           .to_pandas())
     assert o2["canon_name"].tolist() == ["v001"] and o2["cluster_size"][0] == 6
+
+
+# ------------------------------------------------- hierarchical refinement
+def test_avg_linkage_splits_transitive_chain():
+    import numpy as np
+
+    from dedupe_examples_ray.cluster import _avg_linkage_split
+
+    # chain 1-2-3: strong local edges, NO 1-3 evidence.  CC would merge all
+    # three; average linkage at 0.5: merging {1,2} then attaching 3 has
+    # cross-average (0.9 + 0)/2 = 0.45 < 0.5 -> 3 stays out.
+    nodes = np.array([1, 2, 3])
+    gi = _avg_linkage_split(nodes, np.array([1, 2]), np.array([2, 3]),
+                            np.array([0.9, 0.9]), 0.5, 2000)
+    groups = {}
+    for n, g in zip(nodes, gi):
+        groups.setdefault(g, set()).add(n)
+    parts = sorted(map(sorted, groups.values()))
+    assert parts == [[1, 2], [3]] or parts == [[1], [2, 3]]
+    # dense triangle at the same scores stays together
+    gi2 = _avg_linkage_split(nodes, np.array([1, 2, 1]), np.array([2, 3, 3]),
+                             np.array([0.9, 0.9, 0.9]), 0.5, 2000)
+    assert len(set(gi2)) == 1
+
+
+def test_refine_clusters_hierarchical_e2e(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import refine_clusters_hierarchical
+
+    edges = pd.DataFrame({
+        "id_a": [1, 2, 10, 11],
+        "id_b": [2, 3, 11, 12],
+        "score": [0.9, 0.9, 0.95, 0.95],
+    })
+    out = refine_clusters_hierarchical(
+        rd.from_pandas(edges), threshold=0.5).to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    # chain 1-2-3 splits; chain 10-11-12 at 0.95 holds ((0.95+0)/2 < 0.5 is
+    # false: 0.475 < 0.5 -> also splits!) -> use a dense pair to contrast
+    assert lab[1] == lab[2] or lab[2] == lab[3]
+    assert not (lab[1] == lab[2] == lab[3])
+
+
+def test_refine_keeps_dense_clusters_whole(ray_session):
+    import itertools as it
+
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import refine_clusters_hierarchical
+
+    rows = [(a, b, 0.92) for a, b in it.combinations(range(5), 2)]
+    rows += [(a, b, 0.88) for a, b in it.combinations(range(100, 104), 2)]
+    edges = pd.DataFrame(rows, columns=["id_a", "id_b", "score"])
+    out = refine_clusters_hierarchical(
+        rd.from_pandas(edges), threshold=0.5).to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    assert len({lab[v] for v in range(5)}) == 1
+    assert len({lab[v] for v in range(100, 104)}) == 1
+    assert lab[0] != lab[100]
