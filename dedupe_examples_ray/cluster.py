@@ -420,6 +420,97 @@ def driver_cluster_table(edges) -> pa.Table:
     )
 
 
+def driver_refine_table(edges, threshold: float,
+                        max_members: int = 2000) -> pa.Table:
+    """Driver fast path for ``linkage="average"``: CC over the pulled edge
+    table, then per-component average-linkage re-cut at ``threshold``
+    (:func:`_avg_linkage_split`) — the reference library's hierarchical
+    cluster semantics (dedupe ``cluster()`` cuts a linkage dendrogram at the
+    partition threshold) without leaving the driver.
+
+    Output matches :func:`driver_cluster_table`: (node, label, score) with
+    label = MIN member id of the REFINED sub-cluster and score = mean
+    incident edge score (same confidence definition as the CC path, so the
+    two linkage modes differ only in the partition).  Components of <= 2
+    members keep their CC grouping vectorized; only components with >= 3
+    members enter the per-component linkage loop.
+    """
+    if isinstance(edges, pd.DataFrame):
+        edges = pa.Table.from_pandas(edges, preserve_index=False)
+    m = edges.num_rows
+    raw_a = edges["id_a"].combine_chunks() if isinstance(edges["id_a"], pa.ChunkedArray) else edges["id_a"]
+    raw_b = edges["id_b"].combine_chunks() if isinstance(edges["id_b"], pa.ChunkedArray) else edges["id_b"]
+    int_ids = pa.types.is_integer(raw_a.type)
+    id_t = pa.int64() if int_ids else pa.string()
+    if m == 0:
+        return pa.table(
+            {"node": pa.array([], id_t), "label": pa.array([], id_t),
+             "score": pa.array([], pa.float64())}
+        )
+    if int_ids:
+        both = np.concatenate(
+            [raw_a.to_numpy(zero_copy_only=False), raw_b.to_numpy(zero_copy_only=False)]
+        )
+        uniq, codes = np.unique(both, return_inverse=True)
+        codes = codes.astype(np.int64)
+        uniq_arr = None
+    else:
+        ida = pc.cast(raw_a, pa.string())
+        idb = pc.cast(raw_b, pa.string())
+        enc = pc.dictionary_encode(pa.concat_arrays([ida, idb]))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_arr = enc.dictionary
+        uniq = None
+    n = int(codes.max()) + 1
+    codes_a, codes_b = codes[:m], codes[m:]
+    root = numpy_connected_components(codes_a, codes_b, n)
+    s = edges["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    # refined group id per node, seeded with the CC root; components with
+    # >= 3 members are re-cut one at a time (each is pair-evidence-bounded)
+    group = root.copy()
+    comp_sizes = np.bincount(root, minlength=n)
+    comp_e = root[codes_a]  # per-edge component (id_b shares the root)
+    big_e = np.flatnonzero(comp_sizes[comp_e] >= 3)
+    if len(big_e):
+        ca, cb, ss, cc = codes_a[big_e], codes_b[big_e], s[big_e], comp_e[big_e]
+        o = np.argsort(cc, kind="stable")
+        ca, cb, ss, cc = ca[o], cb[o], ss[o], cc[o]
+        bounds = np.flatnonzero(np.diff(cc)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cc)]])
+        for st, en in zip(starts, ends):
+            ea_, eb_, s_ = ca[st:en], cb[st:en], ss[st:en]
+            members = np.unique(np.concatenate([ea_, eb_]))
+            gi = _avg_linkage_split(members, ea_, eb_, s_, threshold, max_members)
+            for v in np.unique(gi):
+                mem = members[gi == v]
+                group[mem] = mem.min()  # group rep = min member CODE (any rep works)
+
+    # canonical label per refined group (min member id, rank-based for strings)
+    cnt = np.bincount(codes, minlength=n)
+    ssum = np.bincount(codes, weights=np.concatenate([s, s]), minlength=n)
+    conf = ssum / np.maximum(cnt, 1)
+    if int_ids:
+        # uniq is sorted, so min code within a group = min uid
+        mincode = np.full(n, n, dtype=np.int64)
+        np.minimum.at(mincode, group, np.arange(n, dtype=np.int64))
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()),
+             "label": pa.array(uniq[mincode[group]], pa.int64()),
+             "score": pa.array(conf, pa.float64())}
+        )
+    order = pc.array_sort_indices(uniq_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    minrank = np.full(n, n, dtype=np.int64)
+    np.minimum.at(minrank, group, rank)
+    label = uniq_arr.take(pa.array(order[minrank[group]], pa.int64()))
+    return pa.table(
+        {"node": uniq_arr, "label": label, "score": pa.array(conf, pa.float64())}
+    )
+
+
 def driver_cluster_confidence(edges_df: pd.DataFrame) -> tuple[dict, dict]:
     """Dict-map variant of ``driver_cluster_table`` (compat API)."""
     tbl = driver_cluster_table(edges_df)

@@ -91,6 +91,8 @@ def dedupe_dataset(
     surrogate_ids: bool | str = "auto",
     pair_pruning: str | None = None,
     prune_k: int = 4,
+    linkage: str = "connected",
+    refine_max_members: int = 2000,
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -130,7 +132,16 @@ def dedupe_dataset(
     0.995; "wep" drops to 0.90 (its mean threshold rises with the true-dup
     density it is meant to protect) — prefer "cnp" when recall is the
     contract.
+    ``linkage``: "connected" (default) labels clusters as the connected
+    components of the thresholded edge graph; "average" re-cuts each
+    component with average-linkage agglomerative clustering at
+    ``settings.threshold`` — the reference library's hierarchical cluster
+    semantics (dedupe ``cluster()``), which splits transitive chains A-B-C
+    that share no A-C evidence.  Components larger than
+    ``refine_max_members`` stay whole (documented O(k^2) linkage fallback).
     """
+    if linkage not in ("connected", "average"):
+        raise ValueError(f"linkage must be 'connected' or 'average', got {linkage!r}")
     carry = sorted({f.column for f in settings.fields})
 
     from ..cluster import add_uid_column, build_entity_map_uid
@@ -370,6 +381,10 @@ def dedupe_dataset(
         logging.getLogger("dedupe_examples_ray.progress").info(
             "scoring complete: %d pairs scored", _total
         )
+    # the linkage mode only changes the cluster cut, not the edge set —
+    # cluster/entity-map stages get their own checkpoint key so switching
+    # modes reuses the (expensive) edge checkpoint but never stale labels
+    cfp = fp if linkage == "connected" else fp + f"-avg{refine_max_members}"
     n_edges = edges.count()
     # The driver fast path is budgeted in BYTES as well as edge count: long
     # string ids make 30 M edges multi-GB of driver heap on a cluster, so an
@@ -404,7 +419,14 @@ def dedupe_dataset(
             )
         )
         with stage_timer("driver CC"):
-            label_tbl = driver_cluster_table(edges_tbl)
+            if linkage == "average":
+                from ..cluster import driver_refine_table
+
+                label_tbl = driver_refine_table(
+                    edges_tbl, settings.threshold, refine_max_members
+                )
+            else:
+                label_tbl = driver_cluster_table(edges_tbl)
         if workdir is not None:
             import ray.data as rd
 
@@ -412,7 +434,7 @@ def dedupe_dataset(
                 "clusters",
                 lambda: rd.from_arrow(label_tbl.select(["node", "label"])),
                 workdir,
-                fp,
+                cfp,
             )
         def _entity_stage():
             with stage_timer("entity map build"):
@@ -422,19 +444,34 @@ def dedupe_dataset(
                     else entity_map_from_table(id_source, id_col, label_tbl)
                 )
 
-        entity = run_stage("entity_map", _entity_stage, workdir, fp)
+        entity = run_stage("entity_map", _entity_stage, workdir, cfp)
         return entity
     # beyond the driver budget: contract edges first (per-block spanning
     # forests, no shuffle, same components) — usually brings the edge set
     # back under the driver limit; star rounds remain the true fallback
     from ..cluster import contract_edges
 
-    labels = run_stage(
-        "clusters",
-        lambda: connected_components(contract_edges(edges), driver_limit=driver_cc_limit),
-        workdir,
-        fp,
-    )
+    if linkage == "average":
+        # distributed refinement: CC + one bucketed shuffle that co-locates
+        # each component's edges, then per-component average-linkage re-cut
+        from ..cluster import refine_clusters_hierarchical
+
+        labels = run_stage(
+            "clusters",
+            lambda: refine_clusters_hierarchical(
+                edges, threshold=settings.threshold,
+                max_members=refine_max_members,
+            ),
+            workdir,
+            cfp,
+        )
+    else:
+        labels = run_stage(
+            "clusters",
+            lambda: connected_components(contract_edges(edges), driver_limit=driver_cc_limit),
+            workdir,
+            cfp,
+        )
     confidence = member_confidence(edges)
     entity = run_stage(
         "entity_map",
@@ -442,7 +479,7 @@ def dedupe_dataset(
         if use_sur
         else build_entity_map(id_source, id_col, labels, confidence),
         workdir,
-        fp,
+        cfp,
     )
     return entity
 

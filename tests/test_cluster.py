@@ -230,3 +230,88 @@ def test_refine_keeps_dense_clusters_whole(ray_session):
     assert len({lab[v] for v in range(5)}) == 1
     assert len({lab[v] for v in range(100, 104)}) == 1
     assert lab[0] != lab[100]
+
+
+def test_driver_refine_table_parity_with_distributed(ray_session):
+    """driver_refine_table (the linkage="average" driver fast path) must
+    induce the SAME partition as refine_clusters_hierarchical on a random
+    mixed graph — for string ids and for int64 surrogate ids."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import (
+        driver_refine_table,
+        refine_clusters_hierarchical,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 30 random components: chains, triangles, stars, random scores
+    for c in range(30):
+        k = int(rng.integers(2, 8))
+        base = c * 100
+        nodes = list(range(base, base + k))
+        for i in range(k - 1):  # spanning chain
+            rows.append((nodes[i], nodes[i + 1], float(rng.uniform(0.4, 1.0))))
+        for _ in range(int(rng.integers(0, k))):  # extra random edges
+            a, b = rng.choice(nodes, 2, replace=False)
+            rows.append((int(a), int(b), float(rng.uniform(0.4, 1.0))))
+    df = pd.DataFrame(rows, columns=["id_a", "id_b", "score"])
+
+    for as_str in (False, True):
+        e = df.copy()
+        if as_str:
+            e["id_a"] = e["id_a"].map(lambda v: f"n{v:05d}")
+            e["id_b"] = e["id_b"].map(lambda v: f"n{v:05d}")
+        drv = driver_refine_table(e, threshold=0.6)
+        dist = refine_clusters_hierarchical(
+            rd.from_pandas(e), threshold=0.6, num_buckets=4).to_pandas()
+        lab_drv = dict(zip(drv["node"].to_pylist(), drv["label"].to_pylist()))
+        lab_dist = dict(zip(dist["node"], dist["label"]))
+        assert lab_drv == lab_dist, f"partition mismatch (as_str={as_str})"
+
+
+def test_dedupe_dataset_linkage_average(ray_session):
+    """linkage="average" e2e: the refined partition REFINES the CC partition,
+    and the driver fast path matches the distributed path exactly."""
+    import pandas as pd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.pipelines.dedupe import dedupe_dataset, derive_page_fields
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    pages = synth_pages_dataset(80, seed=5).select_columns(["url", "text"])
+    derived = pages.map_batches(derive_page_fields, batch_format="pyarrow").materialize()
+    s = default_page_settings()
+
+    def em(**kw):
+        return (
+            dedupe_dataset(derived, s, id_col="url", **kw)
+            .to_pandas()
+            .sort_values("record_id")
+            .reset_index(drop=True)
+        )
+
+    cc = em()
+    avg = em(linkage="average")
+    assert list(cc["record_id"]) == list(avg["record_id"])
+    # refinement: every average-linkage cluster sits inside one CC cluster
+    j = pd.DataFrame({"cc": cc["canon_id"], "avg": avg["canon_id"]})
+    assert (j.groupby("avg")["cc"].nunique() == 1).all()
+    # driver fast path vs distributed refine path: identical labels
+    avg_dist = em(linkage="average", driver_cc_bytes=0)
+    pd.testing.assert_frame_equal(
+        avg[["record_id", "canon_id"]], avg_dist[["record_id", "canon_id"]]
+    )
+
+
+def test_dedupe_dataset_linkage_validation(ray_session):
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.pipelines.dedupe import dedupe_dataset
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    with pytest.raises(ValueError, match="linkage"):
+        dedupe_dataset(
+            synth_pages_dataset(5, seed=1).select_columns(["url", "text"]),
+            default_page_settings(), id_col="url", linkage="single",
+        )
