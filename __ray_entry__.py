@@ -57,6 +57,35 @@ def _q_er_dedupe_pages(sf_dir):
     return dedupe_pages(pages).to_pandas().sort_values("record_id").reset_index(drop=True)
 
 
+def _q_er_dedupe_pages_avg_linkage(sf_dir):
+    """ER with linkage="average" (the reference library's hierarchical
+    cluster cut, dedupe ``cluster()``): re-cuts each connected component with
+    average-linkage at the partition threshold, splitting transitive chains.
+
+    In-query invariants (rows-only entry): same record set as the CC run,
+    and the refined partition REFINES the CC partition — every
+    average-linkage cluster sits inside exactly one connected component.
+    """
+    import pandas as pd
+
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    n = 400 if "0.01" in sf_dir else 200
+    pages = synth_pages_dataset(n, seed=42).drop_columns(["true_id"])
+    cc = dedupe_pages(pages).to_pandas().sort_values("record_id").reset_index(drop=True)
+    avg = (
+        dedupe_pages(pages, linkage="average")
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    assert list(cc["record_id"]) == list(avg["record_id"])
+    j = pd.DataFrame({"cc": cc["canon_id"], "avg": avg["canon_id"]})
+    assert (j.groupby("avg")["cc"].nunique() == 1).all(), \
+        "average-linkage cluster crosses a CC component"
+    assert avg["canon_id"].nunique() >= cc["canon_id"].nunique()
+    return avg
+
+
 def _q_er_dedupe_pages_canopy(sf_dir):
     """Flagship ER with the TF-IDF canopy index predicate in the settings
     artifact (two-pass: DF aggregate -> broadcast index -> rarest-k keys);
@@ -3998,6 +4027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_incremental_documents": _q_bloom_incremental_documents,
         "zonemap_scan_documents": _q_zonemap_scan_documents,
         "refined_clusters_orders": _q_refined_clusters_orders,
+        "er_dedupe_pages_avg_linkage": _q_er_dedupe_pages_avg_linkage,
     }
 
 
