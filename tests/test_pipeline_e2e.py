@@ -114,3 +114,17 @@ def test_grouped_sum_empty_and_null_keys(ray_session):
     assert got.loc[got["k"] == "b", "n"].iloc[0] == 1
     null_row = got[got["k"].isna()]
     assert len(null_row) == 1 and null_row["s"].iloc[0] == 6.0 and null_row["n"].iloc[0] == 2
+
+
+def test_f1_with_average_linkage(ray_session):
+    """linkage="average" keeps the gold contract: re-cutting CC components
+    with average linkage at the partition threshold must not split true
+    clusters on the gold corpus (their pairwise evidence is dense), so
+    F1 stays >= 0.99 — the anti-chaining refinement only removes edges the
+    gold standard never asserted."""
+    full = synth_pages_dataset(150, seed=11)
+    pages = full.drop_columns(["true_id"]).materialize()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    entity = dedupe_pages(pages, linkage="average").to_pandas()
+    scores = evaluate_entity_map(entity, gold)
+    assert scores["f1"] >= 0.99, scores
