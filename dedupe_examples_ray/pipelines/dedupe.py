@@ -149,15 +149,12 @@ def dedupe_dataset(
 
     import pyarrow as pa_
 
-    if surrogate_ids == "auto":
-        try:
-            with stage_timer("schema probe"):
-                id_t = dataset_arrow_types(records_ds)[id_col]
-            use_sur = pa_.types.is_string(id_t) or pa_.types.is_large_string(id_t)
-        except Exception:
-            use_sur = False
-    else:
-        use_sur = bool(surrogate_ids)
+    # "auto" surrogate decision is deferred until n_records is known: under
+    # SURROGATE_AUTO_MIN no probe is needed at all, and above it the id type
+    # is probed from ids_ds when available (a projection of the raw source,
+    # so the schema usually resolves from file metadata without executing
+    # the derive pipeline for one block).
+    use_sur = None if surrogate_ids == "auto" else bool(surrogate_ids)
 
     # Pairs travel SLIM (ids only): blocking rows and both pair shuffles never
     # move record payloads.  Field values re-attach at scoring time — via a
@@ -193,8 +190,17 @@ def dedupe_dataset(
     #   storage needed — pairs AND records shuffle on the same bucket key).
     # "auto" switches broadcast -> sharded at the record budget; the old
     # Dataset.join fallback (measured ~10x slower) is gone.
-    if surrogate_ids == "auto" and use_sur and n_records < SURROGATE_AUTO_MIN:
-        use_sur = False  # latency-bound regime: string ids are cheaper
+    if use_sur is None:  # "auto"
+        if n_records < SURROGATE_AUTO_MIN:
+            use_sur = False  # latency-bound regime: string ids are cheaper
+        else:
+            try:
+                with stage_timer("schema probe"):
+                    probe_src = ids_ds if ids_ds is not None else records_ds
+                    id_t = dataset_arrow_types(probe_src)[id_col]
+                use_sur = pa_.types.is_string(id_t) or pa_.types.is_large_string(id_t)
+            except Exception:
+                use_sur = False
     if hydration == "auto":
         hydration = "broadcast" if n_records <= broadcast_records_limit else "sharded"
 
