@@ -70,6 +70,20 @@ def _pair_idx(k: int) -> tuple[np.ndarray, np.ndarray]:
     return got
 
 
+def _clean_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas -> Arrow with NO pandas schema metadata.
+
+    Blocks returned from ``map_groups``/``map_batches`` as pandas frames get
+    converted by Ray via ``pa.Table.from_pandas``, whose embedded pandas
+    metadata makes the schema unhashable — which disables Ray's
+    schema-deduplication fast path in every downstream sort/concat (one
+    "Failed to hash the schemas" warning per reduce task).  Returning the
+    stripped Arrow table ourselves keeps the exchange Arrow-native and the
+    schemas hashable.
+    """
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def _emit_bucket(
     df: pd.DataFrame,
     id_col: str,
@@ -188,8 +202,10 @@ def candidate_pairs(
 
     bucketed = blocks_ds.map_batches(add_bucket, batch_format="pyarrow")
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        return _emit_bucket(df, id_col, carry_cols, max_block_size, policy, source_col)
+    def emit(df: pd.DataFrame) -> pa.Table:
+        return _clean_arrow(
+            _emit_bucket(df, id_col, carry_cols, max_block_size, policy, source_col)
+        )
 
     pairs = bucketed.groupby("bucket").map_groups(emit, batch_format="pandas")
     if dedup:
@@ -212,8 +228,10 @@ def dedup_pairs(pairs_ds, num_buckets: int | None = None):
 
     bucketed = pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
 
-    def drop(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pbucket"])
+    def drop(df: pd.DataFrame) -> pa.Table:
+        return _clean_arrow(
+            df.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pbucket"])
+        )
 
     return bucketed.groupby("pbucket").map_groups(drop, batch_format="pandas")
 
