@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .scale import clean_arrow as _clean_arrow
+
 
 # ---------------------------------------------------------------- driver path
 def union_find(edges_a: list, edges_b: list) -> dict:
@@ -106,7 +108,7 @@ def _directed_large(edges_ds, num_buckets: int = _CC_BUCKETS):
     return (
         _with_bucket(_both_directions(edges_ds), "u", num_buckets)
         .groupby("bucket")
-        .map_groups(lambda df: _large_star_bucket(df.drop(columns=["bucket"])), batch_format="pandas")
+        .map_groups(lambda df: _clean_arrow(_large_star_bucket(df.drop(columns=["bucket"]))), batch_format="pandas")
     )
 
 
@@ -120,7 +122,7 @@ def _directed_small(edges_ds, num_buckets: int = _CC_BUCKETS):
     return (
         _with_bucket(directed, "u", num_buckets)
         .groupby("bucket")
-        .map_groups(lambda df: _small_star_bucket(df.drop(columns=["bucket"])), batch_format="pandas")
+        .map_groups(lambda df: _clean_arrow(_small_star_bucket(df.drop(columns=["bucket"]))), batch_format="pandas")
     )
 
 
@@ -129,7 +131,9 @@ def _dedup_edges(ds, num_buckets: int = _CC_BUCKETS):
         _with_bucket(ds, "u", num_buckets)
         .groupby("bucket")
         .map_groups(
-            lambda df: df.drop_duplicates(subset=["u", "v"]).drop(columns=["bucket"]),
+            lambda df: _clean_arrow(
+                df.drop_duplicates(subset=["u", "v"]).drop(columns=["bucket"])
+            ),
             batch_format="pandas",
         )
     )
@@ -187,8 +191,8 @@ def connected_components_distributed(edges_ds, max_rounds: int = 20,
 
 
 def _dedup_labels(ds, num_buckets: int = _CC_BUCKETS):
-    def min_label(df: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def min_label(df: pd.DataFrame) -> pa.Table:
+        return _clean_arrow(
             df.sort_values("label", kind="stable")
             .drop_duplicates(subset=["node"])
             .drop(columns=["bucket"])

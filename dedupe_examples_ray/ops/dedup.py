@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..cluster import connected_components
+from ..scale import clean_arrow as _clean_arrow
 
 # Per-worker cache for broadcast objects: task functions resolve a ray.put
 # ref once per worker process instead of paying actor-pool startup (the
@@ -78,10 +79,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         b = t["h"].to_numpy(zero_copy_only=False) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def assign(df: pd.DataFrame) -> pa.Table:
+        return _clean_arrow(pd.DataFrame(
             {id_col: df[id_col], "keep_id": df.groupby("h", sort=False)[id_col].transform("min")}
-        )
+        ))
 
     return hashed.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket").map_groups(
         assign, batch_format="pandas"
@@ -383,7 +384,7 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200,
     pairs = (
         bucket_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(lambda df: _clean_arrow(emit(df)), batch_format="pandas")
     )
     return dedup_pairs(pairs)
 
@@ -764,7 +765,7 @@ def simhash_dedup(
     pairs = (
         buckets.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(lambda df: _clean_arrow(emit(df)), batch_format="pandas")
     )
     return _assignment(ds, id_col, dedup_pairs(pairs))
 
@@ -893,7 +894,7 @@ def embedding_cosine_dedup(
     pairs = (
         buckets.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(lambda df: _clean_arrow(verify(df)), batch_format="pandas")
     )
     return _assignment(ds, id_col, dedup_pairs(pairs))
 
@@ -974,8 +975,7 @@ def keep_best_assignment(assign_ds, scores_ds, id_col: str = "doc_id",
         df = df.sort_values(["_s", out_col], ascending=[False, True],
                             kind="mergesort")
         w = df.drop_duplicates(keep_col, keep="first")
-        return pa.Table.from_pandas(w[[keep_col, out_col]],
-                                    preserve_index=False)
+        return _clean_arrow(w[[keep_col, out_col]])
 
     best = (scored.map_batches(local_winner, batch_format="pyarrow")
             .groupby("_bucket").map_groups(final_winner,

@@ -33,6 +33,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .scale import clean_arrow as _clean_arrow
+
 _HASH_KEY = "dedupe_examples_ray" [:16].ljust(16, "0")
 
 
@@ -68,20 +70,6 @@ def _pair_idx(k: int) -> tuple[np.ndarray, np.ndarray]:
         got = np.triu_indices(k, k=1)
         _PAIR_IDX_CACHE[k] = got
     return got
-
-
-def _clean_arrow(df: pd.DataFrame) -> pa.Table:
-    """pandas -> Arrow with NO pandas schema metadata.
-
-    Blocks returned from ``map_groups``/``map_batches`` as pandas frames get
-    converted by Ray via ``pa.Table.from_pandas``, whose embedded pandas
-    metadata makes the schema unhashable — which disables Ray's
-    schema-deduplication fast path in every downstream sort/concat (one
-    "Failed to hash the schemas" warning per reduce task).  Returning the
-    stripped Arrow table ourselves keeps the exchange Arrow-native and the
-    schemas hashable.
-    """
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def _emit_bucket(

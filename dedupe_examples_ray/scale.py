@@ -71,3 +71,19 @@ def resolve_buckets(num_buckets: int | None, *datasets, n_rows: int | None = Non
         if est:
             total += est
     return buckets_for(total or None)
+
+
+def clean_arrow(df):
+    """pandas -> Arrow block with NO pandas schema metadata.
+
+    Blocks returned from ``map_groups``/``map_batches`` as pandas frames are
+    converted by Ray via ``pa.Table.from_pandas``, whose embedded pandas
+    metadata makes the schema unhashable — disabling Ray's
+    schema-deduplication fast path in every downstream sort/concat reduce
+    (and logging one "Failed to hash the schemas" warning per task).  Hot
+    stages whose output feeds another exchange should return
+    ``clean_arrow(frame)`` instead of the frame.
+    """
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

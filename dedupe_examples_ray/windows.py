@@ -164,8 +164,10 @@ def bucketed_by_key(ds, key_col: str, fn, num_buckets: int = 256):
         ) % num_buckets
         return t.append_column("__kb", pa.array(b.astype(np.int64)))
 
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=["__kb"]))
+    def run(df: pd.DataFrame) -> pa.Table:
+        from .scale import clean_arrow
+
+        return clean_arrow(fn(df.drop(columns=["__kb"])))
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
