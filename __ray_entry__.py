@@ -3828,6 +3828,56 @@ def _q_meta_blocking_cnp_parts(sf_dir):
     return df[["id_a", "id_b", "weight"]]
 
 
+def _snm_docs_key(sf_dir, prefix_len: int):
+    """documents with the composed SNM sort key source|text-prefix."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source", "lang"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.fill_null(t["source"], ""),
+            pc.utf8_slice_codeunits(pc.fill_null(t["text"], ""), 0, prefix_len),
+            "|",
+        )
+        lkey = pc.binary_join_element_wise(
+            pc.fill_null(t["lang"], ""),
+            pc.utf8_slice_codeunits(pc.fill_null(t["text"], ""), 0, prefix_len),
+            "|",
+        )
+        return pa.table({"doc_id": t["doc_id"], "skey": key, "lkey": lkey})
+
+    return docs.map_batches(add_key, batch_format="pyarrow")
+
+
+def _q_snm_pairs_documents(sf_dir):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD 1995) over
+    documents sorted by (source|text-prefix, doc_id), 4 neighbors ahead.
+    Exact ROW_NUMBER-window parity with the SQL oracle; candidate budget
+    O(n*w) by construction (the non-quadratic complement to the reference's
+    key-equality predicates, csv_example.py:120-140)."""
+    from dedupe_examples_ray.ops.simjoin import sorted_neighborhood_pairs
+
+    out = sorted_neighborhood_pairs(
+        _snm_docs_key(sf_dir, 16), "skey", "doc_id", window=4
+    )
+    df = out.to_pandas().rename(columns={"id1": "id_a", "id2": "id_b"})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_snm_multipass_documents(sf_dir):
+    """Multi-pass SNM: union of 3-ahead windows over two key orderings
+    (source-major and lang-major), orientation-normalized and DISTINCTed."""
+    from dedupe_examples_ray.ops.simjoin import multi_pass_snm
+
+    out = multi_pass_snm(
+        _snm_docs_key(sf_dir, 12), ["skey", "lkey"], "doc_id", window=3
+    )
+    df = out.to_pandas().rename(columns={"id1": "id_a", "id2": "id_b"})
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -3898,6 +3948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_rules_documents": _q_c4_rules_documents,
         "dedup_lines_documents": _q_dedup_lines_documents,
         "canonicalize_documents": _q_canonicalize_documents,
+        "snm_pairs_documents": _q_snm_pairs_documents,
+        "snm_multipass_documents": _q_snm_multipass_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
@@ -4452,6 +4504,28 @@ def oracle_sql() -> dict[str, str]:
         "dense_rank_orders": (
             "SELECT o_orderkey, DENSE_RANK() OVER (ORDER BY o_totalprice DESC) "
             "AS drnk FROM orders"
+        ),
+        "snm_pairs_documents": (
+            "WITH k AS (SELECT doc_id, COALESCE(source,'') || '|' || "
+            "substr(COALESCE(text,''),1,16) AS skey FROM documents), "
+            "r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey, doc_id) "
+            "AS rn FROM k) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r a JOIN r b "
+            "ON b.rn > a.rn AND b.rn <= a.rn + 4 ORDER BY id_a, id_b"
+        ),
+        "snm_multipass_documents": (
+            "WITH k AS (SELECT doc_id, "
+            "COALESCE(source,'') || '|' || substr(COALESCE(text,''),1,12) AS skey, "
+            "COALESCE(lang,'')   || '|' || substr(COALESCE(text,''),1,12) AS lkey "
+            "FROM documents), "
+            "r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn FROM k), "
+            "r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY lkey, doc_id) AS rn FROM k), "
+            "p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM r1 a JOIN r1 b "
+            "ON b.rn > a.rn AND b.rn <= a.rn + 3 "
+            "UNION ALL SELECT a.doc_id, b.doc_id FROM r2 a JOIN r2 b "
+            "ON b.rn > a.rn AND b.rn <= a.rn + 3) "
+            "SELECT DISTINCT LEAST(x,y) AS id_a, GREATEST(x,y) AS id_b FROM p "
+            "ORDER BY id_a, id_b"
         ),
         "lag_lead_orders": (
             "SELECT o_orderkey, "

@@ -62,6 +62,7 @@ from .simjoin import (  # noqa: F401
     cosine_threshold_join,
     edit_similarity_join,
     jaccard_similarity_join,
+    multi_pass_snm,
     sorted_neighborhood_pairs,
 )
 from .packing import (  # noqa: F401

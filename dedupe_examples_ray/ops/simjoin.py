@@ -52,6 +52,41 @@ _BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))
 _EMPTY_SENTINEL = np.uint64(0xCBF29CE484222325)  # hash of the empty variant
 
 
+def _prefix6_f64(arr) -> np.ndarray:
+    """First 6 UTF-8 bytes of each string as an exact float64 (48 bits < 53).
+
+    Monotone in the string's binary order (UTF-8 byte order == code-point
+    order) — the numeric range-partition proxy for sorted-neighborhood
+    ranking.  Zero-copy over the Arrow buffers; no per-row Python objects.
+    NULL keys map to +inf (SQL NULLS LAST): they land in the final rank
+    range, where the in-range tie sort (na_position="last") orders them
+    after every non-null key and by id among themselves.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    isnull = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    a = pc.cast(pc.fill_null(arr, ""), pa.large_utf8())
+    off = np.frombuffer(a.buffers()[1], np.int64)[a.offset : a.offset + len(a) + 1]
+    dbuf = a.buffers()[2]
+    data = np.frombuffer(dbuf, np.uint8) if dbuf is not None else np.zeros(0, np.uint8)
+    if len(a) == 0:
+        return np.zeros(0, np.float64)
+    starts = off[:-1]
+    lens = np.minimum(off[1:] - starts, 8)
+    if len(data):
+        idx = starts[:, None] + np.arange(8, dtype=np.int64)[None, :]
+        mask = np.arange(8)[None, :] < lens[:, None]
+        np.clip(idx, 0, len(data) - 1, out=idx)
+        vals = data[idx] * mask
+    else:
+        vals = np.zeros((len(a), 8), np.uint8)
+    u = np.ascontiguousarray(vals).view(">u8").ravel().astype(np.uint64)
+    p = (u >> np.uint64(16)).astype(np.float64)  # first 6 bytes, exact
+    if isnull.any():
+        p = np.where(isnull, np.inf, p)
+    return p
+
+
 def _byte_matrix(strings: list) -> tuple[np.ndarray, np.ndarray]:
     """(n, L) uint8 matrix of UTF-8 bytes (zero-padded) + byte lengths.
 
@@ -391,20 +426,7 @@ def sorted_neighborhood_pairs(
         )
 
     def add_prefix(t: pa.Table) -> pa.Table:
-        vals = t[key_col].to_pylist()
-        M, lens = _byte_matrix(vals)
-        p = np.zeros(len(lens), dtype=np.float64)
-        for j in range(min(6, M.shape[1])):
-            p = p * 256.0 + np.where(j < lens, M[:, j], 0).astype(np.float64)
-        p *= 256.0 ** max(0, 6 - M.shape[1])
-        # SQL default collation is NULLS LAST; _byte_matrix maps None to b""
-        # (prefix 0 == empty string, which would rank nulls FIRST), so pin
-        # null keys to +inf — they land in the final rank range, where the
-        # in-range tie sort (na_position="last") orders them after any
-        # non-null and by id among themselves.
-        isnull = np.fromiter((v is None for v in vals), dtype=bool, count=len(vals))
-        if isnull.any():
-            p = np.where(isnull, np.inf, p)
+        p = _prefix6_f64(t[key_col])
         return t.append_column("__pfx", pa.array(p))
 
     ranked = global_rank(
@@ -451,7 +473,50 @@ def sorted_neighborhood_pairs(
             {"id1": np.concatenate(out1), "id2": np.concatenate(out2)}
         )
 
-    return banded.groupby("__band").map_groups(emit, batch_format="pandas")
+    from ..scale import clean_arrow
+
+    return banded.groupby("__band").map_groups(
+        lambda df: clean_arrow(emit(df)), batch_format="pandas"
+    )
+
+
+def multi_pass_snm(
+    ds,
+    key_cols: list[str],
+    id_col: str,
+    window: int = 5,
+    band_width: int | None = None,
+):
+    """Multi-pass sorted-neighborhood: DISTINCT union of single-pass windows
+    over each key ordering — the classic SNM recall booster (each pass
+    covers the typo modes its key ordering survives; Hernandez & Stolfo
+    SIGMOD 1995 §4).  Pair orientation is normalized to ``id1 < id2`` before
+    the global DISTINCT, so the same pair found by two passes under opposite
+    rank orders still deduplicates.
+    """
+    from ..pairs import dedup_pairs
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    parts = [
+        sorted_neighborhood_pairs(ds, k, id_col, window=window, band_width=band_width)
+        for k in key_cols
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.union(p)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a, b = t["id1"], t["id2"]
+        return pa.table(
+            {"id_a": pc.min_element_wise(a, b), "id_b": pc.max_element_wise(a, b)}
+        )
+
+    deduped = dedup_pairs(un.map_batches(orient, batch_format="pyarrow"))
+    return deduped.map_batches(
+        lambda t: pa.table({"id1": t["id_a"], "id2": t["id_b"]}),
+        batch_format="pyarrow",
+    )
 
 
 def cosine_threshold_join(

@@ -589,7 +589,11 @@ def global_rank(
         df[out_col] = local + offsets.get(r, 0)
         return df.drop(columns=["__rng"])
 
-    return assigned.groupby("__rng").map_groups(rank_range, batch_format="pandas")
+    from .scale import clean_arrow
+
+    return assigned.groupby("__rng").map_groups(
+        lambda df: clean_arrow(rank_range(df)), batch_format="pandas"
+    )
 
 
 def lag_lead(

@@ -210,3 +210,80 @@ def test_soundex_predicate():
     out = fp(batch)
     ks = out["block_key"].to_pylist()
     assert len(ks) == 2 and ks[0] == ks[1] and ks[0].endswith("R163")
+
+
+def test_snm_prefix_proxy_monotone():
+    """The zero-copy 6-byte prefix proxy is exact float64, monotone in
+    string sort order (unicode, empties, shared prefixes), NULLS LAST."""
+    import numpy as np
+
+    from dedupe_examples_ray.ops.simjoin import _prefix6_f64
+
+    ss = sorted(["", "a", "ab", "abcdef", "abcdefZZZ", "abcdefg",
+                 "zz", "éclair", "zzé", "中文测试"])
+    prox = _prefix6_f64(pa.array(ss))
+    assert all(prox[i] <= prox[i + 1] for i in range(len(prox) - 1))
+    # equal 6-byte prefixes share a proxy (full-key ties resolved downstream)
+    same = _prefix6_f64(pa.array(["abcdef", "abcdefZZZ"]))
+    assert same[0] == same[1]
+    # NULL ranks after everything
+    withnull = _prefix6_f64(pa.array(["zzzzzz", None]))
+    assert withnull[1] == np.inf and withnull[0] < withnull[1]
+
+
+def test_sorted_neighborhood_matches_bruteforce(ray_session):
+    """Distributed SNM == single-process sliding window over the global
+    sort, across band boundaries, heavy key ties, and unicode keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(11)
+    n, w = 700, 4
+    keys = ["k" + format(int(x), "02d") for x in rng.integers(0, 40, n)]
+    keys[0], keys[1] = "", "éé"  # empty + unicode keys
+    ids = [f"r{i:04d}" for i in rng.permutation(n)]
+    df = pd.DataFrame({"key": keys, "rid": ids})
+    ds = rd.from_pandas(df).repartition(5)
+    # tiny band_width forces many ghost boundaries
+    got = (sorted_neighborhood_pairs(ds, "key", "rid", window=w, band_width=37)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    ref = df.sort_values(["key", "rid"]).reset_index(drop=True)["rid"].to_numpy()
+    exp = pd.DataFrame(
+        [(ref[i], ref[j]) for i in range(n) for j in range(i + 1, min(i + w + 1, n))],
+        columns=["id1", "id2"],
+    ).sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_multi_pass_snm_distinct_union(ray_session):
+    """Multi-pass SNM = DISTINCT of orientation-normalized per-pass windows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops.simjoin import (
+        multi_pass_snm,
+        sorted_neighborhood_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    n, w = 300, 3
+    df = pd.DataFrame({
+        "k1": ["a" + format(int(x), "02d") for x in rng.integers(0, 25, n)],
+        "k2": ["b" + format(int(x), "02d") for x in rng.integers(0, 25, n)],
+        "rid": [int(i) for i in rng.permutation(n)],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    got = (multi_pass_snm(ds, ["k1", "k2"], "rid", window=w)
+           .to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True))
+    sets = set()
+    for k in ("k1", "k2"):
+        p = sorted_neighborhood_pairs(ds, k, "rid", window=w).to_pandas()
+        for a, b in zip(p["id1"], p["id2"]):
+            sets.add((min(a, b), max(a, b)))
+    exp = (pd.DataFrame(sorted(sets), columns=["id1", "id2"])
+           .reset_index(drop=True))
+    assert got.equals(exp)
