@@ -742,12 +742,102 @@ def _sorted_lookup(sorted_keys, order, queries):
     return order[pos_c], hit
 
 
+def start_member_ids_pull(records_ds, id_col: str, edges_tbl: pa.Table):
+    """Begin pulling ``(__uid, record_id)`` for every EDGE NODE concurrently
+    with driver clustering.
+
+    Edge nodes are exactly the clustered nodes (every label comes from an
+    edge), so the entity map's canon resolution — a full corpus scan — no
+    longer waits behind the driver CC: the scan streams while CC runs and
+    the driver joins the thread afterwards.  Returns a handle whose
+    ``join()`` yields the member table, or ``None`` on any failure (the
+    caller then falls back to ``build_entity_map_uid``'s own synchronous
+    pull — identical output, just serial).
+    """
+    import threading
+
+    import ray
+
+    res: dict = {}
+    ua = edges_tbl["id_a"].to_numpy(zero_copy_only=False)
+    vb = edges_tbl["id_b"].to_numpy(zero_copy_only=False)
+    nodes = (
+        np.unique(np.concatenate([ua, vb])).astype(np.int64)
+        if len(ua)
+        else np.zeros(0, np.int64)
+    )
+    nodes_ref = ray.put(nodes)
+    has_uid = "__uid" in records_ds.schema().names
+    proj_cols = [id_col, "__uid"] if has_uid else [id_col]
+
+    def member_ids(t: pa.Table) -> pa.Table:
+        nd = _get_broadcast(nodes_ref)
+        if has_uid:
+            uid = t["__uid"].to_numpy(zero_copy_only=False)
+        else:
+            uid = uid_array(t[id_col].to_numpy(zero_copy_only=False))
+        if len(nd) == 0:
+            hit = np.zeros(len(uid), bool)
+        else:
+            pos = np.minimum(np.searchsorted(nd, uid), len(nd) - 1)
+            hit = nd[pos] == uid
+        rid = pc.cast(t[id_col], pa.string())
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        mask = pa.array(hit)
+        return pa.table(
+            {
+                "__uid": pa.array(uid[hit], pa.int64()),
+                "record_id": rid.filter(mask),
+            }
+        )
+
+    ds = records_ds.select_columns(proj_cols).map_batches(
+        member_ids, batch_format="pyarrow"
+    )
+
+    def run():
+        try:
+            tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+            res["tbl"] = (
+                pa.concat_tables(tbls).combine_chunks()
+                if tbls
+                else pa.table(
+                    {
+                        "__uid": pa.array([], pa.int64()),
+                        "record_id": pa.array([], pa.string()),
+                    }
+                )
+            )
+        except Exception as exc:  # degrade to the synchronous pull
+            res["err"] = exc
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+
+    class _Handle:
+        def join(self):
+            th.join()
+            if "err" in res:
+                import logging
+
+                logging.getLogger("dedupe_examples_ray").warning(
+                    "concurrent member-id pull failed (%s); using the "
+                    "synchronous path", res["err"],
+                )
+                return None
+            return res["tbl"]
+
+    return _Handle()
+
+
 def build_entity_map_uid(
     records_ds,
     id_col: str,
     labels,
     confidence_ds=None,
     broadcast_limit: int = 5_000_000,
+    member_ids_tbl: pa.Table | None = None,
 ):
     """Surrogate-uid labels -> (record_id, canon_id, cluster_score), output-
     identical to ``build_entity_map`` on raw string ids (canon = MIN member
@@ -845,24 +935,47 @@ def build_entity_map_uid(
             # combiner: only this batch's per-label MIN travels to the driver
             return _label_min_table(part)
 
-        with _st("em: clustered pull"):
-            cl_tbls = ray.get(
-                ids.map_batches(
-                    clustered, batch_format="pyarrow", batch_size=None
-                ).to_arrow_refs()
-            )
-            cl_tbls = [t for t in cl_tbls if t.num_rows]
-        with _st("em: canon resolve"):
-            canon = _label_min_table(
-                pa.concat_tables(cl_tbls).combine_chunks()
-                if cl_tbls
-                else pa.table(
-                    {
-                        "label": pa.array([], pa.int64()),
-                        "record_id": pa.array([], pa.string()),
-                    }
+        if member_ids_tbl is not None:
+            # the (uid, record_id) member scan already ran concurrently with
+            # clustering (start_member_ids_pull): resolve labels driver-side
+            # and skip the synchronous corpus pull entirely
+            with _st("em: canon resolve"):
+                uid = member_ids_tbl["__uid"].to_numpy(zero_copy_only=False)
+                nodes_sorted, order, m0 = _uid_label_index(ref)
+                row, hit = _sorted_lookup(nodes_sorted, order, uid)
+                safe = np.where(hit, row, 0)
+                lab_np = m0["label"].combine_chunks().to_numpy()[safe]
+                rid_col = member_ids_tbl["record_id"]
+                if isinstance(rid_col, pa.ChunkedArray):
+                    rid_col = rid_col.combine_chunks()
+                mask = pa.array(hit)
+                canon = _label_min_table(
+                    pa.table(
+                        {
+                            "label": pa.array(lab_np[hit], pa.int64()),
+                            "record_id": rid_col.filter(mask),
+                        }
+                    )
                 )
-            )
+        else:
+            with _st("em: clustered pull"):
+                cl_tbls = ray.get(
+                    ids.map_batches(
+                        clustered, batch_format="pyarrow", batch_size=None
+                    ).to_arrow_refs()
+                )
+                cl_tbls = [t for t in cl_tbls if t.num_rows]
+            with _st("em: canon resolve"):
+                canon = _label_min_table(
+                    pa.concat_tables(cl_tbls).combine_chunks()
+                    if cl_tbls
+                    else pa.table(
+                        {
+                            "label": pa.array([], pa.int64()),
+                            "record_id": pa.array([], pa.string()),
+                        }
+                    )
+                )
         canon_ref = ray.put(
             pa.table(
                 {

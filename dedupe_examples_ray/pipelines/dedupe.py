@@ -93,6 +93,7 @@ def dedupe_dataset(
     prune_k: int = 4,
     linkage: str = "connected",
     refine_max_members: int = 2000,
+    id_type=None,
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -195,15 +196,21 @@ def dedupe_dataset(
             use_sur = False  # latency-bound regime: string ids are cheaper
         else:
             try:
-                with stage_timer("schema probe"):
-                    probe_src = ids_ds if ids_ds is not None else records_ds
-                    id_t = dataset_arrow_types(probe_src)[id_col]
+                if id_type is not None:  # caller-supplied hint: no probe
+                    id_t = id_type
+                else:
+                    with stage_timer("schema probe"):
+                        probe_src = ids_ds if ids_ds is not None else records_ds
+                        id_t = dataset_arrow_types(probe_src)[id_col]
                 use_sur = pa_.types.is_string(id_t) or pa_.types.is_large_string(id_t)
             except Exception:
                 use_sur = False
     if hydration == "auto":
         hydration = "broadcast" if n_records <= broadcast_records_limit else "sharded"
 
+    raw_records_ds = records_ds  # preserved for the collision-fallback rerun
+    uid_check: dict = {}
+    uid_thread = None
     if use_sur:
         # materialize the UID VIEW only (one corpus copy, one derivation run;
         # the raw records_ds stays lazy — everything downstream, including the
@@ -215,29 +222,31 @@ def dedupe_dataset(
             with stage_timer("derive+uid materialize"):
                 records_work = records_work.materialize()
         # one-time surrogate collision check: a 63-bit hash of n unique ids
-        # collides with odds ~n^2/2^64; verify and fall back rather than trust.
-        with stage_timer("uid collision check"):
-            n_uid = count_distinct_uids(records_work, n_records)
-        if n_uid != n_records:
-            # rare path — distinguish a genuine hash collision from the far
-            # more likely malformed input (duplicate record ids), which would
-            # otherwise surface as an obscure non-unique-index error deep in
-            # the scorer on ANY id path
-            from ..relational import distinct
+        # collides with odds ~n^2/2^64; verify and fall back rather than
+        # trust.  At n=625k the odds are ~2e-8, so the check runs
+        # CONCURRENTLY with blocking/pair/scoring (it was a 0.6-0.8 s serial
+        # barrier — a full streaming-executor round just to project one
+        # column) and is joined before any labels are trusted; the
+        # astronomically rare collision discards the optimistic work and
+        # reruns with raw ids.  Checkpointed runs keep the check synchronous:
+        # records_work is lazy there, and a concurrent execution would race
+        # the stage replay.
+        def _run_uid_check():
+            try:
+                uid_check["n_uid"] = count_distinct_uids(records_work, n_records)
+            except Exception as exc:  # surfaced at the join point
+                uid_check["err"] = exc
 
-            n_ids = distinct(records_ds.select_columns([id_col]), [id_col]).count()
-            if n_ids != n_records:
-                raise ValueError(
-                    f"records have {n_ids} distinct {id_col!r} values for "
-                    f"{n_records} rows — record ids must be unique"
-                )
-            import logging
+        if workdir is None:
+            import threading
 
-            logging.getLogger("dedupe_examples_ray").warning(
-                "surrogate uid collision detected (%d uids for %d records); "
-                "falling back to raw ids", n_uid, n_records,
-            )
-            use_sur = False
+            uid_thread = threading.Thread(target=_run_uid_check, daemon=True)
+            uid_thread.start()
+        else:
+            with stage_timer("uid collision check"):
+                _run_uid_check()
+            if "err" in uid_check:
+                raise uid_check["err"]
     if use_sur:
         work_id = "__uid"
         fp += "-sur"
@@ -356,15 +365,78 @@ def dedupe_dataset(
     # choice, the CC itself, member confidence) — pin it once instead of
     # re-executing the block->pair->score chain per consumer.  It is the
     # *small* output of blocking+scoring, bounded by the block-size cap.
-    edges = run_stage("edges", scored_edges, workdir, fp)
+    def _uids_ok() -> bool:
+        """Join the collision check.  True = uids unique; False = genuine
+        hash collision (fall back to raw ids); duplicate record ids raise
+        the clear ValueError regardless of id path."""
+        if uid_thread is not None:
+            with stage_timer("uid check join"):
+                uid_thread.join()
+        if "err" in uid_check:
+            raise uid_check["err"]
+        if uid_check.get("n_uid") == n_records:
+            return True
+        # rare path — distinguish a genuine hash collision from the far
+        # more likely malformed input (duplicate record ids), which would
+        # otherwise surface as an obscure non-unique-index error deep in
+        # the scorer on ANY id path
+        from ..relational import distinct
+
+        n_ids = distinct(
+            raw_records_ds.select_columns([id_col]), [id_col]
+        ).count()
+        if n_ids != n_records:
+            raise ValueError(
+                f"records have {n_ids} distinct {id_col!r} values for "
+                f"{n_records} rows — record ids must be unique"
+            )
+        import logging
+
+        logging.getLogger("dedupe_examples_ray").warning(
+            "surrogate uid collision detected (%d uids for %d records); "
+            "falling back to raw ids", uid_check.get("n_uid"), n_records,
+        )
+        return False
+
+    def _raw_id_rerun():
+        """Discard the optimistic surrogate work; rerun on raw string ids."""
+        return dedupe_dataset(
+            raw_records_ds, settings, id_col, workdir=workdir, idf=idf,
+            scorer_concurrency=scorer_concurrency,
+            driver_cc_limit=driver_cc_limit,
+            driver_cc_bytes=driver_cc_bytes, ids_ds=ids_ds,
+            scorer_blocks=scorer_blocks,
+            broadcast_records_limit=broadcast_records_limit,
+            n_records=n_records, input_token=input_token,
+            hydration=hydration, progress_every=progress_every,
+            surrogate_ids=False, pair_pruning=pair_pruning,
+            prune_k=prune_k, linkage=linkage,
+            refine_max_members=refine_max_members,
+        )
+
+    try:
+        edges = run_stage("edges", scored_edges, workdir, fp)
+        if workdir is None:
+            with stage_timer("block->pair->score->edges"):
+                edges = edges.materialize()
+    except Exception:
+        # an optimistic-phase failure may BE the collision/duplicate-id
+        # symptom — consult the check before surfacing the raw error
+        if use_sur and not _uids_ok():
+            return _raw_id_rerun()
+        raise
     if workdir is None:
-        with stage_timer("block->pair->score->edges"):
-            edges = edges.materialize()
         # records_ds is materialized above — cheaper id source than ids_ds,
         # which usually re-reads the raw input
         id_source = records_ds
     else:
         id_source = ids_ds if ids_ds is not None else records_ds
+
+    # join the concurrent surrogate collision check before any label is
+    # trusted; a failed check discards the optimistic edges and reruns on
+    # raw ids (same parameters, surrogate path disabled)
+    if use_sur and not _uids_ok():
+        return _raw_id_rerun()
     if progress is not None:
         import logging
 
@@ -424,6 +496,14 @@ def dedupe_dataset(
                 }
             )
         )
+        # overlap the entity-map member scan (a full corpus pass) with the
+        # driver clustering below: edge nodes ARE the clustered nodes, so
+        # the (uid, record_id) pull needs only the edge table, not the labels
+        member_pull = None
+        if use_sur and workdir is None:
+            from ..cluster import start_member_ids_pull
+
+            member_pull = start_member_ids_pull(id_source, id_col, edges_tbl)
         with stage_timer("driver CC"):
             if linkage == "average":
                 from ..cluster import driver_refine_table
@@ -444,11 +524,13 @@ def dedupe_dataset(
             )
         def _entity_stage():
             with stage_timer("entity map build"):
-                return (
-                    build_entity_map_uid(id_source, id_col, label_tbl)
-                    if use_sur
-                    else entity_map_from_table(id_source, id_col, label_tbl)
-                )
+                if use_sur:
+                    member_tbl = member_pull.join() if member_pull else None
+                    return build_entity_map_uid(
+                        id_source, id_col, label_tbl,
+                        member_ids_tbl=member_tbl,
+                    )
+                return entity_map_from_table(id_source, id_col, label_tbl)
 
         entity = run_stage("entity_map", _entity_stage, workdir, cfp)
         return entity
@@ -593,6 +675,16 @@ def dedupe_pages(
         idf = idf_from_df(pa.Table.from_pandas(df_tbl), n_docs)
     if n_records is None:
         n_records = pages_ds.count()  # metadata fast path on raw parquet reads
+    if "id_type" not in dedupe_kwargs:
+        # probe the RAW input's schema (cached after the count above) so the
+        # auto-surrogate decision never plans a fresh projection just for a
+        # type lookup
+        try:
+            from ..scoring import dataset_arrow_types
+
+            dedupe_kwargs["id_type"] = dataset_arrow_types(pages_ds)["url"]
+        except Exception:
+            pass
     return dedupe_dataset(
         derived,
         settings,

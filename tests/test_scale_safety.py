@@ -541,3 +541,40 @@ def test_count_distinct_uids_tiers_agree(ray_session, monkeypatch):
     monkeypatch.setattr(dd, "UID_CHECK_DRIVER_LIMIT", 0)
     distributed = dd.count_distinct_uids(ds, 502)
     assert driver == distributed == 500
+
+
+def test_member_ids_pull_parity(ray_session):
+    """The concurrent member-id pull (overlapped with driver CC) must yield
+    the identical entity map as build_entity_map_uid's own synchronous
+    clustered pull."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import (
+        build_entity_map_uid,
+        driver_cluster_table,
+        start_member_ids_pull,
+        uid_array,
+    )
+
+    ids = [f"u{i:03d}" for i in range(40)]
+    recs = rd.from_items([{"rid": r} for r in ids]).materialize()
+    uid = {r: int(uid_array(np.array([r], dtype=object))[0]) for r in ids}
+    # edges: chain u000-u001-u002, pair u010-u011
+    edges_tbl = pa.table({
+        "id_a": pa.array([uid["u000"], uid["u001"], uid["u010"]], pa.int64()),
+        "id_b": pa.array([uid["u001"], uid["u002"], uid["u011"]], pa.int64()),
+        "score": pa.array([0.9, 0.8, 0.95], pa.float64()),
+    })
+    handle = start_member_ids_pull(recs, "rid", edges_tbl)
+    label_tbl = driver_cluster_table(edges_tbl)
+    member_tbl = handle.join()
+    assert member_tbl is not None and member_tbl.num_rows == 5
+
+    a = (build_entity_map_uid(recs, "rid", label_tbl, member_ids_tbl=member_tbl)
+         .to_pandas().sort_values("record_id").reset_index(drop=True))
+    b = (build_entity_map_uid(recs, "rid", label_tbl)
+         .to_pandas().sort_values("record_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    m = dict(zip(a["record_id"], a["canon_id"]))
+    assert m["u002"] == "u000" and m["u011"] == "u010" and m["u020"] == "u020"
