@@ -113,8 +113,10 @@ def dedupe_dataset(
     verdict #5).  "auto" = on for string id columns once the corpus passes
     ``SURROGATE_AUTO_MIN`` records — below that the surrogate's fixed extra
     stages (collision check, uid materialization, canon resolution) cost more
-    latency than the string bytes they save (measured +38%% at 62k pages,
-    while byte savings only dominate once shuffles are bandwidth-bound).
+    latency than the string bytes they save (measured +38%% at 62k pages
+    before the checks were overlapped with execution, +13%% after — still a
+    net loss there; byte savings only dominate once shuffles are
+    bandwidth-bound).
     Surrogate uniqueness is verified with one distinct-count pass and the
     pipeline falls back to raw ids on a collision (63-bit space: expect
     fallback around 10^9+ records — the documented extension there is a
