@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .scale import clean_arrow as _clean_arrow
+
 
 def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | None = None,
                 round_digits: int | None = None):
@@ -58,13 +60,13 @@ def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | 
         ).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns="__bkt")
         agg = {c: "sum" for c in sum_cols}
         if count_col:
             agg[count_col] = "sum"
         g = df.groupby(keys, as_index=False, sort=False, dropna=False).agg(agg)
-        return g.rename(columns=dict(sum_cols))
+        return _clean_arrow(g.rename(columns=dict(sum_cols)))
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.groupby("__bkt").map_groups(final, batch_format="pandas")
@@ -98,7 +100,9 @@ def distinct(ds, cols: list[str], num_buckets: int | None = None):
 
     proj = ds.select_columns(cols).map_batches(local, batch_format="pandas")
     return proj.groupby("bucket").map_groups(
-        lambda df: df.drop_duplicates(subset=cols).drop(columns=["bucket"]),
+        lambda df: _clean_arrow(
+            df.drop_duplicates(subset=cols).drop(columns=["bucket"])
+        ),
         batch_format="pandas",
     )
 
