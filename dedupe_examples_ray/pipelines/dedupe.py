@@ -631,11 +631,22 @@ def dedupe_documents(
     id_col: str = "doc_id",
     workdir: str | None = None,
     scorer_concurrency=None,
+    n_records: int | None = None,
+    **dedupe_kwargs,
 ):
     """ER flagship over a flat text table (doc_id, text, ...)."""
     settings = settings or document_settings()
     slim = docs_ds.select_columns([id_col, "text"])
     derived = slim.map_batches(derive_document_fields, batch_format="pyarrow")
+    if n_records is None:
+        n_records = docs_ds.count()  # metadata fast path on raw parquet reads
+    if "id_type" not in dedupe_kwargs:
+        try:
+            from ..scoring import dataset_arrow_types
+
+            dedupe_kwargs["id_type"] = dataset_arrow_types(docs_ds)[id_col]
+        except Exception:
+            pass
     return dedupe_dataset(
         derived,
         settings,
@@ -643,6 +654,8 @@ def dedupe_documents(
         workdir=workdir,
         scorer_concurrency=scorer_concurrency,
         ids_ds=slim.select_columns([id_col]),
+        n_records=n_records,
+        **dedupe_kwargs,
     )
 
 
