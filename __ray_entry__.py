@@ -3878,6 +3878,46 @@ def _q_snm_multipass_documents(sf_dir):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_span_dedup_documents(sf_dir):
+    """Exact duplicate-SPAN removal (Lee et al. 2022, via winnowed Gear
+    fingerprints — ops/spans.py): every doc gets a shared ~1.3 KB licence
+    footer appended; after span_dedup the footer's interior survives in
+    exactly ONE document (the globally-first), unique bodies pass through
+    byte-identical, and a second pass is a fixed point.  Invariants are
+    asserted in-query (the winnowing selection is not SQL-expressible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.ops.spans import span_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    footer = " ".join(f"licence{j:05d}" for j in range(160))  # ~1.3 KB, repeat-free
+
+    def add_footer(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        joined = pc.binary_join_element_wise(
+            txt, pa.array([footer] * t.num_rows), " \n"
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": joined})
+
+    planted = docs.map_batches(add_footer, batch_format="pyarrow")
+    out = (span_dedup(planted, min_len=256)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # interior of the footer survives exactly once corpus-wide
+    probe = "licence00080"
+    n_probe = sum(t.count(probe) for t in out["text"])
+    if n_probe != 1:
+        raise AssertionError(f"footer interior survives {n_probe}x, want 1")
+    keeper = out[out["text"].str.contains(probe)]["doc_id"].iloc[0]
+    if keeper != out["doc_id"].min():
+        raise AssertionError("keeper is not the globally-first doc")
+    if not (out["n_bytes_removed"] > 0).drop(
+        out.index[out["doc_id"] == keeper]
+    ).all():
+        raise AssertionError("some non-keeper doc lost no bytes")
+    return out[["doc_id", "n_spans_removed", "n_bytes_removed"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracled entries first: the correctness driver snapshots the
@@ -3950,6 +3990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_documents": _q_canonicalize_documents,
         "snm_pairs_documents": _q_snm_pairs_documents,
         "snm_multipass_documents": _q_snm_multipass_documents,
+        "span_dedup_documents": _q_span_dedup_documents,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,

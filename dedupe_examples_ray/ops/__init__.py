@@ -98,3 +98,4 @@ from .lm import (  # noqa: F401
 )
 from .pii import flag_pii, redact_pii  # noqa: F401
 from .corpus import chunk_text  # noqa: F401
+from .spans import span_dedup  # noqa: F401

@@ -1,0 +1,107 @@
+"""Exact duplicate-span removal (ops/spans.py) — Lee et al. 2022 semantics
+via winnowed Gear fingerprints (Schleimer 2003)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dedupe_examples_ray.ops.spans import _winnow_positions, span_dedup
+
+
+def _span(n_words: int, tag: str) -> str:
+    # repetition-free long span: every word unique
+    return " ".join(f"{tag}{j:04d}" for j in range(n_words))
+
+
+def test_winnow_positions_guarantee():
+    """Robust winnowing: every k-run of hashes contributes a selection, and
+    identical hash windows select identical relative positions."""
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, 2**63, 500, dtype=np.uint64)
+    k = 7
+    sel = _winnow_positions(h, k)
+    # coverage: no gap of k unselected positions beyond the first window
+    gaps = np.diff(np.r_[sel, len(h)])
+    assert gaps.max() <= k
+    # determinism / shift invariance of the selected CONTENT
+    sel2 = _winnow_positions(h.copy(), k)
+    assert np.array_equal(sel, sel2)
+
+
+def test_span_dedup_keep_first(ray_session):
+    """A repetition-free shared span survives in full ONLY in the globally
+    first document; later occurrences lose all interior fingerprint windows;
+    unique documents pass through byte-identical."""
+    shared = _span(80, "shr")  # ~640 bytes, no internal repeats
+    rows = []
+    for i in range(12):
+        uniq = _span(60, f"u{i}x")
+        text = (uniq[:100] + " " + shared + " " + uniq[100:]) if i % 3 == 0 else uniq
+        rows.append({"doc_id": f"d{i:03d}", "text": text})
+    ds = rd.from_items(rows).repartition(4)
+    out = (span_dedup(ds, min_len=128, num_buckets=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 12
+    by = dict(zip(out.doc_id, out.text))
+    orig = {r["doc_id"]: r["text"] for r in rows}
+    # first occurrence intact
+    assert by["d000"] == orig["d000"]
+    assert int(out[out.doc_id == "d000"].n_bytes_removed.iloc[0]) == 0
+    # later occurrences lost most of the span (ends may survive: documented
+    # ~min_len granularity) and never contain it whole
+    for d in ("d003", "d006", "d009"):
+        assert shared not in by[d]
+        removed = int(out[out.doc_id == d].n_bytes_removed.iloc[0])
+        assert removed >= len(shared) - 2 * 128
+        # the doc's own unique words survive
+        assert f"u{int(d[1:])}x0005" in by[d]
+    # unique docs byte-identical
+    for i in (1, 2, 4, 5):
+        assert by[f"d{i:03d}"] == orig[f"d{i:03d}"]
+
+
+def test_span_dedup_within_doc_repetition(ray_session):
+    """Self-repetition inside ONE document: only the first copy survives."""
+    unit = _span(50, "rep")
+    text = ("intro " + unit + " middle " + unit + " outro " + unit)
+    ds = rd.from_items([{"doc_id": "solo", "text": text}])
+    out = span_dedup(ds, min_len=128).to_pandas()
+    # interior words survive exactly once (span ENDS may survive in later
+    # copies — the documented ~min_len granularity)
+    assert out.text.iloc[0].count("rep0025") == 1
+    assert int(out.n_spans_removed.iloc[0]) >= 2
+
+
+def test_span_dedup_fixed_point_and_short_spans(ray_session):
+    """Short duplicated strings (< min_len) are untouched; a second pass over
+    the output removes nothing (fixed point); unicode survives valid."""
+    short = "short dup phrase kept everywhere"
+    docs = [
+        {"doc_id": "a", "text": f"{_span(40, 'aa')} {short} é中{_span(5, 'u')}"},
+        {"doc_id": "b", "text": f"{short} {_span(40, 'bb')} é中"},
+    ]
+    ds = rd.from_items(docs)
+    out = span_dedup(ds, min_len=256).to_pandas().sort_values("doc_id")
+    assert (out.n_bytes_removed == 0).all()
+    assert list(out.text) == [docs[0]["text"], docs[1]["text"]]
+    # fixed point on a corpus WITH removals
+    shared = _span(100, "fp")
+    ds2 = rd.from_items([
+        {"doc_id": "x", "text": shared},
+        {"doc_id": "y", "text": "prefix words " + shared},
+    ])
+    first = span_dedup(ds2, min_len=128).to_pandas()
+    again = span_dedup(
+        rd.from_pandas(first[["doc_id", "text"]]), min_len=128
+    ).to_pandas()
+    assert int(again.n_bytes_removed.sum()) == 0
+    for t in again.text:
+        t.encode("utf-8").decode("utf-8")  # valid round-trip
+
+
+def test_span_dedup_min_len_guard(ray_session):
+    with pytest.raises(ValueError, match="min_len"):
+        span_dedup(rd.from_items([{"doc_id": "a", "text": "x"}]), min_len=64)
