@@ -149,6 +149,8 @@ def run_bench() -> dict:
     timed("exact_dedup", lambda: exact_dedup(docs).count())
     timed("minhash_dedup", lambda: minhash_lsh_dedup(docs).count())
     timed("paragraph_dedup", lambda: paragraph_dedup(docs).count())
+    from dedupe_examples_ray.ops import span_dedup
+    timed("span_dedup", lambda: span_dedup(docs).count())
 
     vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     first = vecs.take(1)[0]["embedding"]
