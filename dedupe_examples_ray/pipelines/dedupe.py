@@ -528,6 +528,11 @@ def dedupe_dataset(
             with stage_timer("entity map build"):
                 if use_sur:
                     member_tbl = member_pull.join() if member_pull else None
+                    # driver-side canon resolution is O(members); past the
+                    # broadcast-tier budget let the combiner pull distribute
+                    # the per-label min instead
+                    if member_tbl is not None and member_tbl.num_rows > 5_000_000:
+                        member_tbl = None
                     return build_entity_map_uid(
                         id_source, id_col, label_tbl,
                         member_ids_tbl=member_tbl,

@@ -105,3 +105,26 @@ def test_span_dedup_fixed_point_and_short_spans(ray_session):
 def test_span_dedup_min_len_guard(ray_session):
     with pytest.raises(ValueError, match="min_len"):
         span_dedup(rd.from_items([{"doc_id": "a", "text": "x"}]), min_len=64)
+
+
+def test_span_dedup_unicode_boundary_cuts(ray_session):
+    """Cut boundaries landing inside multi-byte UTF-8 sequences are snapped
+    so every output text stays valid UTF-8 and untouched characters are
+    preserved."""
+    shared = _span(90, "uni")
+    # bound the span with multi-byte chars so window edges land mid-char
+    docs = [
+        {"doc_id": "a", "text": "中文前缀" + shared + "日本語サフィックス"},
+        {"doc_id": "b", "text": "éàüöñ λογος " + shared + " кирилица中"},
+        {"doc_id": "c", "text": _span(50, "cc")},
+    ]
+    ds = rd.from_items(docs)
+    out = (span_dedup(ds, min_len=128).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for t in out.text:
+        assert t == t.encode("utf-8").decode("utf-8")  # valid round-trip
+    by = dict(zip(out.doc_id, out.text))
+    assert by["a"] == docs[0]["text"]          # keeper intact
+    assert by["c"] == docs[2]["text"]          # unique doc untouched
+    assert shared not in by["b"]               # later copy lost the interior
+    assert by["b"].startswith("éàüöñ λογος")   # prefix chars survive whole
