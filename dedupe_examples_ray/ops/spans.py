@@ -60,6 +60,8 @@ import pyarrow.compute as pc
 from ..scale import clean_arrow as _clean_arrow
 
 _W = 64  # gear window bytes (fixed by the 64-shifted-adds closed form)
+_CUTS_CACHE: dict = {}  # per-worker memo for the broadcast cuts map
+_BCAST_DOCS_LIMIT = 2_000_000  # small-side budget for the cuts broadcast
 
 
 def _col(t: pa.Table, name: str):
@@ -243,7 +245,8 @@ def span_dedup(
     docs_keyed = ds.select_columns([id_col, text_col]).map_batches(
         key_docs, batch_format="pyarrow"
     )
-    if rem_lists.count() == 0:
+    n_rem_docs = rem_lists.count()
+    if n_rem_docs == 0:
         # duplicate-free corpus (e.g. a span_dedup fixed-point rerun): no
         # join — every doc passes through with zero-removal counters
         return docs_keyed.map_batches(
@@ -255,13 +258,12 @@ def span_dedup(
             }),
             batch_format="pyarrow",
         )
-    joined = hash_join(
-        docs_keyed, rem_lists, on="__doc", how="left", num_buckets=num_buckets,
-    )
 
-    def apply_cuts(t: pa.Table) -> pa.Table:
+    def apply_cuts(t: pa.Table, cuts_col=None) -> pa.Table:
         txt = pc.fill_null(pc.cast(_col(t, text_col), pa.string()), "").to_pylist()
-        cuts_col = t["cuts"].to_pylist() if "cuts" in t.column_names else [None] * t.num_rows
+        if cuts_col is None:
+            cuts_col = (t["cuts"].to_pylist() if "cuts" in t.column_names
+                        else [None] * t.num_rows)
         out_txt, n_spans, n_bytes = [], [], []
         for s, cuts in zip(txt, cuts_col):
             if cuts is None or len(cuts) == 0:
@@ -307,4 +309,29 @@ def span_dedup(
             "n_bytes_removed": pa.array(n_bytes, pa.int64()),
         })
 
+    if n_rem_docs <= _BCAST_DOCS_LIMIT:
+        # broadcast tier: the cuts map fits the standard small-side budget —
+        # ship it once via ray.put and skip the corpus-sized join entirely
+        import ray
+
+        rem_tbl = pa.concat_tables(
+            [tb for tb in ray.get(rem_lists.to_arrow_refs()) if tb.num_rows]
+        ).combine_chunks()
+        ref = ray.put(rem_tbl)
+
+        def apply_bcast(t: pa.Table) -> pa.Table:
+            got = _CUTS_CACHE.get(ref.hex())
+            if got is None:
+                m = ray.get(ref)
+                got = dict(zip(m["__doc"].to_pylist(), m["cuts"].to_pylist()))
+                _CUTS_CACHE.clear()
+                _CUTS_CACHE[ref.hex()] = got
+            docs_str = pc.cast(_col(t, id_col), pa.string()).to_pylist()
+            return apply_cuts(t, cuts_col=[got.get(d) for d in docs_str])
+
+        return docs_keyed.map_batches(apply_bcast, batch_format="pyarrow")
+
+    joined = hash_join(
+        docs_keyed, rem_lists, on="__doc", how="left", num_buckets=num_buckets,
+    )
     return joined.map_batches(apply_cuts, batch_format="pyarrow")

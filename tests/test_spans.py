@@ -128,3 +128,23 @@ def test_span_dedup_unicode_boundary_cuts(ray_session):
     assert by["c"] == docs[2]["text"]          # unique doc untouched
     assert shared not in by["b"]               # later copy lost the interior
     assert by["b"].startswith("éàüöñ λογος")   # prefix chars survive whole
+
+
+def test_span_dedup_tier_parity(ray_session, monkeypatch):
+    """Broadcast and hash-join application tiers produce identical output."""
+    import dedupe_examples_ray.ops.spans as sp
+
+    shared = _span(100, "tp")
+    rows = [{"doc_id": f"t{i:02d}",
+             "text": (_span(30, f"v{i}") + " " + shared) if i % 2 == 0
+             else _span(45, f"v{i}")} for i in range(10)]
+    ds = rd.from_items(rows).repartition(3)
+    bcast = (span_dedup(ds, min_len=128).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(sp, "_BCAST_DOCS_LIMIT", 0)
+    joined = (span_dedup(ds, min_len=128).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        bcast[["doc_id", "text", "n_spans_removed", "n_bytes_removed"]],
+        joined[["doc_id", "text", "n_spans_removed", "n_bytes_removed"]],
+    )
