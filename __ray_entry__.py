@@ -3878,6 +3878,43 @@ def _q_snm_multipass_documents(sf_dir):
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_er_dedupe_pages_snm(sf_dir):
+    """ER with sorted-neighborhood blocking replacing the fingerprinter:
+    multi-pass SNM (title-ordered + path-ordered, window 8) -> semi-join
+    hydration -> logistic scorer -> threshold -> CC -> entity map.  The
+    O(n*w) candidate budget alternative to token blocking; pairwise F1 vs
+    the synthetic gold is asserted >= 0.99 in-query (measured 1.0)."""
+    import pyarrow as pa
+
+    from dedupe_examples_ray.cluster import build_entity_map, connected_components
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.ops.simjoin import multi_pass_snm
+    from dedupe_examples_ray.scoring import score_pairs, semi_hydrate, threshold_edges
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(400, seed=42).materialize()
+    derived = (full.drop_columns(["true_id"])
+               .map_batches(derive_page_fields, batch_format="pyarrow")
+               .materialize())
+    settings = default_page_settings()
+    pairs = multi_pass_snm(derived, ["title", "path"], "url", window=8)
+    pairs = pairs.map_batches(
+        lambda t: pa.table({"id_a": t["id1"], "id_b": t["id2"]}),
+        batch_format="pyarrow",
+    )
+    carry = sorted({f.column for f in settings.fields})
+    scores = score_pairs(semi_hydrate(pairs, derived, "url", carry), settings)
+    labels = connected_components(threshold_edges(scores, settings.threshold))
+    em = build_entity_map(derived, "url", labels).to_pandas()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    m = evaluate_entity_map(em, gold)
+    if m["f1"] < 0.99:
+        raise AssertionError(f"SNM-blocked ER F1 {m['f1']} < 0.99: {m}")
+    return em.sort_values("record_id").reset_index(drop=True)
+
+
 def _q_span_dedup_documents(sf_dir):
     """Exact duplicate-SPAN removal (Lee et al. 2022, via winnowed Gear
     fingerprints — ops/spans.py): every doc gets a shared ~1.3 KB licence
@@ -3991,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs_documents": _q_snm_pairs_documents,
         "snm_multipass_documents": _q_snm_multipass_documents,
         "span_dedup_documents": _q_span_dedup_documents,
+        "er_dedupe_pages_snm": _q_er_dedupe_pages_snm,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,
