@@ -148,3 +148,27 @@ def test_span_dedup_tier_parity(ray_session, monkeypatch):
         bcast[["doc_id", "text", "n_spans_removed", "n_bytes_removed"]],
         joined[["doc_id", "text", "n_spans_removed", "n_bytes_removed"]],
     )
+
+
+def test_span_dedup_hostile_inputs(ray_session):
+    """Nulls, empties, sub-window docs, and a doc that is ONE giant
+    duplicated block all pass through without error."""
+    big = _span(4000, "big")  # ~36 KB
+    docs = [
+        {"doc_id": "n1", "text": None},
+        {"doc_id": "e1", "text": ""},
+        {"doc_id": "s1", "text": "tiny"},
+        {"doc_id": "g1", "text": big},
+        {"doc_id": "g2", "text": big},
+        {"doc_id": "g3", "text": big},
+    ]
+    out = (span_dedup(rd.from_items(docs), min_len=128).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 6
+    by = dict(zip(out.doc_id, out.text))
+    assert by["n1"] == "" and by["e1"] == "" and by["s1"] == "tiny"
+    assert by["g1"] == big                      # keeper intact
+    for d in ("g2", "g3"):                      # clones nearly emptied
+        assert len(by[d]) < 300
+    rem = dict(zip(out.doc_id, out.n_bytes_removed))
+    assert rem["g2"] > len(big) - 300 and rem["g3"] > len(big) - 300
