@@ -172,3 +172,32 @@ def test_span_dedup_hostile_inputs(ray_session):
         assert len(by[d]) < 300
     rem = dict(zip(out.doc_id, out.n_bytes_removed))
     assert rem["g2"] > len(big) - 300 and rem["g3"] > len(big) - 300
+
+
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+
+@hyp_settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=300),
+    k=st.integers(1, 40),
+)
+def test_winnow_properties(vals, k):
+    """Hypothesis: (1) selection coverage — no k-run of window positions
+    without a selection; (2) content-determinism — an identical hash
+    subarray embedded at a different offset selects the same CONTENT
+    positions in its interior (the winnowing/MOSS locality property)."""
+    h = np.asarray(vals, dtype=np.uint64)
+    sel = _winnow_positions(h, k)
+    assert len(sel) >= 1
+    assert (np.diff(np.r_[sel, len(h)]) <= k).all()
+    assert (sel >= 0).all() and (sel < len(h)).all()
+    # locality: embed h after a random-ish prefix; interior selections
+    # (at least k away from both ends) must reappear shifted
+    if len(h) >= 3 * k:
+        pre = np.asarray([(v * 2654435761) % (2**63) for v in vals[:k]], np.uint64)
+        h2 = np.concatenate([pre, h])
+        sel2 = set(_winnow_positions(h2, k).tolist())
+        interior = sel[(sel >= k) & (sel < len(h) - k)]
+        for p in interior:
+            assert int(p) + len(pre) in sel2
