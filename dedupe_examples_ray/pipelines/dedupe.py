@@ -94,6 +94,9 @@ def dedupe_dataset(
     linkage: str = "connected",
     refine_max_members: int = 2000,
     id_type=None,
+    blocking: str = "predicates",
+    snm_keys: list[str] | None = None,
+    snm_window: int = 8,
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -135,6 +138,13 @@ def dedupe_dataset(
     0.995; "wep" drops to 0.90 (its mean threshold rises with the true-dup
     density it is meant to protect) — prefer "cnp" when recall is the
     contract.
+    ``blocking``: "predicates" (default) runs the settings' fingerprinter +
+    key-equality pair generation; "snm" replaces it with multi-pass
+    sorted-neighborhood candidate generation over ``snm_keys`` (default: the
+    settings' string/exact field columns) with a ``snm_window``-ahead window
+    per ordering — O(n*w) candidates per key, no key-equality blocks, the
+    standard alternative when token predicates mega-block (gold-corpus F1
+    parity asserted in tests and the er_dedupe_pages_snm query).
     ``linkage``: "connected" (default) labels clusters as the connected
     components of the thresholded edge graph; "average" re-cuts each
     component with average-linkage agglomerative clustering at
@@ -145,6 +155,8 @@ def dedupe_dataset(
     """
     if linkage not in ("connected", "average"):
         raise ValueError(f"linkage must be 'connected' or 'average', got {linkage!r}")
+    if blocking not in ("predicates", "snm"):
+        raise ValueError(f"blocking must be 'predicates' or 'snm', got {blocking!r}")
     carry = sorted({f.column for f in settings.fields})
 
     from ..cluster import add_uid_column, build_entity_map_uid
@@ -259,24 +271,56 @@ def dedupe_dataset(
                 records_ds = records_ds.materialize()  # reused for blocks + hydration
         records_work, work_id = records_ds, id_col
 
-    blocks = run_stage(
-        "blocks",
-        lambda: fingerprint_dataset(records_work, settings, work_id, []),
-        workdir,
-        fp,
-    )
-    # checkpointed runs record the skew posture (blocks over cap, estimated
-    # emitted/dropped pairs — the reference's per-10k progress print, M13,
-    # generalized to durable per-stage metrics) in the pairs manifest
-    pairs_metrics = None
-    if workdir is not None and not stage_complete(workdir, "pairs", fp):
-        from ..pairs import pair_metrics
+    if blocking == "snm":
+        # sorted-neighborhood candidate generation (Hernandez-Stolfo 1995):
+        # O(n*w) pairs per key ordering, no key-equality blocks at all —
+        # the documented alternative when token predicates mega-block (e.g.
+        # template-dominated corpora).  Pairs come back oriented + DISTINCT.
+        from ..ops.simjoin import multi_pass_snm
 
-        pairs_metrics = pair_metrics(
-            blocks, work_id, max_block_size=settings.max_block_size,
-            policy=settings.oversize_policy,
+        keys = snm_keys or sorted(
+            {f.column for f in settings.fields
+             if f.comparator in ("string", "exact")}
         )
-    if pair_pruning is not None:
+        if not keys:
+            raise ValueError("blocking='snm' needs snm_keys or string fields")
+        fp += f"-snm{snm_window}x{len(keys)}"
+
+        def _snm_pairs():
+            import pyarrow as pa__
+
+            out = multi_pass_snm(records_work, keys, work_id, window=snm_window)
+            return out.map_batches(
+                lambda t: pa__.table({"id_a": t["id1"], "id_b": t["id2"]}),
+                batch_format="pyarrow",
+            )
+
+        pairs = run_stage("pairs", _snm_pairs, workdir, fp)
+        if scorer_blocks:
+            pairs = pairs.repartition(scorer_blocks)
+        blocks = None
+        pairs_metrics = None
+    else:
+        blocks = run_stage(
+            "blocks",
+            lambda: fingerprint_dataset(records_work, settings, work_id, []),
+            workdir,
+            fp,
+        )
+        # checkpointed runs record the skew posture (blocks over cap, estimated
+        # emitted/dropped pairs — the reference's per-10k progress print, M13,
+        # generalized to durable per-stage metrics) in the pairs manifest
+        pairs_metrics = None
+        if workdir is not None and not stage_complete(workdir, "pairs", fp):
+            from ..pairs import pair_metrics
+
+            pairs_metrics = pair_metrics(
+                blocks, work_id, max_block_size=settings.max_block_size,
+                policy=settings.oversize_policy,
+            )
+    if blocking == "snm":
+        pass  # pairs built above
+    elif pair_pruning is not None:
         from ..blocking.metablocking import meta_block_prune
 
         fp += f"-mb{pair_pruning}{prune_k if pair_pruning == 'cnp' else ''}"
@@ -305,7 +349,7 @@ def dedupe_dataset(
             fp,
             metrics=pairs_metrics,
         )
-    if scorer_blocks:
+    if scorer_blocks and blocking != "snm":
         pairs = pairs.repartition(scorer_blocks)
 
     # M13 progress stream: reference parity with mysql_example.py:41-42

@@ -89,3 +89,26 @@ def test_gazetteer_topk(sources):
     }
     rec = len(got & true_links) / len(true_links)
     assert rec >= 0.99, rec
+
+
+def test_snm_blocking_mode_gold_f1(ray_session):
+    """dedupe_dataset(blocking='snm') — sorted-neighborhood candidate
+    generation replacing the fingerprinter — holds the gold-F1 contract,
+    with raw AND surrogate ids."""
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(150, seed=42).materialize()
+    pages = full.drop_columns(["true_id"])
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    em = dedupe_pages(pages, blocking="snm", snm_keys=["title", "path"]).to_pandas()
+    assert evaluate_entity_map(em, gold)["f1"] >= 0.99
+    em2 = dedupe_pages(pages, blocking="snm", snm_keys=["title", "path"],
+                       surrogate_ids=True).to_pandas()
+    assert evaluate_entity_map(em2, gold)["f1"] >= 0.99
+
+    import pytest
+
+    with pytest.raises(ValueError, match="blocking"):
+        dedupe_pages(pages, blocking="nope")
