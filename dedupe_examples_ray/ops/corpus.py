@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..scale import clean_arrow as _clean_arrow
+
 #: bucket space for fraction-based splits (0.01 % granularity)
 SPLIT_BUCKETS = 10_000
 
@@ -642,11 +644,11 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
-    def winners(df: pd.DataFrame) -> pd.DataFrame:
+    def winners(df: pd.DataFrame) -> pa.Table:
         # hash only ROUTES to the bucket; dedup is exact on the para string
         df = df.sort_values([id_col, "para_idx"], kind="mergesort")
         out = df.drop_duplicates("para", keep="first")
-        return out[[id_col, "para_idx", "para", "n_paras_total"]]
+        return _clean_arrow(out[[id_col, "para_idx", "para", "n_paras_total"]])
 
     kept = exploded.groupby("bucket").map_groups(winners, batch_format="pandas")
 

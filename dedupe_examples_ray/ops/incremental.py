@@ -342,8 +342,12 @@ def incremental_minhash_dedup(
             return empty
         return pd.concat(frames, ignore_index=True)
 
+    from ..scale import clean_arrow
+
     pairs = dedup_pairs(
-        new_bands.groupby("bucket").map_groups(emit, batch_format="pandas")
+        new_bands.groupby("bucket").map_groups(
+            lambda df: clean_arrow(emit(df)), batch_format="pandas"
+        )
     ).materialize()
 
     # ---- 4. verify with signature-estimated Jaccard
