@@ -3915,6 +3915,46 @@ def _q_er_dedupe_pages_snm(sf_dir):
     return em.sort_values("record_id").reset_index(drop=True)
 
 
+def _q_pr_curve_pages(sf_dir):
+    """Full precision/recall/F1 threshold sweep over the flagship's scored
+    pairs in ONE histogram-combiner pass (evaluate.pr_curve) — the
+    distributed generalization of the reference's single-threshold
+    csv_evaluation.  In-query invariants: recall monotone as the threshold
+    drops, and an F1>=0.99 operating point exists on the gold corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dedupe_examples_ray.blocking.fingerprint import fingerprint_dataset
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import pairs_from_clusters, pr_curve
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.pairs import candidate_pairs
+    from dedupe_examples_ray.scoring import score_pairs, semi_hydrate
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(300, seed=42).materialize()
+    derived = (full.drop_columns(["true_id"])
+               .map_batches(derive_page_fields, batch_format="pyarrow")
+               .materialize())
+    settings = default_page_settings()
+    blocks = fingerprint_dataset(derived, settings, "url", [])
+    pairs = candidate_pairs(blocks, "url", [],
+                            max_block_size=settings.max_block_size)
+    carry = sorted({f.column for f in settings.fields})
+    scores = score_pairs(semi_hydrate(pairs, derived, "url", carry), settings)
+    gold_df = full.select_columns(["url", "true_id"]).to_pandas()
+    gold = pairs_from_clusters(gold_df["url"].to_numpy(),
+                               gold_df["true_id"].to_numpy())
+    curve = pr_curve(scores, gold, bins=100)
+    if not (np.diff(curve["recall"].to_numpy()) >= 0).all():
+        raise AssertionError("recall not monotone across the sweep")
+    if curve["f1"].max() < 0.99:
+        raise AssertionError(f"no F1>=0.99 operating point: {curve['f1'].max()}")
+    for c in ("precision", "recall", "f1", "threshold"):
+        curve[c] = curve[c].round(6)
+    return curve
+
+
 def _q_span_dedup_documents(sf_dir):
     """Exact duplicate-SPAN removal (Lee et al. 2022, via winnowed Gear
     fingerprints — ops/spans.py): every doc gets a shared ~1.3 KB licence
@@ -4029,6 +4069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_multipass_documents": _q_snm_multipass_documents,
         "span_dedup_documents": _q_span_dedup_documents,
         "er_dedupe_pages_snm": _q_er_dedupe_pages_snm,
+        "pr_curve_pages": _q_pr_curve_pages,
         "top3_orders_per_cust": _q_top3_orders_per_cust,
         "asof_click_purchase": _q_asof_click_purchase,
         "price_band_parts": _q_price_band_parts,

@@ -172,3 +172,68 @@ def cluster_eval_metrics(ds, pred_col: str, gold_col: str,
         "b3_f1": r(b3f),
         "ari": r(ari),
     }])
+
+
+# --------------------------------------------------------------- PR curve
+def pr_curve(scores_ds, gold_pairs: set, bins: int = 200):
+    """Precision/recall/F1 across the full score range in ONE combiner pass.
+
+    The reference evaluates at a single threshold (csv_evaluation.py:6-17);
+    sweeping candidates re-runs nothing here: each scored-pair batch labels
+    its pairs against the broadcast gold set and histograms (is_true, score)
+    into ``bins`` buckets — O(bins) partials per batch — and the driver
+    builds the whole curve from two cumulative sums.  Gold is eval-scale by
+    construction (labeled pairs), so the broadcast is bounded by the
+    labeling effort, never the corpus.
+
+    Returns a DataFrame (threshold, tp, fp, fn, precision, recall, f1),
+    one row per occupied bin edge, descending threshold.  Pairs are matched
+    orientation-insensitively.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    gold_ref = ray.put(frozenset(frozenset(p) for p in gold_pairs))
+    n_gold = len(gold_pairs)
+    edges = np.linspace(0.0, 1.0, bins + 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = ray.get(gold_ref)
+        a = t["id_a"].to_pylist()
+        b = t["id_b"].to_pylist()
+        s = np.clip(t["score"].to_numpy(zero_copy_only=False), 0.0, 1.0)
+        is_true = np.fromiter(
+            (frozenset((x, y)) in g for x, y in zip(a, b)), bool, len(a)
+        )
+        idx = np.minimum(np.searchsorted(edges, s, side="right") - 1, bins - 1)
+        ht = np.bincount(idx[is_true], minlength=bins).astype(np.int64)
+        hf = np.bincount(idx[~is_true], minlength=bins).astype(np.int64)
+        return pa.table({
+            "ht": pa.array([ht.tolist()], pa.list_(pa.int64())),
+            "hf": pa.array([hf.tolist()], pa.list_(pa.int64())),
+        })
+
+    parts = scores_ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    ht = np.zeros(bins, np.int64)
+    hf = np.zeros(bins, np.int64)
+    for r in parts.itertuples():
+        ht += np.asarray(r.ht, np.int64)
+        hf += np.asarray(r.hf, np.int64)
+    # threshold = bin lower edge, descending: cumulative from the top
+    tp = np.cumsum(ht[::-1])[::-1]
+    fp = np.cumsum(hf[::-1])[::-1]
+    fn = n_gold - tp
+    occupied = (ht + hf) > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prec = np.where(tp + fp > 0, tp / (tp + fp), 1.0)
+        rec = np.where(n_gold > 0, tp / max(n_gold, 1), 0.0)
+        f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    out = pd.DataFrame({
+        "threshold": edges[:-1][occupied],
+        "tp": tp[occupied], "fp": fp[occupied], "fn": fn[occupied],
+        "precision": prec[occupied], "recall": rec[occupied],
+        "f1": f1[occupied],
+    })
+    return out.sort_values("threshold", ascending=False).reset_index(drop=True)

@@ -128,3 +128,37 @@ def test_f1_with_average_linkage(ray_session):
     entity = dedupe_pages(pages, linkage="average").to_pandas()
     scores = evaluate_entity_map(entity, gold)
     assert scores["f1"] >= 0.99, scores
+
+
+def test_pr_curve_single_pass(ray_session):
+    """pr_curve: full threshold sweep from one histogram pass — recall
+    monotone nonincreasing in threshold, perfect separation yields an
+    F1=1.0 operating point, counts exact vs a brute-force sweep."""
+    import numpy as np
+    import ray.data as rd
+
+    from dedupe_examples_ray.evaluate import pr_curve
+
+    rng = np.random.default_rng(9)
+    gold = {(f"a{i}", f"b{i}") for i in range(40)}
+    rows = []
+    for i in range(40):  # true pairs score high
+        rows.append({"id_a": f"a{i}", "id_b": f"b{i}",
+                     "score": float(0.8 + 0.2 * rng.random())})
+    for i in range(160):  # false pairs score low
+        rows.append({"id_a": f"x{i}", "id_b": f"y{i}",
+                     "score": float(0.5 * rng.random())})
+    ds = rd.from_items(rows).repartition(4)
+    curve = pr_curve(ds, gold, bins=100)
+    assert (np.diff(curve["threshold"].to_numpy()) < 0).all()
+    # recall nondecreasing as threshold drops (curve is threshold-desc)
+    assert (np.diff(curve["recall"].to_numpy()) >= 0).all()
+    assert curve["f1"].max() >= 0.999
+    # exact counts at a specific threshold vs brute force
+    thr = 0.6
+    got = curve[curve["threshold"] <= thr].iloc[0]
+    bf_tp = sum(1 for r in rows if r["score"] >= got["threshold"]
+                and (r["id_a"], r["id_b"]) in gold)
+    bf_fp = sum(1 for r in rows if r["score"] >= got["threshold"]
+                and (r["id_a"], r["id_b"]) not in gold)
+    assert int(got["tp"]) == bf_tp and int(got["fp"]) == bf_fp
