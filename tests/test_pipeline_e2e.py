@@ -162,3 +162,19 @@ def test_pr_curve_single_pass(ray_session):
     bf_fp = sum(1 for r in rows if r["score"] >= got["threshold"]
                 and (r["id_a"], r["id_b"]) not in gold)
     assert int(got["tp"]) == bf_tp and int(got["fp"]) == bf_fp
+
+
+def test_pr_curve_empty_scores(ray_session):
+    """An empty scored-pair set yields an empty curve, not a crash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.evaluate import pr_curve
+
+    ds = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "score": pa.array([], pa.float64()),
+    }))
+    curve = pr_curve(ds, {("a", "b")}, bins=50)
+    assert len(curve) == 0

@@ -201,3 +201,16 @@ def test_winnow_properties(vals, k):
         interior = sel[(sel >= k) & (sel < len(h) - k)]
         for p in interior:
             assert int(p) + len(pre) in sel2
+
+
+def test_span_dedup_empty_corpus(ray_session):
+    """A zero-removal and an all-empty corpus both come back typed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["", ""], pa.string()),
+    }))
+    out = span_dedup(ds, min_len=128).to_pandas()
+    assert len(out) == 2 and (out.n_bytes_removed == 0).all()
