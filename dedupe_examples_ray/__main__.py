@@ -78,18 +78,25 @@ def cmd_dedupe(args):
     from .sources.io import write_annotated_output, write_entity_map
 
     ds = _read(args.input)
+    bkw = {}
+    if getattr(args, "blocking", "predicates") != "predicates":
+        bkw["blocking"] = args.blocking
+        if args.snm_keys:
+            bkw["snm_keys"] = args.snm_keys.split(",")
+        bkw["snm_window"] = args.snm_window
     if args.settings:
         # custom settings: the input must already carry the compared columns
         ent = dedupe_dataset(ds, _load_settings(args), id_col=args.id_col,
-                             workdir=args.workdir)
+                             workdir=args.workdir, **bkw)
     elif args.preset == "pages":
         from .pipelines import dedupe_pages
 
-        ent = dedupe_pages(ds, workdir=args.workdir)
+        ent = dedupe_pages(ds, workdir=args.workdir, **bkw)
     else:
         from .pipelines import dedupe_documents
 
-        ent = dedupe_documents(ds, id_col=args.id_col, workdir=args.workdir)
+        ent = dedupe_documents(ds, id_col=args.id_col, workdir=args.workdir,
+                               **bkw)
     write_entity_map(ent, args.output)
     n = ent.count()
     print(f"entity map: {n} records -> {args.output}")
@@ -140,6 +147,25 @@ def cmd_train(args):
           + (f", recall>={args.recall}" if args.recall else "") + f") -> {args.out}")
 
 
+def cmd_span_dedup(args):
+    """Corpus-wide duplicated-span removal (ops.spans.span_dedup)."""
+    from .ops.spans import span_dedup
+
+    out = span_dedup(
+        _read(args.input), text_col=args.text_col, id_col=args.id_col,
+        min_len=args.min_len,
+    )
+    out.write_parquet(args.output)
+    import pyarrow.compute as pc
+
+    stats = out.map_batches(
+        lambda t: t.select(["n_spans_removed", "n_bytes_removed"]),
+        batch_format="pyarrow",
+    ).to_pandas().sum()
+    print(f"span dedup -> {args.output}: {int(stats['n_spans_removed'])} spans "
+          f"/ {int(stats['n_bytes_removed'])} bytes removed")
+
+
 def cmd_query(args):
     """Run any registered pipeline from the driver surface by name."""
     import importlib.util
@@ -183,6 +209,13 @@ def main(argv=None):
     d.add_argument("--id-col", required=True)
     d.add_argument("--output", required=True, help="entity-map parquet dir")
     d.add_argument("--annotated", default=None, help="annotated-records parquet dir")
+    d.add_argument("--blocking", default="predicates",
+                   choices=["predicates", "snm"],
+                   help="candidate generation: settings predicates (default) "
+                        "or sorted-neighborhood")
+    d.add_argument("--snm-keys", default=None,
+                   help="comma-separated sort-key columns for --blocking snm")
+    d.add_argument("--snm-window", type=int, default=8)
     common(d)
     d.set_defaults(fn=cmd_dedupe)
 
@@ -214,6 +247,15 @@ def main(argv=None):
     q.add_argument("--head", type=int, default=20)
     q.add_argument("--list", action="store_true", help="list query names")
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("span-dedup",
+                       help="remove corpus-wide duplicated byte spans")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--min-len", type=int, default=256)
+    s.set_defaults(fn=cmd_span_dedup, settings=None, preset=None, workdir=None)
 
     t = sub.add_parser("train", help="fit settings from labeled pairs (train())")
     t.add_argument("--base", required=True, help="base settings JSON")
