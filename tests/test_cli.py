@@ -58,3 +58,22 @@ def test_cli_query_subcommand(ray_session, capsys):
     main(["query", "heavy_hitters_events", "--sf-dir", "/root/testdata/sf0.001"])
     out = capsys.readouterr().out
     assert "rows)" in out
+
+
+def test_cli_span_dedup_and_snm_blocking(ray_session, tmp_path, capsys):
+    from dedupe_examples_ray.__main__ import main
+
+    out = tmp_path / "span_out"
+    main(["span-dedup", "--input", "/root/testdata/sf0.001/documents.parquet",
+          "--output", str(out), "--min-len", "256"])
+    txt = capsys.readouterr().out
+    assert "span dedup ->" in txt and "bytes removed" in txt
+    import ray.data as rd
+
+    assert rd.read_parquet(str(out)).count() == 500
+
+    em = tmp_path / "em_snm"
+    main(["dedupe", "--input", "/root/testdata/sf0.001/documents.parquet",
+          "--id-col", "doc_id", "--preset", "documents",
+          "--output", str(em), "--blocking", "snm", "--snm-keys", "title"])
+    assert "entity map: 500 records" in capsys.readouterr().out
