@@ -56,6 +56,40 @@ SURROGATE_AUTO_MIN = 200_000
 UID_CHECK_DRIVER_LIMIT = 20_000_000
 
 
+BROADCAST_BYTES_LIMIT = 4 << 30  # scoring-projection bytes per node
+BROADCAST_ROWS_HARD_CAP = 20_000_000  # per-worker index build is O(rows)
+
+
+def _auto_hydration(records_work, proj_cols, n_records: int,
+                    row_floor: int) -> str:
+    """Pick broadcast vs sharded hydration from the MEASURED per-row bytes
+    of the scoring projection (one zero-copy block sample of the already
+    materialized corpus).  Under ``row_floor`` rows: broadcast outright (the
+    historical row-count guarantee).  Beyond it: broadcast while the
+    projection fits ``BROADCAST_BYTES_LIMIT`` per node and rows stay under
+    ``BROADCAST_ROWS_HARD_CAP``; else the sharded record store."""
+    if n_records <= row_floor:
+        return "broadcast"
+    if n_records > BROADCAST_ROWS_HARD_CAP:
+        return "sharded"
+    try:
+        import ray as ray_
+
+        refs = records_work.to_arrow_refs()
+        per_row = None
+        for r in refs[:4]:  # first non-empty block prices the projection
+            t = ray_.get(r)
+            if t.num_rows:
+                sel = t.select([c for c in proj_cols if c in t.column_names])
+                per_row = sel.nbytes / t.num_rows
+                break
+        if per_row is not None and per_row * n_records <= BROADCAST_BYTES_LIMIT:
+            return "broadcast"
+    except Exception:
+        pass
+    return "sharded"
+
+
 def count_distinct_uids(records_work, n_records: int) -> int:
     """Distinct count of the ``__uid`` column (surrogate collision check)."""
     if n_records <= UID_CHECK_DRIVER_LIMIT:
@@ -219,8 +253,9 @@ def dedupe_dataset(
                 use_sur = pa_.types.is_string(id_t) or pa_.types.is_large_string(id_t)
             except Exception:
                 use_sur = False
-    if hydration == "auto":
-        hydration = "broadcast" if n_records <= broadcast_records_limit else "sharded"
+    # hydration "auto" resolves AFTER the corpus materializes (below): the
+    # broadcast-vs-sharded cutover is really about the BYTES of the scoring
+    # projection per node, which a one-block sample prices exactly
 
     raw_records_ds = records_ds  # preserved for the collision-fallback rerun
     uid_check: dict = {}
@@ -270,6 +305,24 @@ def dedupe_dataset(
             with stage_timer("derive materialize"):
                 records_ds = records_ds.materialize()  # reused for blocks + hydration
         records_work, work_id = records_ds, id_col
+
+    if hydration == "auto":
+        # broadcast while the SCORING PROJECTION (work_id + compared columns)
+        # fits the per-node byte budget — priced from one materialized block,
+        # not guessed from the row count (measured: ~300 B/page on the
+        # flagship, so 3.1M records is still a <1 GB broadcast and 1.55x
+        # faster than the sharded store at that size).  Rows keep a hard cap
+        # (the per-worker lookup index build is O(rows)); under
+        # ``broadcast_records_limit`` rows the old guarantee holds outright.
+        if workdir is None:  # records_work is materialized: sampling is free
+            hydration = _auto_hydration(
+                records_work, [work_id] + carry, n_records,
+                broadcast_records_limit,
+            )
+        else:  # lazy corpus (checkpointed run): keep the row-count rule
+            hydration = (
+                "broadcast" if n_records <= broadcast_records_limit else "sharded"
+            )
 
     if blocking == "snm":
         # sorted-neighborhood candidate generation (Hernandez-Stolfo 1995):
