@@ -237,8 +237,9 @@ def dedupe_dataset(
     #   records/num_buckets, no record shuffle, resumable by construction;
     # - "cogroup": fully in-flight partition-aligned cogroup (no shared
     #   storage needed — pairs AND records shuffle on the same bucket key).
-    # "auto" switches broadcast -> sharded at the record budget; the old
-    # Dataset.join fallback (measured ~10x slower) is gone.
+    # "auto" switches broadcast -> sharded at the measured projection-BYTE
+    # budget (see _auto_hydration; row-count rule for lazy checkpointed
+    # corpora); the old Dataset.join fallback (measured ~10x slower) is gone.
     if use_sur is None:  # "auto"
         if n_records < SURROGATE_AUTO_MIN:
             use_sur = False  # latency-bound regime: string ids are cheaper
