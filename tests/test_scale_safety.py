@@ -578,3 +578,25 @@ def test_member_ids_pull_parity(ray_session):
     pd.testing.assert_frame_equal(a, b)
     m = dict(zip(a["record_id"], a["canon_id"]))
     assert m["u002"] == "u000" and m["u011"] == "u010" and m["u020"] == "u020"
+
+
+def test_auto_hydration_byte_budget(ray_session, monkeypatch):
+    """_auto_hydration: row floor broadcasts outright; the hard row cap
+    shards; in between the measured projection bytes decide."""
+    import ray.data as rd
+
+    import dedupe_examples_ray.pipelines.dedupe as dd
+
+    docs = rd.from_items(
+        [{"rid": f"r{i:03d}", "text": "x" * 1000} for i in range(50)]
+    ).materialize()
+
+    assert dd._auto_hydration(docs, ["rid", "text"], 10, row_floor=100) == "broadcast"
+    assert dd._auto_hydration(
+        docs, ["rid", "text"], dd.BROADCAST_ROWS_HARD_CAP + 1, row_floor=100
+    ) == "sharded"
+    # between floor and cap: byte budget decides (per-row ~1 KB here)
+    n_mid = 200
+    assert dd._auto_hydration(docs, ["rid", "text"], n_mid, row_floor=100) == "broadcast"
+    monkeypatch.setattr(dd, "BROADCAST_BYTES_LIMIT", 1024)  # < n_mid * 1KB
+    assert dd._auto_hydration(docs, ["rid", "text"], n_mid, row_floor=100) == "sharded"
