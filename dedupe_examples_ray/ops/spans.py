@@ -57,8 +57,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..scale import clean_arrow as _clean_arrow
-
 _W = 64  # gear window bytes (fixed by the 64-shifted-adds closed form)
 _CUTS_CACHE: dict = {}  # per-worker memo for the broadcast cuts map
 _BCAST_DOCS_LIMIT = 2_000_000  # small-side budget for the cuts broadcast
