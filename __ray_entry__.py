@@ -3997,8 +3997,111 @@ def _q_span_dedup_documents(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # oracled entries first: the correctness driver snapshots the
-        # first 50 dict entries, so every checked slot carries a DuckDB oracle
+        # --- DRIVER WINDOW (round 4): the correctness driver snapshots the
+        # first 50 dict entries; these 50 oracled queries were never driver-
+        # checked before (rounds 1-3 verified other windows; see below).
+        "first_last_orders": _q_first_last_orders,
+        "percent_rank_orders": _q_percent_rank_orders,
+        "ntile_orders": _q_ntile_orders,
+        "cume_dist_orders": _q_cume_dist_orders,
+        "corr_lineitem": _q_corr_lineitem,
+        "json_props_events": _q_json_props_events,
+        "cc_order_chains": _q_cc_order_chains,
+        "key_skew_events": _q_key_skew_events,
+        "winsorize_orders": _q_winsorize_orders,
+        "explode_part_types": _q_explode_part_types,
+        "top_tfidf_terms": _q_top_tfidf_terms,
+        "bm25_documents": _q_bm25_documents,
+        "gopher_rules_documents": _q_gopher_rules_documents,
+        "c4_rules_documents": _q_c4_rules_documents,
+        "dedup_lines_documents": _q_dedup_lines_documents,
+        "canonicalize_documents": _q_canonicalize_documents,
+        "snm_pairs_documents": _q_snm_pairs_documents,
+        "snm_multipass_documents": _q_snm_multipass_documents,
+        "top3_orders_per_cust": _q_top3_orders_per_cust,
+        "asof_click_purchase": _q_asof_click_purchase,
+        "price_band_parts": _q_price_band_parts,
+        "grouped_stats_orders": _q_grouped_stats_orders,
+        "quantile_price_by_priority": _q_quantile_price_by_priority,
+        "global_quantile_lineitem": _q_global_quantile_lineitem,
+        "approx_quantile_lineitem": _q_approx_quantile_lineitem,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "join_revenue_by_priority": _q_join_revenue_by_priority,
+        "full_join_event_counts": _q_full_join_event_counts,
+        "right_join_customer_orders": _q_right_join_customer_orders,
+        "strip_boilerplate_documents": _q_strip_boilerplate_documents,
+        "pack_sequences_documents": _q_pack_sequences_documents,
+        "mix_sources_documents": _q_mix_sources_documents,
+        "top_event_types_per_user": _q_top_event_types_per_user,
+        "locf_events": _q_locf_events,
+        "grouped_approx_quantile_events": _q_grouped_approx_quantile_events,
+        "heavy_hitters_events": _q_heavy_hitters_events,
+        "hash_sample_documents": _q_hash_sample_documents,
+        "semi_join_customers": _q_semi_join_customers,
+        "anti_join_customers": _q_anti_join_customers,
+        "interval_join_orders": _q_interval_join_orders,
+        "bloom_semi_lineitem": _q_bloom_semi_lineitem,
+        "bloom_anti_parts": _q_bloom_anti_parts,
+        "collect_suppliers_by_nation": _q_collect_suppliers_by_nation,
+        "ptype_except": _q_ptype_except,
+        "ptype_union": _q_ptype_union,
+        "ptype_intersect": _q_ptype_intersect,
+        "split_documents": _q_split_documents,
+        "sample_per_source": _q_sample_per_source,
+        "clean_corpus_documents": _q_clean_corpus_documents,
+        "host_stats_documents": _q_host_stats_documents,
+        # --- oracled, driver-unverified (candidates for the round-5 window)
+        "latest_event_per_user": _q_latest_event_per_user,
+        "incremental_exact_documents": _q_incremental_exact_documents,
+        "decontam_documents": _q_decontam_documents,
+        "pii_redact_documents": _q_pii_redact_documents,
+        "chunk_documents": _q_chunk_documents,
+        "zscore_events": _q_zscore_events,
+        "pivot_user_events": _q_pivot_user_events,
+        "remove_dup_spans_documents": _q_remove_dup_spans_documents,
+        "source_overlap_documents": _q_source_overlap_documents,
+        "robust_zscore_events": _q_robust_zscore_events,
+        "geomean_part_price": _q_geomean_part_price,
+        "skew_kurt_lineitem": _q_skew_kurt_lineitem,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "trailing_hour_events": _q_trailing_hour_events,
+        "funnel_events": _q_funnel_events,
+        "normalized_dedup_documents": _q_normalized_dedup_documents,
+        "cohort_retention_events": _q_cohort_retention_events,
+        "grouped_approx_ndv_events": _q_grouped_approx_ndv_events,
+        "transitions_events": _q_transitions_events,
+        "regr_price_qty": _q_regr_price_qty,
+        "mad_order_price": _q_mad_order_price,
+        "trimmed_mean_orders": _q_trimmed_mean_orders,
+        "nfc_normalize_documents": _q_nfc_normalize_documents,
+        "fix_mojibake_documents": _q_fix_mojibake_documents,
+        "pmi_pairs_documents": _q_pmi_pairs_documents,
+        "resample_locf_events": _q_resample_locf_events,
+        "quantile_disc_lineitem": _q_quantile_disc_lineitem,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "edit_sim_join_parts": _q_edit_sim_join_parts,
+        "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
+        "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
+        "cosine_join_embeddings": _q_cosine_join_embeddings,
+        "knn_join_embeddings": _q_knn_join_embeddings,
+        "script_profile_documents": _q_script_profile_documents,
+        "weighted_sample_orders": _q_weighted_sample_orders,
+        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
+        "tpch_q5_regional": _q_tpch_q5_regional,
+        "cluster_metrics_documents": _q_cluster_metrics_documents,
+        "triangles_orders": _q_triangles_orders,
+        "keep_best_documents": _q_keep_best_documents,
+        "wet_roundtrip_documents": _q_wet_roundtrip_documents,
+        "string_sim_customers": _q_string_sim_customers,
+        "ewma_events": _q_ewma_events,
+        "meta_blocking_wep_parts": _q_meta_blocking_wep_parts,
+        "meta_blocking_cnp_parts": _q_meta_blocking_cnp_parts,
+        "warc_roundtrip_documents": _q_warc_roundtrip_documents,
+        "integer_blocks_customer": _q_integer_blocks_customer,
+        "rolling_median_orders": _q_rolling_median_orders,
+        "skyline_parts": _q_skyline_parts,
+        "zonemap_scan_documents": _q_zonemap_scan_documents,
+        # --- driver-verified in CORRECTNESS_r03 (50/50 green, rows+schema+hash)
         "pages_extract_invariant": _q_pages_extract_invariant,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "paragraph_dedup_documents": _q_paragraph_dedup_documents,
@@ -4049,97 +4152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_orders": _q_dense_rank_orders,
         "norm_url_customer": _q_norm_url_customer,
         "lag_lead_orders": _q_lag_lead_orders,
-        "first_last_orders": _q_first_last_orders,
-        "percent_rank_orders": _q_percent_rank_orders,
-        "ntile_orders": _q_ntile_orders,
-        "cume_dist_orders": _q_cume_dist_orders,
-        "corr_lineitem": _q_corr_lineitem,
-        "json_props_events": _q_json_props_events,
-        "cc_order_chains": _q_cc_order_chains,
-        "key_skew_events": _q_key_skew_events,
-        "winsorize_orders": _q_winsorize_orders,
-        "explode_part_types": _q_explode_part_types,
-        "top_tfidf_terms": _q_top_tfidf_terms,
-        "bm25_documents": _q_bm25_documents,
-        "gopher_rules_documents": _q_gopher_rules_documents,
-        "c4_rules_documents": _q_c4_rules_documents,
-        "dedup_lines_documents": _q_dedup_lines_documents,
-        "canonicalize_documents": _q_canonicalize_documents,
-        "snm_pairs_documents": _q_snm_pairs_documents,
-        "snm_multipass_documents": _q_snm_multipass_documents,
+        # --- rows-only entries (no SQL oracle; invariants/pytest-verified)
         "span_dedup_documents": _q_span_dedup_documents,
         "er_dedupe_pages_snm": _q_er_dedupe_pages_snm,
         "pr_curve_pages": _q_pr_curve_pages,
-        "top3_orders_per_cust": _q_top3_orders_per_cust,
-        "asof_click_purchase": _q_asof_click_purchase,
-        "price_band_parts": _q_price_band_parts,
-        "grouped_stats_orders": _q_grouped_stats_orders,
-        "quantile_price_by_priority": _q_quantile_price_by_priority,
-        "global_quantile_lineitem": _q_global_quantile_lineitem,
-        "approx_quantile_lineitem": _q_approx_quantile_lineitem,
-        "approx_distinct_users": _q_approx_distinct_users,
-        "join_revenue_by_priority": _q_join_revenue_by_priority,
-        "full_join_event_counts": _q_full_join_event_counts,
-        "right_join_customer_orders": _q_right_join_customer_orders,
-        "strip_boilerplate_documents": _q_strip_boilerplate_documents,
-        "pack_sequences_documents": _q_pack_sequences_documents,
-        "mix_sources_documents": _q_mix_sources_documents,
-        "top_event_types_per_user": _q_top_event_types_per_user,
-        "locf_events": _q_locf_events,
-        "grouped_approx_quantile_events": _q_grouped_approx_quantile_events,
-        "heavy_hitters_events": _q_heavy_hitters_events,
-        "hash_sample_documents": _q_hash_sample_documents,
-        "semi_join_customers": _q_semi_join_customers,
-        "anti_join_customers": _q_anti_join_customers,
-        "interval_join_orders": _q_interval_join_orders,
-        "bloom_semi_lineitem": _q_bloom_semi_lineitem,
-        "bloom_anti_parts": _q_bloom_anti_parts,
-        "collect_suppliers_by_nation": _q_collect_suppliers_by_nation,
-        "ptype_except": _q_ptype_except,
-        "ptype_union": _q_ptype_union,
-        "ptype_intersect": _q_ptype_intersect,
-        "split_documents": _q_split_documents,
-        "sample_per_source": _q_sample_per_source,
-        "clean_corpus_documents": _q_clean_corpus_documents,
-        "host_stats_documents": _q_host_stats_documents,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "incremental_exact_documents": _q_incremental_exact_documents,
-        "decontam_documents": _q_decontam_documents,
-        "pii_redact_documents": _q_pii_redact_documents,
-        "chunk_documents": _q_chunk_documents,
-        "zscore_events": _q_zscore_events,
-        "pivot_user_events": _q_pivot_user_events,
-        "remove_dup_spans_documents": _q_remove_dup_spans_documents,
-        "source_overlap_documents": _q_source_overlap_documents,
-        "robust_zscore_events": _q_robust_zscore_events,
-        "geomean_part_price": _q_geomean_part_price,
-        "skew_kurt_lineitem": _q_skew_kurt_lineitem,
-        "weighted_avg_discount": _q_weighted_avg_discount,
-        "trailing_hour_events": _q_trailing_hour_events,
-        "funnel_events": _q_funnel_events,
-        "normalized_dedup_documents": _q_normalized_dedup_documents,
-        "cohort_retention_events": _q_cohort_retention_events,
-        "grouped_approx_ndv_events": _q_grouped_approx_ndv_events,
-        "transitions_events": _q_transitions_events,
-        "regr_price_qty": _q_regr_price_qty,
-        "mad_order_price": _q_mad_order_price,
-        "trimmed_mean_orders": _q_trimmed_mean_orders,
-        "nfc_normalize_documents": _q_nfc_normalize_documents,
-        "fix_mojibake_documents": _q_fix_mojibake_documents,
-        "pmi_pairs_documents": _q_pmi_pairs_documents,
-        "resample_locf_events": _q_resample_locf_events,
-        "quantile_disc_lineitem": _q_quantile_disc_lineitem,
-        "tpch_q3_topk": _q_tpch_q3_topk,
-        "edit_sim_join_parts": _q_edit_sim_join_parts,
-        "sorted_neighborhood_parts": _q_sorted_neighborhood_parts,
-        "jaccard_sim_join_parts": _q_jaccard_sim_join_parts,
-        "cosine_join_embeddings": _q_cosine_join_embeddings,
-        "knn_join_embeddings": _q_knn_join_embeddings,
-        "script_profile_documents": _q_script_profile_documents,
-        "weighted_sample_orders": _q_weighted_sample_orders,
-        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
-        "tpch_q5_regional": _q_tpch_q5_regional,
-        # rows-only entries (no SQL oracle; invariants/pytest-verified) last
         "lm_bpb_documents": _q_lm_bpb_documents,
         "dsir_resample_documents": _q_dsir_resample_documents,
         "er_gold_f1": _q_er_gold_f1,
@@ -4177,27 +4193,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": _q_hits_hosts,
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
         "fs_em_dedupe_pages": _q_fs_em_dedupe_pages,
-        "cluster_metrics_documents": _q_cluster_metrics_documents,
-        "triangles_orders": _q_triangles_orders,
-        "keep_best_documents": _q_keep_best_documents,
-        "wet_roundtrip_documents": _q_wet_roundtrip_documents,
-        "string_sim_customers": _q_string_sim_customers,
         "fs_tf_dedupe_pages": _q_fs_tf_dedupe_pages,
-        "ewma_events": _q_ewma_events,
-        "meta_blocking_wep_parts": _q_meta_blocking_wep_parts,
-        "meta_blocking_cnp_parts": _q_meta_blocking_cnp_parts,
-        "warc_roundtrip_documents": _q_warc_roundtrip_documents,
         "link_graph_pages": _q_link_graph_pages,
         "k_core_orders": _q_k_core_orders,
         "ann_pq_top5": _q_ann_pq_top5,
-        "integer_blocks_customer": _q_integer_blocks_customer,
         "warc_corpus_pipeline": _q_warc_corpus_pipeline,
-        "rolling_median_orders": _q_rolling_median_orders,
         "bpe_train_documents": _q_bpe_train_documents,
         "communities_orders": _q_communities_orders,
-        "skyline_parts": _q_skyline_parts,
         "bloom_incremental_documents": _q_bloom_incremental_documents,
-        "zonemap_scan_documents": _q_zonemap_scan_documents,
         "refined_clusters_orders": _q_refined_clusters_orders,
         "er_dedupe_pages_avg_linkage": _q_er_dedupe_pages_avg_linkage,
     }
