@@ -22,9 +22,9 @@ _TOKEN_RE = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from dedupe_examples_ray.sources import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------- entry

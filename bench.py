@@ -86,6 +86,8 @@ def run_bench() -> dict:
     )
     import ray.data as rd
 
+    from dedupe_examples_ray.sources import read_parquet_clean as _rpc
+
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
@@ -108,14 +110,14 @@ def run_bench() -> dict:
     # pool (a real map pass — a bare count() is metadata-only and would leave
     # worker startup inside the timed section; on a long-lived cluster the
     # pool is already warm)
-    pages_warm = rd.read_parquet(cache, columns=["url", "text"])
+    pages_warm = _rpc(cache, columns=["url", "text"])
     n_pages = pages_warm.map_batches(
         lambda t: t.select(["url"]), batch_format="pyarrow"
     ).count()
 
     stat0 = _cpu_stat()
     t0 = time.monotonic()
-    pages = rd.read_parquet(cache, columns=["url", "text"])
+    pages = _rpc(cache, columns=["url", "text"])
     entity = dedupe_pages(pages, scorer_concurrency=max(int(NUM_CPUS * 0.6), 2))
     n_entities = entity.count()
     headline = time.monotonic() - t0
@@ -130,7 +132,7 @@ def run_bench() -> dict:
         fn()
         queries[name] = round(time.monotonic() - t, 3)
 
-    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     if headline_only:
         result = {
             "metric": "er_pages_pipeline_sec",
@@ -152,13 +154,13 @@ def run_bench() -> dict:
     from dedupe_examples_ray.ops import span_dedup
     timed("span_dedup", lambda: span_dedup(docs).count())
 
-    vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = _rpc(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     first = vecs.take(1)[0]["embedding"]
     timed("ann_top10", lambda: ann_brute_force(vecs, [(0, first)], k=10))
     from dedupe_examples_ray.ops import semantic_dedup
     timed("semantic_dedup", lambda: semantic_dedup(vecs, k=8, iters=5).count())
 
-    li = rd.read_parquet(
+    li = _rpc(
         f"{SF_DIR}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -172,7 +174,7 @@ def run_bench() -> dict:
         ).count(),
     )
 
-    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _rpc(f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     timed(
         "orders_top10",
         lambda: top_k(
@@ -183,11 +185,11 @@ def run_bench() -> dict:
         ).to_pandas(),
     )
 
-    li_j = rd.read_parquet(
+    li_j = _rpc(
         f"{SF_DIR}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    od_j = rd.read_parquet(
+    od_j = _rpc(
         f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     timed(

@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..pairs import _pair_idx, stable_hash
-from ..scale import resolve_buckets
+from ..scale import clean_arrow, resolve_buckets
 
 
 def token_blocks(ds, col: str, id_col: str, prefix: str = ""):
@@ -63,7 +63,7 @@ def token_blocks(ds, col: str, id_col: str, prefix: str = ""):
         out = pa.table({"block_key": flat, "rid": rid})
         # within-record duplicate tokens would double-count CBS evidence
         df = out.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return clean_arrow(df)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

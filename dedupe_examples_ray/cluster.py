@@ -690,13 +690,13 @@ def _min_by_key_bucketed(ds, key_col: str, val_col: str, num_buckets: int | None
 
     B = resolve_buckets(num_buckets, ds)
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
+    def local(df: pd.DataFrame) -> pa.Table:
         u = df.groupby(key_col, sort=False, dropna=False)[val_col].min().reset_index()
         u["__bkt"] = (stable_hash(u[key_col].to_numpy()) % B).astype(np.int64)
-        return u
+        return _clean_arrow(u)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return (
+    def final(df: pd.DataFrame) -> pa.Table:
+        return _clean_arrow(
             df.groupby(key_col, sort=False, dropna=False)[val_col].min().reset_index()
         )
 

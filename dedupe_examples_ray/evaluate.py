@@ -189,6 +189,12 @@ def pr_curve(scores_ds, gold_pairs: set, bins: int = 200):
     Returns a DataFrame (threshold, tp, fp, fn, precision, recall, f1),
     one row per occupied bin edge, descending threshold.  Pairs are matched
     orientation-insensitively.
+
+    Precondition: ``scores_ds`` holds DISTINCT unordered pairs (the flagship
+    pair stage guarantees this via its pair-key DISTINCT).  A pair present
+    in both orientations (or duplicated) would be counted twice against the
+    same gold entry; tp is clipped to ``n_gold`` as a guard so recall stays
+    <= 1 and fn >= 0 even on malformed input.
     """
     import numpy as np
     import pandas as pd
@@ -224,6 +230,8 @@ def pr_curve(scores_ds, gold_pairs: set, bins: int = 200):
     # threshold = bin lower edge, descending: cumulative from the top
     tp = np.cumsum(ht[::-1])[::-1]
     fp = np.cumsum(hf[::-1])[::-1]
+    # guard against duplicated/bi-oriented input pairs (see docstring)
+    tp = np.minimum(tp, n_gold)
     fn = n_gold - tp
     occupied = (ht + hf) > 0
     with np.errstate(divide="ignore", invalid="ignore"):

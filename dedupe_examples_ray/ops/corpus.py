@@ -455,7 +455,7 @@ def clean_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
         # group on the text itself (the hash only routes buckets — no
         # collision risk in the keep decision)
         keep = df.groupby(text_col, sort=False)[id_col].transform("min") == df[id_col]
-        return df[keep].drop(columns=["_bkt"])
+        return _clean_arrow(df[keep].drop(columns=["_bkt"]))
 
     return (
         survivors.map_batches(add_bucket, batch_format="pyarrow")
@@ -673,12 +673,12 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         np.cumsum(counts[:-1], out=firsts[1:])
         joined = _ragged_join(
             pa.array(df["para"].to_numpy(), pa.string()), counts, " ")
-        return pd.DataFrame({
+        return _clean_arrow(pd.DataFrame({
             id_col: uniq,
             text_col: joined.to_pandas().to_numpy(),
             "n_paras_kept": counts,
             "n_paras_total": df["n_paras_total"].to_numpy()[firsts].astype(np.int64),
-        })
+        }))
 
     return kept.map_batches(add_doc_bucket, batch_format="pyarrow").groupby(
         "bucket").map_groups(assemble, batch_format="pandas")
@@ -932,7 +932,7 @@ def source_ngram_overlap(ds, group_col: str = "source", text_col: str = "text",
                         "h": pa.array(h)})
         # per-batch distinct combiner: shrink before the shuffle
         df = out.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _clean_arrow(df)
 
     grams = distinct(ds.select_columns([group_col, text_col]).map_batches(
         emit, batch_format="pyarrow"), [group_col, "h"])

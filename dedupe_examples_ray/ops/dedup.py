@@ -141,7 +141,7 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         g = df.groupby("h", sort=False)
         out = g.head(1).copy()
         out["n_dups"] = g.size().to_numpy()
-        return out[[id_col, "n_dups"]]
+        return _clean_arrow(out[[id_col, "n_dups"]])
 
     return (ds.map_batches(add_key, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
@@ -407,9 +407,11 @@ def lsh_bucket_metrics(bucket_ds, id_col: str, max_bucket: int = 200,
              "bucket": pa.array(h.astype(np.int64), pa.int64())}
         )
 
-    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+    def sizes(df: pd.DataFrame) -> pa.Table:
         u = df.drop_duplicates(subset=["band", "key", id_col])
-        return u.groupby(["band", "key"], sort=False).size().rename("n").reset_index()[["n"]]
+        return _clean_arrow(
+            u.groupby(["band", "key"], sort=False).size().rename("n").reset_index()[["n"]]
+        )
 
     from ..pairs import _even_split
 

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..scale import clean_arrow
 from .ann import _col_matrix, _normalize, kmeans_fit
 
 _CENTROID_CACHE: dict = {}
@@ -210,10 +211,11 @@ def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                     "score": S[ia, ib][keepm],
                 }))
         if not frames:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=df[id_col].dtype),
-                                 "id_b": pd.Series([], dtype=df[id_col].dtype),
-                                 "score": pd.Series([], dtype=np.float64)})
-        return pd.concat(frames, ignore_index=True)
+            return clean_arrow(
+                pd.DataFrame({"id_a": pd.Series([], dtype=df[id_col].dtype),
+                              "id_b": pd.Series([], dtype=df[id_col].dtype),
+                              "score": pd.Series([], dtype=np.float64)}))
+        return clean_arrow(pd.concat(frames, ignore_index=True))
 
     pairs = tagged.groupby("cluster_id").map_groups(verify, batch_format="pandas")
     return _assignment(ds.select_columns([id_col]), id_col, dedup_pairs(pairs))
@@ -259,11 +261,11 @@ def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8,
             "bkt": pa.array([bkt], pa.int64()),
         })
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame) -> pa.Table:
         n = int(df["n"].sum())
         sx = np.sum(np.stack(df["sx"].to_numpy()), axis=0)
         xtx = np.sum(np.stack(df["xtx"].to_numpy()), axis=0)
-        return pd.DataFrame({"n": [n], "sx": [sx], "xtx": [xtx]})
+        return clean_arrow(pd.DataFrame({"n": [n], "sx": [sx], "xtx": [xtx]}))
 
     parts = (ds.select_columns([vec_col])
              .map_batches(partial, batch_format="pyarrow")

@@ -60,6 +60,9 @@ import pyarrow.compute as pc
 _W = 64  # gear window bytes (fixed by the 64-shifted-adds closed form)
 _CUTS_CACHE: dict = {}  # per-worker memo for the broadcast cuts map
 _BCAST_DOCS_LIMIT = 2_000_000  # small-side budget for the cuts broadcast
+_BCAST_BYTES_LIMIT = 256 << 20  # cuts BLOBs, not just rows: a heavily
+# duplicated corpus carries ~8 bytes per removed window per doc, so the
+# broadcast table can reach GBs while still passing the row gate
 
 
 def _col(t: pa.Table, name: str):
@@ -307,9 +310,14 @@ def span_dedup(
             "n_bytes_removed": pa.array(n_bytes, pa.int64()),
         })
 
-    if n_rem_docs <= _BCAST_DOCS_LIMIT:
-        # broadcast tier: the cuts map fits the standard small-side budget —
-        # ship it once via ray.put and skip the corpus-sized join entirely
+    if (
+        n_rem_docs <= _BCAST_DOCS_LIMIT
+        and rem_lists.size_bytes() <= _BCAST_BYTES_LIMIT
+    ):
+        # broadcast tier: the cuts map fits the standard small-side budget
+        # (both ROWS and BYTES — rem_lists is materialized, so size_bytes()
+        # is metadata-only) — ship it once via ray.put and skip the
+        # corpus-sized join entirely
         import ray
 
         rem_tbl = pa.concat_tables(

@@ -249,13 +249,13 @@ def pair_metrics(blocks_ds, id_col: str, max_block_size: int = 200, policy: str 
             {**{c: t[c] for c in cols}, "bucket": pa.array(b.astype(np.int64), pa.int64())}
         )
 
-    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+    def sizes(df: pd.DataFrame) -> pa.Table:
         u = df.drop_duplicates(subset=["block_key", id_col])
         g = u.groupby("block_key", sort=False)
         out = g.size().rename("n").reset_index()[["n"]]
         if source_col:
             out["nl"] = g.apply(lambda s: int((s[source_col] == 0).sum())).to_numpy()
-        return out
+        return _clean_arrow(out)
 
     tbl = (
         blocks_ds.select_columns(cols)

@@ -338,7 +338,12 @@ def dedupe_dataset(
         )
         if not keys:
             raise ValueError("blocking='snm' needs snm_keys or string fields")
-        fp += f"-snm{snm_window}x{len(keys)}"
+        # key NAMES must be in the checkpoint fingerprint — a count alone
+        # would replay a stale pairs stage after snm_keys changes
+        import hashlib as _hashlib
+
+        _keys_tag = _hashlib.md5(",".join(keys).encode()).hexdigest()[:10]
+        fp += f"-snm{snm_window}x{_keys_tag}"
 
         def _snm_pairs():
             import pyarrow as pa__
@@ -512,6 +517,8 @@ def dedupe_dataset(
             surrogate_ids=False, pair_pruning=pair_pruning,
             prune_k=prune_k, linkage=linkage,
             refine_max_members=refine_max_members,
+            id_type=id_type, blocking=blocking,
+            snm_keys=snm_keys, snm_window=snm_window,
         )
 
     try:
@@ -521,8 +528,20 @@ def dedupe_dataset(
                 edges = edges.materialize()
     except Exception:
         # an optimistic-phase failure may BE the collision/duplicate-id
-        # symptom — consult the check before surfacing the raw error
-        if use_sur and not _uids_ok():
+        # symptom — consult the check before surfacing the raw error.  The
+        # uid check itself may have failed too (possibly the same transient
+        # cause); log it and re-raise the ORIGINAL edges exception, which is
+        # the one the user needs to see.
+        try:
+            uids_fine = _uids_ok() if use_sur else True
+        except Exception as uid_err:
+            import logging
+
+            logging.getLogger("dedupe_examples_ray").warning(
+                "background uid collision check also failed: %r", uid_err
+            )
+            raise
+        if use_sur and not uids_fine:
             return _raw_id_rerun()
         raise
     if workdir is None:

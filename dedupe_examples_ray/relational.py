@@ -58,7 +58,7 @@ def grouped_sum(ds, keys: list[str], sum_cols: dict[str, str], count_col: str | 
         g["__bkt"] = (
             pd.util.hash_pandas_object(g[keys], index=False).to_numpy() % num_buckets
         ).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     def final(df: pd.DataFrame) -> pa.Table:
         df = df.drop(columns="__bkt")
@@ -91,12 +91,12 @@ def distinct(ds, cols: list[str], num_buckets: int | None = None):
 
     num_buckets = resolve_buckets(num_buckets, ds)
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
+    def local(df: pd.DataFrame) -> pa.Table:
         u = df[cols].drop_duplicates()
         u["bucket"] = (
             pd.util.hash_pandas_object(u, index=False).to_numpy() % num_buckets
         ).astype(np.int64)
-        return u
+        return _clean_arrow(u)
 
     proj = ds.select_columns(cols).map_batches(local, batch_format="pandas")
     return proj.groupby("bucket").map_groups(
@@ -131,7 +131,7 @@ class _BroadcastJoiner:
             out[col] = out[col].fillna(val)
             if isinstance(val, int):
                 out[col] = out[col].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _clean_arrow(out)
 
 
 _JOINER_CACHE: dict = {}
@@ -202,7 +202,7 @@ def grouped_stats(ds, keys: list[str], col: str, round_digits: int = 4,
             ["sum", "count", "min", "max"]
         ).reset_index(drop=True)
         g.columns = keys + ["_s", "_c", "_mn", "_mx"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     merged = partials.groupby(keys if len(keys) > 1 else keys[0]).aggregate(
@@ -245,7 +245,7 @@ def grouped_corr(ds, keys: list[str], x: str, y: str, out_col: str = "corr_xy",
         ).groupby(keys, as_index=False, sort=False)[
             ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
         ].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     aggs = [Sum(c, alias_name=c) for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")]
@@ -392,7 +392,7 @@ def grouped_regression(ds, keys: list[str], x: str, y: str,
         ).groupby(keys, as_index=False, sort=False)[
             ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
         ].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     aggs = [Sum(c, alias_name=c) for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")]
@@ -1613,7 +1613,7 @@ def grouped_zscore(ds, keys: list[str], col: str, out_col: str = "z",
         df["_xx"] = df["_x"] * df["_x"]
         df["_n"] = (~df[col].isna()).astype(np.int64)
         g = df.groupby(keys, as_index=False, sort=False)[["_x", "_xx", "_n"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -1666,12 +1666,12 @@ def pivot_sum(ds, keys: list[str], pivot_col: str, value_col: str,
         if df.empty:
             empty = {k: pd.Series([], dtype=object) for k in keys}
             empty.update({c: pd.Series([], dtype=np.float64) for c in cols})
-            return pa.Table.from_pandas(pd.DataFrame(empty), preserve_index=False)
+            return _clean_arrow(pd.DataFrame(empty))
         w = df.pivot_table(index=keys, columns=pivot_col, values=value_col,
                            aggfunc="sum", fill_value=0.0)
         w = w.reindex(columns=pivot_values, fill_value=0.0)
         w.columns = cols
-        return pa.Table.from_pandas(w.reset_index(), preserve_index=False)
+        return _clean_arrow(w.reset_index())
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -1710,7 +1710,7 @@ def grouped_geomean(ds, keys: list[str], col: str, out_col: str = "geomean",
         df["_bad"] = (x <= 0).astype(np.int64)
         df["_n"] = 1
         g = df.groupby(keys, as_index=False, sort=False)[["_lg", "_bad", "_n"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     merged = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
               .groupby(keys if len(keys) > 1 else keys[0])
@@ -1755,7 +1755,7 @@ def grouped_skew_kurt(ds, keys: list[str], col: str, round_digits: int = 4):
         df["_x"] = df[col].astype(np.float64)
         df["_n"] = 1
         g = df.groupby(keys, as_index=False, sort=False)[["_x", "_n"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     means = (ds.map_batches(mean_partial, batch_format="pyarrow", batch_size=65536)
              .groupby(keys if len(keys) > 1 else keys[0])
@@ -1781,7 +1781,7 @@ def grouped_skew_kurt(ds, keys: list[str], col: str, round_digits: int = 4):
         m["_n"] = 1
         g = m.groupby(keys, as_index=False, sort=False)[
             ["_d2", "_d3", "_d4", "_n"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     merged = (ds.map_batches(central_partial, batch_format="pyarrow",
                              batch_size=65536, fn_kwargs=dict(mu_ref=mu_ref))
@@ -1888,7 +1888,7 @@ def grouped_mode(ds, key: str, col: str, out_val: str = "mode_val",
         g["__bkt"] = (
             pd.util.hash_pandas_object(g[key], index=False).to_numpy() % num_buckets
         ).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby([key, col], sort=False, dropna=False, as_index=False)["__cnt"].sum()
@@ -1925,7 +1925,7 @@ def grouped_top_values(ds, key: str, col: str, k: int = 3,
         g["__bkt"] = (
             pd.util.hash_pandas_object(g[key], index=False).to_numpy() % num_buckets
         ).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby([key, col], sort=False, dropna=False, as_index=False)["__cnt"].sum()
@@ -2060,7 +2060,7 @@ def grouped_entropy(ds, key: str, col: str, out_col: str = "entropy",
         df = t.select([key, col]).to_pandas()
         df = df.dropna(subset=[col])
         g = df.groupby([key, col], sort=False, dropna=False).size().reset_index(name="c")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _clean_arrow(g)
 
     pairs = grouped_sum(ds.map_batches(pair_counts, batch_format="pyarrow"),
                         [key, col], {"c": "c"})

@@ -458,6 +458,11 @@ def _consolidate_record_blocks(*blocks):
     # (same guard as pipelines.dedupe.count_distinct_uids)
     live = [b for b in blocks if b.num_rows]
     if not live:
+        # prefer a TYPED empty block — a zero-column pa.table({}) schema
+        # breaks downstream concat/schema-dedup paths
+        for b in blocks:
+            if b.num_columns:
+                return b
         return blocks[0] if blocks else _pa.table({})
     return _pa.concat_tables(live).combine_chunks()
 

@@ -1,5 +1,6 @@
 from .io import (  # noqa: F401
     compact_parquet,
+    read_parquet_clean,
     read_parquet_union_by_name,
     read_partitioned,
     read_table,

@@ -20,13 +20,56 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def clean_read_schema(path, columns: list[str] | None = None):
+    """Metadata-free Arrow schema for a parquet file/dir (footer-only read).
+
+    Parquet files written by pandas embed a ``b'pandas'`` schema-metadata
+    dict; blocks read from them make schemas unhashable, which disables
+    Ray's schema-deduplication fast path in every downstream reduce and logs
+    one "Failed to hash the schemas" warning per task.  Passing an explicit
+    metadata-free schema to ``read_parquet`` keeps every block clean at the
+    source.  Returns None when the footer can't be probed (non-local paths,
+    drifting directories) — callers fall back to Ray's own inference.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        probe = path[0] if isinstance(path, (list, tuple)) else path
+        if os.path.isdir(probe):
+            names = sorted(
+                n for n in os.listdir(probe) if n.endswith(".parquet")
+            )
+            if not names:
+                return None
+            probe = os.path.join(probe, names[0])
+        schema = pq.read_schema(probe)
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return schema.remove_metadata()
+    except Exception:
+        return None
+
+
+def read_parquet_clean(path, columns: list[str] | None = None, **kw):
+    """``ray.data.read_parquet`` with a metadata-free explicit schema (see
+    ``clean_read_schema``) — the standard read path for this engine."""
+    import ray.data as rd
+
+    schema = clean_read_schema(path, columns)
+    if schema is not None:
+        kw.setdefault("schema", schema)
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
 def read_table(path: str, columns: list[str] | None = None, fmt: str | None = None):
     """Read parquet/csv/json by extension (prune columns at the read)."""
     import ray.data as rd
 
     fmt = fmt or ("csv" if path.endswith(".csv") else "json" if path.endswith(".json") else "parquet")
     if fmt == "parquet":
-        return rd.read_parquet(path, columns=columns)
+        return read_parquet_clean(path, columns=columns)
     ds = rd.read_csv(path) if fmt == "csv" else rd.read_json(path)
     return ds.select_columns(columns) if columns else ds
 
@@ -328,7 +371,7 @@ def read_partitioned(path: str, columns: list[str] | None = None,
     if predicate and columns is not None:
         read_cols = list(dict.fromkeys(
             list(columns) + [c for c, _, _ in predicate]))
-    ds = rd.read_parquet(files, columns=read_cols)
+    ds = read_parquet_clean(files, columns=read_cols)
     if predicate:
         ops = {">=": _pc.greater_equal, ">": _pc.greater,
                "<=": _pc.less_equal, "<": _pc.less, "==": _pc.equal}
