@@ -3995,6 +3995,63 @@ def _q_span_dedup_documents(sf_dir):
     return out[["doc_id", "n_spans_removed", "n_bytes_removed"]]
 
 
+def _q_er_output_zonemap_documents(sf_dir):
+    """Flagship ER output committed through the zone-mapped partitioned sink
+    (``dedupe_dataset(output_dir=...)``, keyed by canon_id), then read back
+    with an equality predicate on the partition key: hash bucket pruning
+    must skip every other bucket from metadata alone, and the pruned read
+    must equal full-scan + filter.  Oracle: on the clone-union corpus every
+    cluster is exactly {id, id+10M} with canon = str(id) (the invariant the
+    er_exact_consistency oracle pins), so the probe cluster's membership is
+    SQL-derivable.
+    """
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from dedupe_examples_ray.pipelines import dedupe_documents
+    from dedupe_examples_ray.sources import read_partitioned, zonemap_plan
+
+    # texts made of per-doc-unique tokens: no two ORIGINAL docs share any
+    # token, so the flagship can only cluster each doc with its exact clone
+    # — making every canon SQL-derivable (LEAST of the two string ids)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def uniq_text(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txt = [
+            " ".join(f"tok{i}x{j}" for j in range(30)) for i in ids
+        ]
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(txt)})
+
+    base = docs.map_batches(uniq_text, batch_format="pyarrow")
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(t["doc_id"], pa.int64()), 10_000_000)
+        return pa.table({"doc_id": ids, "text": t["text"]})
+
+    doubled = base.union(base.map_batches(clone, batch_format="pyarrow"))
+    out_dir = f"/tmp/graft_er_zonemap_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    committed = dedupe_documents(doubled, output_dir=out_dir)
+    assert os.path.exists(os.path.join(out_dir, "_PARTKEY"))
+
+    # doc_id is int64, so canon = MIN member id numerically: the
+    # {7, 10000007} clone cluster's canon is "7"
+    probe = "7"
+    pred = [("canon_id", "==", probe)]
+    plan = zonemap_plan(out_dir, pred)
+    assert plan["skipped"], "partition-key pruning must skip buckets"
+    assert len(plan["keep"]) == 1, "equality on the key pins ONE bucket"
+    pruned = read_partitioned(out_dir, predicate=pred).to_pandas()
+    full = committed.to_pandas()
+    full = full[full["canon_id"] == probe]
+    assert sorted(pruned["record_id"]) == sorted(full["record_id"])
+    out = pruned[["record_id", "canon_id"]].sort_values("record_id")
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- DRIVER WINDOW (round 4): the correctness driver snapshots the
@@ -4051,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_documents": _q_clean_corpus_documents,
         "host_stats_documents": _q_host_stats_documents,
         # --- oracled, driver-unverified (candidates for the round-5 window)
+        "er_output_zonemap_documents": _q_er_output_zonemap_documents,
         "latest_event_per_user": _q_latest_event_per_user,
         "incremental_exact_documents": _q_incremental_exact_documents,
         "decontam_documents": _q_decontam_documents,
@@ -4224,6 +4282,14 @@ _META_BLOCK_PAIRS_CTE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "er_output_zonemap_documents": (
+            "SELECT CAST(doc_id AS VARCHAR) AS record_id, '7' AS canon_id "
+            "FROM documents WHERE doc_id = 7 "
+            "UNION ALL "
+            "SELECT CAST(doc_id + 10000000 AS VARCHAR), '7' "
+            "FROM documents WHERE doc_id = 7 "
+            "ORDER BY record_id"
+        ),
         "meta_blocking_wep_parts": (
             _META_BLOCK_PAIRS_CTE +
             " SELECT id_a, id_b, weight FROM pairs "

@@ -572,7 +572,8 @@ def _ragged_join(flat: pa.Array, counts: np.ndarray, sep: str) -> pa.Array:
 
 
 def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                    words_per_para: int = 10, num_buckets: int | None = None):
+                    words_per_para: int = 10, num_buckets: int | None = None,
+                    workdir: str | None = None, input_token: str | None = None):
     """Corpus-wide paragraph-level exact dedup (the CCNet/Gopher line-dedup
     shape): split each document into fixed ``words_per_para``-word paragraphs,
     keep only the FIRST occurrence of each distinct paragraph corpus-wide
@@ -650,7 +651,21 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         out = df.drop_duplicates("para", keep="first")
         return _clean_arrow(out[[id_col, "para_idx", "para", "n_paras_total"]])
 
-    kept = exploded.groupby("bucket").map_groups(winners, batch_format="pandas")
+    def _kept_stage():
+        return exploded.groupby("bucket").map_groups(winners, batch_format="pandas")
+
+    if workdir is not None:
+        # checkpoint the explode->global-first-occurrence stage (north_rule
+        # resume); reassembly recomputes from the committed survivors
+        from ..checkpoint import run_stage
+
+        fp = (
+            f"para-{k}-b{num_buckets}-n{ds.count()}"
+            + (f"-{input_token}" if input_token else "")
+        )
+        kept = run_stage("para_kept", _kept_stage, workdir, fp)
+    else:
+        kept = _kept_stage()
 
     def add_doc_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(

@@ -548,6 +548,9 @@ def minhash_lsh_dedup(
     bands: int | None = 32,
     threshold: float = 0.5,
     verify: bool = True,
+    workdir: str | None = None,
+    input_token: str | None = None,
+    _pairs_only: bool = False,
 ):
     """Near-dup assignment via MinHash+LSH (see module docstring).
 
@@ -565,6 +568,28 @@ def minhash_lsh_dedup(
 
     if bands is None:
         bands, _ = lsh_plan(threshold, num_perm)
+
+    if workdir is not None:
+        # checkpoint the expensive signature->band->pair->verify chain
+        # (north_rule resume); the final assignment pass recomputes cheaply
+        from ..checkpoint import run_stage
+
+        fp = (
+            f"mh-{shingle}{k}-p{num_perm}-b{bands}-t{threshold}"
+            f"-v{int(verify)}-n{ds.count()}"
+            + (f"-{input_token}" if input_token else "")
+        )
+        pairs = run_stage(
+            "mh_pairs",
+            lambda: minhash_lsh_dedup(
+                ds, text_col=text_col, id_col=id_col, shingle=shingle, k=k,
+                num_perm=num_perm, bands=bands, threshold=threshold,
+                verify=verify, _pairs_only=True,
+            ),
+            workdir,
+            fp,
+        )
+        return _assignment(ds, id_col, pairs)
 
     buckets = ds.map_batches(
         _minhash_bands_batch,
@@ -597,6 +622,8 @@ def minhash_lsh_dedup(
             fn_kwargs=dict(shingle=shingle, k=k, threshold=threshold),
             batch_format="pyarrow",
         )
+    if _pairs_only:
+        return pairs
     return _assignment(ds, id_col, pairs)
 
 

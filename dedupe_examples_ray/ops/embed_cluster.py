@@ -169,7 +169,8 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
 
 def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                    k: int = 16, tau: float = 0.95, iters: int = 8,
-                   max_bucket: int = 2000, seed: int = 5):
+                   max_bucket: int = 2000, seed: int = 5,
+                   workdir: str | None = None, input_token: str | None = None):
     """SemDeDup: k-means partition -> within-cluster cosine >= tau ->
     connected components -> ``(id, keep_id)`` assignment (keep = min id per
     component, every row keeps a keep_id — singletons map to themselves).
@@ -184,8 +185,14 @@ def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     from .dedup import _assignment
 
     slim = ds.select_columns([id_col, vec_col]).materialize()
-    C, _ = kmeans_distributed(slim, vec_col=vec_col, k=k, iters=iters, seed=seed)
-    tagged = kmeans_assign(slim, C, vec_col=vec_col)
+
+    def _tagged():
+        # inside the stage closure: a checkpoint replay must not re-run the
+        # k-means iterations either
+        C, _ = kmeans_distributed(
+            slim, vec_col=vec_col, k=k, iters=iters, seed=seed
+        )
+        return kmeans_assign(slim, C, vec_col=vec_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -217,8 +224,25 @@ def semantic_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                               "score": pd.Series([], dtype=np.float64)}))
         return clean_arrow(pd.concat(frames, ignore_index=True))
 
-    pairs = tagged.groupby("cluster_id").map_groups(verify, batch_format="pandas")
-    return _assignment(ds.select_columns([id_col]), id_col, dedup_pairs(pairs))
+    def _pairs_stage():
+        pairs = _tagged().groupby("cluster_id").map_groups(
+            verify, batch_format="pandas"
+        )
+        return dedup_pairs(pairs)
+
+    if workdir is not None:
+        # checkpoint the kmeans->cell-verify pair set (north_rule resume);
+        # the assignment pass recomputes cheaply from the committed pairs
+        from ..checkpoint import run_stage
+
+        fp = (
+            f"sem-k{k}-t{tau}-i{iters}-mb{max_bucket}-s{seed}-n{slim.count()}"
+            + (f"-{input_token}" if input_token else "")
+        )
+        pairs = run_stage("sem_pairs", _pairs_stage, workdir, fp)
+    else:
+        pairs = _pairs_stage()
+    return _assignment(ds.select_columns([id_col]), id_col, pairs)
 
 
 # ------------------------------------------------------------------ PCA

@@ -110,6 +110,8 @@ def span_dedup(
     id_col: str = "doc_id",
     min_len: int = 256,
     num_buckets: int | None = None,
+    workdir: str | None = None,
+    input_token: str | None = None,
 ):
     """Remove corpus-wide duplicated byte spans of length >= ``min_len``,
     keeping the globally-first occurrence (ordered by ``(id, position)``).
@@ -118,6 +120,13 @@ def span_dedup(
     one row per input document (docs may come back with empty text when
     everything they contained was seen earlier).
     ``min_len`` must be > 127 (the fixed w + k - 1 detection floor).
+
+    ``workdir``: per-stage checkpointing (north_rule resume) — the expensive
+    fingerprint-shuffle result (the per-doc cut lists, output-sized) commits
+    as the ``span_cuts`` stage; a rerun after a crash replays it and only
+    recomputes the cheap final apply pass.  ``input_token`` joins the stage
+    fingerprint (pass the source path) so a changed corpus never replays
+    stale cuts.
     """
     if min_len < 2 * _W:
         raise ValueError(f"min_len must be >= {2 * _W}, got {min_len}")
@@ -229,12 +238,24 @@ def span_dedup(
 
     # output-sized (one row per doc WITH removals) — pin it so the join's
     # schema probe doesn't re-execute the fingerprint pipeline
-    rem_lists = (
-        rem.map_batches(doc_bucket, batch_format="pyarrow")
-        .groupby("dbkt")
-        .map_groups(lambda df: per_doc(df.drop(columns=["dbkt"])),
-                    batch_format="pandas")
-    ).materialize()
+    def _cuts_stage():
+        return (
+            rem.map_batches(doc_bucket, batch_format="pyarrow")
+            .groupby("dbkt")
+            .map_groups(lambda df: per_doc(df.drop(columns=["dbkt"])),
+                        batch_format="pandas")
+        )
+
+    if workdir is not None:
+        from ..checkpoint import run_stage
+
+        fp = (
+            f"span-{min_len}-b{num_buckets}-n{ds.count()}"
+            + (f"-{input_token}" if input_token else "")
+        )
+        rem_lists = run_stage("span_cuts", _cuts_stage, workdir, fp).materialize()
+    else:
+        rem_lists = _cuts_stage().materialize()
 
     def key_docs(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -131,6 +131,8 @@ def dedupe_dataset(
     blocking: str = "predicates",
     snm_keys: list[str] | None = None,
     snm_window: int = 8,
+    output_dir: str | None = None,
+    output_key: str = "canon_id",
 ):
     """Generic single-table dedupe over an already-normalized Dataset.
 
@@ -179,6 +181,13 @@ def dedupe_dataset(
     per ordering — O(n*w) candidates per key, no key-equality blocks, the
     standard alternative when token predicates mega-block (gold-corpus F1
     parity asserted in tests and the er_dedupe_pages_snm query).
+    ``output_dir``: write the entity map through the zone-mapped resumable
+    partitioned sink (``sources.write_partitioned``, keyed by
+    ``output_key`` — default ``canon_id`` so payoff reads prune: an
+    equality read on the key hits exactly ONE bucket via hash pruning, and
+    range predicates use the per-bucket _ZONEMAP min/max) and return the
+    committed view (``read_partitioned``).  Without it the entity map
+    streams to the caller as before.
     ``linkage``: "connected" (default) labels clusters as the connected
     components of the thresholded edge graph; "average" re-cuts each
     component with average-linkage agglomerative clustering at
@@ -519,6 +528,7 @@ def dedupe_dataset(
             refine_max_members=refine_max_members,
             id_type=id_type, blocking=blocking,
             snm_keys=snm_keys, snm_window=snm_window,
+            output_dir=output_dir, output_key=output_key,
         )
 
     try:
@@ -657,7 +667,7 @@ def dedupe_dataset(
                 return entity_map_from_table(id_source, id_col, label_tbl)
 
         entity = run_stage("entity_map", _entity_stage, workdir, cfp)
-        return entity
+        return _sink_entity(entity, output_dir, output_key)
     # beyond the driver budget: contract edges first (per-block spanning
     # forests, no shuffle, same components) — usually brings the edge set
     # back under the driver limit; star rounds remain the true fallback
@@ -693,7 +703,18 @@ def dedupe_dataset(
         workdir,
         cfp,
     )
-    return entity
+    return _sink_entity(entity, output_dir, output_key)
+
+
+def _sink_entity(entity, output_dir: str | None, output_key: str):
+    """Optionally commit the entity map through the zone-mapped partitioned
+    sink and hand back the committed (resumable, prunable) view."""
+    if output_dir is None:
+        return entity
+    from ..sources.io import read_partitioned, write_partitioned
+
+    write_partitioned(entity, output_dir, key_col=output_key)
+    return read_partitioned(output_dir)
 
 
 def document_settings() -> Settings:

@@ -219,6 +219,13 @@ def write_partitioned(ds, path: str, key_col: str, num_buckets: int | None = Non
         num_buckets = resolve_buckets(num_buckets, ds)
         with open(meta, "w") as f:
             f.write(str(num_buckets))
+    # record the partition key so equality reads can prune to ONE bucket by
+    # hash (exact bucket pruning — stronger than min/max zones for hashed
+    # layouts, where every bucket's value range straddles most predicates)
+    pk = os.path.join(path, "_PARTKEY")
+    if not os.path.exists(pk):
+        with open(pk, "w") as f:
+            f.write(key_col)
     done = {
         int(d.split("=", 1)[1])
         for d in os.listdir(path)
@@ -317,6 +324,30 @@ def zonemap_plan(path: str, predicate: list[tuple]) -> dict:
     import json
     import os
 
+    # exact bucket pruning: an equality clause on the PARTITION key pins the
+    # row's bucket (stable_hash(value) % num_buckets) — every other bucket is
+    # skipped from metadata alone, regardless of zone ranges
+    want_bucket = None
+    try:
+        with open(os.path.join(path, "_PARTKEY")) as f:
+            part_key = f.read().strip()
+        with open(os.path.join(path, "_NUM_BUCKETS")) as f:
+            nb = int(f.read())
+        import numpy as _np
+
+        from ..pairs import stable_hash as _sh
+
+        for c, op, v in predicate:
+            if c == part_key and op == "==":
+                # NOTE: modulo on the ARRAY, not the scalar — a numpy uint64
+                # SCALAR % python int promotes to float64 and loses low bits
+                want_bucket = int(
+                    (_sh(_np.asarray([str(v)], dtype=object)) % nb)[0]
+                )
+                break
+    except (FileNotFoundError, ValueError):
+        pass
+
     keep: list[str] = []
     skipped: list[str] = []
     for d in sorted(os.listdir(path)):
@@ -326,6 +357,9 @@ def zonemap_plan(path: str, predicate: list[tuple]) -> dict:
         if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
             continue
         f = os.path.join(bdir, "part-0.parquet")
+        if want_bucket is not None and int(d.split("=", 1)[1]) != want_bucket:
+            skipped.append(f)
+            continue
         zpath = os.path.join(bdir, "_ZONEMAP")
         if os.path.exists(zpath):
             with open(zpath) as zf:

@@ -308,3 +308,121 @@ def test_zonemap_all_null_and_missing_stats(ray_session, tmp_path):
     for op in (">=", ">", "<=", "<", "=="):
         assert _zone_excludes(zones, "x", op, 0)
     assert not _zone_excludes(zones, "other", ">=", 0)  # no stats -> keep
+
+
+def test_span_dedup_checkpoint_resume(ray_session, tmp_path):
+    """Kill-after-stage for the corpus-dedup family: span_dedup commits its
+    cut lists; a rerun replays them (manifest untouched) and produces an
+    identical corpus; a changed fingerprint recomputes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import span_dedup
+
+    # NOT self-similar (an "xxxx..." run would be span-deduped within its
+    # own first occurrence): a 300+-char varied sentence
+    footer = " ".join(f"footer-token-{j}-{j * 7 % 13}" for j in range(20))
+    assert len(footer) >= 256
+    docs = [
+        {"doc_id": f"d{i:02d}", "text": f"unique body {i} " * 30 + footer}
+        for i in range(12)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    wd = str(tmp_path / "span")
+
+    def run():
+        out = span_dedup(ds, min_len=256, workdir=wd, input_token="t1")
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    first = run()
+    assert os.path.exists(os.path.join(wd, "span_cuts", "manifest.json"))
+    m1 = os.path.getmtime(os.path.join(wd, "span_cuts", "manifest.json"))
+    # crash-after-cuts: nothing else persists; rerun must replay the stage
+    second = run()
+    assert os.path.getmtime(os.path.join(wd, "span_cuts", "manifest.json")) == m1
+    assert first.equals(second)
+    # the footer survives exactly once
+    kept = sum(footer in t for t in first["text"])
+    assert kept == 1
+    # changed input token -> stale cuts must NOT replay
+    span_dedup(ds, min_len=256, workdir=wd, input_token="t2").count()
+    assert os.path.getmtime(os.path.join(wd, "span_cuts", "manifest.json")) != m1
+
+
+def test_minhash_paragraph_semantic_checkpoint_resume(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import (
+        minhash_lsh_dedup,
+        paragraph_dedup,
+        semantic_dedup,
+    )
+
+    docs = [
+        {"doc_id": i, "text": f"some shared words {i % 5} " * 8}
+        for i in range(40)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+
+    wd = str(tmp_path / "mh")
+    a = minhash_lsh_dedup(ds, workdir=wd, input_token="x").to_pandas()
+    assert os.path.exists(os.path.join(wd, "mh_pairs", "manifest.json"))
+    m1 = os.path.getmtime(os.path.join(wd, "mh_pairs", "manifest.json"))
+    b = minhash_lsh_dedup(ds, workdir=wd, input_token="x").to_pandas()
+    assert os.path.getmtime(os.path.join(wd, "mh_pairs", "manifest.json")) == m1
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+
+    wd = str(tmp_path / "para")
+    a = paragraph_dedup(ds, workdir=wd).to_pandas()
+    m1 = os.path.getmtime(os.path.join(wd, "para_kept", "manifest.json"))
+    b = paragraph_dedup(ds, workdir=wd).to_pandas()
+    assert os.path.getmtime(os.path.join(wd, "para_kept", "manifest.json")) == m1
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 16))
+    vecs = [
+        {"vec_id": i, "embedding": (base[i % 8] + rng.normal(scale=1e-3, size=16)).tolist()}
+        for i in range(64)
+    ]
+    vds = rd.from_arrow(pa.Table.from_pylist(vecs))
+    wd = str(tmp_path / "sem")
+    a = semantic_dedup(vds, k=4, iters=3, workdir=wd).to_pandas()
+    m1 = os.path.getmtime(os.path.join(wd, "sem_pairs", "manifest.json"))
+    b = semantic_dedup(vds, k=4, iters=3, workdir=wd).to_pandas()
+    assert os.path.getmtime(os.path.join(wd, "sem_pairs", "manifest.json")) == m1
+    assert a.sort_values("vec_id").reset_index(drop=True).equals(
+        b.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_partition_key_equality_pruning(ray_session, tmp_path):
+    """An equality predicate on the partition key prunes to EXACTLY the one
+    bucket that hash-owns the value — metadata only — and the pruned read
+    equals full scan + filter."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources import (
+        read_partitioned,
+        write_partitioned,
+        zonemap_plan,
+    )
+
+    rows = [{"k": f"key{i % 37}", "v": i} for i in range(500)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    path = str(tmp_path / "pk")
+    write_partitioned(ds, path, key_col="k", num_buckets=8)
+    assert os.path.exists(os.path.join(path, "_PARTKEY"))
+
+    plan = zonemap_plan(path, [("k", "==", "key11")])
+    assert len(plan["keep"]) == 1 and plan["skipped"]
+    got = read_partitioned(path, predicate=[("k", "==", "key11")]).to_pandas()
+    exp = [i for i in range(500) if i % 37 == 11]
+    assert sorted(got["v"]) == exp
+    # non-key predicates still go through the zone maps (no key pruning)
+    plan2 = zonemap_plan(path, [("v", ">=", 0)])
+    assert len(plan2["keep"]) >= 1
