@@ -220,9 +220,25 @@ def parse_date(arr, fmt: str = "%m/%d/%Y") -> pa.Array:
     return pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
 
 
-def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Per-record token signature: sorted unique uint64 token hashes as
-    ``list<uint64>``; null/empty strings -> empty list.
+# Signature hash width: 32-bit halves the dominant column of the hydrated
+# pair rows (the scoring stage's DRAM-bound residual, round-3 verdict #4).
+# Per-pair false token matches run at ~|sig|^2/2^32 (~4e-7 for 40-token
+# bodies) — far inside the score-threshold margins; the gold-corpus e2e
+# asserts the entity map is unchanged.  Pass bits=64 for the old width.
+SIG_BITS_DEFAULT = 32
+
+
+def sig_hash_width(arr_type: pa.DataType) -> int:
+    """Hash width (bits) of a signature list column's values."""
+    return 32 if pa.types.is_uint32(arr_type.value_type) else 64
+
+
+def token_signature_array(
+    str_arr: pa.Array | pa.ChunkedArray, bits: int = SIG_BITS_DEFAULT
+) -> pa.Array:
+    """Per-record token signature: sorted unique token hashes as
+    ``list<uint32>`` (``bits=64``: ``list<uint64>``); null/empty strings ->
+    empty list.
 
     Tokenization is a PER-RECORD cost paid once here, not per candidate pair
     in the scorer — the ``token_cosine`` comparator then intersects two sorted
@@ -233,6 +249,10 @@ def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     import numpy as np
     import pandas as pd
 
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
+    np_t = np.uint32 if bits == 32 else np.uint64
+    pa_t = pa.uint32() if bits == 32 else pa.uint64()
     if isinstance(str_arr, pa.ChunkedArray):
         str_arr = str_arr.combine_chunks()
     n = len(str_arr)
@@ -245,9 +265,11 @@ def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     empty_rows = pc.equal(filled, "").to_numpy(zero_copy_only=False)
     if len(flat) == 0:
         return pa.ListArray.from_arrays(
-            pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.uint64())
+            pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa_t)
         )
     h = pd.util.hash_array(flat.to_pandas().to_numpy(dtype=object)).astype(np.uint64)
+    if bits == 32:
+        h = h.astype(np.uint32)  # keep the low word (truncation, not rehash)
     rec = np.repeat(np.arange(n, dtype=np.int64), lens)
     keep_tok = ~empty_rows[rec]
     h, rec = h[keep_tok], rec[keep_tok]
@@ -258,11 +280,11 @@ def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         # than the ragged lexsort for the short-rows common case (parity
         # asserted in tests).  A real hash equal to the sentinel would be
         # dropped (p ~ n_tokens/2^64 — negligible).
-        FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+        FULL = np_t(np.iinfo(np_t).max)
         row_starts = np.zeros(n + 1, np.int64)
         np.cumsum(np.bincount(rec, minlength=n), out=row_starts[1:])
         pos = np.arange(len(h), dtype=np.int64) - row_starts[rec]
-        mat = np.full((n, M), FULL, np.uint64)
+        mat = np.full((n, M), FULL, np_t)
         mat[rec, pos] = h
         mat.sort(axis=1)
         keep = mat != FULL
@@ -279,7 +301,7 @@ def token_signature_array(str_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     new_offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(new_lens, out=new_offs[1:])
     return pa.ListArray.from_arrays(
-        pa.array(new_offs, pa.int32()), pa.array(hs, pa.uint64())
+        pa.array(new_offs, pa.int32()), pa.array(hs, pa_t)
     )
 
 

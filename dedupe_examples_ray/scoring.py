@@ -118,14 +118,24 @@ class PairScorer:
         self._w = self.settings.weight_vector()
         self._names = self.settings.feature_names()
         # hash-keyed IDF map for the token_cosine comparator (signatures carry
-        # token hashes, not strings)
-        self._idf_hash = None
-        if self.idf:
+        # token hashes, not strings); built lazily per signature hash WIDTH —
+        # 32-bit signatures truncate to the low word, so the keys must too
+        self._idf_hash_by_bits: dict = {}
+
+    def _idf_hash(self, bits: int):
+        if not self.idf:
+            return None
+        got = self._idf_hash_by_bits.get(bits)
+        if got is None:
             import pandas as pd
 
             keys = np.asarray(list(self.idf.keys()), dtype=object)
             hk = pd.util.hash_array(keys).astype(np.uint64)
-            self._idf_hash = {int(h): float(self.idf[k]) for h, k in zip(hk, keys)}
+            if bits == 32:
+                hk = hk.astype(np.uint32)
+            got = {int(h): float(self.idf[k]) for h, k in zip(hk, keys)}
+            self._idf_hash_by_bits[bits] = got
+        return got
 
     def _field_sim(self, comparator: str, a_list, b_list) -> np.ndarray:
         if comparator == "string":
@@ -254,7 +264,10 @@ class PairScorer:
                 oa, va, la = self._as_list_view(aa, n)
                 ob, vb, lb = self._as_list_view(bb, n)
                 missing = (la == 0) | (lb == 0)
-                sim = batch_token_sig_cosine(oa, va, la, ob, vb, lb, self._idf_hash)
+                bits = 32 if va.dtype == np.uint32 else 64
+                sim = batch_token_sig_cosine(
+                    oa, va, la, ob, vb, lb, self._idf_hash(bits)
+                )
             elif f.comparator in ("exact", "categorical") and isinstance(
                 aa, (pa.Array, pa.ChunkedArray)
             ):

@@ -237,7 +237,7 @@ def test_token_signature_padded_sort_matches_lexsort_path():
                 return [[] for _ in range(n)]
             h = pd.util.hash_array(
                 flat.to_pandas().to_numpy(dtype=object)
-            ).astype(np.uint64)
+            ).astype(np.uint64).astype(np.uint32)  # 32-bit default width
             rec = np.repeat(np.arange(n, dtype=np.int64), lens)
             keep = ~empty_rows[rec]
             h, rec = h[keep], rec[keep]
