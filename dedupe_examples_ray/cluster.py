@@ -836,7 +836,7 @@ def build_entity_map_uid(
     id_col: str,
     labels,
     confidence_ds=None,
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int = 20_000_000,
     member_ids_tbl: pa.Table | None = None,
 ):
     """Surrogate-uid labels -> (record_id, canon_id, cluster_score), output-
@@ -1012,6 +1012,17 @@ def build_entity_map_uid(
     # ---- over-budget: fully distributed (three hash_joins, zero broadcasts)
     from .relational import hash_join
 
+    if labels_ds is None:
+        # driver-CC label TABLE past the broadcast budget (first hit at a
+        # 6.26M-page soak): feed the distributed joins from the table,
+        # sliced so the downstream tag stages parallelize
+        import ray.data as rd_
+
+        step = 1 << 19
+        labels_ds = rd_.from_arrow(
+            [labels_tbl.slice(o, step) for o in range(0, labels_tbl.num_rows, step)]
+            or [labels_tbl]
+        )
     lab = labels_ds.map_batches(
         lambda t: pa.table(
             {

@@ -149,6 +149,15 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ------------------------------------------------------------------- minhash
+# Per-wave budget for the text bytes hydrated onto candidate pairs during the
+# exact-Jaccard verify (see minhash_lsh_dedup): the shuffle keeps roughly
+# 2-3x this in flight (map outputs + reduce inputs), so 8 GB/wave bounds
+# worst-case spill well under a node's free disk.
+_VERIFY_WAVE_BYTES = 8 << 30
+# Bounded-candidate fast path threshold (monkeypatchable in tests)
+_SEMI_HYDRATE_MAX = 2_000_000
+
+
 def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
     """Stable 64-bit hashes for a string array (vectorized via pandas)."""
     return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
@@ -551,6 +560,7 @@ def minhash_lsh_dedup(
     workdir: str | None = None,
     input_token: str | None = None,
     _pairs_only: bool = False,
+    _use_uids: bool | None = None,
 ):
     """Near-dup assignment via MinHash+LSH (see module docstring).
 
@@ -569,6 +579,73 @@ def minhash_lsh_dedup(
     if bands is None:
         bands, _ = lsh_plan(threshold, num_perm)
 
+    # ---- surrogate uids for string-keyed corpora (the 100-TB posture) ----
+    # URL-keyed runs ship ~50-60 B of id per band row and 2x that per pair;
+    # the band shuffle alone is ~200M rows at 6.26M pages, and the string
+    # bytes ran a single node out of spill disk.  Mirror the ER pipeline's
+    # int64 stable-hash uids: band/pair/CC shuffles move 8-byte ids, and the
+    # entity-map uid machinery resolves canon = MIN member ORIGINAL id, so
+    # the (id, keep_id) output is identical to the raw-id path (parity
+    # tested).  Collisions (63-bit: ~n^2/2^64) are detected by a distinct
+    # count and fall back to raw ids.
+    if _use_uids is None:
+        from ..scoring import dataset_arrow_types
+
+        try:
+            id_t = dataset_arrow_types(ds)[id_col]
+            _use_uids = pa.types.is_string(id_t) or pa.types.is_large_string(id_t)
+        except Exception:
+            _use_uids = False
+    if _use_uids:
+        from ..cluster import add_uid_column, build_entity_map_uid
+        from ..scoring import dataset_arrow_types
+
+        id_t = dataset_arrow_types(ds)[id_col]
+        uid_view = (
+            ds.select_columns([id_col, text_col])
+            .map_batches(
+                add_uid_column, fn_kwargs=dict(id_col=id_col),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        import ray as _ray
+
+        uid_blocks = _ray.get(uid_view.select_columns(["__uid"]).to_arrow_refs())
+        uids_np = np.concatenate(
+            [b["__uid"].to_numpy(zero_copy_only=False) for b in uid_blocks if b.num_rows]
+        ) if uid_blocks else np.zeros(0, np.int64)
+        if len(np.unique(uids_np)) != len(uids_np):
+            import logging
+
+            logging.getLogger("dedupe_examples_ray").warning(
+                "minhash surrogate uid collision (n=%d); raw-id rerun", len(uids_np)
+            )
+            return minhash_lsh_dedup(
+                ds, text_col=text_col, id_col=id_col, shingle=shingle, k=k,
+                num_perm=num_perm, bands=bands, threshold=threshold,
+                verify=verify, workdir=workdir, input_token=input_token,
+                _pairs_only=_pairs_only, _use_uids=False,
+            )
+        pairs_uid = minhash_lsh_dedup(
+            uid_view, text_col=text_col, id_col="__uid", shingle=shingle,
+            k=k, num_perm=num_perm, bands=bands, threshold=threshold,
+            verify=verify, workdir=workdir, input_token=input_token,
+            _pairs_only=True, _use_uids=False,
+        )
+        if _pairs_only:
+            return pairs_uid
+        em = build_entity_map_uid(
+            uid_view, id_col, connected_components(pairs_uid).materialize()
+        )
+        return em.map_batches(
+            lambda t, _ty=id_t: pa.table({
+                id_col: pc.cast(t["record_id"], _ty),
+                "keep_id": pc.cast(t["canon_id"], _ty),
+            }),
+            batch_format="pyarrow",
+        )
+
     if workdir is not None:
         # checkpoint the expensive signature->band->pair->verify chain
         # (north_rule resume); the final assignment pass recomputes cheaply
@@ -584,7 +661,7 @@ def minhash_lsh_dedup(
             lambda: minhash_lsh_dedup(
                 ds, text_col=text_col, id_col=id_col, shingle=shingle, k=k,
                 num_perm=num_perm, bands=bands, threshold=threshold,
-                verify=verify, _pairs_only=True,
+                verify=verify, _pairs_only=True, _use_uids=False,
             ),
             workdir,
             fp,
@@ -613,15 +690,63 @@ def minhash_lsh_dedup(
         # pairs are LSH-banded + bucket-capped, so their count (not the corpus
         # size) picks the hydration strategy
         pairs = pairs.materialize()
-        if pairs.count() <= 2_000_000:
+        n_pairs = pairs.count()
+        verify_kw = dict(shingle=shingle, k=k, threshold=threshold)
+        if n_pairs <= _SEMI_HYDRATE_MAX:
             hydrated = semi_hydrate(pairs, renamed, id_col, ["text"])
+            pairs = hydrated.map_batches(
+                _jaccard_verify_hydrated, fn_kwargs=verify_kw,
+                batch_format="pyarrow",
+            )
         else:
-            hydrated = bucketed_hydrate(pairs, renamed, id_col, ["text"])
-        pairs = hydrated.map_batches(
-            _jaccard_verify_hydrated,
-            fn_kwargs=dict(shingle=shingle, k=k, threshold=threshold),
-            batch_format="pyarrow",
-        )
+            # Disk-bounded verify: hydrating raw text onto EVERY candidate
+            # pair materializes n_pairs * 2 * avg_text bytes through the
+            # second cogroup shuffle (a 6.26M-page soak produced >75 GB of
+            # spill and ran the node out of disk).  Split the pairs into
+            # hash waves so each wave's hydrated working set stays under
+            # _VERIFY_WAVE_BYTES; each wave's verified output is SLIM
+            # (ids+jaccard), so only one wave's text-carrying intermediates
+            # exist at a time.  Cost: the corpus-side cogroup re-shuffles
+            # once per wave — the standard time/space knob.
+            renamed = renamed.materialize()
+            avg_text = max(
+                renamed.size_bytes() / max(renamed.count(), 1), 64.0
+            )
+            est_bytes = n_pairs * 2 * avg_text
+            waves = min(max(int(est_bytes // _VERIFY_WAVE_BYTES) + 1, 1), 64)
+            if waves == 1:
+                hydrated = bucketed_hydrate(pairs, renamed, id_col, ["text"])
+                pairs = hydrated.map_batches(
+                    _jaccard_verify_hydrated, fn_kwargs=verify_kw,
+                    batch_format="pyarrow",
+                )
+            else:
+                from ..pairs import stable_hash as _sh
+
+                def wave_tag(t: pa.Table) -> pa.Table:
+                    w = _sh(t["id_a"].to_numpy(zero_copy_only=False)) % waves
+                    return t.append_column(
+                        "__wave", pa.array(w.astype(np.int64), pa.int64())
+                    )
+
+                tagged = pairs.map_batches(
+                    wave_tag, batch_format="pyarrow"
+                ).materialize()
+                outs = []
+                for w in range(waves):
+                    sub = tagged.filter(
+                        expr=f"__wave == {w}"
+                    ).drop_columns(["__wave"])
+                    hyd = bucketed_hydrate(sub, renamed, id_col, ["text"])
+                    outs.append(
+                        hyd.map_batches(
+                            _jaccard_verify_hydrated, fn_kwargs=verify_kw,
+                            batch_format="pyarrow",
+                        ).materialize()  # slim; frees this wave's hydrated spill
+                    )
+                pairs = outs[0]
+                for o in outs[1:]:
+                    pairs = pairs.union(o)
     if _pairs_only:
         return pairs
     return _assignment(ds, id_col, pairs)

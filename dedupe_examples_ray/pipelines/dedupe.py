@@ -658,7 +658,7 @@ def dedupe_dataset(
                     # driver-side canon resolution is O(members); past the
                     # broadcast-tier budget let the combiner pull distribute
                     # the per-label min instead
-                    if member_tbl is not None and member_tbl.num_rows > 5_000_000:
+                    if member_tbl is not None and member_tbl.num_rows > 20_000_000:
                         member_tbl = None
                     return build_entity_map_uid(
                         id_source, id_col, label_tbl,

@@ -106,10 +106,13 @@ class PairScorer:
                 # hash index built ONCE per worker (pd.Index over the id
                 # column) — per-batch pc.index_in would rebuild the value-set
                 # hash per call, which dominates the score stage once the
-                # record table passes ~1M rows.  The index covers the whole
-                # broadcast regime (the cogroup path takes over beyond it).
+                # record table passes ~1M rows.  The cap matches the byte-
+                # budgeted broadcast regime (BROADCAST_ROWS_HARD_CAP): an
+                # int64-uid index at 20M rows is ~300 MB/worker, and the
+                # 6.26M-page soak showed the per-batch index_in rebuild
+                # dominating the score stage once the old 2M cap was passed.
                 self._rec_index = None
-                if self.rec_tbl.num_rows <= 2_000_000:
+                if self.rec_tbl.num_rows <= 20_000_000:
                     import pandas as pd
 
                     self._rec_index = pd.Index(self._rec_ids.to_pandas())

@@ -315,3 +315,35 @@ def test_dedupe_dataset_linkage_validation(ray_session):
             synth_pages_dataset(5, seed=1).select_columns(["url", "text"]),
             default_page_settings(), id_col="url", linkage="single",
         )
+
+
+def test_entity_map_uid_table_labels_over_budget(ray_session):
+    """Driver-CC label TABLES past the broadcast budget must route through
+    the distributed hash_join branch (first hit at a 6.26M-page soak) and
+    stay output-identical to the broadcast path."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import (
+        add_uid_column,
+        build_entity_map_uid,
+        uid_array,
+    )
+
+    ids = [f"u{i}" for i in range(50)]
+    recs = rd.from_arrow(pa.table({"rid": pa.array(ids)})).map_batches(
+        add_uid_column, fn_kwargs=dict(id_col="rid"), batch_format="pyarrow"
+    )
+    uids = uid_array(np.asarray(ids[:10], dtype=object))
+    labels = pa.table({
+        "node": pa.array(uids, pa.int64()),
+        "label": pa.array([int(uids[i // 2 * 2]) for i in range(10)], pa.int64()),
+        "score": pa.array([0.9] * 10, pa.float64()),
+    })
+    a = (build_entity_map_uid(recs, "rid", labels)
+         .to_pandas().sort_values("record_id").reset_index(drop=True))
+    b = (build_entity_map_uid(recs, "rid", labels, broadcast_limit=2)
+         .to_pandas().sort_values("record_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -628,3 +628,48 @@ def test_ann_pq_empty_and_determinism(ray_session):
     a = ann_pq(rd.from_items(rows), q, k=5, m=4, ksub=8, seed=9)
     b = ann_pq(rd.from_items(rows), q, k=5, m=4, ksub=8, seed=9)
     pd_.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_minhash_verify_wave_path_parity(ray_session, monkeypatch):
+    """The disk-bounded wave verify (pairs hydrated in hash waves so only one
+    wave's text-carrying intermediates exist at a time) must produce the
+    same assignment as the single-pass cogroup verify."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = [
+        {"doc_id": i, "text": f"shared words group {i % 9} plus filler tail " * 5}
+        for i in range(400)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    base = (dd.minhash_lsh_dedup(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(dd, "_SEMI_HYDRATE_MAX", 0)      # force cogroup branch
+    monkeypatch.setattr(dd, "_VERIFY_WAVE_BYTES", 1 << 12)  # force >1 wave
+    waved = (dd.minhash_lsh_dedup(ds).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert base.equals(waved)
+
+
+def test_minhash_uid_path_parity(ray_session):
+    """String-keyed corpora route band/pair/CC shuffles through int64
+    surrogate uids (8 bytes vs ~50-byte URLs); the (id, keep_id) output must
+    be identical to the raw-string path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = [
+        {"doc_id": f"https://h{i % 20}.example.com/p/{i}",
+         "text": f"shared words group {i % 7} plus filler tail " * 5}
+        for i in range(300)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    raw = (dd.minhash_lsh_dedup(ds, _use_uids=False).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    uid = (dd.minhash_lsh_dedup(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert raw.equals(uid)
