@@ -240,32 +240,79 @@ def contract_edges(edges_ds):
     )
 
 
-def connected_components(edges_ds, driver_limit: int = 2_000_000, max_rounds: int = 20):
+def driver_label_table(edges_tbl: pa.Table) -> pa.Table:
+    """Vectorized (node, label) from a pulled edge table — the numpy /
+    dictionary-encode CC of :func:`driver_cluster_table` without the
+    confidence columns.  label = MIN member id (numeric order for integer
+    ids, lexicographic for strings — matching ``union_find``'s min-root)."""
+    m = edges_tbl.num_rows
+    raw_a = edges_tbl["id_a"].combine_chunks() if isinstance(edges_tbl["id_a"], pa.ChunkedArray) else edges_tbl["id_a"]
+    raw_b = edges_tbl["id_b"].combine_chunks() if isinstance(edges_tbl["id_b"], pa.ChunkedArray) else edges_tbl["id_b"]
+    if pa.types.is_integer(raw_a.type):
+        if m == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        both = np.concatenate(
+            [raw_a.to_numpy(zero_copy_only=False), raw_b.to_numpy(zero_copy_only=False)]
+        )
+        uniq, codes = np.unique(both, return_inverse=True)
+        codes = codes.astype(np.int64)
+        root = numpy_connected_components(codes[:m], codes[m:], len(uniq))
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "label": pa.array(uniq[root], pa.int64())})
+    if m == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "label": pa.array([], pa.string())})
+    ida = pc.cast(raw_a, pa.string())
+    idb = pc.cast(raw_b, pa.string())
+    both = pa.concat_arrays([ida, idb])
+    enc = pc.dictionary_encode(both)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_arr = enc.dictionary
+    n = len(uniq_arr)
+    root = numpy_connected_components(codes[:m], codes[m:], n)
+    order = pc.array_sort_indices(uniq_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    minrank = np.full(n, n, dtype=np.int64)
+    np.minimum.at(minrank, root, rank)
+    label = uniq_arr.take(pa.array(order[minrank[root]], pa.int64()))
+    return pa.table({"node": uniq_arr, "label": label})
+
+
+def connected_components(edges_ds, driver_limit: int = 30_000_000,
+                         max_rounds: int = 20, driver_bytes: int = 4 << 30):
     """(id_a, id_b) edge Dataset -> (node, label) Dataset.
 
-    Small edge sets take the driver union-find fast path (the reference's own
-    posture, kept because collecting a few hundred thousand edges is cheaper
-    than iterated shuffles); larger sets run distributed star rounds.
+    Edge sets under ``driver_limit`` rows AND ``driver_bytes`` take the
+    vectorized driver fast path (numpy hooking CC over one zero-copy pull —
+    the flagship ER pipeline's posture; the old Python-dict union-find limit
+    of 2M edges forced a 6.26M-page minhash run into tens of minutes of
+    star-round micro-tasks); larger sets run distributed star rounds.
     """
+    edges_ds = edges_ds.materialize()  # one execution serves count + pull
     n_edges = edges_ds.count()
     if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.table({"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
-    if n_edges <= driver_limit:
-        # edge pull (bounded by driver_limit), NOT a corpus collect — via
-        # iter_batches so nothing in a dedup path calls Dataset.to_pandas
-        tbls = list(
-            edges_ds.select_columns(["id_a", "id_b"]).iter_batches(
-                batch_size=None, batch_format="pyarrow"
-            )
-        )
-        tbl = pa.concat_tables(tbls)
-        labels = union_find(tbl["id_a"].to_pylist(), tbl["id_b"].to_pylist())
+    if n_edges <= driver_limit and (edges_ds.size_bytes() or 0) <= driver_bytes:
+        import ray
         import ray.data as rd
 
-        out = pd.DataFrame({"node": list(labels.keys()), "label": list(labels.values())})
-        return rd.from_pandas(out)
+        tbls = [
+            t for t in ray.get(
+                edges_ds.select_columns(["id_a", "id_b"]).to_arrow_refs()
+            ) if t.num_rows
+        ]
+        tbl = pa.concat_tables(tbls) if tbls else pa.table(
+            {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+        )
+        lab = driver_label_table(tbl)
+        step = 1 << 20
+        return rd.from_arrow(
+            [lab.slice(o, step) for o in range(0, max(lab.num_rows, 1), step)]
+        )
     renamed = edges_ds.map_batches(
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}), batch_format="pyarrow"
     )
