@@ -949,17 +949,35 @@ def build_entity_map_uid(
 
     if n_labels <= broadcast_limit:
         if labels_tbl is None:
-            lab = labels_ds.to_pandas()
-            if confidence_ds is not None:
+            if confidence_ds is None:
+                # zero-copy Arrow pull — no driver pandas conversion (the
+                # scale-safety guard forbids Dataset.to_pandas in dedup paths)
+                tbls = [
+                    t for t in ray.get(labels_ds.to_arrow_refs()) if t.num_rows
+                ]
+                t_all = (
+                    pa.concat_tables(tbls).combine_chunks()
+                    if tbls
+                    else pa.table({"node": pa.array([], pa.int64()),
+                                   "label": pa.array([], pa.int64())})
+                )
+                cols = {
+                    "node": pc.cast(t_all["node"], pa.int64()),
+                    "label": pc.cast(t_all["label"], pa.int64()),
+                }
+                if "score" in t_all.column_names:
+                    cols["score"] = pc.cast(t_all["score"], pa.float64())
+                labels_tbl = pa.table(cols)
+            else:
+                lab = labels_ds.to_pandas()
                 lab = lab.merge(confidence_ds.to_pandas(), on="node", how="left")
                 lab = lab.rename(columns={"cluster_score": "score"})
-            cols = {
-                "node": pa.array(lab["node"].astype(np.int64), pa.int64()),
-                "label": pa.array(lab["label"].astype(np.int64), pa.int64()),
-            }
-            if "score" in lab.columns:
-                cols["score"] = pa.array(lab["score"], pa.float64(), from_pandas=True)
-            labels_tbl = pa.table(cols)
+                cols = {
+                    "node": pa.array(lab["node"].astype(np.int64), pa.int64()),
+                    "label": pa.array(lab["label"].astype(np.int64), pa.int64()),
+                    "score": pa.array(lab["score"], pa.float64(), from_pandas=True),
+                }
+                labels_tbl = pa.table(cols)
         from .timing import stage_timer as _st
 
         with _st("em: labels put"):
