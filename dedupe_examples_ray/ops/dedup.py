@@ -547,6 +547,61 @@ def pc_cast_arr(arr, typ):
     return arr if arr.type == typ else pc.cast(arr, typ)
 
 
+def surrogate_assignment(ds, id_col: str, make_pairs, view_cols: list[str]):
+    """Run a pair-producing dedup kernel in int64 surrogate-uid space when the
+    id column is a string (URL-keyed corpora), resolving the assignment with
+    canon = MIN member ORIGINAL id — output identical to the raw-id path.
+
+    ``make_pairs(work_ds, work_id) -> edges Dataset`` builds the op's
+    candidate/verified pairs over ``work_ds`` keyed by ``work_id``.
+    ``view_cols``: the columns the kernel reads (id + payload), pruned into
+    the materialized uid view.  String ids otherwise ride EVERY band/pair/CC
+    shuffle (~50-60 B vs 8 — the 6.26M-page soak ran a node out of spill
+    disk on exactly this); surrogate collisions (63-bit) are detected by a
+    distinct count and fall back to raw ids.
+    """
+    from ..scoring import dataset_arrow_types
+
+    try:
+        id_t = dataset_arrow_types(ds)[id_col]
+        use = pa.types.is_string(id_t) or pa.types.is_large_string(id_t)
+    except Exception:
+        use = False
+    if use:
+        from ..cluster import add_uid_column, build_entity_map_uid
+
+        uid_view = (
+            ds.select_columns(view_cols)
+            .map_batches(add_uid_column, fn_kwargs=dict(id_col=id_col),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+        import ray as _ray
+
+        blocks = _ray.get(uid_view.select_columns(["__uid"]).to_arrow_refs())
+        uids = np.concatenate(
+            [b["__uid"].to_numpy(zero_copy_only=False) for b in blocks if b.num_rows]
+        ) if blocks else np.zeros(0, np.int64)
+        if len(np.unique(uids)) == len(uids):
+            pairs = make_pairs(uid_view, "__uid")
+            em = build_entity_map_uid(
+                uid_view, id_col, connected_components(pairs).materialize()
+            )
+            return em.map_batches(
+                lambda t, _ty=id_t: pa.table({
+                    id_col: pc.cast(t["record_id"], _ty),
+                    "keep_id": pc.cast(t["canon_id"], _ty),
+                }),
+                batch_format="pyarrow",
+            )
+        import logging
+
+        logging.getLogger("dedupe_examples_ray").warning(
+            "surrogate uid collision (n=%d); raw-id dedup path", len(uids)
+        )
+    return _assignment(ds, id_col, make_pairs(ds, id_col))
+
+
 def minhash_lsh_dedup(
     ds,
     text_col: str = "text",
@@ -838,6 +893,8 @@ def simhash_dedup(
     max_hamming: int = 3,
     max_bucket: int = 200,
     num_buckets: int | None = None,
+    _pairs_only: bool = False,
+    _use_uids: bool | None = None,
 ):
     """Near-dup assignment via SimHash banding + hamming-distance verify.
 
@@ -854,6 +911,18 @@ def simhash_dedup(
     from ..pairs import stable_hash
     from ..scale import buckets_for, estimate_rows
 
+    if not _pairs_only and _use_uids is not False:
+        # string-keyed corpora: int64 surrogate uids through band/pair/CC
+        # (see surrogate_assignment; raw-id path on int keys or collision)
+        return surrogate_assignment(
+            ds, id_col,
+            lambda view, wid: simhash_dedup(
+                view, text_col=text_col, id_col=wid, bands=bands,
+                max_hamming=max_hamming, max_bucket=max_bucket,
+                num_buckets=num_buckets, _pairs_only=True,
+            ),
+            [id_col, text_col],
+        )
     if num_buckets is None:
         est = estimate_rows(ds)
         num_buckets = buckets_for(est * bands if est else None)
@@ -921,7 +990,10 @@ def simhash_dedup(
         .groupby("bucket")
         .map_groups(lambda df: _clean_arrow(emit(df)), batch_format="pandas")
     )
-    return _assignment(ds, id_col, dedup_pairs(pairs))
+    pairs = dedup_pairs(pairs)
+    if _pairs_only:
+        return pairs
+    return _assignment(ds, id_col, pairs)
 
 
 def simhash_bucket_metrics(
@@ -972,6 +1044,8 @@ def embedding_cosine_dedup(
     n_planes: int = 12,
     max_bucket: int = 2000,
     num_buckets: int | None = None,
+    _pairs_only: bool = False,
+    _use_uids: bool | None = None,
 ):
     """Embedding near-dup: hyperplane buckets -> within-bucket cosine >= tau
     -> components -> (id, keep_id).
@@ -991,6 +1065,17 @@ def embedding_cosine_dedup(
     from ..pairs import stable_hash
     from ..scale import resolve_buckets
 
+    if not _pairs_only and _use_uids is not False:
+        # string-keyed corpora: surrogate uids through bucket/pair/CC
+        return surrogate_assignment(
+            ds, id_col,
+            lambda view, wid: embedding_cosine_dedup(
+                view, vec_col=vec_col, id_col=wid, dim=dim, tau=tau,
+                n_planes=n_planes, max_bucket=max_bucket,
+                num_buckets=num_buckets, _pairs_only=True,
+            ),
+            [id_col, vec_col],
+        )
     num_buckets = resolve_buckets(num_buckets, ds)
     if dim is None:
         first = ds.take(1)[0][vec_col]
@@ -1050,7 +1135,10 @@ def embedding_cosine_dedup(
         .groupby("bucket")
         .map_groups(lambda df: _clean_arrow(verify(df)), batch_format="pandas")
     )
-    return _assignment(ds, id_col, dedup_pairs(pairs))
+    pairs = dedup_pairs(pairs)
+    if _pairs_only:
+        return pairs
+    return _assignment(ds, id_col, pairs)
 
 
 def embedding_bucket_metrics(

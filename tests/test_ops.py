@@ -673,3 +673,39 @@ def test_minhash_uid_path_parity(ray_session):
     uid = (dd.minhash_lsh_dedup(ds).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert raw.equals(uid)
+
+
+def test_simhash_embedding_uid_path_parity(ray_session):
+    """simhash/embedding dedup route string-keyed corpora through surrogate
+    uids (surrogate_assignment); outputs must match the raw-string path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = [
+        {"doc_id": f"https://h{i % 15}.ex.com/{i}",
+         "text": f"words group {i % 5} filler tail " * 6}
+        for i in range(180)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    a = (dd.simhash_dedup(ds, _use_uids=False).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dd.simhash_dedup(ds).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(8, 12))
+    vecs = [
+        {"vec_id": f"v/{i}",
+         "embedding": (base[i % 8] + rng.normal(scale=1e-3, size=12)).tolist()}
+        for i in range(96)
+    ]
+    vds = rd.from_arrow(pa.Table.from_pylist(vecs))
+    a = (dd.embedding_cosine_dedup(vds, _use_uids=False).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (dd.embedding_cosine_dedup(vds).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
