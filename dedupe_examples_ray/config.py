@@ -121,8 +121,17 @@ class Settings:
             return cls.from_json(f.read())
 
     def fingerprint(self) -> str:
-        """Stable hash for checkpoint-manifest invalidation."""
-        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+        """Stable hash for checkpoint-manifest invalidation.
+
+        Folds in the session token-signature width so persisted stages built
+        under a different ``SIG_BITS_DEFAULT`` (e.g. pre-32-bit-flip 64-bit
+        gazetteer/derive checkpoints) invalidate instead of silently mixing
+        widths in the ``token_cosine`` intersection kernel.
+        """
+        from .normalize import SIG_BITS_DEFAULT
+
+        payload = self.to_json() + f"|sig{SIG_BITS_DEFAULT}"
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def fit_logistic(

@@ -721,6 +721,11 @@ def minhash_lsh_dedup(
             workdir,
             fp,
         )
+        if _pairs_only:
+            # the surrogate-uid branch recurses here with _pairs_only=True and
+            # workdir set; returning the assignment table instead of raw pairs
+            # crashed connected_components (no id_a column) downstream
+            return pairs
         return _assignment(ds, id_col, pairs)
 
     buckets = ds.map_batches(

@@ -835,6 +835,16 @@ def dedupe_pages(
         | {p["column"] for p in settings.predicates if "column" in p}
         | set(dedupe_kwargs.get("snm_keys") or [])
     )
+    idf = None
+    if use_idf:
+        # compute idf from the PRE-pruned derive output: the tokenizer reads
+        # ``body``, which the projection below deliberately drops so its bytes
+        # never travel through the ER shuffles
+        n_docs = derived.count()
+        df_tbl = compute_token_df(derived, "body").to_pandas()
+        import pyarrow as pa
+
+        idf = idf_from_df(pa.Table.from_pandas(df_tbl), n_docs)
     drop = [c for c in ("text", "body", "title", "path", "host", "body_sig")
             if c not in need]
     if drop:
@@ -844,13 +854,6 @@ def dedupe_pages(
             ),
             batch_format="pyarrow",
         )
-    idf = None
-    if use_idf:
-        n_docs = derived.count()
-        df_tbl = compute_token_df(derived, "body").to_pandas()
-        import pyarrow as pa
-
-        idf = idf_from_df(pa.Table.from_pandas(df_tbl), n_docs)
     if n_records is None:
         n_records = pages_ds.count()  # metadata fast path on raw parquet reads
     if "id_type" not in dedupe_kwargs:

@@ -267,6 +267,15 @@ class PairScorer:
                 oa, va, la = self._as_list_view(aa, n)
                 ob, vb, lb = self._as_list_view(bb, n)
                 missing = (la == 0) | (lb == 0)
+                if len(va) and len(vb) and va.dtype != vb.dtype:
+                    # mixed signature widths (e.g. a persisted 64-bit index
+                    # meeting 32-bit fresh signatures) would silently
+                    # intersect to zero matches — fail loudly instead
+                    raise ValueError(
+                        f"token_cosine signature width mismatch on "
+                        f"'{f.column}': {va.dtype} vs {vb.dtype}; rebuild the "
+                        f"stale side (SIG_BITS_DEFAULT governs fresh builds)"
+                    )
                 bits = 32 if va.dtype == np.uint32 else 64
                 sim = batch_token_sig_cosine(
                     oa, va, la, ob, vb, lb, self._idf_hash(bits)

@@ -339,10 +339,18 @@ def zonemap_plan(path: str, predicate: list[tuple]) -> dict:
 
         for c, op, v in predicate:
             if c == part_key and op == "==":
+                # render the value EXACTLY as the writer bucketed it —
+                # stable_hash(pc.cast(key_col, pa.string())) — so non-int/str
+                # key types (bool 'true' vs str(True)='True', floats,
+                # timestamps) land in the same bucket as their rows
+                import pyarrow as _pa
+                import pyarrow.compute as _pc2
+
+                rendered = _pc2.cast(_pa.scalar(v), _pa.string()).as_py()
                 # NOTE: modulo on the ARRAY, not the scalar — a numpy uint64
                 # SCALAR % python int promotes to float64 and loses low bits
                 want_bucket = int(
-                    (_sh(_np.asarray([str(v)], dtype=object)) % nb)[0]
+                    (_sh(_np.asarray([rendered], dtype=object)) % nb)[0]
                 )
                 break
     except (FileNotFoundError, ValueError):

@@ -1,0 +1,116 @@
+"""Regression tests for the round-5 ADVICE fixes.
+
+1. minhash_lsh_dedup with STRING ids + workdir (surrogate-uid recursion hit
+   the workdir checkpoint block which ignored _pairs_only and returned an
+   assignment table into connected_components).
+2. dedupe_pages(use_idf=True) after the derive-output column pruning (the idf
+   tokenizer reads 'body', which the prune dropped).
+3. token_cosine signature-width mismatch must raise, not silently score 0.
+4. Partition-key equality pruning must render predicate values with the
+   writer's Arrow string cast (bool True -> 'true', not str(True) = 'True').
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_minhash_string_ids_with_workdir(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dedupe_examples_ray.ops import minhash_lsh_dedup
+
+    docs = [
+        {"url": f"https://example.com/page/{i}", "text": f"shared words {i % 6} " * 10}
+        for i in range(48)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    wd = str(tmp_path / "mh_str")
+    out = minhash_lsh_dedup(
+        ds, text_col="text", id_col="url", workdir=wd, input_token="t1"
+    ).to_pandas()
+    assert set(out.columns) == {"url", "keep_id"}
+    assert len(out) == 48
+    # 6 near-dup groups -> 6 keepers
+    assert out["keep_id"].nunique() == 6
+    # keeper is the MIN member id (parity with the raw-id path)
+    assert (out.groupby("keep_id")["url"].min() == out.groupby("keep_id")["keep_id"].first()).all()
+    assert os.path.exists(os.path.join(wd, "mh_pairs", "manifest.json"))
+    m1 = os.path.getmtime(os.path.join(wd, "mh_pairs", "manifest.json"))
+    # resume replays the checkpoint and yields the identical assignment
+    again = minhash_lsh_dedup(
+        ds, text_col="text", id_col="url", workdir=wd, input_token="t1"
+    ).to_pandas()
+    assert os.path.getmtime(os.path.join(wd, "mh_pairs", "manifest.json")) == m1
+    assert out.sort_values("url").reset_index(drop=True).equals(
+        again.sort_values("url").reset_index(drop=True)
+    )
+
+
+def test_dedupe_pages_use_idf(ray_session):
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+
+    full = synth_pages_dataset(120, seed=11)
+    pages = full.drop_columns(["true_id"]).materialize()
+    gold = full.select_columns(["url", "true_id"]).to_pandas()
+    entity = dedupe_pages(pages, use_idf=True, scorer_concurrency=2).to_pandas()
+    assert len(entity) == len(gold)
+    scores = evaluate_entity_map(entity, gold)
+    assert scores["f1"] >= 0.99, scores
+
+
+def test_token_cosine_width_mismatch_raises(ray_session):
+    from dedupe_examples_ray.config import Field, Settings
+    from dedupe_examples_ray.scoring import PairScorer
+
+    s = Settings(
+        fields=[Field("sig", comparator="token_cosine")],
+        weights={"sig": 1.0},
+    )
+    scorer = PairScorer(s.to_json())
+    batch = pa.table(
+        {
+            "id_a": pa.array([1, 2], pa.int64()),
+            "id_b": pa.array([3, 4], pa.int64()),
+            "sig_a": pa.array([[1, 2, 3], [4, 5]], pa.list_(pa.uint32())),
+            "sig_b": pa.array([[1, 2], [4, 5, 6]], pa.list_(pa.uint64())),
+        }
+    )
+    with pytest.raises(ValueError, match="signature width mismatch"):
+        scorer.features(batch)
+    # matched widths still score fine
+    ok = batch.drop_columns(["sig_b"]).append_column(
+        "sig_b", pa.array([[1, 2], [4, 5, 6]], pa.list_(pa.uint32()))
+    )
+    feats = scorer.features(ok)
+    assert feats.shape == (2, 1)
+    assert np.all(feats >= 0)
+
+
+def test_partition_pruning_nonstring_keys(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dedupe_examples_ray.sources import read_partitioned, write_partitioned
+
+    # bool key: str(True) = 'True' but Arrow casts to 'true' — the reader
+    # must hash the writer's rendering
+    rows = [{"k": i % 2 == 0, "v": i} for i in range(200)]
+    path = str(tmp_path / "pb")
+    write_partitioned(rd.from_arrow(pa.Table.from_pylist(rows)), path,
+                      key_col="k", num_buckets=4)
+    got = read_partitioned(path, predicate=[("k", "==", True)]).to_pandas()
+    assert sorted(got["v"]) == [i for i in range(200) if i % 2 == 0]
+
+    # float key round-trips through the same cast
+    rows_f = [{"k": float(i % 3) + 0.5, "v": i} for i in range(90)]
+    path_f = str(tmp_path / "pf")
+    write_partitioned(rd.from_arrow(pa.Table.from_pylist(rows_f)), path_f,
+                      key_col="k", num_buckets=4)
+    got_f = read_partitioned(path_f, predicate=[("k", "==", 1.5)]).to_pandas()
+    assert sorted(got_f["v"]) == [i for i in range(90) if i % 3 == 1]
