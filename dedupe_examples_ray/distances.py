@@ -432,5 +432,17 @@ def price_sim(pa_: float, pb: float) -> float:
     return max(0.0, 1.0 - abs(pa_ - pb) / m)
 
 
+def batch_price_sim(va: "np.ndarray", vb: "np.ndarray") -> "np.ndarray":
+    """Vectorized :func:`price_sim` over float64 arrays (NaN = missing -> 0),
+    scalar-parity tested.  Pure arithmetic — no per-row Python."""
+    import numpy as np
+
+    m = np.maximum(np.abs(va), np.abs(vb))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sim = np.maximum(0.0, 1.0 - np.abs(va - vb) / m)
+    sim = np.where(m == 0, 1.0, sim)          # both exactly 0 -> identical
+    return np.where(np.isnan(va) | np.isnan(vb), 0.0, sim)
+
+
 def exact_sim(a, b) -> float:
     return 1.0 if a is not None and a == b else 0.0

@@ -531,11 +531,40 @@ def dedupe_dataset(
             output_dir=output_dir, output_key=output_key,
         )
 
+    # Non-checkpointed runs stream the scored edges INTO the driver as the
+    # pipeline executes: each finished edge block folds into an incremental
+    # union-find (cluster.StreamingEdgeCC) during what used to be idle wait,
+    # so the serial tail after the last scorer batch is one small merge
+    # instead of edge-pull + full driver CC (round-4 profile: ~0.5 s of the
+    # 8.9 s flagship wall).  Checkpointed runs keep the materialized edges
+    # stage (the parquet checkpoint is the point there).
+    import os as _os
+
+    stream_ok = _os.environ.get("DER_STREAM_EDGES", "1") != "0"
+    streamed = None
     try:
-        edges = run_stage("edges", scored_edges, workdir, fp)
-        if workdir is None:
+        if workdir is not None or not stream_ok:
+            edges = run_stage("edges", scored_edges, workdir, fp)
+            if workdir is None:
+                with stage_timer("block->pair->score->edges"):
+                    edges = edges.materialize()
+        else:
+            from ..cluster import stream_edges_to_driver
+
+            # want_uf=False: this pipeline's edges surface in a BURST (the
+            # pair shuffle is a barrier, scoring then drains in one wave), so
+            # the incremental union-find has nothing to overlap and its
+            # O(E log B) re-touching measured 1.3 s where the one-shot
+            # vectorized CC takes 0.28 s (625k pages / 32 CPUs).  The drain
+            # itself still replaces materialize+re-pull (8.7 -> 7.6 s wall).
+            # StreamingEdgeCC stays available for edge producers that
+            # genuinely trickle (no shuffle barrier before scoring).
             with stage_timer("block->pair->score->edges"):
-                edges = edges.materialize()
+                streamed = stream_edges_to_driver(
+                    scored_edges(), driver_cc_limit, driver_cc_bytes,
+                    want_uf=False,
+                )
+            edges = streamed[1] if streamed[0] == "spill" else None
     except Exception:
         # an optimistic-phase failure may BE the collision/duplicate-id
         # symptom — consult the check before surfacing the raw error.  The
@@ -592,6 +621,55 @@ def dedupe_dataset(
     # cluster/entity-map stages get their own checkpoint key so switching
     # modes reuses the (expensive) edge checkpoint but never stale labels
     cfp = fp if linkage == "connected" else fp + f"-avg{refine_max_members}"
+    if streamed is not None and streamed[0] != "spill":
+        # streamed driver fast path: labels either already folded (uf) or
+        # computed from the driver-resident table the stream accumulated
+        import pyarrow as pa_
+
+        mode, payload = streamed
+        member_pull = None
+        if mode == "uf":
+            label_tbl = payload
+            if use_sur:
+                from ..cluster import start_member_ids_pull
+
+                member_pull = start_member_ids_pull(
+                    id_source, id_col, None,
+                    nodes=label_tbl["node"].to_numpy(zero_copy_only=False),
+                )
+        else:
+            id_t = pa_.int64() if use_sur else pa_.string()
+            edges_tbl = payload if mode == "tables" else pa_.table(
+                {"id_a": pa_.array([], id_t), "id_b": pa_.array([], id_t),
+                 "score": pa_.array([], pa_.float64())}
+            )
+            if use_sur:
+                from ..cluster import start_member_ids_pull
+
+                member_pull = start_member_ids_pull(id_source, id_col, edges_tbl)
+            with stage_timer("driver CC"):
+                if linkage == "average":
+                    from ..cluster import driver_refine_table
+
+                    label_tbl = driver_refine_table(
+                        edges_tbl, settings.threshold, refine_max_members
+                    )
+                else:
+                    label_tbl = driver_cluster_table(edges_tbl)
+
+        def _entity_stage_streamed():
+            with stage_timer("entity map build"):
+                if use_sur:
+                    member_tbl = member_pull.join() if member_pull else None
+                    if member_tbl is not None and member_tbl.num_rows > 20_000_000:
+                        member_tbl = None
+                    return build_entity_map_uid(
+                        id_source, id_col, label_tbl,
+                        member_ids_tbl=member_tbl,
+                    )
+                return entity_map_from_table(id_source, id_col, label_tbl)
+
+        return _sink_entity(_entity_stage_streamed(), output_dir, output_key)
     n_edges = edges.count()
     # The driver fast path is budgeted in BYTES as well as edge count: long
     # string ids make 30 M edges multi-GB of driver heap on a cluster, so an

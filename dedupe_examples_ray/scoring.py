@@ -297,6 +297,17 @@ class PairScorer:
                     .to_numpy(zero_copy_only=False)
                     .astype(np.float64)
                 )
+            elif f.comparator == "price" and isinstance(
+                aa, (pa.Array, pa.ChunkedArray)
+            ):
+                # whole-column arithmetic (nulls -> NaN -> missing); the last
+                # per-row Python loop in a scoring path, vectorized
+                from .distances import batch_price_sim
+
+                va = pc.cast(aa, pa.float64()).to_numpy(zero_copy_only=False)
+                vb = pc.cast(bb, pa.float64()).to_numpy(zero_copy_only=False)
+                missing = np.isnan(va) | np.isnan(vb)
+                sim = batch_price_sim(va, vb)
             else:
                 a_list, b_list = pyl(f.column)
                 sim = self._field_sim(f.comparator, a_list, b_list)

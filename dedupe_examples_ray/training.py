@@ -215,6 +215,137 @@ def sample_training_pairs(pairs_ds, sample_size: int = 1500, seed: int = 42):
     return pairs_ds.random_sample(frac, seed=seed)
 
 
+def uncertainty_sample(
+    hydrated_tbl: pa.Table,
+    settings: Settings,
+    k: int,
+    idf: dict | None = None,
+    exclude: set | None = None,
+) -> list[int]:
+    """Indices of the ``k`` MOST-UNCERTAIN pairs under the current weights
+    (|p - 0.5| smallest) — the reference's active-learning query step
+    (``uncertainPairs`` inside ``console_label``, csv_example.py:115-130),
+    non-interactive.
+
+    ``hydrated_tbl``: driver-side candidate sample with ``{col}_a/{col}_b``
+    columns (bounded by ``sample_size`` — the reference holds its training
+    sample in memory the same way).  ``exclude``: already-labeled indices.
+    """
+    scorer = PairScorer(settings.to_json(), idf_ref=idf)
+    X = scorer.features(hydrated_tbl)
+    p = sigmoid(X @ settings.weight_vector() + settings.bias)
+    unc = np.abs(p - 0.5)
+    order = np.argsort(unc, kind="stable")
+    excl = exclude or set()
+    return [int(i) for i in order if int(i) not in excl][:k]
+
+
+def active_learning(
+    records_ds,
+    base: Settings,
+    id_col: str,
+    label_fn,
+    rounds: int = 5,
+    k: int = 10,
+    sample_size: int = 1500,
+    seed: int = 42,
+    idf: dict | None = None,
+) -> tuple[Settings, list[dict]]:
+    """Non-interactive active-learning loop: ``prepare_training`` +
+    ``console_label`` + ``train`` (csv_example.py:115-144) with a
+    programmatic labeler in place of the REPL.
+
+    Per round: score the blocked candidate SAMPLE under the current weights,
+    pick the ``k`` most-uncertain unlabeled pairs, label them via
+    ``label_fn(rec_a: dict, rec_b: dict) -> bool`` (dicts carry ``id_col`` +
+    every compared field), refit the logistic weights on all labels so far.
+    Total label budget = ``rounds * k``.
+
+    Scale posture: blocking + candidate generation + sampling + hydration are
+    all distributed (fingerprint -> candidate_pairs -> random_sample ->
+    semi_hydrate); only the ``sample_size``-bounded hydrated sample lands on
+    the driver — mirroring the reference, whose active learner also trains
+    on an in-memory sample.  Returns (trained Settings, per-round history).
+    """
+    import ray
+
+    from .blocking import fingerprint_dataset
+    from .pairs import candidate_pairs
+    from .scoring import semi_hydrate
+
+    cols = sorted({f.column for f in base.fields})
+    blocks = fingerprint_dataset(records_ds, base, id_col, [])
+    pairs = candidate_pairs(
+        blocks, id_col, [],
+        max_block_size=base.max_block_size, policy=base.oversize_policy,
+    )
+    sample = sample_training_pairs(pairs, sample_size=sample_size, seed=seed)
+    # the reference's prepare_training draws from BOTH a blocked sample
+    # (match-dense) and a random-pair sample (distinct-dense) so the learner
+    # sees each class (dedupe's blocked/random sample split); build the
+    # random side from two independently-seeded id samples zipped pairwise
+    import pyarrow.compute as pc_
+
+    ids_ds = sample_training_pairs(
+        records_ds.select_columns([id_col]), sample_size=sample_size, seed=seed + 1
+    )
+    la = [t for t in ray.get(ids_ds.to_arrow_refs()) if t.num_rows]
+    rand_tbl = None
+    if la:
+        ids = pa.concat_tables(la)[id_col].combine_chunks()
+        rng = np.random.default_rng(seed + 1)
+        p1 = rng.permutation(len(ids))
+        p2 = rng.permutation(len(ids))
+        a = ids.take(pa.array(p1, pa.int64()))
+        b = ids.take(pa.array(p2, pa.int64()))
+        keep = pc_.invert(pc_.equal(a, b))
+        rand_tbl = pa.table({"id_a": a, "id_b": b}).filter(keep)
+    pool = sample.select_columns(["id_a", "id_b"])
+    if rand_tbl is not None and rand_tbl.num_rows:
+        import ray.data as rd
+
+        pool = pool.union(rd.from_arrow(rand_tbl))
+    hyd = semi_hydrate(pool, records_ds, id_col, cols)
+    tbls = [t for t in ray.get(hyd.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        raise ValueError("no candidate pairs to learn from")
+    tbl = pa.concat_tables(tbls).combine_chunks()
+    # seeded shuffle: uncertainty ties (e.g. the zero-weight cold start)
+    # then interleave blocked and random pairs instead of exhausting the
+    # match-dense blocked prefix first
+    perm = np.random.default_rng(seed).permutation(tbl.num_rows)
+    tbl = tbl.take(pa.array(perm, pa.int64()))
+
+    def rec(side: str, i: int) -> dict:
+        out = {id_col: tbl[f"id_{side[0]}"][i].as_py()}
+        for c in cols:
+            out[c] = tbl[f"{c}_{side[0]}"][i].as_py()
+        return out
+
+    cur = Settings.from_json(base.to_json())
+    matches: list = []
+    distincts: list = []
+    labeled: set = set()
+    history: list[dict] = []
+    for r in range(rounds):
+        picked = uncertainty_sample(tbl, cur, k, idf=idf, exclude=labeled)
+        if not picked:
+            break
+        for i in picked:
+            labeled.add(i)
+            a, b = rec("a", i), rec("b", i)
+            (matches if label_fn(a, b) else distincts).append((a, b))
+        if matches and distincts:
+            # refit on ALL labels so far (the reference refits per label;
+            # per-round is the batched equivalent)
+            cur = train_settings(cur, matches, distincts, idf=idf)
+        history.append(
+            {"round": r, "labeled": len(labeled),
+             "n_match": len(matches), "n_distinct": len(distincts)}
+        )
+    return cur, history
+
+
 def tune_threshold(scored_df, true_pairs: set, recall_weight: float = 1.0) -> float:
     """Pick the score cutoff maximizing the recall-weighted F-score
     (reference O5: ``threshold(messy, recall_weight=1.0)``).

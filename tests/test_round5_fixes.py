@@ -114,3 +114,61 @@ def test_partition_pruning_nonstring_keys(ray_session, tmp_path):
                       key_col="k", num_buckets=4)
     got_f = read_partitioned(path_f, predicate=[("k", "==", 1.5)]).to_pandas()
     assert sorted(got_f["v"]) == [i for i in range(90) if i % 3 == 1]
+
+
+def test_streaming_edge_cc_parity():
+    """StreamingEdgeCC over chunked pushes == driver_cluster_table over the
+    full edge table: identical (node, label), per-node confidence equal up
+    to float summation order."""
+    import pandas as pd
+
+    from dedupe_examples_ray.cluster import StreamingEdgeCC, driver_cluster_table
+
+    rng = np.random.default_rng(17)
+    n_nodes = 4000
+    m = 12000
+    a = rng.integers(0, n_nodes, m) * 7 + 3  # sparse non-contiguous ids
+    b = rng.integers(0, n_nodes, m) * 7 + 3
+    keep = a != b
+    a, b = a[keep], b[keep]
+    s = rng.uniform(0.5, 1.0, len(a))
+    tbl = pa.table({"id_a": pa.array(a, pa.int64()),
+                    "id_b": pa.array(b, pa.int64()),
+                    "score": pa.array(s, pa.float64())})
+    want = driver_cluster_table(tbl).to_pandas().sort_values("node").reset_index(drop=True)
+
+    uf = StreamingEdgeCC()
+    for lo in range(0, len(a), 257):  # ragged chunks
+        uf.push(a[lo:lo + 257], b[lo:lo + 257], s[lo:lo + 257])
+    got = uf.finish().to_pandas().sort_values("node").reset_index(drop=True)
+
+    pd.testing.assert_series_equal(got["node"], want["node"])
+    pd.testing.assert_series_equal(got["label"], want["label"])
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+    # empty stream
+    assert StreamingEdgeCC().finish().num_rows == 0
+
+
+def test_stream_edges_spill_path(ray_session, tmp_path):
+    """A stream that exceeds the driver budget spills to parquet and comes
+    back as a Dataset with the identical edge multiset."""
+    import ray.data as rd
+
+    from dedupe_examples_ray.cluster import stream_edges_to_driver
+
+    t = pa.table({"id_a": pa.array(range(1000), pa.int64()),
+                  "id_b": pa.array(range(1, 1001), pa.int64()),
+                  "score": pa.array([0.9] * 1000, pa.float64())})
+    ds = rd.from_arrow(t).repartition(8)
+    mode, payload = stream_edges_to_driver(ds, driver_limit=100, driver_bytes=1 << 30)
+    assert mode == "spill"
+    back = payload.to_pandas().sort_values("id_a").reset_index(drop=True)
+    assert len(back) == 1000
+    assert (back["id_a"] == np.arange(1000)).all()
+
+    # within budget, int ids -> uf mode with full label coverage
+    mode2, lab = stream_edges_to_driver(ds, driver_limit=10**6, driver_bytes=1 << 30)
+    assert mode2 == "uf"
+    assert lab.num_rows == 1001  # chain 0-1000: every node labeled
+    assert (lab["label"].to_numpy() == 0).all()
