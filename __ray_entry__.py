@@ -1040,6 +1040,52 @@ def _q_er_dedupe_inventors(sf_dir):
     return out.to_pandas().sort_values("record_id").reset_index(drop=True)
 
 
+def _q_er_dedupe_officers(sf_dir):
+    """CRF-grade messy-name ER (officers.py plugin-variable parity, rows-only
+    with an IN-QUERY QUALITY CONTRACT): synthesize a corpus whose names carry
+    comma inversion, honorifics, suffixes, initials, nicknames and typos
+    (synth.make_officer_cluster), canonicalize at derive time
+    (plugins.canonical_name — the deterministic stand-in for the trained
+    probablepeople CRF), dedupe with the western_name comparator, and assert
+    pairwise F1 >= 0.95 vs gold before returning the metrics row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.pipelines import dedupe_dataset
+    from dedupe_examples_ray.plugins import canonical_name_array, officer_settings
+    from dedupe_examples_ray.synth import synth_officers_table
+
+    tbl = synth_officers_table(150, 42)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rid": t["rid"],
+                "name": pa.array(canonical_name_array(t["name"]), pa.string()),
+                "unit": t["unit"],
+            }
+        )
+
+    ds = rd.from_arrow(tbl.drop_columns(["true_id"])).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    ent = dedupe_dataset(ds.materialize(), officer_settings(), id_col="rid").to_pandas()
+    gold = tbl.select(["rid", "true_id"]).to_pandas().rename(columns={"rid": "url"})
+    gold["url"] = gold["url"].astype(str)
+    ent["record_id"] = ent["record_id"].astype(str)
+    scores = evaluate_entity_map(ent, gold)
+    assert scores["f1"] >= 0.95, scores  # the quality contract
+    import pandas as pd
+
+    return pd.DataFrame(
+        [{"n_records": len(ent),
+          "precision": round(scores["precision"], 4),
+          "recall": round(scores["recall"], 4),
+          "f1": round(scores["f1"], 4)}]
+    )
+
+
 def _q_media_decode(sf_dir):
     """REAL multimodal decode (pure-stdlib BMP/WAV/reel codecs, actor pool):
     decoded_ok is a genuine parse result and dec_width/dec_height come from
@@ -4226,6 +4272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_pages": _q_gazetteer_pages,
         "media_decode": _q_media_decode,
         "er_dedupe_inventors": _q_er_dedupe_inventors,
+        "er_dedupe_officers": _q_er_dedupe_officers,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_dedup": _q_media_dedup,

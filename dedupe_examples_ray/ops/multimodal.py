@@ -73,7 +73,7 @@ class MediaDecoder:
         dim = self.feature_dim
         try:
             if kind == "image":
-                rgb = codecs.decode_bmp(payload)
+                rgb = codecs.decode_image(payload)  # BMP / baseline JPEG / PNG
                 f = codecs.image_features(rgb, grid=self.grid)
                 return True, _fit(f, dim), rgb.shape[1], rgb.shape[0]
             if kind == "audio":
@@ -147,7 +147,7 @@ class ImageResizer:
         out, ok = [], []
         for p in t["payload"].to_pylist():
             try:
-                rgb = codecs.resize_nearest(codecs.decode_bmp(p or b""),
+                rgb = codecs.resize_nearest(codecs.decode_image(p or b""),
                                             self.out_h, self.out_w)
                 out.append(codecs.encode_bmp(rgb))
                 ok.append(True)

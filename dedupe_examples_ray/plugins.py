@@ -14,16 +14,54 @@ shipped plugins without driver-side setup.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .distances import jaro_winkler
 from .scoring import register_comparator
 
+# the token classes a trained USAddress/probablepeople CRF labels; handled
+# here as deterministic rules so the comparator reaches CRF-class match
+# quality on the messy patterns that matter for blocking+scoring (evaluated
+# by the `er_dedupe_officers` in-query F1 contract and pytest)
+_HONORIFICS = {"mr", "mrs", "ms", "miss", "dr", "prof", "rev", "hon", "sir",
+               "fr", "capt", "col", "gen", "lt", "sgt"}
+_NAME_SUFFIXES = {"jr", "sr", "ii", "iii", "iv", "v", "md", "phd", "esq",
+                  "dds", "cpa"}
+_NICK_RE = re.compile(r'["“”(][^")“”]*[")“”]')
+
 
 def _parse_name(name: str) -> tuple[str, str, str]:
-    """'first [middles] last' -> (first, middles-joined, last); single token
+    """Messy personal name -> (first, middles-joined, last).
+
+    Handles the patterns a probablepeople-style CRF labels: 'Last, First M'
+    comma inversion, honorific prefixes (Dr/Mrs/...), generational or
+    professional suffixes (Jr/III/PhD/...), quoted or parenthesized
+    nicknames (dropped), periods in initials, case.  Single remaining token
     counts as a last name (surname is the load-bearing part)."""
-    parts = (name or "").split()
+    s = (name or "").lower()
+    s = _NICK_RE.sub(" ", s)
+    s = s.replace(".", " ")
+    last_from_comma = ""
+    if "," in s:
+        head, _, rest = s.partition(",")
+        head_toks = [t for t in head.split() if t not in _NAME_SUFFIXES]
+        if head_toks and head_toks[0] not in _HONORIFICS:
+            # 'Smith, John A [Jr]' — head is the surname, rest the given names
+            last_from_comma = head_toks[-1]
+            s = rest
+        else:  # 'Dr, John Smith' damage: treat comma as noise
+            s = head + " " + rest
+    parts = [t for t in s.split() if t]
+    while parts and parts[0] in _HONORIFICS:
+        parts = parts[1:]
+    while parts and parts[-1] in _NAME_SUFFIXES:
+        parts = parts[:-1]
+    if last_from_comma:
+        if not parts:
+            return "", "", last_from_comma
+        return parts[0], " ".join(parts[1:]), last_from_comma
     if not parts:
         return "", "", ""
     if len(parts) == 1:
@@ -73,6 +111,34 @@ def western_name_sim(a_list, b_list) -> np.ndarray:
 
 
 register_comparator("western_name", western_name_sim)
+
+
+def canonical_name(name: str) -> str:
+    """Messy name -> canonical 'first middles last' (lowercase, honorifics/
+    suffixes/nicknames stripped, comma inversion undone) — the derive-time
+    normalization that makes raw blocking predicates (first_token, suffix)
+    work on CRF-grade messy names; comparator-grade detail (typos, initials)
+    is left for ``western_name`` to score."""
+    f, m, l = _parse_name(name)
+    return " ".join(x for x in (f, m, l) if x)
+
+
+def canonical_name_array(arr) -> "np.ndarray":
+    """Vectorized-enough canonical_name over an Arrow/np string column
+    (memoized per distinct value; called once per RECORD at derive time)."""
+    import pyarrow as pa
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_pylist()
+    cache: dict = {}
+    out = []
+    for v in arr:
+        got = cache.get(v)
+        if got is None:
+            got = canonical_name(v or "")
+            cache[v] = got
+        out.append(got)
+    return np.asarray(out, dtype=object)
 
 
 def officer_settings(with_address: bool = False):

@@ -530,6 +530,7 @@ def bucketed_hydrate(
     cols: list[str],
     num_buckets: int | None = None,
     pair_schema: list[tuple] | None = None,
+    rec_types: dict | None = None,
 ):
     """Partition-aligned pair hydration — the 100-TB scale path.
 
@@ -553,7 +554,10 @@ def bucketed_hydrate(
     num_buckets = resolve_buckets(num_buckets, pairs_ds, records_ds)
     from .pairs import stable_hash
 
-    rec_type = dataset_arrow_types(records_ds)
+    # rec_types: pass the record column types when records_ds is a LAZY view
+    # (e.g. a per-wave semi-filter) — a schema probe there would execute a
+    # pipeline fragment per call
+    rec_type = rec_types if rec_types is not None else dataset_arrow_types(records_ds)
     id_type = rec_type[id_col]
     if pair_schema is None:
         pair_schema = [("id_a", id_type), ("id_b", id_type)]

@@ -261,6 +261,72 @@ def synth_inventors_table(n_clusters: int, seed: int = 42) -> pa.Table:
     )
 
 
+_NAME_MESS_HONORIFICS = ["mr", "mrs", "ms", "dr", "prof"]
+_NAME_MESS_SUFFIXES = ["jr", "sr", "ii", "iii", "phd"]
+
+
+def make_officer_cluster(cluster_id: int, seed: int = 42) -> list[dict]:
+    """Messy-name corpus (CRF-parser evaluation): one synthetic identity ->
+    2-5 records whose names carry the damage patterns a trained
+    probablepeople/USAddress-style CRF untangles — 'Last, First M' comma
+    inversion, honorifics, generational suffixes, initialed given names,
+    quoted nicknames, single-edit typos.  Gold = cluster id."""
+    rng = np.random.default_rng([seed + 31, cluster_id])
+    first, middle, last = _words(rng, 3)
+    # identity-unique surname suffix: the syllable pool is small enough that
+    # distinct identities would otherwise share surnames, which is a property
+    # of the GENERATOR, not of the parser/comparator under evaluation
+    last = last + chr(97 + (cluster_id // 26) % 26) + chr(97 + cluster_id % 26)
+    unit = ["north", "south", "east", "west"][int(rng.integers(0, 4))]
+    size = int(rng.integers(2, 6))
+    rows = []
+    for m in range(size):
+        f, mid, l = first, middle, last
+        if m and rng.random() < 0.35:  # initialed given/middle name
+            mid = mid[0]
+        if m and rng.random() < 0.2:
+            f = f[0]
+        if m and rng.random() < 0.25:  # one-edit typo in the surname
+            j = int(rng.integers(1, len(l)))
+            l = l[:j] + chr(ord("a") + int(rng.integers(0, 26))) + l[j + 1 :]
+        style = int(rng.integers(0, 5)) if m else 0
+        if style == 0:
+            name = f"{f} {mid} {l}"
+        elif style == 1:  # comma inversion
+            name = f"{l}, {f} {mid}"
+        elif style == 2:  # honorific + title case + periods
+            hon = _NAME_MESS_HONORIFICS[int(rng.integers(0, 5))]
+            name = f"{hon}. {f.title()} {mid[0].upper()}. {l.title()}"
+        elif style == 3:  # suffix
+            name = f"{f} {mid} {l} {_NAME_MESS_SUFFIXES[int(rng.integers(0, 5))]}"
+        else:  # quoted nickname
+            nick = _words(rng, 1)[0]
+            name = f'{f} "{nick}" {l}'
+        rows.append(
+            {
+                "rid": cluster_id * 100 + m,
+                "name": name,
+                "unit": None if rng.random() < 0.15 else unit,
+                "true_id": cluster_id,
+            }
+        )
+    return rows
+
+
+def synth_officers_table(n_clusters: int, seed: int = 42) -> pa.Table:
+    rows: list[dict] = []
+    for cid in range(n_clusters):
+        rows.extend(make_officer_cluster(cid, seed))
+    return pa.table(
+        {
+            "rid": pa.array([r["rid"] for r in rows], pa.int64()),
+            "name": pa.array([r["name"] for r in rows], pa.string()),
+            "unit": pa.array([r["unit"] for r in rows], pa.string()),
+            "true_id": pa.array([r["true_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def synth_pages_dataset(n_clusters: int, seed: int = 42, parallelism: int = -1):
     """Distributed synthesis: Dataset with pages columns + ``true_id``.
 

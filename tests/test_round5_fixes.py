@@ -172,3 +172,84 @@ def test_stream_edges_spill_path(ray_session, tmp_path):
     assert mode2 == "uf"
     assert lab.num_rows == 1001  # chain 0-1000: every node labeled
     assert (lab["label"].to_numpy() == 0).all()
+
+
+def test_minhash_wave_verify_string_ids(ray_session, monkeypatch):
+    """Raw STRING ids through the >1-wave verify (is_in corpus semi-filter
+    branch) must match the single-pass result."""
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = [
+        {"doc_id": f"doc-{i:04d}", "text": f"group {i % 8} words filler tail " * 6}
+        for i in range(300)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    base = (dd.minhash_lsh_dedup(ds, _use_uids=False).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(dd, "_SEMI_HYDRATE_MAX", 0)
+    monkeypatch.setattr(dd, "_VERIFY_WAVE_BYTES", 1 << 12)
+    waved = (dd.minhash_lsh_dedup(ds, _use_uids=False).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert base.equals(waved)
+
+
+def test_minhash_wave_semifilter_parity(ray_session, monkeypatch):
+    """The large-corpus wave branch (per-wave corpus semi-filter) must match
+    the unfiltered wave result; covered by forcing the gate to 0 bytes."""
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = [
+        {"doc_id": i, "text": f"shared words group {i % 9} plus filler tail " * 5}
+        for i in range(400)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    base = (dd.minhash_lsh_dedup(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(dd, "_SEMI_HYDRATE_MAX", 0)
+    monkeypatch.setattr(dd, "_VERIFY_WAVE_BYTES", 1 << 12)
+    monkeypatch.setattr(dd, "_VERIFY_FILTER_MIN_BYTES", 0)  # force the filter
+    filtered = (dd.minhash_lsh_dedup(ds).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    assert base.equals(filtered)
+
+
+def test_sig_verify_width_and_text_hash_parity(ray_session):
+    """u32 verify signatures give the same assignment as u64 on the test
+    corpus (collision inflation is ~|sig|^2/2^32 per pair), and byte-equal
+    texts keep the exact-match shortcut while null texts never match."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = [{"doc_id": i, "text": f"group {i % 7} some words here " * 6}
+            for i in range(200)]
+    docs[10]["text"] = None
+    docs[11]["text"] = None
+    docs[12]["text"] = ""
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    a = dd.minhash_lsh_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    orig = dd._shingle_sig_batch
+    try:
+        dd._shingle_sig_batch = lambda t, **kw: orig(t, **{**kw, "bits": 64})
+        b = dd.minhash_lsh_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        dd._shingle_sig_batch = orig
+    assert a.equals(b)
+
+    # direct kernel checks: equal non-null text hash -> 1.0; null pair -> 0
+    tbl = pa.table({
+        "id_a": pa.array([1, 2], pa.int64()),
+        "id_b": pa.array([3, 4], pa.int64()),
+        "vsig_a": pa.array([[], []], pa.list_(pa.uint32())),
+        "vsig_b": pa.array([[], []], pa.list_(pa.uint32())),
+        "thash_a": pa.array([7, None], pa.int64()),
+        "thash_b": pa.array([7, None], pa.int64()),
+    })
+    out = dd._jaccard_verify_sig(tbl, threshold=0.5).to_pandas()
+    assert out["id_a"].tolist() == [1]  # null texts never short-circuit
