@@ -1040,6 +1040,44 @@ def _q_er_dedupe_inventors(sf_dir):
     return out.to_pandas().sort_values("record_id").reset_index(drop=True)
 
 
+def _q_al_train_pages(sf_dir):
+    """Non-interactive ACTIVE LEARNING (prepare_training + console_label +
+    train, csv_example.py:115-144, with a programmatic labeler; rows-only
+    with an in-query contract): from ZERO weights, <=50 uncertainty-sampled
+    labels over a blocked+random candidate pool must recover gold F1 >= 0.95
+    on the synthesized pages corpus.  Returns the per-round history."""
+    import pandas as pd
+
+    from dedupe_examples_ray.config import default_page_settings
+    from dedupe_examples_ray.evaluate import evaluate_entity_map
+    from dedupe_examples_ray.normalize import derive_page_fields
+    from dedupe_examples_ray.pipelines import dedupe_pages
+    from dedupe_examples_ray.synth import synth_pages_dataset
+    from dedupe_examples_ray.training import active_learning
+
+    full = synth_pages_dataset(150, seed=3)
+    pages = full.drop_columns(["true_id"]).materialize()
+    gold_df = full.select_columns(["url", "true_id"]).to_pandas()
+    gold = dict(zip(gold_df["url"], gold_df["true_id"]))
+    base = default_page_settings()
+    base.weights = {k: 0.0 for k in base.weights}
+    base.bias = 0.0
+    derived = pages.select_columns(["url", "text"]).map_batches(
+        derive_page_fields, batch_format="pyarrow"
+    )
+    trained, hist = active_learning(
+        derived, base, "url",
+        lambda a, b: gold[a["url"]] == gold[b["url"]],
+        rounds=5, k=10, seed=7,
+    )
+    entity = dedupe_pages(pages, settings=trained, scorer_concurrency=2).to_pandas()
+    scores = evaluate_entity_map(entity, gold_df)
+    assert scores["f1"] >= 0.95, scores  # the recovery contract
+    out = pd.DataFrame(hist)
+    out["final_f1"] = round(scores["f1"], 4)
+    return out
+
+
 def _q_er_dedupe_officers(sf_dir):
     """CRF-grade messy-name ER (officers.py plugin-variable parity, rows-only
     with an IN-QUERY QUALITY CONTRACT): synthesize a corpus whose names carry
@@ -4273,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "er_dedupe_inventors": _q_er_dedupe_inventors,
         "er_dedupe_officers": _q_er_dedupe_officers,
+        "al_train_pages": _q_al_train_pages,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_dedup": _q_media_dedup,

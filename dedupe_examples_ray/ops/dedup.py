@@ -521,40 +521,6 @@ def _jaccard_verify_sig(t: pa.Table, threshold) -> pa.Table:
     return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "score": score}).filter(keep)
 
 
-def _jaccard_verify_hydrated(t: pa.Table, shingle, k, threshold) -> pa.Table:
-    """Verify hydrated candidate pairs (text_a/text_b attached by the
-    partition-aligned cogroup — no corpus broadcast anywhere) with exact
-    shingle-set Jaccard over 64-bit shingle hashes (collision odds ~1e-12 per
-    pair at 10^4 shingles — the standard hashed-shingle formulation).  Sets
-    are memoized per distinct text within the batch: a document in j pairs is
-    shingled once, not j times; intersection is a sorted-array merge, not a
-    Python set op."""
-    cache: dict = {}
-
-    def sh(text) -> np.ndarray:
-        s = cache.get(text)
-        if s is None:
-            if shingle == "char":
-                h = char_ngram_hashes(text or "", k)
-            else:
-                h = _hash_tokens(word_shingles(text or "", k))
-            s = np.unique(h)  # sorted unique
-            cache[text] = s
-        return s
-
-    out = np.empty(t.num_rows, dtype=np.float64)
-    for i, (ta, tb) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
-        if ta is not None and ta == tb:
-            out[i] = 1.0
-            continue
-        sa, sb = sh(ta), sh(tb)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        out[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
-    score = pa.array(out, pa.float64())
-    keep = pc.greater_equal(score, threshold)
-    return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "score": score}).filter(keep)
-
-
 # Above this many clustered nodes the assignment label table stops being
 # broadcast (it is O(#clustered docs) — on near-dup-dense web corpora that is
 # a large corpus fraction) and routes through the big-big hash_join instead.
