@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .scale import clean_arrow as _clean_arrow
+from .scale import clean_arrow as _clean_arrow, safe_coalesce
 
 
 # ---------------------------------------------------------------- driver path
@@ -807,7 +807,7 @@ def _annotate_from_table(t: pa.Table, tbl_ref) -> pa.Table:
     pos = node_idx.get_indexer(t["record_id"].to_pandas())
     # misses (singletons) become nulls via the validity mask — no Python loop
     idx = pa.array(pos.astype("int64"), type=pa.int64(), mask=pos < 0)
-    canon = pc.coalesce(
+    canon = safe_coalesce(
         pc.take(lbl["label"], idx), pc.cast(t["record_id"], pa.string())
     )
     cols = {"record_id": t["record_id"], "canon_id": canon}
@@ -869,7 +869,7 @@ def build_entity_map(
         lambda t: pa.table(
             {
                 "record_id": t["record_id"],
-                "canon_id": pc.coalesce(t["canon_id"], t["record_id"]),
+                "canon_id": safe_coalesce(t["canon_id"], t["record_id"]),
             }
         ),
         batch_format="pyarrow",
@@ -1253,7 +1253,7 @@ def build_entity_map_uid(
             crow, chit = _sorted_lookup(c_sorted, c_order, lab_np)
             ok = hit & chit
             cidx = pa.array(np.where(ok, crow, 0), pa.int64(), mask=~ok)
-            canon_id = pc.coalesce(pc.take(cm["canon"].combine_chunks(), cidx), rid)
+            canon_id = safe_coalesce(pc.take(cm["canon"].combine_chunks(), cidx), rid)
             cols = {"record_id": rid, "canon_id": canon_id}
             if "score" in m.column_names:
                 vals = m["score"].combine_chunks().to_numpy(zero_copy_only=False)[safe_row]
@@ -1324,7 +1324,7 @@ def build_entity_map_uid(
     def fin(t: pa.Table) -> pa.Table:
         cols = {
             "record_id": t["record_id"],
-            "canon_id": pc.coalesce(t["canon"], t["record_id"]),
+            "canon_id": safe_coalesce(t["canon"], t["record_id"]),
         }
         if "cluster_score" in t.column_names:
             cols["cluster_score"] = t["cluster_score"]

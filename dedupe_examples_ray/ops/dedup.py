@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..cluster import connected_components
-from ..scale import clean_arrow as _clean_arrow
+from ..scale import clean_arrow as _clean_arrow, safe_coalesce
 
 # Per-worker cache for broadcast objects: task functions resolve a ray.put
 # ref once per worker process instead of paying actor-pool startup (the
@@ -165,6 +165,44 @@ _SEMI_HYDRATE_MAX = 2_000_000
 def _hash_tokens(tokens: np.ndarray) -> np.ndarray:
     """Stable 64-bit hashes for a string array (vectorized via pandas)."""
     return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+
+
+def _exact_groups(ds, text_col: str, id_col: str, num_buckets: int | None = None):
+    """(id, keep_id) per exact text content — the minhash pre-pass variant of
+    :func:`exact_dedup` whose NULL handling matches the LSH verify semantics
+    exactly: null texts never group with anything (each gets a per-id key),
+    while ``""`` texts group together (byte-equal shortcut).  Only
+    (id, 64-bit key) travel through one bucketed shuffle."""
+    from ..scale import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        null = pc.is_null(s).to_numpy(zero_copy_only=False)
+        texts = np.asarray(pc.fill_null(pc.cast(s, pa.string()), "").to_pylist(),
+                           dtype=object)
+        hs = (pd.util.hash_array(texts).astype(np.uint64) >> np.uint64(2))
+        if null.any():
+            ids = np.asarray(t[id_col].to_pylist(), dtype=object)
+            idh = pd.util.hash_array(ids).astype(np.uint64) >> np.uint64(2)
+            # tag bit keeps per-id null keys disjoint from content keys
+            hs = np.where(null, idh | np.uint64(1 << 62), hs)
+        b = hs % np.uint64(num_buckets)
+        return pa.table({
+            id_col: t[id_col],
+            "h": pa.array(hs.astype(np.int64), pa.int64()),
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+        })
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        return _clean_arrow(pd.DataFrame({
+            id_col: df[id_col],
+            "keep_id": df.groupby("h", sort=False)[id_col].transform("min"),
+        }))
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("bucket").map_groups(assign, batch_format="pandas"))
 
 
 def minhash_signature(token_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -558,7 +596,7 @@ def _assignment(ds, id_col: str, edges_ds, broadcast_row_budget: int | None = No
         joined = hash_join(ds.select_columns([id_col]), lab, on=id_col, right_on="node", how="left")
 
         def fin(t: pa.Table) -> pa.Table:
-            return pa.table({id_col: t[id_col], "keep_id": pc.coalesce(t["__lab"], t[id_col])})
+            return pa.table({id_col: t[id_col], "keep_id": safe_coalesce(t["__lab"], t[id_col])})
 
         return joined.map_batches(fin, batch_format="pyarrow")
 
@@ -574,7 +612,7 @@ def _assignment(ds, id_col: str, edges_ds, broadcast_row_budget: int | None = No
     def annot(t: pa.Table) -> pa.Table:
         m = _get_broadcast(ref)
         idx = pc.index_in(t[id_col], value_set=m["node"].combine_chunks())
-        keep = pc.coalesce(pc.take(m["label"].combine_chunks(), idx), t[id_col])
+        keep = safe_coalesce(pc.take(m["label"].combine_chunks(), idx), t[id_col])
         return pa.table({id_col: t[id_col], "keep_id": keep})
 
     return ds.select_columns([id_col]).map_batches(
@@ -654,6 +692,7 @@ def minhash_lsh_dedup(
     verify: bool = True,
     workdir: str | None = None,
     input_token: str | None = None,
+    pre_exact: bool = True,
     _pairs_only: bool = False,
     _use_uids: bool | None = None,
 ):
@@ -673,6 +712,49 @@ def minhash_lsh_dedup(
 
     if bands is None:
         bands, _ = lsh_plan(threshold, num_perm)
+
+    # ---- exact-dedup pre-pass: collapse byte-identical docs BEFORE LSH ----
+    # Identical texts have identical shingle sets, minhash signatures and
+    # band keys, so running LSH over one REPRESENTATIVE per exact group and
+    # expanding the assignment back is component-identical to the direct run
+    # (parity-tested) while shrinking the band shuffle by the corpus's
+    # duplication factor — on the 6.26M-page soak corpus (2.4x exact
+    # duplication) the ~200M-row band shuffle drops to ~85M rows.  The
+    # pre-pass itself ships only (id, 64-bit key) through one shuffle.  On a
+    # dup-free corpus (reps > 90% of docs) the pre-pass result is discarded
+    # and the direct path runs — one cheap slim pass of overhead.
+    if pre_exact and not _pairs_only:
+        from ..relational import hash_join
+
+        ex = _exact_groups(
+            ds.select_columns([id_col, text_col]), text_col, id_col
+        ).materialize()
+        n_docs = ex.count()
+        reps_ids = ex.map_batches(
+            lambda t: t.filter(pc.equal(t[id_col], t["keep_id"])).select([id_col]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_reps = reps_ids.count()
+        if n_reps <= 0.9 * n_docs:
+            rep_corpus = hash_join(
+                ds.select_columns([id_col, text_col]), reps_ids,
+                on=id_col, how="semi",
+            )
+            sub = minhash_lsh_dedup(
+                rep_corpus, text_col=text_col, id_col=id_col, shingle=shingle,
+                k=k, num_perm=num_perm, bands=bands, threshold=threshold,
+                verify=verify, workdir=workdir, input_token=input_token,
+                pre_exact=False, _use_uids=_use_uids,
+            )
+            sub_r = sub.map_batches(
+                lambda t: pa.table({"__rep": t[id_col], "__near": t["keep_id"]}),
+                batch_format="pyarrow",
+            )
+            joined = hash_join(ex, sub_r, on="keep_id", right_on="__rep")
+            return joined.map_batches(
+                lambda t: pa.table({id_col: t[id_col], "keep_id": t["__near"]}),
+                batch_format="pyarrow",
+            )
 
     # ---- surrogate uids for string-keyed corpora (the 100-TB posture) ----
     # URL-keyed runs ship ~50-60 B of id per band row and 2x that per pair;

@@ -38,6 +38,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..scale import safe_coalesce
+
 _DRIVER_PR_BUDGET = 256 << 20  # bytes of edge projection
 
 
@@ -734,7 +736,7 @@ def label_propagation(edges, a_col: str = "a", b_col: str = "b",
         )
 
         def take_new(t: pa.Table) -> pa.Table:
-            new = pc.coalesce(t["new_lab"], t["lab"])
+            new = safe_coalesce(t["new_lab"], t["lab"])
             return pa.table({
                 "node": t["node"],
                 "lab": pc.cast(new, pa.int64()),

@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..scale import safe_coalesce
 import pyarrow.parquet as pq
 
 from .dedup import _get_broadcast, band_keys, batch_minhash_signatures
@@ -439,7 +441,7 @@ def incremental_minhash_dedup(
         m = _get_broadcast(km_ref)
         anchors = _get_broadcast(prior_set_ref)
         idx = pc.index_in(t[id_col], value_set=m["node"].combine_chunks())
-        keep = pc.coalesce(pc.take(m["keep_id"].combine_chunks(), idx), t[id_col])
+        keep = safe_coalesce(pc.take(m["keep_id"].combine_chunks(), idx), t[id_col])
         is_self = pc.equal(keep, t[id_col])
         is_prior = (
             pc.is_in(keep, value_set=anchors)
@@ -461,7 +463,7 @@ def incremental_minhash_dedup(
     def survivor_sigs(t: pa.Table) -> pa.Table:
         m = _get_broadcast(km_ref)
         idx = pc.index_in(t[id_col], value_set=m["node"].combine_chunks())
-        keep = pc.coalesce(pc.take(m["keep_id"].combine_chunks(), idx), t[id_col])
+        keep = safe_coalesce(pc.take(m["keep_id"].combine_chunks(), idx), t[id_col])
         t = t.filter(pc.equal(keep, t[id_col]))
         b = stable_hash(np.asarray(t[id_col].to_pylist(), dtype=object)) % num_buckets
         return t.append_column("__bkt", pa.array(b.astype(np.int64), pa.int64()))
@@ -472,7 +474,7 @@ def incremental_minhash_dedup(
     def survivor_bands(t: pa.Table) -> pa.Table:
         m = _get_broadcast(km_ref)
         idx = pc.index_in(t[id_col], value_set=m["node"].combine_chunks())
-        keep = pc.coalesce(pc.take(m["keep_id"].combine_chunks(), idx), t[id_col])
+        keep = safe_coalesce(pc.take(m["keep_id"].combine_chunks(), idx), t[id_col])
         t = t.filter(pc.equal(keep, t[id_col]))
         return pa.table(
             {

@@ -87,3 +87,23 @@ def clean_arrow(df):
     import pyarrow as pa
 
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def safe_coalesce(a, b):
+    """``pc.coalesce`` with both inputs flattened first.
+
+    pyarrow (observed on 16.1) MIS-ALIGNS differently-chunked ChunkedArray
+    inputs — e.g. a single-chunk take-result against a three-chunk table
+    column returned ``[1, 0, 1]`` where elementwise coalesce of
+    ``[1, None, 1]`` with ``[1, 6, 3]`` is ``[1, 6, 1]`` — silently wrong
+    values, not an error.  Every repo coalesce over ChunkedArrays must go
+    through this helper (regression: tests/test_round5_fixes.py).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    return pc.coalesce(a, b)

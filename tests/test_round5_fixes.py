@@ -253,3 +253,77 @@ def test_sig_verify_width_and_text_hash_parity(ray_session):
     })
     out = dd._jaccard_verify_sig(tbl, threshold=0.5).to_pandas()
     assert out["id_a"].tolist() == [1]  # null texts never short-circuit
+
+
+def test_minhash_pre_exact_parity(ray_session):
+    """The exact-dedup pre-pass (LSH over representatives + expansion) must
+    produce the identical assignment to the direct run — including '' texts
+    (group together) and null texts (never group)."""
+    import ray.data as rd
+
+    import dedupe_examples_ray.ops.dedup as dd
+
+    docs = []
+    for i in range(120):
+        g = i % 8
+        if i % 10 == 0:
+            text = f"shared words group {g} filler tail " * 5       # exact dup
+        elif i % 10 == 1:
+            text = f"shared words group {g} filler tail extra " * 5  # near dup
+        else:
+            text = f"shared words group {g} filler tail " * 5
+        docs.append({"doc_id": i, "text": text})
+    docs[5]["text"] = ""
+    docs[17]["text"] = ""
+    docs[29]["text"] = None
+    docs[41]["text"] = None
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    direct = (dd.minhash_lsh_dedup(ds, pre_exact=False).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pre = (dd.minhash_lsh_dedup(ds, pre_exact=True).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert direct.equals(pre)
+    # '' texts merged, nulls singletons
+    m = dict(zip(pre["doc_id"], pre["keep_id"]))
+    assert m[5] == m[17] == 5
+    assert m[29] == 29 and m[41] == 41
+
+    # string ids through the pre-pass (uid machinery downstream)
+    sdocs = [{"doc_id": f"u{i:03d}", "text": d["text"]} for i, d in enumerate(docs)]
+    sds = rd.from_arrow(pa.Table.from_pylist(sdocs))
+    sd = (dd.minhash_lsh_dedup(sds, pre_exact=False).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    sp = (dd.minhash_lsh_dedup(sds, pre_exact=True).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert sd.equals(sp)
+
+
+def test_safe_coalesce_chunk_misalignment(ray_session):
+    """pyarrow pc.coalesce silently mis-aligns differently-chunked inputs
+    (take-result vs multi-chunk table column -> wrong VALUES); safe_coalesce
+    flattens both.  Repro: the minhash assignment over a hash_join 'semi'
+    view assigned keep_id 0 to an unmatched doc."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from dedupe_examples_ray.scale import safe_coalesce
+
+    taken = pc.take(pa.array([1, 1], pa.int64()),
+                    pa.chunked_array([[0], [None], [1]], pa.int64()))
+    doc = pa.chunked_array([[1], [6], [3]], pa.int64())
+    assert safe_coalesce(taken, doc).to_pylist() == [1, 6, 1]
+
+    # end-to-end: assignment over a multi-chunk semi-join view
+    import dedupe_examples_ray.ops.dedup as dd
+    from dedupe_examples_ray.relational import hash_join
+
+    rows = [{"doc_id": i, "text": f"t{i}"} for i in (1, 3, 4, 6)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    reps = rd.from_arrow(pa.table({"doc_id": pa.array([1, 3, 4, 6], pa.int64())}))
+    rc = hash_join(ds.select_columns(["doc_id", "text"]), reps, on="doc_id", how="semi")
+    edges = rd.from_arrow(pa.table({"id_a": pa.array([1], pa.int64()),
+                                    "id_b": pa.array([3], pa.int64()),
+                                    "score": pa.array([0.6])}))
+    out = dd._assignment(rc, "doc_id", edges).to_pandas()
+    got = dict(zip(out["doc_id"], out["keep_id"]))
+    assert got == {1: 1, 3: 1, 4: 4, 6: 6}, got
