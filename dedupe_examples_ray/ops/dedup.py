@@ -369,17 +369,28 @@ def band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 def _minhash_bands_batch(t: pa.Table, id_col, text_col, shingle, k, num_perm, bands) -> pa.Table:
-    """Task stage: doc -> (band, key, doc_id) LSH bucket rows (batched)."""
+    """Task stage: doc -> (key, doc_id) LSH bucket rows (batched).
+
+    The band index is PACKED into the 64-bit key (golden-ratio mix) instead
+    of riding as its own column: the (band, key) pair is only ever used as
+    an opaque bucket identity, and dropping the int32 column cuts the
+    ~200M-row band shuffle's bytes by 20% at soak scale.  Cross-band key
+    collisions (~rows^2/2^63) merge two buckets — extra candidate pairs the
+    verify rejects, the same collision class the key hash already carries.
+    """
     ids = np.asarray(t[id_col].to_pylist(), dtype=object)
     texts = t[text_col].to_pylist()
     n = len(ids)
     sigs = batch_minhash_signatures(texts, shingle, k, num_perm)
-    keys = band_keys(sigs, bands)
+    keys = band_keys(sigs, bands).astype(np.uint64)
+    band_mix = (
+        np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    packed = (keys + band_mix[None, :]).astype(np.int64)
     return pa.table(
         {
             id_col: pa.array(np.repeat(ids, bands), t[id_col].type),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
-            "key": pa.array(keys.ravel(), pa.int64()),
+            "key": pa.array(packed.ravel(), pa.int64()),
         }
     )
 
@@ -401,15 +412,16 @@ def _bucket_pairs(bucket_ds, id_col: str, max_bucket: int = 200,
     num_buckets = resolve_buckets(num_buckets, bucket_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = (
-            t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        ) % num_buckets
+        h = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "band" in t.column_names:  # legacy two-column bucket identity
+            h = h + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h = h % num_buckets
         return t.append_column("bucket", pa.array(h.astype(np.int64), pa.int64()))
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
+        group_cols = ["band", "key"] if "band" in df.columns else ["key"]
         frames = []
-        for _, sub in df.groupby(["band", "key"], sort=False):
+        for _, sub in df.groupby(group_cols, sort=False):
             ids = np.sort(sub[id_col].unique())
             n = len(ids)
             if n < 2:
@@ -449,25 +461,26 @@ def lsh_bucket_metrics(bucket_ds, id_col: str, max_bucket: int = 200,
     num_buckets = resolve_buckets(num_buckets, bucket_ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = (
-            t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        ) % num_buckets
-        return pa.table(
-            {"band": t["band"], "key": t["key"], id_col: t[id_col],
-             "bucket": pa.array(h.astype(np.int64), pa.int64())}
-        )
+        h = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cols = {"key": t["key"], id_col: t[id_col]}
+        if "band" in t.column_names:
+            h = h + t["band"].to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            cols["band"] = t["band"]
+        h = h % num_buckets
+        cols["bucket"] = pa.array(h.astype(np.int64), pa.int64())
+        return pa.table(cols)
 
     def sizes(df: pd.DataFrame) -> pa.Table:
-        u = df.drop_duplicates(subset=["band", "key", id_col])
+        gcols = ["band", "key"] if "band" in df.columns else ["key"]
+        u = df.drop_duplicates(subset=gcols + [id_col])
         return _clean_arrow(
-            u.groupby(["band", "key"], sort=False).size().rename("n").reset_index()[["n"]]
+            u.groupby(gcols, sort=False).size().rename("n").reset_index()[["n"]]
         )
 
     from ..pairs import _even_split
 
     tbl = (
-        bucket_ds.select_columns(["band", "key", id_col])
+        bucket_ds
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sizes, batch_format="pandas")
@@ -487,6 +500,38 @@ def lsh_bucket_metrics(bucket_ds, id_col: str, max_bucket: int = 200,
         "pairs_emitted_est": emitted,
         "pairs_dropped_est": int(full.sum()) - emitted,
     }
+
+
+def _jaccard_verify_hydrated(t: pa.Table, shingle, k, threshold) -> pa.Table:
+    """Bounded-path verify: text_a/text_b hydrated by semi_hydrate, exact
+    shingle-set Jaccard with per-batch memoized shingling.  Kept for the
+    <=_SEMI_HYDRATE_MAX candidate regime where ONE hydration pull beats the
+    sig pipeline's extra jobs (bench: 2.7 vs 3.4 s at 5k docs); the
+    cogroup/wave regimes use the signature kernel instead."""
+    cache: dict = {}
+
+    def sh(text) -> np.ndarray:
+        s = cache.get(text)
+        if s is None:
+            if shingle == "char":
+                h = char_ngram_hashes(text or "", k)
+            else:
+                h = _hash_tokens(word_shingles(text or "", k))
+            s = np.unique(h)  # sorted unique
+            cache[text] = s
+        return s
+
+    out = np.empty(t.num_rows, dtype=np.float64)
+    for i, (ta, tb) in enumerate(zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())):
+        if ta is not None and ta == tb:
+            out[i] = 1.0
+            continue
+        sa, sb = sh(ta), sh(tb)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        out[i] = inter / (len(sa) + len(sb) - inter) if inter else 0.0
+    score = pa.array(out, pa.float64())
+    keep = pc.greater_equal(score, threshold)
+    return pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "score": score}).filter(keep)
 
 
 def _shingle_sig_batch(t: pa.Table, id_col, text_col, shingle, k,
@@ -726,6 +771,32 @@ def minhash_lsh_dedup(
     if pre_exact and not _pairs_only:
         from ..relational import hash_join
 
+        # size gate first: below ~200k docs the pre-pass's extra jobs cost
+        # more than any duplication saves (measured: the probe alone added
+        # ~1 s to a 5k-doc bench run), and metadata row counts are free
+        est0 = estimate_rows(ds)
+        if est0 is not None and est0 < 200_000:
+            pre_exact = False
+    if pre_exact and not _pairs_only:
+        # cheap sampled gate next: a 50k-row probe estimates the exact-dup
+        # fraction; corpora with <5% sampled duplication skip the full
+        # pre-pass entirely (the 6.26M-page soak corpus is 100% perturbed
+        # near-dups — the full-corpus probe there cost ~25 s for nothing).
+        # Sampled duplication UNDER-estimates the true rate (cross-sample
+        # dups are missed), so the threshold is deliberately low.
+        try:
+            probe = ds.select_columns([text_col]).limit(50_000).to_pandas()
+            n_p = len(probe)
+            dup_frac = (
+                1.0 - probe[text_col].fillna("").nunique() / n_p if n_p else 0.0
+            )
+        except Exception:
+            dup_frac = 1.0  # probe failure: fall through to the exact gate
+        if dup_frac < 0.05:
+            pre_exact = False
+    if pre_exact and not _pairs_only:
+        from ..relational import hash_join
+
         ex = _exact_groups(
             ds.select_columns([id_col, text_col]), text_col, id_col
         ).materialize()
@@ -862,18 +933,6 @@ def minhash_lsh_dedup(
     if verify:
         from ..scoring import bucketed_hydrate, semi_hydrate
 
-        # Per-doc shingle SIGNATURES (sorted-unique u32 hashes + u64 text
-        # hash) replace raw text in the verify hydration: ~40% fewer bytes
-        # through both cogroup shuffles and a searchsorted intersection
-        # instead of per-batch re-shingling + intersect1d sorts — measured
-        # 86 s -> 13 s for the whole verify stage at 625k pages / 32 CPUs.
-        # Shingling is ONE parallel corpus pass here instead of once per
-        # distinct text per hydrated batch.
-        sigds = ds.select_columns([id_col, text_col]).map_batches(
-            _shingle_sig_batch,
-            fn_kwargs=dict(id_col=id_col, text_col=text_col, shingle=shingle, k=k),
-            batch_format="pyarrow",
-        )
         # bounded-candidate fast path vs partition-aligned cogroup: candidate
         # pairs are LSH-banded + bucket-capped, so their count (not the corpus
         # size) picks the hydration strategy
@@ -881,9 +940,20 @@ def minhash_lsh_dedup(
         n_pairs = pairs.count()
         verify_kw = dict(threshold=threshold)
         if n_pairs <= _SEMI_HYDRATE_MAX:
-            hydrated = semi_hydrate(pairs, sigds, id_col, ["vsig", "thash"])
+            # bounded path: ONE semi_hydrate pull of raw text + per-batch
+            # memoized shingling — at small candidate counts the sig
+            # pipeline's extra jobs cost more than the whole verify
+            # (bench: 2.7 vs 3.4 s at 5k docs)
+            renamed = ds.select_columns([id_col, text_col])
+            if text_col != "text":
+                renamed = renamed.map_batches(
+                    lambda t: pa.table({id_col: t[id_col], "text": t[text_col]}),
+                    batch_format="pyarrow",
+                )
+            hydrated = semi_hydrate(pairs, renamed, id_col, ["text"])
             pairs = hydrated.map_batches(
-                _jaccard_verify_sig, fn_kwargs=verify_kw,
+                _jaccard_verify_hydrated,
+                fn_kwargs=dict(shingle=shingle, k=k, threshold=threshold),
                 batch_format="pyarrow",
             )
         else:
@@ -896,7 +966,19 @@ def minhash_lsh_dedup(
             # (ids+jaccard), so only one wave's signature-carrying
             # intermediates exist at a time.  Cost: the corpus-side cogroup
             # re-shuffles once per wave — the standard time/space knob.
-            sigds = sigds.materialize()
+            #
+            # Per-doc shingle SIGNATURES (sorted-unique u32 hashes + u64
+            # text hash) replace raw text in this regime: ~40% fewer bytes
+            # through both cogroup shuffles and a searchsorted intersection
+            # instead of per-batch re-shingling + intersect1d sorts —
+            # measured 86 s -> 13 s for the whole verify stage at 625k
+            # pages / 32 CPUs.  Shingling is ONE parallel corpus pass.
+            sigds = ds.select_columns([id_col, text_col]).map_batches(
+                _shingle_sig_batch,
+                fn_kwargs=dict(id_col=id_col, text_col=text_col,
+                               shingle=shingle, k=k),
+                batch_format="pyarrow",
+            ).materialize()
             avg_sig = max(
                 sigds.size_bytes() / max(sigds.count(), 1), 64.0
             )

@@ -540,7 +540,15 @@ def dedupe_dataset(
     # stage (the parquet checkpoint is the point there).
     import os as _os
 
-    stream_ok = _os.environ.get("DER_STREAM_EDGES", "1") != "0"
+    # streamed drain only at scale: the iter_batches consumption is a wash
+    # vs materialize+pull at 625k pages (A/B: 8.35 vs 8.31 s median) and a
+    # fixed ~0.3 s SLOWER on small corpora (more Ray jobs); its value — the
+    # removed serial edge pull and the disk-spill driver-memory guard —
+    # only materializes when the edge set is large
+    stream_ok = (
+        _os.environ.get("DER_STREAM_EDGES", "1") != "0"
+        and n_records >= 100_000
+    )
     streamed = None
     try:
         if workdir is not None or not stream_ok:
