@@ -450,7 +450,7 @@ def _extend(v: int, cat: int) -> int:
     return v if cat == 0 or v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     """Baseline JFIF/JPEG bytes -> (H, W, 3) uint8 RGB (grayscale -> 3-chan).
 
     Supports baseline sequential DCT, 8-bit, 1 or 3 components, sampling
@@ -588,6 +588,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("no scan data in JPEG payload")
 
 
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Guarded baseline-JPEG decode: structural crashes on hostile payloads
+    (truncated segments, bad Huffman specs, out-of-range indices) surface as
+    ValueError so the actor stages' poison guard catches every failure
+    mode."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG payload: {e}") from e
+
+
 # -------------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -618,7 +629,7 @@ def encode_png(rgb: np.ndarray) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+def _decode_png_inner(payload: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, 3) uint8 RGB.  Supports bit depth 8, color types
     0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA; alpha dropped over
     black -> composited as-is), all five scanline filters.  Interlaced
@@ -703,6 +714,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     if plte is None:
         raise ValueError("palette PNG without PLTE")
     return plte[px[..., 0]]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Guarded PNG decode (see decode_jpeg): every structural failure mode
+    surfaces as ValueError."""
+    try:
+        return _decode_png_inner(payload)
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed PNG payload: {e}") from e
 
 
 def decode_image(payload: bytes) -> np.ndarray:
